@@ -1,13 +1,187 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 that is expressible over the driver's
+  * parquet tables appears in [[queries]]; each SQL-expressible one has a
+  * DuckDB oracle in [[oracleSql]]. Column names are aliased identically on
+  * both sides (the driver hash-compares after sorting columns by name), all
+  * outputs carry a deterministic ORDER BY, and double aggregates are
+  * rounded so floating-point summation order cannot flip the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> Relational.q01PricingSummary,
+    "q02_revenue_by_segment" -> Relational.q02RevenueBySegment,
+    "q03_enrich_leftjoin" -> Relational.q03EnrichLeftJoin,
+    "q04_highwater" -> Relational.q04HighWater,
+    "q05_anti_join" -> Relational.q05AntiJoin,
+    "q06_dim_numbering" -> Relational.q06DimNumbering,
+    "q07_ledger_durations" -> Relational.q07LedgerDurations,
+    "q08_null_range_filter" -> Relational.q08NullRangeFilter,
+    "q09_like_filter" -> Relational.q09LikeFilter,
+    "q10_topk" -> Relational.q10TopK,
+    "q11_distinct_agg" -> Relational.q11DistinctAgg,
+    "q12_rollup" -> Relational.q12Rollup,
+    "q13_semi_join" -> Relational.q13SemiJoin,
+    "q14_union_all" -> Relational.q14UnionAll,
+    "q15_subquery_avg" -> Relational.q15SubqueryAvg,
+    "q16_running_sum" -> Relational.q16RunningSum,
+    "q17_tumbling_window" -> Relational.q17TumblingWindow,
+    "q18_sliding_window" -> Relational.q18SlidingWindow,
+    "q19_session_window" -> Relational.q19SessionWindow,
+    "q20_json_extract" -> Relational.q20JsonExtract
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "q03_enrich_leftjoin" ->
+      """SELECT l_orderkey, l_linenumber,
+         coalesce(o_custkey, -1) AS enriched_custkey
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q04_highwater" ->
+      """SELECT coalesce((SELECT max(o_orderkey) FROM orders), 0) AS hw_dim,
+         coalesce((SELECT max(l_orderkey) FROM lineitem WHERE l_orderkey < 0), 0) AS hw_fact""",
+    "q05_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+    "q06_dim_numbering" ->
+      """SELECT o_orderkey,
+         CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS INT) AS sim_num
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey""",
+    "q07_ledger_durations" ->
+      """SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS started_epoch,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS finished_epoch,
+         count(*) AS n_events,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q08_null_range_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 40) p
+           ON l_partkey = p_partkey
+         WHERE p_partkey IS NULL AND l_partkey > 50 AND l_partkey <= 1500
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q09_like_filter" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         round(avg(p_retailprice), 4) AS avg_price
+         FROM part
+         WHERE p_type LIKE '%ROMO%' AND p_name NOT LIKE 'small%'
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q11_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q12_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS region,
+         coalesce(n_name, '(all)') AS nation,
+         count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region, nation""",
+    "q13_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q14_union_all" ->
+      """SELECT side, count(*) AS n, round(sum(acctbal), 2) AS sum_bal FROM (
+           SELECT 'supplier' AS side, s_acctbal AS acctbal FROM supplier
+           UNION ALL
+           SELECT 'customer' AS side, c_acctbal AS acctbal FROM customer)
+         GROUP BY side ORDER BY side""",
+    "q15_subquery_avg" ->
+      """SELECT c_mktsegment, count(*) AS n_above_avg FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q16_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, o_orderkey""",
+    "q17_tumbling_window" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_epoch,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q18_sliding_window" ->
+      """SELECT window_start_epoch, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value FROM (
+           SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start_epoch, value FROM events
+           UNION ALL
+           SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS window_start_epoch, value FROM events)
+         GROUP BY window_start_epoch ORDER BY window_start_epoch""",
+    "q19_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+               THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM flagged)
+         SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM numbered GROUP BY user_id, sess
+         ORDER BY user_id, session_start_epoch""",
+    "q20_json_extract" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+           SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         WHERE k IS NOT NULL AND k % 10 = 0
+         GROUP BY event_type ORDER BY event_type"""
+  )
 }

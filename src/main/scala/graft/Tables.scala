@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver's test tables (TESTDATA.md).
+  *
+  * Explicit-path reads; schema comes from the Parquet footer (already
+  * typed), so column pruning and predicate pushdown reach the scan
+  * unimpeded.
+  *
+  * The `events` table carries TIMESTAMP(NANOS) — a Parquet logical type
+  * Spark's vectorized reader rejects outright. We read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` (epoch-nanos as LongType) and
+  * truncate to microseconds with integer division, which matches Spark's
+  * own ns→µs semantics (floor) and keeps full precision — dividing by 1e9
+  * in double would already lose microseconds at 2024-epoch magnitudes.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB against views over the sfDir
+parquet tables, loads the corresponding Spark result parquet, sorts columns
+by name (mirroring the driver), and compares cell values.
+"""
+import duckdb, sys, json, glob
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+def cells(df):
+    out = []
+    for row in df.itertuples(index=False):
+        out.append(tuple(
+            v.isoformat() if hasattr(v, "isoformat")
+            else (float(v) if isinstance(v, float) else v)
+            for v in row))
+    return out
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            duck = norm(con.execute(oracle[name]).df())
+            files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+            spark = norm(pd.concat([pd.read_parquet(p) for p in files],
+                                   ignore_index=True))
+            if list(duck.columns) != list(spark.columns):
+                raise AssertionError(
+                    f"columns: duck={list(duck.columns)} spark={list(spark.columns)}")
+            dc, sc = cells(duck), cells(spark)
+            if len(dc) != len(sc):
+                raise AssertionError(f"rowcount: duck={len(dc)} spark={len(sc)}")
+            for i, (a, b) in enumerate(zip(dc, sc)):
+                if a != b:
+                    raise AssertionError(f"row {i}: duck={a} spark={b}")
+            print(f"OK   {name} ({len(dc)} rows)")
+            n_ok += 1
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
