@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +40,20 @@ object SparkEntry {
     "q17_tumbling_window" -> Relational.q17TumblingWindow,
     "q18_sliding_window" -> Relational.q18SlidingWindow,
     "q19_session_window" -> Relational.q19SessionWindow,
-    "q20_json_extract" -> Relational.q20JsonExtract
+    "q20_json_extract" -> Relational.q20JsonExtract,
+    "q21_dedup_exact" -> (Dedup.exact(_, _)),
+    "q22_minhash_pairs" -> (Dedup.minhashPairs(_, _)),
+    "q23_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+    "q24_simhash_pairs" -> (Dedup.simhashPairs(_, _)),
+    "q25_embedding_neardup" -> (Similarity.neardupPairs(_, _)),
+    "q26_knn_bruteforce" -> (Similarity.knnBruteForce(_, _)),
+    "q27_ann_lsh" -> (Similarity.annLsh(_, _)),
+    "q28_text_quality" -> (TextAnalysis.quality(_, _)),
+    "q29_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
+    "q30_lang_id" -> (TextAnalysis.langId(_, _)),
+    "q31_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+    "q32_multimodal_digest" -> (Multimodal.payloadDigest(_, _)),
+    "q33_media_features" -> (Multimodal.featureSummary(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,6 +196,13 @@ object SparkEntry {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events)
          WHERE k IS NOT NULL AND k % 10 = 0
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    "q21_dedup_exact" -> Dedup.exactOracle,
+    "q23_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "q25_embedding_neardup" -> Similarity.neardupOracle,
+    "q26_knn_bruteforce" -> Similarity.knnOracle(),
+    "q28_text_quality" -> TextAnalysis.qualityOracle,
+    "q29_token_counts" -> TextAnalysis.tokenCountsOracle,
+    "q32_multimodal_digest" -> Multimodal.payloadDigestOracle
   )
 }

@@ -1,0 +1,206 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` table: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard via an
+  * inverted shingle index.
+  *
+  * Scale posture: nothing here is O(n²) over the corpus. Candidate
+  * generation is always a shuffle keyed on a bounded-fanout value (content
+  * hash, LSH band bucket, shingle, SimHash band), so 100 TB of documents
+  * shuffles O(n·bands) rows, and pairwise work happens only inside
+  * buckets. The brute-force pairwise shape exists only in the oracle SQL,
+  * where the oracle engine runs at sf0.01.
+  */
+object Dedup {
+
+  // --- shingling -----------------------------------------------------------
+
+  /** Distinct word k-gram shingles of a single-space-tokenized text;
+    * empty array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => array_join(slice(w, i + lit(1), lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  // --- exact dedup ---------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content digest; keep-first = min id.
+    * One shuffle on the digest; at 100 TB the digest groupBy benefits
+    * from map-side partial aggregation (most groups are singletons). */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_chars")).as("n_chars"))
+      .orderBy(col("keep_id"))
+  }
+
+  val exactOracle: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+       count(*) AS n_copies, max(n_chars) AS n_chars
+       FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  val MinhashK = 64      // signature length
+  val LshBands = 16      // bands of 4 rows → catches jaccard ≳ 0.6
+  val LshRows: Int = MinhashK / LshBands
+
+  /** MinHash signatures: k independent salted xxhash64 min-aggregations
+    * over the shingle set, computed as k parallel `min()` aggregates in a
+    * single shuffle (map-side combine keeps the shuffle at one row per
+    * (doc, k)). Returns (doc_id, sig array<long>). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = shingleDf(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until MinhashK).map(i =>
+      min(xxhash64(concat(lit(s"mh$i:"), col("s")))).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature, hash each band, shuffle on
+    * (band_idx, band_hash), emit pairs within a bucket. The only pairwise
+    * work is inside buckets — O(n·bands) shuffled rows, never O(n²). */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val banded = sigs.select(col("doc_id"), posexplode(
+      array((0 until LshBands).map(b =>
+        hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs with the signature-agreement Jaccard estimate.
+    * Deterministic (salted hashes, no RNG) but engine-specific hash
+    * values → rows-only driver check; ScalaTest checks recall against the
+    * exact [[ngramJaccardPairs]]. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    minhashCandidates(spark, dir)
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "a", "sig" -> "sig_a")), "a")
+      .join(sigs.withColumnsRenamed(Map("doc_id" -> "b", "sig" -> "sig_b")), "b")
+      .select(col("a"), col("b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / MinhashK, 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // --- exact n-gram Jaccard ------------------------------------------------
+
+  /** Exact word-3-gram Jaccard ≥ τ pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on the shingle (bounded fanout),
+    * count common shingles per pair, jaccard = |∩| / (|A|+|B|-|∩|).
+    * Integer-ratio arithmetic → bit-identical to the oracle. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      tau: Double = 0.8): DataFrame = {
+    val sh = shingleDf(spark, dir)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes).withColumnsRenamed(Map("doc_id" -> "a", "n" -> "na")), "a")
+      .join(broadcast(sizes).withColumnsRenamed(Map("doc_id" -> "b", "n" -> "nb")), "b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Oracle computes the same pairs with a positional self-join trigram
+    * build — O(n²)-free there too, but structured for DuckDB. */
+  val ngramJaccardOracle: String =
+    """WITH w AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos
+         FROM documents),
+       t AS (
+         SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM d GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+               FROM d x JOIN d y ON x.sh=y.sh AND x.doc_id<y.doc_id
+               GROUP BY 1,2)
+       SELECT a, b, round(c*1.0/(sa.n+sb.n-c), 4) AS jaccard
+       FROM com JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+       WHERE c*1.0/(sa.n+sb.n-c) >= 0.8
+       ORDER BY a, b"""
+
+  // --- SimHash -------------------------------------------------------------
+
+  val SimhashBits = 64
+  val SimhashBands = 4   // 16-bit bands: hamming ≤ 3 ⇒ ≥1 identical band
+
+  /** 64-bit SimHash over word unigrams: per bit, sum ±1 weighted by token
+    * hash bit, take the sign. Computed as 64 parallel sum aggregates in
+    * one shuffle (same shape as MinHash). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val tok = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until SimhashBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val bits = (0 until SimhashBits).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    agg.select(col("doc_id"),
+      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance ≤ maxHamming, found by
+    * the banding pigeonhole (4 bands of 16 bits: any pair with ≤3 bit
+    * flips matches on ≥1 whole band), then verified with bit_count(xor).
+    * Rows-only driver check; recall vs exact Jaccard in ScalaTest. */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir)
+    val bandWidth = SimhashBits / SimhashBands
+    val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until SimhashBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandWidth)
+          .bitwiseAND((1L << bandWidth) - 1)): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *   - [[neardupPairs]] / [[knnBruteForce]] — exact cosine via a
+  *     broadcast-block nested loop: the bounded side (query set, or one
+  *     block of the corpus) is broadcast as primitive arrays and each
+  *     partition runs a tight JVM dot-product loop. No shuffle of the big
+  *     side at all; scales by blocking the broadcast side.
+  *   - [[annLsh]] — the scale path: sign-random-projection LSH buckets
+  *     (deterministic seeded hyperplanes), candidates only within a
+  *     bucket, so the pairwise work is O(n · bucket_size) not O(n²).
+  *
+  * All dot products are computed in Double after widening the Float
+  * components, matching the oracle's CAST(embedding AS DOUBLE[]).
+  */
+object Similarity {
+
+  case class Vec(vec_id: Long, embedding: Array[Float])
+
+  private def vecs(spark: SparkSession, dir: String): Dataset[Vec] = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[Vec]
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** All pairs with cosine ≥ tau. Exact; broadcast-block nested loop.
+    * At corpus scale the broadcast side becomes a loop over fixed-size
+    * blocks of the corpus (same code per block); LSH below is the
+    * preferred path once n makes even blocking quadratic. */
+  def neardupPairs(spark: SparkSession, dir: String,
+      tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val ds = vecs(spark, dir)
+    val all = ds.collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(all)
+    val norms = spark.sparkContext.broadcast(all.map(v => norm(v.embedding)))
+    ds.flatMap { v =>
+        val block = bc.value
+        val ns = norms.value
+        val nv = norm(v.embedding)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < block.length) {
+          val u = block(j)
+          if (u.vec_id > v.vec_id) {
+            val c = dot(v.embedding, u.embedding) / (nv * ns(j))
+            if (c >= tau) out += ((v.vec_id, u.vec_id, c))
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("a", "b", "cos")
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val neardupOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+       ORDER BY a, b"""
+
+  /** Exact top-k cosine neighbors for the query set (vec_id < nQueries),
+    * self-matches excluded. Queries broadcast; each partition scans its
+    * corpus slice once computing nQueries dot products per vector, then a
+    * per-query top-k (partial per partition via the sort-limit). */
+  def knnBruteForce(spark: SparkSession, dir: String,
+      nQueries: Int = 16, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val ds = vecs(spark, dir)
+    val queries = ds.filter(col("vec_id") < nQueries).collect().sortBy(_.vec_id)
+    val bq = spark.sparkContext.broadcast(
+      queries.map(q => (q.vec_id, q.embedding, norm(q.embedding))))
+    val scored = ds.flatMap { v =>
+      val nv = norm(v.embedding)
+      bq.value.iterator.collect {
+        case (qid, qe, qn) if qid != v.vec_id =>
+          (qid, v.vec_id, dot(qe, v.embedding) / (qn * nv))
+      }
+    }.toDF("q_id", "neighbor_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnOracle(nQueries: Int = 16, k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, n.v) AS cos
+         FROM e q JOIN e n ON q.vec_id < $nQueries AND n.vec_id != q.vec_id),
+       ranked AS (
+         SELECT q_id, neighbor_id, CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         FROM scored)
+       SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= $k
+       ORDER BY q_id, rank"""
+
+  /** Deterministic ±1 hyperplane components from a splitmix-style hash —
+    * no RNG state, reproducible across executors and runs. */
+  private def planeSign(bit: Int, dim: Int): Double = {
+    var z = bit.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** ANN via sign-random-projection LSH: nBits-bit bucket key per vector
+    * (sign of dot with deterministic ±1 hyperplanes), exact top-k only
+    * within the bucket. Approximate — recall measured against
+    * [[knnBruteForce]] in ScalaTest; rows-only driver check. */
+  def annLsh(spark: SparkSession, dir: String,
+      nBits: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val ds = vecs(spark, dir)
+    val bucketed = ds.map { v =>
+      var key = 0L
+      var b = 0
+      while (b < nBits) {
+        var s = 0.0
+        var i = 0
+        while (i < v.embedding.length) {
+          s += v.embedding(i).toDouble * planeSign(b, i)
+          i += 1
+        }
+        if (s >= 0) key |= (1L << b)
+        b += 1
+      }
+      (v.vec_id, key, v.embedding)
+    }
+
+    val paired = bucketed.as("x")
+      .joinWith(bucketed.as("y"),
+        col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
+      .map { case ((qid, _, qe), (nid, _, ne)) =>
+        (qid, nid, dot(qe, ne) / (norm(qe) * norm(ne)))
+      }.toDF("q_id", "neighbor_id", "cos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    paired.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fingerprint64.fingerprint64
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs), so each
+  * operator is a narrow map over the corpus — embarrassingly parallel at
+  * 100 TB, no shuffle at all until an aggregation is requested.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. The corpus is single-space separated; a
+    * BPE-ish fallback regex tokenizer is [[regexTokens]]. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenizer: words, numbers, or single punctuation marks —
+    * the classic BPE pre-tokenization shape. */
+  def regexTokens(text: Column): Column =
+    // drop the empty leading element regexp splits can produce
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality metrics (length / vocabulary / stopword
+    * signals) — SQL-expressible, oracled. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_uniq_tokens"),
+        round(
+          size(filter(w, t => array_contains(stopArr, t)))
+            .cast("double") / size(w), 4).as("stop_ratio"),
+        round(
+          length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / size(w), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[quality]]. */
+  val qualityOracle: String =
+    s"""SELECT doc_id, length(text) AS text_len,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       round(len(list_filter(string_split(text, ' '),
+         t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t)))
+         * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+       round(length(replace(text, ' ', ''))
+         * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+       FROM documents ORDER BY doc_id"""
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-count
+    * language-ID heuristic. Deterministic; not oracle-expressible (the
+    * argmax tie-break logic), so driver does a rows-only check. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un"))
+
+  /** Language-ID: score = stopword hits per profile over token count;
+    * predicted = argmax (ties resolved by profile order; 'und' =
+    * undetermined when no profile hits). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = tokens(col("text"))
+    val scores = langProfiles.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      (lang, size(filter(w, t => array_contains(arr, t))))
+    }
+    val scored = d.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +: size(w).as("n") +:
+        scores.map { case (l, s) => s.as(s"score_$l") }): _*)
+    val best = scores.map(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored
+      .select(col("doc_id"), col("labeled_lang"),
+        best._1.as("pred_lang"),
+        round(best._2.cast("double") / col("n"), 4).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints via the custom codegen'd rolling-hash
+    * expression — content identity for exact dedup and caching layers.
+    * Rows-only check (the hash constant choice is engine-specific). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        fingerprint64(col("text")).as("fingerprint"),
+        fingerprint64(lower(regexp_replace(col("text"), "\\s+", " ")))
+          .as("normalized_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counts with both tokenizers — oracled on the whitespace one. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexTokens(col("text"))).as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+         t -> length(t) > 0)) AS n_re_tokens
+       FROM documents ORDER BY doc_id"""
+}
