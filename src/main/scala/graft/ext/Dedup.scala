@@ -161,13 +161,14 @@ object Dedup {
   val SimhashBits = 64
   val SimhashBands = 4   // 16-bit bands: hamming ≤ 3 ⇒ ≥1 identical band
 
-  /** 64-bit SimHash over word unigrams: per bit, sum ±1 weighted by token
-    * hash bit, take the sign. Computed as 64 parallel sum aggregates in
-    * one shuffle (same shape as MinHash). */
+  /** 64-bit SimHash over word-3-gram shingles (unigram features collapse
+    * when the corpus shares a small vocabulary — shingles keep the bit
+    * sums discriminative): per bit, sum ±1 by feature-hash bit, take the
+    * sign. Computed as 64 parallel sum aggregates in one shuffle (same
+    * shape as MinHash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val tok = d.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("t"))
+    val tok = shingleDf(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val sums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)

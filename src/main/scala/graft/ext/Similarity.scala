@@ -128,12 +128,15 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** ANN via sign-random-projection LSH: nBits-bit bucket key per vector
-    * (sign of dot with deterministic ±1 hyperplanes), exact top-k only
-    * within the bucket. Approximate — recall measured against
-    * [[knnBruteForce]] in ScalaTest; rows-only driver check. */
+  /** ANN via sign-random-projection LSH with multiprobe: nBits-bit bucket
+    * key per vector (sign of dot with deterministic ±1 hyperplanes); the
+    * query side also probes every bucket at Hamming distance ≤ 1 (flip
+    * each bit), the standard multiprobe trade of (1+nBits)× candidate
+    * fanout for much higher recall. Exact cosine top-k within the
+    * candidates. Approximate — recall measured against [[knnBruteForce]]
+    * in ScalaTest; rows-only driver check. */
   def annLsh(spark: SparkSession, dir: String,
-      nBits: Int = 8, k: Int = 5): DataFrame = {
+      nBits: Int = 6, k: Int = 5): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
     val bucketed = ds.map { v =>
@@ -152,7 +155,13 @@ object Similarity {
       (v.vec_id, key, v.embedding)
     }
 
-    val paired = bucketed.as("x")
+    // query side: home bucket + each 1-bit-flip neighbor bucket
+    val probes = bucketed.flatMap { case (id, key, emb) =>
+      (key +: (0 until nBits).map(b => key ^ (1L << b)))
+        .map(kk => (id, kk, emb))
+    }
+
+    val paired = probes.as("x")
       .joinWith(bucketed.as("y"),
         col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
       .map { case ((qid, _, qe), (nid, _, ne)) =>

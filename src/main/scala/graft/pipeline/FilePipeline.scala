@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Clean, Enrich, Ledger}
+import graft.schema.Schemas
+
+/** Batch-mode incremental file pipeline — the reference's whole `main()`
+  * (SURVEY.md §3.1, K1-K6) re-expressed as three Spark jobs per run:
+  *
+  *   1. metadata stage: new `metadata_<uuid>.json` → typed, renamed,
+  *      surrogate-numbered (sequence semantics via row_number + high-water
+  *      offset), appended to the dim table;
+  *   2. fact stage: new `rxndata_<uuid>.csv` → one distributed scan,
+  *      rename/validate/drop (clean), enriched against the *current* dim
+  *      via broadcast join at write time (the reference's post-hoc batched
+  *      UPDATE loop disappears), appended to the day-partitioned fact
+  *      table;
+  *   3. ledger append: one final-status row per file.
+  *
+  * Incrementality (K2): the reference encodes "not yet ingested" as
+  * file-presence in `processed/`. Here the ledger is the source of truth —
+  * new files = listed files anti-joined against ledger successes — and the
+  * post-commit `archive/` move is retained for cold-storage parity (B6/B7:
+  * move-after-commit is the last step, exactly as main.py:29-31).
+  *
+  * Scale: file listing and per-file ledger rows are O(files) driver work;
+  * all row-level compute is distributed. The fact table is partitioned by
+  * `day`, so downstream time-scoped scans prune; dim and ledger stay
+  * dimension-scale.
+  */
+object FilePipeline {
+
+  case class Layout(root: String) {
+    val incoming = s"$root/incoming"
+    val archive = s"$root/archive"
+    val factTable = s"$root/warehouse/fact_sim"
+    val dimTable = s"$root/warehouse/dim_rxn"
+    val ledger = s"$root/warehouse/etl_run_log"
+  }
+
+  case class RunReport(
+      csvFilesIngested: Int,
+      factRowsInserted: Long,
+      metadataFilesIngested: Int,
+      dimRowsInserted: Long,
+      filesArchived: Int,
+      failures: Int)
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def listIncoming(spark: SparkSession, layout: Layout,
+      suffix: String): Seq[Path] = {
+    val f = fs(spark)
+    val base = new Path(layout.incoming)
+    if (!f.exists(base)) Seq.empty
+    else
+      f.listStatus(base).filter(_.isDirectory).flatMap { day =>
+        f.listStatus(day.getPath).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(suffix)).map(_.getPath)
+      }.toSeq.sortBy(_.toString)
+  }
+
+  private val SimIdRe = ".*_([0-9a-fA-F-]{36})\\.(?:csv|json)$".r
+
+  private def simId(p: Path): Option[String] = p.getName match {
+    case SimIdRe(id) => Some(id)
+    case _ => None
+  }
+
+  /** Keep only files whose simulation_id has no ledger success yet. */
+  private def newFiles(spark: SparkSession, layout: Layout,
+      files: Seq[Path], etlType: String): Seq[Path] = {
+    if (files.isEmpty) return files
+    val done = Ledger
+      .succeededIds(Ledger.read(spark, layout.ledger), etlType)
+      .collect().map(_.getString(0)).toSet
+    files.filter(p => simId(p).exists(id => !done.contains(id)))
+  }
+
+  private def archiveFiles(spark: SparkSession, layout: Layout,
+      files: Seq[Path]): Int = {
+    val f = fs(spark)
+    files.count { p =>
+      val day = p.getParent.getName
+      val destDir = new Path(s"${layout.archive}/$day")
+      if (!f.exists(destDir)) f.mkdirs(destDir)
+      f.rename(p, new Path(destDir, p.getName))
+    }
+  }
+
+  def readDim(spark: SparkSession, layout: Layout): DataFrame =
+    try spark.read.parquet(layout.dimTable)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.dimRxnSchema)
+    }
+
+  def readFact(spark: SparkSession, layout: Layout): DataFrame =
+    spark.read.parquet(layout.factTable)
+
+  /** Stage 1+2+3 for one batch run. Returns what happened. */
+  def run(spark: SparkSession, root: String): RunReport = {
+    val layout = Layout(root)
+    val t0 = new Timestamp(System.currentTimeMillis())
+    var failures = 0
+    var ledgerRows = Vector.empty[Ledger.Entry]
+    var okMetaIds = Set.empty[String]
+
+    // --- metadata stage (K4, fixed: validate-then-skip, real row count) --
+    val metaFiles = newFiles(spark, layout,
+      listIncoming(spark, layout, ".json"), Ledger.EtlTypeMetadata)
+    var dimInserted = 0L
+    if (metaFiles.nonEmpty) {
+      import spark.implicits._
+      // one JSON object per file (not JSONL) — multiLine, like json.load
+      val raw = spark.read.schema(Schemas.metadataJsonSchema)
+        .option("multiLine", "true")
+        .json(metaFiles.map(_.toString): _*)
+        .withColumnsRenamed(Schemas.metadataRenameMap)
+        .withColumn("date_run", to_date(col("date_run")))
+      val typed = raw.as[graft.schema.Metadata]
+      val valid = typed.filter(col("simulation_id").isNotNull)
+      val hw = Enrich.highWaterMark(readDim(spark, layout), "simulation_num")
+      val numbered = Enrich.numberDim(valid, hw)
+        .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
+      numbered.write.mode("append").parquet(layout.dimTable)
+      dimInserted = numbered.count()
+      val t1 = new Timestamp(System.currentTimeMillis())
+      okMetaIds = valid.select("simulation_id").collect().map(_.getString(0)).toSet
+      ledgerRows ++= metaFiles.flatMap(simId).map { id =>
+        val ok = okMetaIds.contains(id)
+        if (!ok) failures += 1
+        Ledger.Entry(id, Ledger.EtlTypeMetadata, t0, t1,
+          if (ok) 1L else 0L, if (ok) "success" else "failed",
+          if (ok) None else Some("metadata validation failed"))
+      }
+    }
+
+    // --- fact stage (K1+K3: clean + load + write-time enrichment) --------
+    val csvFiles = newFiles(spark, layout,
+      listIncoming(spark, layout, ".csv"), Ledger.EtlTypeCsv)
+    var factInserted = 0L
+    var perFileCounts = Map.empty[String, Long]
+    if (csvFiles.nonEmpty) {
+      val raw = Clean.readIncomingCsvs(spark, csvFiles.map(_.toString))
+      val cleaned = Clean.clean(raw)
+        .withColumn("row_id", monotonically_increasing_id())
+        .withColumn("simulation_num", lit(null).cast("int"))
+      val enriched = Enrich.enrichFact(cleaned, readDim(spark, layout))
+      val out = enriched.select(
+        (Schemas.factSimSchema.fieldNames.map(col) :+ col("day")): _*)
+        .cache()
+      out.write.mode("append").partitionBy("day").parquet(layout.factTable)
+      perFileCounts = out.groupBy(col("simulation_id")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      factInserted = perFileCounts.values.sum
+      out.unpersist()
+    }
+    val t2 = new Timestamp(System.currentTimeMillis())
+    ledgerRows ++= csvFiles.flatMap(simId).map { id =>
+      Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2,
+        perFileCounts.getOrElse(id, 0L), "success", None)
+    }
+
+    // --- ledger + archive (B4/B5 then B6/B7: move-after-commit last;
+    //     failed files stay in incoming for retry, like main.py:29-31) ---
+    Ledger.append(spark, layout.ledger, ledgerRows)
+    val archived = archiveFiles(spark, layout,
+      csvFiles ++ metaFiles.filter(p => simId(p).exists(okMetaIds)))
+
+    RunReport(csvFiles.size, factInserted, metaFiles.size, dimInserted,
+      archived, failures)
+  }
+
+  /** K5 backfill — enrich fact rows whose metadata arrived in a later run.
+    * Reads the null-key slice, broadcast-joins the dim, and rewrites the
+    * fact table. At warehouse scale this becomes a dynamic-partition
+    * overwrite of only the affected day partitions (or a Delta MERGE);
+    * plain Parquet forces the rewrite-and-swap here. */
+  def backfillEnrichment(spark: SparkSession, root: String): Long = {
+    val layout = Layout(root)
+    val fact = readFact(spark, layout)
+    val nullRows = fact.filter(col("simulation_num").isNull).count()
+    if (nullRows == 0) return 0L
+    val enriched = Enrich.enrichFact(fact, readDim(spark, layout))
+    val tmp = s"${layout.factTable}__rewrite"
+    enriched.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val f = fs(spark)
+    val factPath = new Path(layout.factTable)
+    f.delete(factPath, true)
+    f.rename(new Path(tmp), factPath)
+    nullRows
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.FilePipeline
+
+class PipelineSpec extends SparkSpecBase {
+
+  test("end-to-end: ingest, enrich at write, ledger, archive; second run is a no-op") {
+    val root = TestFixtures.tempRoot("pipe-e2e")
+    // day 1: two complete sims (csv + metadata)
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 10)
+    TestFixtures.writeMetadata(root, "2024-03-01", 1)
+    TestFixtures.writeCsv(root, "2024-03-01", 2, 20)
+    TestFixtures.writeMetadata(root, "2024-03-01", 2, dateRun = "2024-03-02")
+    // day 2: csv arrives before its metadata (enriched later via backfill)
+    TestFixtures.writeCsv(root, "2024-03-02", 3, 5)
+
+    val r1 = FilePipeline.run(spark, root.toString)
+    assert(r1.csvFilesIngested == 3)
+    assert(r1.factRowsInserted == 35)
+    assert(r1.metadataFilesIngested == 2)
+    assert(r1.dimRowsInserted == 2)
+    assert(r1.failures == 0)
+    assert(r1.filesArchived == 5)
+
+    val layout = FilePipeline.Layout(root.toString)
+    val fact = spark.read.parquet(layout.factTable)
+    val dim = spark.read.parquet(layout.dimTable)
+    // dim numbering ordered by (date_run, simulation_id): sim1 then sim2
+    val nums = dim.select("simulation_id", "simulation_num").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(nums == Map(
+      TestFixtures.simUuid(1) -> 1, TestFixtures.simUuid(2) -> 2))
+    // facts for sims 1/2 enriched at write; sim 3 still null
+    assert(fact.filter(col("simulation_num").isNotNull).count() == 30)
+    assert(fact.filter(col("simulation_num").isNull).count() == 5)
+    // day partitioning materialized
+    assert(fact.select("day").distinct().count() == 2)
+    // originals moved to archive, incoming drained
+    assert(Files.list(root.resolve("incoming")).count() > 0) // day dirs remain
+    assert(!Files.exists(root.resolve(
+      s"incoming/2024-03-01/rxndata_${TestFixtures.simUuid(1)}.csv")))
+    assert(Files.exists(root.resolve(
+      s"archive/2024-03-01/rxndata_${TestFixtures.simUuid(1)}.csv")))
+
+    // second run: nothing new
+    val r2 = FilePipeline.run(spark, root.toString)
+    assert(r2.csvFilesIngested == 0 && r2.metadataFilesIngested == 0)
+    assert(spark.read.parquet(layout.factTable).count() == 35)
+
+    // late metadata for sim 3 arrives; numbering continues at 3
+    TestFixtures.writeMetadata(root, "2024-03-02", 3, dateRun = "2024-03-03")
+    val r3 = FilePipeline.run(spark, root.toString)
+    assert(r3.dimRowsInserted == 1 && r3.csvFilesIngested == 0)
+    val backfilled = FilePipeline.backfillEnrichment(spark, root.toString)
+    assert(backfilled == 5)
+    val fact2 = spark.read.parquet(layout.factTable)
+    assert(fact2.filter(col("simulation_num").isNull).count() == 0)
+    assert(fact2.count() == 35)
+    // backfill is idempotent
+    assert(FilePipeline.backfillEnrichment(spark, root.toString) == 0)
+
+    // ledger: latest state per key is success, with real row counts
+    val ledger = graft.ops.Ledger.read(spark, layout.ledger)
+    val byKey = graft.ops.Ledger.latestState(ledger)
+      .select("simulation_id", "etl_type", "records_inserted", "status")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(byKey(TestFixtures.simUuid(1) -> "rxn_data") == (10L, "success"))
+    assert(byKey(TestFixtures.simUuid(2) -> "rxn_data") == (20L, "success"))
+    assert(byKey(TestFixtures.simUuid(3) -> "metadata") == (1L, "success"))
+  }
+
+  test("invalid metadata (missing simulation_id) gets a failed ledger row, not inserted") {
+    val root = TestFixtures.tempRoot("pipe-badmeta")
+    TestFixtures.writeMetadata(root, "2024-03-01", 9, omitId = true)
+    val r = FilePipeline.run(spark, root.toString)
+    assert(r.metadataFilesIngested == 1 && r.dimRowsInserted == 0)
+    assert(r.failures == 1)
+    val layout = FilePipeline.Layout(root.toString)
+    val failed = graft.ops.Ledger.read(spark, layout.ledger)
+      .filter(col("status") === "failed")
+    assert(failed.count() == 1)
+    assert(failed.select("error_message").head().getString(0) != null)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("brute-force kNN is deterministic and self-excluding") {
+    val knn = Similarity.knnBruteForce(spark, sf0001, nQueries = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(knn.length == 8 * 5)
+    assert(knn.forall { case (q, _, n) => q != n })
+    // ranks are 1..5 per query
+    assert(knn.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(1 to 5)))
+  }
+
+  test("multiprobe LSH ANN reaches usable recall@1 on random vectors") {
+    val brute = Similarity.knnBruteForce(spark, sf0001, nQueries = 500, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ann = Similarity.annLsh(spark, sf0001, nBits = 6, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // recall@1 over queries that produced any candidate. Random 64-dim
+    // vectors are LSH's worst case (top-1 cosine ~0.5 ⇒ p_agree ~ 2/3);
+    // with 6 bits + 1-bit multiprobe the analytic recall is ~0.35.
+    val hits = ann.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / ann.size
+    assert(ann.size > 450, s"too few buckets produced candidates: ${ann.size}")
+    assert(recall > 0.15, s"recall@1 $recall suspiciously low")
+  }
+
+  test("near-dup pairs ordered a<b with cosine above threshold") {
+    val rows = Similarity.neardupPairs(spark, sf0001, tau = 0.4).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.4))
+  }
+}

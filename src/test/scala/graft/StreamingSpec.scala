@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.FilePipeline.Layout
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpecBase {
+
+  test("streaming ingest: exactly-once via checkpoint, restart reprocesses nothing") {
+    val root = TestFixtures.tempRoot("stream-e2e")
+    val checkpoint = root.resolve("checkpoint").toString
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 10)
+    TestFixtures.writeCsv(root, "2024-03-01", 2, 20)
+
+    val q1 = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q1.awaitTermination()
+
+    val layout = Layout(root.toString)
+    assert(spark.read.parquet(layout.factTable).count() == 30)
+
+    // restart with no new files: checkpoint prevents reprocessing
+    val q2 = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q2.awaitTermination()
+    assert(spark.read.parquet(layout.factTable).count() == 30)
+
+    // a late file lands; only it is processed
+    TestFixtures.writeCsv(root, "2024-03-02", 3, 5)
+    val q3 = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q3.awaitTermination()
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.count() == 35)
+    assert(fact.select("day").distinct().count() == 2)
+  }
+
+  test("windowed streaming aggregation over a file stream matches the batch twin") {
+    val root = TestFixtures.tempRoot("stream-window")
+    // stream the events table (Tables converts ns->us so the streaming
+    // parquet reader accepts the rewritten copy)
+    val src = Tables(spark, sf0001, "events")
+    val eventsDir = root.resolve("events").toString
+    src.write.parquet(eventsDir)
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val agg = StreamingIngest.windowedCounts(stream)
+    val query = agg.writeStream
+      .format("memory").queryName("win_out").outputMode("complete")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("win_out")
+    val batch = graft.queries.Relational.q17TumblingWindow(spark, sf0001)
+    assert(streamed.count() == batch.count())
+    val s = streamed.orderBy("window_start_epoch", "event_type").collect()
+    val b = batch.collect()
+    assert(s.sameElements(b))
+  }
+}
