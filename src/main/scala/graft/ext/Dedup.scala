@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.ShingleHashes.shingle_hashes
+import graft.functions.Sketches.{minhash_sketch, simhash_sketch}
 
 /** Deduplication operators over the `documents` table: exact
   * (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard via an
@@ -19,20 +21,31 @@ object Dedup {
 
   // --- shingling -----------------------------------------------------------
 
-  /** Distinct word k-gram shingles of a single-space-tokenized text;
-    * empty array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = split(text, " ")
+  /** Distinct word k-gram shingles from a *materialized* token-array
+    * column; empty array when the document has fewer than k tokens.
+    *
+    * Callers must bind the token array to its own projection first
+    * (see [[shingleDf]]): handing `split(text)` in directly would be
+    * re-evaluated per lambda element inside `transform` — O(tokens²)
+    * per document. */
+  def shinglesOfTokens(w: Column, k: Int = 3): Column =
     when(size(w) >= k,
       array_distinct(transform(sequence(lit(0), size(w) - k),
         i => array_join(slice(w, i + lit(1), lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+  /** Convenience wrapper over a text column (used in tests). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(split(text, " "), k)
+
+  /** (doc_id, hs) — sorted distinct shingle-hash sets via the custom
+    * single-pass [[graft.functions.ShingleHashes]] expression. Every
+    * dedup operator consumes this, so the corpus is byte-scanned exactly
+    * once per query with no token/shingle string materialization. */
+  private def shingleHashDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), shingle_hashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   // --- exact dedup ---------------------------------------------------------
 
@@ -59,26 +72,22 @@ object Dedup {
   val LshBands = 16      // bands of 4 rows → catches jaccard ≳ 0.6
   val LshRows: Int = MinhashK / LshBands
 
-  /** MinHash signatures: k independent salted xxhash64 min-aggregations
-    * over the shingle set, computed as k parallel `min()` aggregates in a
-    * single shuffle (map-side combine keeps the shuffle at one row per
-    * (doc, k)). Returns (doc_id, sig array<long>). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = shingleDf(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(concat(lit(s"mh$i:"), col("s")))).as(s"m$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** MinHash signatures via the custom [[graft.functions.MinHashAgg]]
+    * TypedImperativeAggregate: one xxhash64 per (doc, shingle) row, k
+    * permutation minima maintained in a single mutable buffer, partial
+    * sketches merged map-side — one aggregate instead of k parallel
+    * `min()` columns. Returns (doc_id, sig array<long>). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingleHashDf(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minhash_sketch(col("h"), MinhashK).as("sig"))
 
-  /** LSH candidate pairs: band the signature, hash each band, shuffle on
-    * (band_idx, band_hash), emit pairs within a bucket. The only pairwise
-    * work is inside buckets — O(n·bands) shuffled rows, never O(n²). */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  /** LSH candidate pairs from a signature table: band the signature, hash
+    * each band, shuffle on (band_idx, band_hash), emit pairs within a
+    * bucket. The only pairwise work is inside buckets — O(n·bands)
+    * shuffled rows, never O(n²). */
+  private def candidatesFromSigs(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until LshBands).map(b =>
         hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
@@ -91,13 +100,18 @@ object Dedup {
       .distinct()
   }
 
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatesFromSigs(minhashSignatures(spark, dir))
+
   /** MinHash near-dup pairs with the signature-agreement Jaccard estimate.
-    * Deterministic (salted hashes, no RNG) but engine-specific hash
-    * values → rows-only driver check; ScalaTest checks recall against the
-    * exact [[ngramJaccardPairs]]. */
+    * Signatures are localCheckpoint'ed so the band pass and the two
+    * estimate joins share one materialization instead of recomputing the
+    * shingle aggregation three times. Deterministic (salted hashes, no
+    * RNG) but engine-specific hash values → rows-only driver check;
+    * ScalaTest checks recall against the exact [[ngramJaccardPairs]]. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    minhashCandidates(spark, dir)
+    val sigs = minhashSignatures(spark, dir).localCheckpoint()
+    candidatesFromSigs(sigs)
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "a", "sig" -> "sig_a")), "a")
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "b", "sig" -> "sig_b")), "b")
       .select(col("a"), col("b"),
@@ -112,22 +126,34 @@ object Dedup {
 
   // --- exact n-gram Jaccard ------------------------------------------------
 
-  /** Exact word-3-gram Jaccard ≥ τ pairs via an inverted shingle index:
-    * explode distinct shingles, self-join on the shingle (bounded fanout),
-    * count common shingles per pair, jaccard = |∩| / (|A|+|B|-|∩|).
-    * Integer-ratio arithmetic → bit-identical to the oracle. */
+  /** Exact word-3-gram Jaccard ≥ τ pairs via prefix filtering (the
+    * standard exact set-similarity join): shingles are hashed to longs
+    * and sorted, and only the first |A| - ⌈τ·|A|⌉ + 1 elements of each
+    * sorted set (its "prefix") are exploded into the inverted index — any
+    * pair with jaccard ≥ τ must collide inside its prefixes, so the
+    * candidate fanout shrinks ~(1-τ)² vs a full inverted index while
+    * staying exact. Candidates are then verified with a real
+    * array_intersect over the full sorted-hash sets.
+    *
+    * Integer-ratio jaccard arithmetic → bit-identical to the oracle
+    * (hash collisions across a pair: ~|shingles|²/2^64, immaterial). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       tau: Double = 0.8): DataFrame = {
-    val sh = shingleDf(spark, dir)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = inv.as("x").join(inv.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(broadcast(sizes).withColumnsRenamed(Map("doc_id" -> "a", "n" -> "na")), "a")
-      .join(broadcast(sizes).withColumnsRenamed(Map("doc_id" -> "b", "n" -> "nb")), "b")
+    // hs is already the sorted distinct shingle-hash set
+    val sh = shingleHashDf(spark, dir)
+      .withColumn("n", size(col("hs")))
+      .localCheckpoint()
+    val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")
+    val prefix = sh.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("p"))
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("hsa"), col("n").as("na")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hsb"), col("n").as("nb")), "b")
+      .withColumn("c", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= tau)
@@ -163,22 +189,14 @@ object Dedup {
 
   /** 64-bit SimHash over word-3-gram shingles (unigram features collapse
     * when the corpus shares a small vocabulary — shingles keep the bit
-    * sums discriminative): per bit, sum ±1 by feature-hash bit, take the
-    * sign. Computed as 64 parallel sum aggregates in one shuffle (same
-    * shape as MinHash). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = shingleDf(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val sums = (0 until SimhashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val bits = (0 until SimhashBits).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-    agg.select(col("doc_id"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+    * sums discriminative), via the custom [[graft.functions.SimHashAgg]]:
+    * one buffer update per (doc, shingle) row, partial bit-count vectors
+    * merged map-side in a single shuffle. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    shingleHashDf(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhash_sketch(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs within hamming distance ≤ maxHamming, found by
     * the banding pigeonhole (4 bands of 16 bits: any pair with ≤3 bit
@@ -186,7 +204,7 @@ object Dedup {
     * Rows-only driver check; recall vs exact Jaccard in ScalaTest. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(spark, dir)
+    val sh = simhash(spark, dir).localCheckpoint()
     val bandWidth = SimhashBits / SimhashBands
     val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until SimhashBands).map(b =>

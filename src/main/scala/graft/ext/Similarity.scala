@@ -135,42 +135,50 @@ object Similarity {
     * fanout for much higher recall. Exact cosine top-k within the
     * candidates. Approximate — recall measured against [[knnBruteForce]]
     * in ScalaTest; rows-only driver check. */
+  private def bucketKey(emb: Array[Float], nBits: Int): Long = {
+    var key = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < emb.length) { s += emb(i).toDouble * planeSign(b, i); i += 1 }
+      if (s >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+
   def annLsh(spark: SparkSession, dir: String,
       nBits: Int = 6, k: Int = 5): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
-    val bucketed = ds.map { v =>
-      var key = 0L
-      var b = 0
-      while (b < nBits) {
-        var s = 0.0
-        var i = 0
-        while (i < v.embedding.length) {
-          s += v.embedding(i).toDouble * planeSign(b, i)
-          i += 1
-        }
-        if (s >= 0) key |= (1L << b)
-        b += 1
-      }
-      (v.vec_id, key, v.embedding)
+    // shuffle only (id, bucket) longs; vectors travel via broadcast
+    val keyed = ds.map(v => (v.vec_id, bucketKey(v.embedding, nBits)))
+    // query side probes the home bucket + each 1-bit-flip bucket
+    val probes = keyed.flatMap { case (id, key) =>
+      (key +: (0 until nBits).map(b => key ^ (1L << b))).map(kk => (id, kk))
     }
-
-    // query side: home bucket + each 1-bit-flip neighbor bucket
-    val probes = bucketed.flatMap { case (id, key, emb) =>
-      (key +: (0 until nBits).map(b => key ^ (1L << b)))
-        .map(kk => (id, kk, emb))
-    }
-
-    val paired = probes.as("x")
-      .joinWith(bucketed.as("y"),
+    val candidates = probes.as("x")
+      .joinWith(keyed.as("y"),
         col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
-      .map { case ((qid, _, qe), (nid, _, ne)) =>
-        (qid, nid, dot(qe, ne) / (norm(qe) * norm(ne)))
-      }.toDF("q_id", "neighbor_id", "cos")
+      .map { case ((qid, _), (nid, _)) => (qid, nid) }
+
+    val all = ds.collect()
+    val lookup = spark.sparkContext.broadcast(
+      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
+    val scored = candidates.mapPartitions { it =>
+      val m = lookup.value
+      it.map { case (qid, nid) =>
+        val (qe, qn) = m(qid)
+        val (ne, nn) = m(nid)
+        (qid, nid, dot(qe, ne) / (qn * nn))
+      }
+    }.toDF("q_id", "neighbor_id", "cos")
+
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    paired.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))

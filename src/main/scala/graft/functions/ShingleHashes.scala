@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-gram shingle *hashes* of a whitespace-tokenized text,
+  * as one custom Catalyst expression: a single pass over the UTF-8 bytes
+  * hashing each token (polynomial byte hash), combining k consecutive
+  * token hashes (order-sensitive splitmix chain), then sort+dedupe.
+  * Output: sorted array<bigint> of the distinct shingle hashes.
+  *
+  * This replaces the compositional
+  * `array_distinct(transform(sequence(...), i -> array_join(slice(split(
+  * text), i, k))))` pipeline, which allocates every token string, every
+  * shingle string, and re-evaluates the token array inside the lambda —
+  * at 100 TB the difference is one byte scan per document vs O(shingles)
+  * string materializations. Codegen delegates to a static helper, so the
+  * expression stays inside whole-stage codegen spans.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  /** Column API: `shingle_hashes($"text", 3)`. */
+  def shingle_hashes(c: Column, k: Int = 3): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
+
+  private final val TokenSeed = 0x27d4eb2f165667c5L
+  private final val TokenPrime = 1000003L
+
+  /** Single-pass shingle hashing; called from generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // 1. hash each whitespace-delimited token
+    var tokens = new Array[Long](math.max(8, n / 4))
+    var nTok = 0
+    var h = TokenSeed
+    var i = 0
+    while (i <= n) {
+      val isSep = i == n || bytes(i) == ' '.toByte
+      if (isSep) {
+        // empty tokens count: split(" ") semantics keep them, and the
+        // string pipeline hashed them too — keep parity with k-grams of
+        // the raw split
+        if (nTok == tokens.length) {
+          val t2 = new Array[Long](tokens.length * 2)
+          System.arraycopy(tokens, 0, t2, 0, tokens.length)
+          tokens = t2
+        }
+        tokens(nTok) = h
+        nTok += 1
+        h = TokenSeed
+      } else {
+        h = h * TokenPrime + (bytes(i) & 0xff)
+      }
+      i += 1
+    }
+    if (nTok < k) return new GenericArrayData(Array.empty[Long])
+    // 2. combine k consecutive token hashes, order-sensitively
+    val nSh = nTok - k + 1
+    val out = new Array[Long](nSh)
+    var s = 0
+    while (s < nSh) {
+      var c = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < k) {
+        c = Sketches.splitmix(c ^ tokens(s + j))
+        j += 1
+      }
+      out(s) = c
+      s += 1
+    }
+    // 3. sort + dedupe (deterministic sorted set)
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < nSh) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
