@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Analytics, Relational}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,7 +53,14 @@ object SparkEntry {
     "q30_lang_id" -> (TextAnalysis.langId(_, _)),
     "q31_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
     "q32_multimodal_digest" -> (Multimodal.payloadDigest(_, _)),
-    "q33_media_features" -> (Multimodal.featureSummary(_, _))
+    "q33_media_features" -> (Multimodal.featureSummary(_, _)),
+    "q34_cube" -> Analytics.q34Cube,
+    "q35_percentile" -> Analytics.q35Percentile,
+    "q36_date_arith" -> Analytics.q36DateArith,
+    "q37_string_funcs" -> Analytics.q37StringFuncs,
+    "q38_array_funcs" -> Analytics.q38ArrayFuncs,
+    "q39_correlated_sql" -> Analytics.q39CorrelatedSql,
+    "q40_approx_percentile" -> Analytics.q40ApproxPercentile
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,6 +210,12 @@ object SparkEntry {
     "q26_knn_bruteforce" -> Similarity.knnOracle(),
     "q28_text_quality" -> TextAnalysis.qualityOracle,
     "q29_token_counts" -> TextAnalysis.tokenCountsOracle,
-    "q32_multimodal_digest" -> Multimodal.payloadDigestOracle
+    "q32_multimodal_digest" -> Multimodal.payloadDigestOracle,
+    "q34_cube" -> Analytics.q34Oracle,
+    "q35_percentile" -> Analytics.q35Oracle,
+    "q36_date_arith" -> Analytics.q36Oracle,
+    "q37_string_funcs" -> Analytics.q37Oracle,
+    "q38_array_funcs" -> Analytics.q38Oracle,
+    "q39_correlated_sql" -> Analytics.q39Oracle
   )
 }

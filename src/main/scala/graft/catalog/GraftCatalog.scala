@@ -1,0 +1,79 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Catalog / DDL operators (SURVEY.md §2 J1-J5).
+  *
+  * J1 (idempotent `create table if not exists`, run at every startup) maps
+  * to `CREATE TABLE IF NOT EXISTS ... USING PARQUET` against the session
+  * catalog. The reference's b-tree indexes (J2/J4/J5) have no Spark
+  * equivalent; their physical-design intent maps to:
+  *   - join-key indexes → broadcast hash joins (dim side) or bucketing;
+  *   - composite value indexes for range scans → day partitioning +
+  *     Parquet min/max row-group stats, tightened by [[clusterForScans]]
+  *     (sortWithinPartitions ⇒ narrow min/max ranges per row group);
+  *   - drop-then-recreate around bulk loads → defer compaction until
+  *     after append, then run [[compact]] (the OPTIMIZE analogue, J5).
+  */
+object GraftCatalog {
+
+  /** J1 — idempotent external-table registration over the warehouse
+    * parquet directories; safe to run every startup. The day-partitioned
+    * fact table is declared PARTITIONED BY and its partitions recovered
+    * (partition pruning then works through the catalog too). */
+  def createTablesIfNotExists(spark: SparkSession, warehouseRoot: String): Unit = {
+    val factCols = graft.schema.Schemas.factSimSchema.fields
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS fact_sim ($factCols, day STRING)
+         |USING PARQUET PARTITIONED BY (day)
+         |LOCATION '$warehouseRoot/fact_sim'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE fact_sim")
+    Seq("dim_rxn", "etl_run_log").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $t
+           |USING PARQUET LOCATION '$warehouseRoot/$t'""".stripMargin)
+    }
+  }
+
+  /** J2-analogue — rewrite a day partition clustered on the lookup key so
+    * Parquet row-group min/max stats serve point/range predicates (the
+    * role of fact(simulation_id) / fact(ca,cb,...) b-trees). */
+  def clusterForScans(spark: SparkSession, tablePath: String,
+      sortCols: Seq[String]): Unit =
+    rewrite(spark, tablePath,
+      _.sortWithinPartitions(sortCols.map(col): _*))
+
+  /** J5-analogue — post-bulk-load compaction (OPTIMIZE): coalesce small
+    * files produced by incremental appends into ~targetFiles. */
+  def compact(spark: SparkSession, tablePath: String,
+      targetFiles: Int = 1): Long = {
+    val n = spark.read.parquet(tablePath).count()
+    rewrite(spark, tablePath, _.coalesce(targetFiles))
+    n
+  }
+
+  /** Rewrite-and-swap preserving day partitioning when present. */
+  private def rewrite(spark: SparkSession, tablePath: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val df = spark.read.parquet(tablePath)
+    val tmp = s"$tablePath-_rewrite"
+    val writer = f(df).write.mode("overwrite")
+    (if (df.columns.contains("day")) writer.partitionBy("day") else writer)
+      .parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** A8-analogue — the catalog scan the reference does over pg_indexes:
+    * list the graft tables present in the session catalog. */
+  def listGraftTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(Set("fact_sim", "dim_rxn", "etl_run_log"))
+      .toSeq.sorted
+}

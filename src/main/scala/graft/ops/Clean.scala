@@ -64,4 +64,11 @@ object Clean {
   /** Full clean stage: rename → validate → drop artifact. */
   def clean(df: DataFrame): DataFrame =
     dropIndexArtifact(validated(rename(df)))
+
+  /** B1 — cleaned-CSV write for literal `processed/` parity (header kept,
+    * no index column, like df.to_csv(index=False) at file_manager.py:63).
+    * The batch pipeline itself skips this text hop and writes Parquet
+    * bronze — this exists for reference-compatible output only. */
+  def writeProcessedCsv(df: DataFrame, dest: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(dest)
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second analytics family: grouping-set variants, exact percentiles,
+  * date arithmetic, string/array scalar-function coverage, and the SQL
+  * front door (temp views + spark.sql with a correlated subquery) —
+  * rounding out SURVEY.md §2 L's "absent in reference" inventory. */
+object Analytics {
+
+  /** CUBE over (priority, status): all four grouping-set combinations,
+    * subtotals labelled so null-ordering can't skew the hash. */
+  def q34Cube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  val q34Oracle: String =
+    """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       ORDER BY priority, status"""
+
+  /** Exact interpolated percentiles per group (the reference has no
+    * percentile surface; a 100 TB deployment uses approx_percentile —
+    * benched separately — while the oracle checks the exact form). */
+  def q35Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q35Oracle: String =
+    """SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Date arithmetic family: month truncation, day-diff vs a fixed epoch
+    * date, extraction. */
+  def q36DateArith(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+      .groupBy(col("order_month"), col("yr"))
+      .agg(count(lit(1)).as("n"),
+        min(col("days_since")).as("min_days_since"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("order_month"))
+  }
+
+  val q36Oracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       count(*) AS n,
+       CAST(min(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INT) AS min_days_since,
+       round(sum(o_totalprice), 2) AS sum_price
+       FROM orders GROUP BY 1, 2 ORDER BY order_month"""
+
+  /** String scalar-function family: case mapping, substring, concat,
+    * replace, trim, length — all codegen'd built-ins. */
+  def q37StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 3).as("prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q37Oracle: String =
+    """SELECT p_partkey, upper(p_name) AS uname,
+       substring(p_name, 1, 3) AS prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       length(p_name) AS name_len
+       FROM part ORDER BY p_partkey"""
+
+  /** Array function family over the embedding vectors: size, element
+    * access, slicing, element-wise aggregate fold (float widened to
+    * double before any arithmetic, matching the oracle's cast). */
+  def q38ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val dvec = col("embedding").cast("array<double>")
+    e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(dvec, 1), 4).as("first_elem"),
+        round(aggregate(dvec, lit(0.0), (acc, x) => acc + x), 4).as("sum_elems"),
+        round(array_max(slice(dvec, 1, 8)), 4).as("max_first8"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q38Oracle: String =
+    """SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+       round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_elems,
+       round(list_max(CAST(embedding[1:8] AS DOUBLE[])), 4) AS max_first8
+       FROM embeddings ORDER BY vec_id"""
+
+  /** SQL front door: temp views + spark.sql with a correlated EXISTS
+    * subquery (decorrelated by Catalyst into a join). */
+  def q39CorrelatedSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_loyal
+        |FROM v_customer c
+        |WHERE (SELECT count(*) FROM v_orders o
+        |       WHERE o.o_custkey = c.c_custkey) >= 3
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q39Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_loyal
+       FROM customer c
+       WHERE (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) >= 3
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Scalable percentile twin for the bench path: approx_percentile with
+    * a bounded sketch — the form that survives 100 TB (single-pass,
+    * mergeable, no global sort). Rows-only (sketch values are
+    * engine-specific). */
+  def q40ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)), 2)
+          .as("p50_approx"),
+        approx_count_distinct(col("l_partkey")).as("nd_part_approx"))
+      .orderBy(col("l_returnflag"))
+  }
+}

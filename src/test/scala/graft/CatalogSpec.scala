@@ -1,0 +1,40 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.pipeline.FilePipeline
+
+class CatalogSpec extends SparkSpecBase {
+
+  test("J1: idempotent table registration; A8: catalog listing; J5: compaction") {
+    val root = TestFixtures.tempRoot("catalog")
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 10)
+    TestFixtures.writeMetadata(root, "2024-03-01", 1)
+    FilePipeline.run(spark, root.toString)
+
+    val warehouse = s"$root/warehouse"
+    GraftCatalog.createTablesIfNotExists(spark, warehouse)
+    // idempotent: second run is a no-op, not an error (J1 semantics)
+    GraftCatalog.createTablesIfNotExists(spark, warehouse)
+    assert(GraftCatalog.listGraftTables(spark) ==
+      Seq("dim_rxn", "etl_run_log", "fact_sim"))
+    assert(spark.sql("SELECT count(*) FROM fact_sim").head().getLong(0) == 10)
+    assert(spark.sql(
+      """SELECT f.simulation_id, d.reaction_name
+        |FROM fact_sim f JOIN dim_rxn d USING (simulation_id)
+        |LIMIT 1""".stripMargin).count() == 1)
+
+    // J5 compaction keeps every row
+    val before = spark.read.parquet(s"$warehouse/fact_sim").count()
+    val kept = GraftCatalog.compact(spark, s"$warehouse/fact_sim", 1)
+    assert(kept == before)
+    assert(spark.read.parquet(s"$warehouse/fact_sim").count() == before)
+
+    // J2-analogue clustering keeps every row too
+    GraftCatalog.clusterForScans(spark, s"$warehouse/fact_sim",
+      Seq("simulation_id", "rxn_time"))
+    assert(spark.read.parquet(s"$warehouse/fact_sim").count() == before)
+
+    Seq("fact_sim", "dim_rxn", "etl_run_log")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
