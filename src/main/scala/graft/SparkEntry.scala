@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Relational}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plans.AsOfJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,7 +61,8 @@ object SparkEntry {
     "q37_string_funcs" -> Analytics.q37StringFuncs,
     "q38_array_funcs" -> Analytics.q38ArrayFuncs,
     "q39_correlated_sql" -> Analytics.q39CorrelatedSql,
-    "q40_approx_percentile" -> Analytics.q40ApproxPercentile
+    "q40_approx_percentile" -> Analytics.q40ApproxPercentile,
+    "q41_asof_join" -> AsOfJoin.q41AsofJoin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -216,6 +218,7 @@ object SparkEntry {
     "q36_date_arith" -> Analytics.q36Oracle,
     "q37_string_funcs" -> Analytics.q37Oracle,
     "q38_array_funcs" -> Analytics.q38Oracle,
-    "q39_correlated_sql" -> Analytics.q39Oracle
+    "q39_correlated_sql" -> Analytics.q39Oracle,
+    "q41_asof_join" -> AsOfJoin.q41Oracle
   )
 }

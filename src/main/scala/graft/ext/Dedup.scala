@@ -43,8 +43,11 @@ object Dedup {
     * dedup operator consumes this, so the corpus is byte-scanned exactly
     * once per query with no token/shingle string materialization. */
   private def shingleHashDf(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingle_hashes(col("text")).as("hs"))
+    shingleHashDfOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def shingleHashDfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingle_hashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
 
   // --- exact dedup ---------------------------------------------------------
@@ -138,9 +141,13 @@ object Dedup {
     * Integer-ratio jaccard arithmetic → bit-identical to the oracle
     * (hash collisions across a pair: ~|shingles|²/2^64, immaterial). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8): DataFrame =
+    ngramJaccardPairsOf(shingleHashDf(spark, dir), tau)
+
+  /** Prefix-filter join over any (doc_id, hs) shingle-hash DataFrame. */
+  def ngramJaccardPairsOf(shingleSets: DataFrame, tau: Double): DataFrame = {
     // hs is already the sorted distinct shingle-hash set
-    val sh = shingleHashDf(spark, dir)
+    val sh = shingleSets
       .withColumn("n", size(col("hs")))
       .localCheckpoint()
     val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")

@@ -17,14 +17,20 @@ def norm(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
     return df
 
+def norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:  # NaN (incl. null-as-NaN)
+        return None
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float):
+        return float(v)
+    return v
+
 def cells(df):
-    out = []
-    for row in df.itertuples(index=False):
-        out.append(tuple(
-            v.isoformat() if hasattr(v, "isoformat")
-            else (float(v) if isinstance(v, float) else v)
-            for v in row))
-    return out
+    return [tuple(norm_val(v) for v in row)
+            for row in df.itertuples(index=False)]
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
