@@ -62,7 +62,8 @@ object SparkEntry {
     "q38_array_funcs" -> Analytics.q38ArrayFuncs,
     "q39_correlated_sql" -> Analytics.q39CorrelatedSql,
     "q40_approx_percentile" -> Analytics.q40ApproxPercentile,
-    "q41_asof_join" -> AsOfJoin.q41AsofJoin
+    "q41_asof_join" -> AsOfJoin.q41AsofJoin,
+    "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -118,6 +118,120 @@ object Similarity {
        SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= $k
        ORDER BY q_id, rank"""
 
+  // --- IVF (inverted-file) ANN -------------------------------------------
+
+  /** Deterministic IVF index: nLists centroids seeded from evenly-spaced
+    * corpus vectors (by vec_id rank) and refined with a few distributed
+    * Lloyd iterations; each vector is assigned to its nearest centroid's
+    * list. Queries probe the nProbe nearest lists, computing exact cosine
+    * only within them — the classic alternative to LSH when the corpus
+    * is clustered rather than uniform. Deterministic: no RNG anywhere
+    * (seed choice is rank-based, iteration count fixed). */
+  def annIvf(spark: SparkSession, dir: String,
+      nLists: Int = 16, nProbe: Int = 4, k: Int = 5,
+      lloydIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ds = vecs(spark, dir)
+    val all = ds.collect().sortBy(_.vec_id)
+    val dim = all.head.embedding.length
+
+    // seed centroids: evenly spaced by vec_id rank
+    var centroids: Array[Array[Double]] =
+      Array.tabulate(nLists) { i =>
+        all((i.toLong * all.length / nLists).toInt).embedding.map(_.toDouble)
+      }
+
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) {
+          val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // distributed Lloyd refinement: assign + mean per list
+    var it = 0
+    while (it < lloydIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = ds.mapPartitions { vs =>
+        val cs = bc.value
+        val acc = Array.fill(nLists)(new Array[Double](dim))
+        val cnt = new Array[Long](nLists)
+        vs.foreach { v =>
+          val c = nearest(cs, v.embedding)
+          cnt(c) += 1
+          var i = 0
+          while (i < dim) { acc(c)(i) += v.embedding(i); i += 1 }
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { (a, b) =>
+        var c = 0
+        while (c < nLists) {
+          var i = 0
+          while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
+          a._2(c) += b._2(c)
+          c += 1
+        }
+        a
+      }
+      centroids = Array.tabulate(nLists) { c =>
+        if (sums._2(c) == 0) centroids(c)
+        else sums._1(c).map(_ / sums._2(c))
+      }
+      it += 1
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    // index side: each vector in its nearest list
+    val indexed = ds.map(v => (v.vec_id, nearest(bc.value, v.embedding)))
+    // query side: probe the nProbe nearest lists
+    val probes = ds.flatMap { v =>
+      val cs = bc.value
+      val dists = Array.tabulate(nLists) { c =>
+        var d = 0.0
+        var i = 0
+        while (i < dim) {
+          val diff = v.embedding(i) - cs(c)(i); d += diff * diff; i += 1
+        }
+        (c, d)
+      }
+      dists.sortBy(x => (x._2, x._1)).take(nProbe)
+        .map { case (c, _) => (v.vec_id, c) }
+    }
+    val candidates = probes.as("x")
+      .joinWith(indexed.as("y"),
+        col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
+      .map { case ((qid, _), (nid, _)) => (qid, nid) }
+
+    val lookup = spark.sparkContext.broadcast(
+      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
+    val scored = candidates.distinct().mapPartitions { itr =>
+      val m = lookup.value
+      itr.map { case (qid, nid) =>
+        val (qe, qn) = m(qid)
+        val (ne, nn) = m(nid)
+        (qid, nid, dot(qe, ne) / (qn * nn))
+      }
+    }.toDF("q_id", "neighbor_id", "cos")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane components from a splitmix-style hash —
     * no RNG state, reproducible across executors and runs. */
   private def planeSign(bit: Int, dim: Int): Double = {

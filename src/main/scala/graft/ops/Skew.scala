@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: salt the skewed (large) side's key
+  * into `factor` sub-keys and replicate the small side across all salts.
+  * Semantics are identical to the unsalted equi-join; the shuffle's
+  * largest partition shrinks by ~factor.
+  *
+  * AQE's skew-join split (on by default in Spark 4) handles most cases at
+  * runtime; explicit salting remains the tool when a single key is so hot
+  * that even a split partition exceeds executor memory, or when the join
+  * feeds a downstream aggregation keyed the same way (the salt carries
+  * through the partial aggregate). */
+object Skew {
+
+  /** Equi-join `big ⋈ small on key` with the big side salted. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val replicated = small
+      .withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase (salted partial → final) aggregation for hot grouping
+    * keys: groupBy(key, salt) partial-aggregates first, then the tiny
+    * per-salt partials collapse in the final groupBy(key). Spark's hash
+    * aggregate already does map-side partials; this adds an extra
+    * reduce tier for keys whose partials alone overwhelm one task. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      factor: Int): DataFrame = {
+    df.withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+  }
+}

@@ -27,6 +27,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.15, s"recall@1 $recall suspiciously low")
   }
 
+  test("IVF ANN beats LSH recall on this corpus and stays deterministic") {
+    val brute = Similarity.knnBruteForce(spark, sf0001, nQueries = 500, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Similarity.annIvf(spark, sf0001, nLists = 16, nProbe = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / ivf.size
+    assert(ivf.size > 450)
+    assert(recall > 0.3, s"IVF recall@1 $recall suspiciously low")
+    val again = Similarity.annIvf(spark, sf0001, nLists = 16, nProbe = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf == again)
+  }
+
   test("near-dup pairs ordered a<b with cosine above threshold") {
     val rows = Similarity.neardupPairs(spark, sf0001, tau = 0.4).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))

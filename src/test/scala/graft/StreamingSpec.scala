@@ -37,6 +37,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(fact.select("day").distinct().count() == 2)
   }
 
+  test("watermark drops events later than the threshold in append mode") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingIngest.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      watermark = "10 minutes", window_ = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: events up to 12:00 -> watermark advances to 11:50
+    input.addData(
+      (Timestamp.valueOf("2024-03-01 10:10:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-03-01 12:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late event at 10:20 (before the 11:50 watermark) is
+    // dropped; an on-time event keeps the stream moving, then push the
+    // watermark far ahead to close all windows
+    input.addData((Timestamp.valueOf("2024-03-01 10:20:00"), "a", 99.0))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-03-01 15:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-03-01 18:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out")
+      .select("window_start_epoch", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val h10 = Timestamp.valueOf("2024-03-01 10:00:00").getTime / 1000
+    // the 10:00 window closed with ONLY the on-time event; 99.0 never landed
+    assert(rows.contains((h10, 1L, 1.0)), s"got $rows")
+    assert(!rows.exists(_._3 == 100.0))
+  }
+
   test("windowed streaming aggregation over a file stream matches the batch twin") {
     val root = TestFixtures.tempRoot("stream-window")
     // stream the events table (Tables converts ns->us so the streaming
