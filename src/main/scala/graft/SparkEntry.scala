@@ -63,7 +63,9 @@ object SparkEntry {
     "q39_correlated_sql" -> Analytics.q39CorrelatedSql,
     "q40_approx_percentile" -> Analytics.q40ApproxPercentile,
     "q41_asof_join" -> AsOfJoin.q41AsofJoin,
-    "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d))
+    "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q43_set_ops" -> Analytics.q43SetOps,
+    "q44_pivot" -> Analytics.q44Pivot
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,6 +222,8 @@ object SparkEntry {
     "q37_string_funcs" -> Analytics.q37Oracle,
     "q38_array_funcs" -> Analytics.q38Oracle,
     "q39_correlated_sql" -> Analytics.q39Oracle,
-    "q41_asof_join" -> AsOfJoin.q41Oracle
+    "q41_asof_join" -> AsOfJoin.q41Oracle,
+    "q43_set_ops" -> Analytics.q43Oracle,
+    "q44_pivot" -> Analytics.q44Oracle
   )
 }

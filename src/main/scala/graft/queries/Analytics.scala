@@ -141,6 +141,51 @@ object Analytics {
               WHERE o.o_custkey = c.c_custkey) >= 3
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Set-operation family: INTERSECT and EXCEPT (both distinct
+    * semantics), tagged and unioned into one result. */
+  def q43SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val highBal = c.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("key"))
+    val withOrders = o.select(col("o_custkey").as("key"))
+    val both = highBal.intersect(withOrders)
+      .select(lit("both").as("side"), col("key"))
+    val only = highBal.except(withOrders)
+      .select(lit("no_orders").as("side"), col("key"))
+    both.unionAll(only).orderBy(col("side"), col("key"))
+  }
+
+  val q43Oracle: String =
+    """SELECT * FROM (
+         SELECT 'both' AS side, key FROM (
+           SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+           INTERSECT SELECT o_custkey AS key FROM orders)
+         UNION ALL
+         SELECT 'no_orders' AS side, key FROM (
+           SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+           EXCEPT SELECT o_custkey AS key FROM orders))
+       ORDER BY side, key"""
+
+  /** Pivot (wide aggregation): quantity totals per linestatus, one
+    * column per return flag; oracle phrases it as conditional
+    * aggregation. */
+  def q44Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .na.fill(0.0, Seq("A", "N", "R"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q44Oracle: String =
+    """SELECT l_linestatus,
+       coalesce(round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2), 0) AS A,
+       coalesce(round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2), 0) AS N,
+       coalesce(round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2), 0) AS R
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
   /** Scalable percentile twin for the bench path: approx_percentile with
     * a bounded sketch — the form that survives 100 TB (single-pass,
     * mergeable, no global sort). Rows-only (sketch values are
