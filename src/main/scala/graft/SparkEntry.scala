@@ -65,7 +65,8 @@ object SparkEntry {
     "q41_asof_join" -> AsOfJoin.q41AsofJoin,
     "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q43_set_ops" -> Analytics.q43SetOps,
-    "q44_pivot" -> Analytics.q44Pivot
+    "q44_pivot" -> Analytics.q44Pivot,
+    "q45_range_join" -> Analytics.q45RangeJoin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,6 +225,7 @@ object SparkEntry {
     "q39_correlated_sql" -> Analytics.q39Oracle,
     "q41_asof_join" -> AsOfJoin.q41Oracle,
     "q43_set_ops" -> Analytics.q43Oracle,
-    "q44_pivot" -> Analytics.q44Oracle
+    "q44_pivot" -> Analytics.q44Oracle,
+    "q45_range_join" -> Analytics.q45Oracle
   )
 }

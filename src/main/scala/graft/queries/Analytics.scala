@@ -31,25 +31,43 @@ object Analytics {
        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
        ORDER BY priority, status"""
 
-  /** Exact interpolated percentiles per group (the reference has no
-    * percentile surface; a 100 TB deployment uses approx_percentile —
-    * benched separately — while the oracle checks the exact form). */
+  /** Exact discrete percentiles per group, via integer rank selection
+    * (value at row ⌈q·n⌉ of the sorted group). Interpolated percentiles
+    * average two neighbors and land on .xx5 midpoints — a cross-engine
+    * rounding coin flip — so the discrete form is the hash-stable exact
+    * surface; a 100 TB deployment uses approx_percentile (q40). */
   def q35Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables(spark, dir, "lineitem")
-    li.groupBy(col("l_returnflag"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
-        count(lit(1)).as("n"))
+        max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
+          .as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("l_extendedprice")))
+          .as("p95"),
+        max(col("n")).as("n"))
       .orderBy(col("l_returnflag"))
   }
 
   val q35Oracle: String =
-    """SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-       count(*) AS n
-       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    """WITH s AS (
+         SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM lineitem)
+       SELECT l_returnflag,
+         max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+           THEN l_extendedprice END) AS p50,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+           THEN l_extendedprice END) AS p95,
+         max(n) AS n
+       FROM s GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Date arithmetic family: month truncation, day-diff vs a fixed epoch
     * date, extraction. */
@@ -185,6 +203,35 @@ object Analytics {
        coalesce(round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2), 0) AS N,
        coalesce(round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2), 0) AS R
        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  /** Range (theta) join: lineitem quantities banded against a small
+    * interval dimension. The band table is broadcast, so the
+    * non-equi predicate runs as BroadcastNestedLoopJoin over a
+    * 4-row build side — the right plan for interval dims; an
+    * equi-prejoin on a bucketed key is the path when the band table
+    * itself is large. */
+  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val bands = Seq(
+      ("tiny", 0.0, 10.0), ("small", 10.0, 25.0),
+      ("mid", 25.0, 40.0), ("large", 40.0, 1e9)
+    ).toDF("band", "lo", "hi")
+    li.join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  val q45Oracle: String =
+    """SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+       FROM lineitem
+       JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+                    ('mid', 25.0, 40.0), ('large', 40.0, 1e9)) AS bands(band, lo, hi)
+         ON l_quantity >= lo AND l_quantity < hi
+       GROUP BY band ORDER BY band"""
 
   /** Scalable percentile twin for the bench path: approx_percentile with
     * a bounded sketch — the form that survives 100 TB (single-pass,

@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(fact.select("day").distinct().count() == 2)
   }
 
+  test("cleanSource=archive moves consumed source files (B6 parity)") {
+    val root = TestFixtures.tempRoot("stream-archive")
+    val checkpoint = root.resolve("checkpoint").toString
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 10)
+    val q = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = true)
+    q.awaitTermination()
+    // the file source archives committed files when a later batch runs —
+    // land a new file and restart so the cleaner fires
+    TestFixtures.writeCsv(root, "2024-03-02", 2, 5)
+    val q2 = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = true)
+    q2.awaitTermination()
+    val src = root.resolve(
+      s"incoming/2024-03-01/rxndata_${TestFixtures.simUuid(1)}.csv")
+    val deadline = System.currentTimeMillis() + 15000
+    while (Files.exists(src) && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    assert(!Files.exists(src), "source file not archived")
+    val layout = Layout(root.toString)
+    assert(spark.read.parquet(layout.factTable).count() == 15)
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import java.sql.Timestamp
