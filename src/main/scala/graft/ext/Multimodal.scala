@@ -52,35 +52,44 @@ object Multimodal {
        upper(substring(hex(encode(text)), 1, 16)) AS prefix_hex
        FROM documents ORDER BY doc_id"""
 
-  /** STUB decode: a real implementation would parse the container format
-    * here (JPEG/PNG/WAV headers). The fake derives deterministic
-    * dimensions from the payload bytes so the downstream plumbing —
-    * schema, batching, partition parallelism — is exercised honestly. */
-  private def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
-    val n = payload.length
-    val h = graft.functions.Fingerprint64.hashBytes(payload)
-    val fmt = (math.floorMod(h, 3).toInt) match {
-      case 0 => "img"
-      case 1 => "audio"
-      case _ => "video"
+  /** Decode one payload: real container-header parsing via
+    * [[MediaHeaders]] (PNG/JPEG/GIF/WAV magic + dimensions, pure JVM);
+    * pixel/sample decode itself is STUBBED — no codec libraries ship in
+    * this environment, so unrecognized payloads get deterministic fake
+    * dimensions derived from the bytes, keeping the downstream plumbing
+    * (schema, batching, partition parallelism) honestly exercised. */
+  private def decodeOne(id: Long, payload: Array[Byte]): MediaFeatures =
+    MediaHeaders.parse(payload) match {
+      case Some(h) =>
+        MediaFeatures(id, payload.length, h.format, h.width, h.height,
+          h.channels, frame_count = 1)
+      case None =>
+        val h = graft.functions.Fingerprint64.hashBytes(payload)
+        val fmt = (math.floorMod(h, 3).toInt) match {
+          case 0 => "img"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaFeatures(id, payload.length, fmt,
+          width = 16 + math.floorMod(h >> 8, 64).toInt,
+          height = 16 + math.floorMod(h >> 16, 64).toInt,
+          channels = 1 + math.floorMod(h >> 24, 3).toInt,
+          frame_count =
+            if (fmt == "video") 1 + math.floorMod(h >> 32, 120).toInt else 1)
     }
-    MediaFeatures(id, n, fmt,
-      width = 16 + math.floorMod(h >> 8, 64).toInt,
-      height = 16 + math.floorMod(h >> 16, 64).toInt,
-      channels = 1 + math.floorMod(h >> 24, 3).toInt,
-      frame_count = if (fmt == "video") 1 + math.floorMod(h >> 32, 120).toInt else 1)
+
+  /** Per-partition batch decode over any (doc_id, payload) frame — the
+    * mapInPandas-shaped hot path (codec state would be allocated once
+    * per task, outside the row loop). */
+  def decodeFeaturesOf(payloadDf: DataFrame): Dataset[MediaFeatures] = {
+    import payloadDf.sparkSession.implicits._
+    payloadDf
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeOne(id, payload) })
   }
 
-  /** Per-partition batch decode — the mapInPandas-shaped hot path. */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    payloads(spark, dir)
-      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // batch loop per task: codec state would be allocated once here
-        it.map { case (id, payload) => decodeStub(id, payload) }
-      }
-  }
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
+    decodeFeaturesOf(payloads(spark, dir))
 
   /** Feature-extract summary over the decoded stub features: rows-only
     * driver check (the stub's fake dimensions are engine-specific). */
