@@ -66,7 +66,8 @@ object SparkEntry {
     "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q43_set_ops" -> Analytics.q43SetOps,
     "q44_pivot" -> Analytics.q44Pivot,
-    "q45_range_join" -> Analytics.q45RangeJoin
+    "q45_range_join" -> Analytics.q45RangeJoin,
+    "q46_asof_exec" -> AsOfJoin.q46AsofExec
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,6 +227,7 @@ object SparkEntry {
     "q41_asof_join" -> AsOfJoin.q41Oracle,
     "q43_set_ops" -> Analytics.q43Oracle,
     "q44_pivot" -> Analytics.q44Oracle,
-    "q45_range_join" -> Analytics.q45Oracle
+    "q45_range_join" -> Analytics.q45Oracle,
+    "q46_asof_exec" -> AsOfJoin.q41Oracle
   )
 }

@@ -85,6 +85,24 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Same query through the custom LogicalPlan/Strategy/Exec path
+    * ([[AsOfJoinExecApi.asofJoinExec]]) — oracled independently. */
+  def q46AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id"), col("ts"))
+    AsOfJoinExecApi.asofJoinExec(purchases, signups, Seq("user_id"), "ts", "ts")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_epoch"),
+        col("asof_signup_event_id").as("signup_event_id"),
+        unix_timestamp(col("asof_ts")).as("signup_epoch"))
+      .orderBy(col("event_id"))
+  }
+
   val q41Oracle: String =
     """SELECT l.event_id, l.user_id,
        CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_epoch,
