@@ -67,7 +67,9 @@ object SparkEntry {
     "q43_set_ops" -> Analytics.q43SetOps,
     "q44_pivot" -> Analytics.q44Pivot,
     "q45_range_join" -> Analytics.q45RangeJoin,
-    "q46_asof_exec" -> AsOfJoin.q46AsofExec
+    "q46_asof_exec" -> AsOfJoin.q46AsofExec,
+    "q47_neardup_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.neardupPairsLsh(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -69,6 +69,20 @@ object GraftCatalog {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** J2-analogue (join-key index): persist a DataFrame as a bucketed,
+    * sorted managed table. Two tables bucketed the same way on the join
+    * key co-locate their rows, so the join plans with ZERO exchanges —
+    * the bucketing answer to the reference's fact(simulation_id) b-tree,
+    * and the pre-partitioning strategy for repeated fact↔fact joins at
+    * 100 TB where neither side broadcasts. */
+  def saveBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A8-analogue — the catalog scan the reference does over pg_indexes:
     * list the graft tables present in the session catalog. */
   def listGraftTables(spark: SparkSession): Seq[String] =

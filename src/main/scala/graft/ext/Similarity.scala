@@ -118,6 +118,40 @@ object Similarity {
        SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= $k
        ORDER BY q_id, rank"""
 
+  /** Scale path for [[neardupPairs]]: candidate pairs from multiprobe LSH
+    * buckets only (O(n·(1+nBits)) shuffled key rows, never O(n²)), exact
+    * cosine verification within candidates. Approximate — recall vs the
+    * exact pair set is measured in ScalaTest; rows-only driver check. */
+  def neardupPairsLsh(spark: SparkSession, dir: String,
+      tau: Double = 0.4, nBits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ds = vecs(spark, dir)
+    val keyed = ds.map(v => (v.vec_id, bucketKey(v.embedding, nBits)))
+    val probes = keyed.flatMap { case (id, key) =>
+      (key +: (0 until nBits).map(b => key ^ (1L << b))).map(kk => (id, kk))
+    }
+    // a < b keeps each candidate pair once even when both sides probe
+    val candidates = probes.as("x")
+      .joinWith(keyed.as("y"),
+        col("x._2") === col("y._2") && col("x._1") < col("y._1"))
+      .map { case ((a, _), (b, _)) => (a, b) }
+      .distinct()
+    val all = ds.collect()
+    val lookup = spark.sparkContext.broadcast(
+      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
+    candidates.mapPartitions { it =>
+      val m = lookup.value
+      it.flatMap { case (a, b) =>
+        val (ae, an) = m(a)
+        val (be, bn) = m(b)
+        val c = dot(ae, be) / (an * bn)
+        if (c >= tau) Some((a, b, c)) else None
+      }
+    }.toDF("a", "b", "cos")
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
   // --- IVF (inverted-file) ANN -------------------------------------------
 
   /** Deterministic IVF index: nLists centroids seeded from evenly-spaced

@@ -37,4 +37,29 @@ class CatalogSpec extends SparkSpecBase {
     Seq("fact_sim", "dim_rxn", "etl_run_log")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    GraftCatalog.saveBucketed(li, "b_lineitem", "l_orderkey", 8)
+    GraftCatalog.saveBucketed(o, "b_orders", "l_orderkey", 8)
+    try {
+      // disable broadcast so the join must pick a shuffle strategy —
+      // bucketing should satisfy the distribution without exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() ==
+        li.join(o, "l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("b_lineitem", "b_orders")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

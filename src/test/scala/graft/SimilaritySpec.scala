@@ -46,4 +46,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("LSH near-dup scale path: subset of exact pairs with usable recall") {
+    val exact = Similarity.neardupPairs(spark, sf0001, tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.neardupPairsLsh(spark, sf0001, tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.1, s"recall $recall too low (exact=${exact.size})")
+  }
 }
