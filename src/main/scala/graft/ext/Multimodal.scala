@@ -91,6 +91,57 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
     decodeFeaturesOf(payloads(spark, dir))
 
+  /** Resized-media record: same payload contract, new dimensions. */
+  case class ResizedMedia(
+      doc_id: Long, format: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize: the Spark-side plumbing (schema, per-partition batch loop,
+    * payload round-trip) is real; the pixel resample itself is STUBBED —
+    * a real codec would decode, resample, and re-encode where the
+    * deterministic byte-fold sits. Aspect-ratio-preserving target box. */
+  def resize(features: Dataset[MediaFeatures], payloadDf: DataFrame,
+      maxSide: Int): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    val withPayload = features.toDF()
+      .join(payloadDf.select(col("doc_id"), col("payload")), "doc_id")
+      .as[(Long, Int, String, Int, Int, Int, Int, Array[Byte])]
+    withPayload.mapPartitions(_.map {
+      case (id, _, fmt, w, h, _, _, payload) =>
+        val scale =
+          if (math.max(w, h) <= maxSide || math.max(w, h) == 0) 1.0
+          else maxSide.toDouble / math.max(w, h)
+        val nw = math.max(1, (w * scale).toInt)
+        val nh = math.max(1, (h * scale).toInt)
+        // STUB re-encode: deterministic byte fold standing in for the codec
+        val out = new Array[Byte](math.max(1, (payload.length * scale).toInt))
+        var i = 0
+        while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+        ResizedMedia(id, fmt, nw, nh, out)
+    })
+  }
+
+  /** Frame descriptor emitted by sampling (one row per kept frame). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset_bytes: Long)
+
+  /** Frame sampling: every nth frame of video payloads becomes its own
+    * row (the explode-shaped transform a video pipeline needs before
+    * per-frame feature extraction). Container demuxing is STUBBED as
+    * fixed-size frame strides; the row shape and partition parallelism
+    * are real. */
+  def sampleFrames(features: Dataset[MediaFeatures],
+      everyNth: Int): Dataset[Frame] = {
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
+      if (f.format != "video" || f.frame_count <= 0) Iterator.empty
+      else {
+        val stride = math.max(1L, f.n_bytes.toLong / f.frame_count)
+        (0 until f.frame_count by everyNth).iterator
+          .map(i => Frame(f.doc_id, i, i * stride))
+      }
+    }
+  }
+
   /** Feature-extract summary over the decoded stub features: rows-only
     * driver check (the stub's fake dimensions are engine-specific). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =

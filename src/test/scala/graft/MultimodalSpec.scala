@@ -46,6 +46,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MediaHeaders.parse("not media at all".getBytes).isEmpty)
   }
 
+  test("resize preserves aspect ratio and caps the long side") {
+    import spark.implicits._
+    val frames = Seq((1L, png(640, 480)), (2L, png(60, 30))).toDF("doc_id", "payload")
+    val features = Multimodal.decodeFeaturesOf(frames)
+    val resized = Multimodal.resize(features, frames, maxSide = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(resized(1L).width == 64 && resized(1L).height == 48)
+    assert(resized(2L).width == 60 && resized(2L).height == 30) // under cap: untouched
+    assert(resized(1L).payload.nonEmpty)
+  }
+
+  test("frame sampling explodes every nth frame with byte offsets") {
+    import spark.implicits._
+    val features = Seq(
+      Multimodal.MediaFeatures(1L, 1000, "video", 64, 48, 3, 10),
+      Multimodal.MediaFeatures(2L, 500, "img", 64, 48, 3, 1)
+    ).toDS()
+    val frames = Multimodal.sampleFrames(features, everyNth = 3).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).map(_.frame_idx).sorted.sameElements(Seq(0, 3, 6, 9)))
+    assert(byDoc(1L).find(_.frame_idx == 3).get.offset_bytes == 300)
+    assert(!byDoc.contains(2L)) // images emit no frames
+  }
+
   test("decodeFeaturesOf: real headers parsed, non-media falls back to the stub") {
     import spark.implicits._
     val frames = Seq(
