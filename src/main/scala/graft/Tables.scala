@@ -23,7 +23,10 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // `ts div 1000` (integer division) — a double divide would round
+        // the ~1.7e18 ns value (ulp 256 ns) and mis-truncate ~1.6% of
+        // rows by 1 µs, flipping epoch seconds at boundaries
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -114,9 +114,14 @@ object Multimodal {
         val nw = math.max(1, (w * scale).toInt)
         val nh = math.max(1, (h * scale).toInt)
         // STUB re-encode: deterministic byte fold standing in for the codec
-        val out = new Array[Byte](math.max(1, (payload.length * scale).toInt))
-        var i = 0
-        while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+        val out =
+          if (payload.isEmpty) Array.emptyByteArray
+          else {
+            val o = new Array[Byte](math.max(1, (payload.length * scale).toInt))
+            var i = 0
+            while (i < o.length) { o(i) = payload(i % payload.length); i += 1 }
+            o
+          }
         ResizedMedia(id, fmt, nw, nh, out)
     })
   }

@@ -38,10 +38,11 @@ object Similarity {
 
   private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
-  /** All pairs with cosine ≥ tau. Exact; broadcast-block nested loop.
-    * At corpus scale the broadcast side becomes a loop over fixed-size
-    * blocks of the corpus (same code per block); LSH below is the
-    * preferred path once n makes even blocking quadratic. */
+  /** All pairs with cosine ≥ tau. Exact; broadcast-block nested loop —
+    * REQUIRES the corpus to fit in a broadcast (the collect below is the
+    * block). This is the exact/verification path for bounded corpora; at
+    * fact scale use [[neardupPairsLsh]], which never materializes the
+    * corpus on the driver. */
   def neardupPairs(spark: SparkSession, dir: String,
       tau: Double = 0.4): DataFrame = {
     import spark.implicits._
@@ -136,20 +137,28 @@ object Similarity {
         col("x._2") === col("y._2") && col("x._1") < col("y._1"))
       .map { case ((a, _), (b, _)) => (a, b) }
       .distinct()
-    val all = ds.collect()
-    val lookup = spark.sparkContext.broadcast(
-      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
-    candidates.mapPartitions { it =>
-      val m = lookup.value
-      it.flatMap { case (a, b) =>
-        val (ae, an) = m(a)
-        val (be, bn) = m(b)
-        val c = dot(ae, be) / (an * bn)
-        if (c >= tau) Some((a, b, c)) else None
-      }
-    }.toDF("a", "b", "cos")
+    // vectors resolved by join — no driver-side corpus materialization
+    scorePairs(candidates.toDF("a", "b"), ds, "a", "b")
+      .filter(col("cos") >= tau)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Attach exact cosine to (idColA, idColB) pairs by joining the vector
+    * table twice — the candidate set shuffles, the corpus never lands on
+    * the driver. */
+  private def scorePairs(pairs: DataFrame, ds: Dataset[Vec],
+      a: String, b: String): DataFrame = {
+    import ds.sparkSession.implicits._
+    pairs
+      .join(ds.toDF(a, "_ea"), a)
+      .join(ds.toDF(b, "_eb"), b)
+      .select(col(a), col(b), col("_ea"), col("_eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (x, y, ea, eb) =>
+        (x, y, dot(ea, eb) / (norm(ea) * norm(eb)))
+      }
+      .toDF(a, b, "cos")
   }
 
   // --- IVF (inverted-file) ANN -------------------------------------------
@@ -166,14 +175,14 @@ object Similarity {
       lloydIters: Int = 3): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
-    val all = ds.collect().sortBy(_.vec_id)
-    val dim = all.head.embedding.length
+    // bounded driver pull: only nLists seed vectors, never the corpus
+    val seeds = ds.orderBy(col("vec_id")).limit(nLists).collect()
+    val dim = seeds.head.embedding.length
 
-    // seed centroids: evenly spaced by vec_id rank
+    // seed centroids from the first nLists vectors; the distributed
+    // Lloyd iterations below spread them over the data
     var centroids: Array[Array[Double]] =
-      Array.tabulate(nLists) { i =>
-        all((i.toLong * all.length / nLists).toInt).embedding.map(_.toDouble)
-      }
+      seeds.map(_.embedding.map(_.toDouble))
 
     def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
       var best = 0
@@ -245,16 +254,9 @@ object Similarity {
         col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
       .map { case ((qid, _), (nid, _)) => (qid, nid) }
 
-    val lookup = spark.sparkContext.broadcast(
-      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
-    val scored = candidates.distinct().mapPartitions { itr =>
-      val m = lookup.value
-      itr.map { case (qid, nid) =>
-        val (qe, qn) = m(qid)
-        val (ne, nn) = m(nid)
-        (qid, nid, dot(qe, ne) / (qn * nn))
-      }
-    }.toDF("q_id", "neighbor_id", "cos")
+    val scored = scorePairs(
+      candidates.distinct().toDF("q_id", "neighbor_id"),
+      ds, "q_id", "neighbor_id")
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
@@ -311,17 +313,8 @@ object Similarity {
         col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
       .map { case ((qid, _), (nid, _)) => (qid, nid) }
 
-    val all = ds.collect()
-    val lookup = spark.sparkContext.broadcast(
-      all.map(v => v.vec_id -> (v.embedding, norm(v.embedding))).toMap)
-    val scored = candidates.mapPartitions { it =>
-      val m = lookup.value
-      it.map { case (qid, nid) =>
-        val (qe, qn) = m(qid)
-        val (ne, nn) = m(nid)
-        (qid, nid, dot(qe, ne) / (qn * nn))
-      }
-    }.toDF("q_id", "neighbor_id", "cos")
+    val scored = scorePairs(
+      candidates.toDF("q_id", "neighbor_id"), ds, "q_id", "neighbor_id")
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))

@@ -119,7 +119,7 @@ object TextAnalysis {
   val tokenCountsOracle: String =
     """SELECT doc_id,
        len(string_split(text, ' ')) AS n_ws_tokens,
-       len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+       len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'),
          t -> length(t) > 0)) AS n_re_tokens
        FROM documents ORDER BY doc_id"""
 }

@@ -43,23 +43,35 @@ object Clean {
     df
   }
 
-  /** A1 + C5 — read raw incoming CSVs (explicit schema, never inferred)
-    * and recover `simulation_id`/`day` from the path, replacing the
-    * reference's positional filename slicing (main.py:23) with a regex
-    * over input_file_name. One scan for any number of files — the
-    * reference's own "combine CSVs into one large COPY" wish (README.md:29)
-    * is Spark's default behavior. */
-  def readIncomingCsvs(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read
+  /** A1 + C5 — read raw incoming CSVs and recover `simulation_id`/`day`
+    * from the path, replacing the reference's positional filename slicing
+    * (main.py:23) with a regex over input_file_name. One scan for any
+    * number of files — the reference's own "combine CSVs into one large
+    * COPY" wish (README.md:29) is Spark's default behavior.
+    *
+    * Columns bind BY HEADER NAME: a user-supplied schema on the CSV
+    * reader binds positionally (ignoring headers), which would silently
+    * column-shift files lacking the optional index artifact and make the
+    * required-column check unreachable. So: read as strings under the
+    * header names, then cast the known columns — still a single scan,
+    * still no inference. */
+  def readIncomingCsvs(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read
       .option("header", "true")
-      .schema(Schemas.rawCsvSchema)
       .csv(paths: _*)
+    val typed = Schemas.rawCsvSchema.fields.foldLeft(raw) { (df, f) =>
+      if (df.columns.contains(f.name))
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df
+    }
+    typed
       .withColumn("_file", input_file_name())
       .withColumn("file_simulation_id",
         regexp_extract(col("_file"), "rxndata_([0-9a-fA-F-]{36})\\.csv", 1))
       .withColumn("day",
         regexp_extract(col("_file"), "/([^/]+)/[^/]+\\.csv$", 1))
       .drop("_file")
+  }
 
   /** Full clean stage: rename → validate → drop artifact. */
   def clean(df: DataFrame): DataFrame =

@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   * through the partial aggregate). */
 object Skew {
 
+  /** Join types for which replicating the small side is sound: the small
+    * side is never preserved, so its `factor` copies can only ever match
+    * (identically) or vanish. Right/full outer joins would emit each
+    * unmatched small row `factor` times. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Equi-join `big ⋈ small on key` with the big side salted. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
+    require(SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${SafeJoinTypes.mkString("/")}; " +
+        s"'$joinType' would duplicate unmatched small-side rows")
     val salted = big.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = small

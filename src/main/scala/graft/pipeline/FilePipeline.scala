@@ -148,12 +148,26 @@ object FilePipeline {
       listIncoming(spark, layout, ".csv"), Ledger.EtlTypeCsv)
     var factInserted = 0L
     var perFileCounts = Map.empty[String, Long]
+    var mismatchIds = Set.empty[String]
     if (csvFiles.nonEmpty) {
       val raw = Clean.readIncomingCsvs(spark, csvFiles.map(_.toString))
       val cleaned = Clean.clean(raw)
         .withColumn("row_id", monotonically_increasing_id())
         .withColumn("simulation_num", lit(null).cast("int"))
-      val enriched = Enrich.enrichFact(cleaned, readDim(spark, layout))
+        .cache()
+      // integrity gate: the in-file SimulationID must agree with the
+      // filename uuid (FIXTURES.md contract). Files violating it are
+      // quarantined whole: ledger 'failed', no rows written, file kept
+      // in incoming — the fact-stage twin of the metadata validation.
+      mismatchIds = cleaned
+        .filter(col("simulation_id").isNull ||
+          col("simulation_id") =!= col("file_simulation_id"))
+        .select(col("file_simulation_id")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val good = cleaned.filter(
+        !col("file_simulation_id").isInCollection(
+          if (mismatchIds.isEmpty) Seq("") else mismatchIds.toSeq))
+      val enriched = Enrich.enrichFact(good, readDim(spark, layout))
       val out = enriched.select(
         (Schemas.factSimSchema.fieldNames.map(col) :+ col("day")): _*)
         .cache()
@@ -162,18 +176,26 @@ object FilePipeline {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       factInserted = perFileCounts.values.sum
       out.unpersist()
+      cleaned.unpersist()
     }
     val t2 = new Timestamp(System.currentTimeMillis())
     ledgerRows ++= csvFiles.flatMap(simId).map { id =>
-      Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2,
-        perFileCounts.getOrElse(id, 0L), "success", None)
+      if (mismatchIds.contains(id)) {
+        failures += 1
+        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2, 0L, "failed",
+          Some("in-file SimulationID disagrees with filename"))
+      } else {
+        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2,
+          perFileCounts.getOrElse(id, 0L), "success", None)
+      }
     }
 
     // --- ledger + archive (B4/B5 then B6/B7: move-after-commit last;
     //     failed files stay in incoming for retry, like main.py:29-31) ---
     Ledger.append(spark, layout.ledger, ledgerRows)
     val archived = archiveFiles(spark, layout,
-      csvFiles ++ metaFiles.filter(p => simId(p).exists(okMetaIds)))
+      csvFiles.filter(p => simId(p).exists(id => !mismatchIds.contains(id))) ++
+        metaFiles.filter(p => simId(p).exists(okMetaIds)))
 
     RunReport(csvFiles.size, factInserted, metaFiles.size, dimInserted,
       archived, failures)

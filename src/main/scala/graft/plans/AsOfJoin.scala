@@ -36,7 +36,9 @@ object AsOfJoin {
       .withColumn("_l", struct(left.columns.map(col): _*))
       .select(on.map(col) ++ Seq(col(leftTs).as("_ts"), col("_l"),
         lit(null).cast(rightStruct).as("_r"), lit(1).as("_side")): _*)
-    val r = right
+    // SQL join semantics: NULL keys never match — drop null-keyed right
+    // rows so a null-keyed left partition contains no right rows at all
+    val r = on.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
       .withColumn("_r", struct(right.columns.map(col): _*))
       .select(on.map(col) ++ Seq(col(rightTs).as("_ts"),
         lit(null).cast(leftStruct).as("_l"), col("_r"),

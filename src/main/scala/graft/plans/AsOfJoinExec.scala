@@ -70,30 +70,43 @@ case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val nullRight = new GenericInternalRow(right.output.length)
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, left.output ++ right.output)
+      // bind against the NULLABLE output schema: using the raw child
+      // attributes would mark right columns non-nullable and codegen
+      // would read garbage from the null-extended row's slots
+      val outProj = UnsafeProjection.create(output, output)
       val rBuf = rIter.buffered
       var lastMatch: InternalRow = null
       var lastMatchKey: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lts = lTsProj(l).getLong(0)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lk)
-          if (cmp < 0) {
-            rBuf.next() // right key below current left key: discard
-          } else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= lts) {
-            val r = rBuf.next()
-            lastMatch = r.copy()
-            lastMatchKey = lk.copy()
-          } else {
-            advancing = false
+        if (lk.anyNull) {
+          // SQL join semantics: NULL keys never match
+          outProj(joined(l, nullRight))
+        } else {
+          val lts = lTsProj(l).getLong(0)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            if (rk.anyNull) {
+              rBuf.next() // null right keys can never match: discard
+            } else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) {
+                rBuf.next() // right key below current left key: discard
+              } else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= lts) {
+                val r = rBuf.next()
+                lastMatch = r.copy()
+                lastMatchKey = lk.copy()
+              } else {
+                advancing = false
+              }
+            }
           }
+          val rRow =
+            if (lastMatchKey != null && lastMatchKey.equals(lk)) lastMatch
+            else nullRight
+          outProj(joined(l, rRow))
         }
-        val rRow =
-          if (lastMatchKey != null && lastMatchKey.equals(lk)) lastMatch
-          else nullRight
-        outProj(joined(l, rRow))
       }
     }
   }

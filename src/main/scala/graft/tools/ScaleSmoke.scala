@@ -28,9 +28,12 @@ object ScaleSmoke {
         .parquet(s"$big/$table.parquet")
     }
     val t0 = System.nanoTime()
+    // shift every key participating in a join consistently per replica,
+    // or the "10x" join would fan out 10x-per-side (100x work) and the
+    // ratios would measure the synthesis artifact, not the engine
     replicate("lineitem", Seq("l_orderkey"), 10000000L)
-    replicate("orders", Seq("o_orderkey"), 10000000L)
-    replicate("customer", Seq.empty, 0L)
+    replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    replicate("customer", Seq("c_custkey"), 10000000L)
     replicate("documents", Seq("doc_id"), 10000000L)
     replicate("embeddings", Seq("vec_id"), 10000000L)
     println(f"[scale] synthesis ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -34,6 +34,26 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), "unexpected window in custom exec plan")
   }
 
+  test("NULL keys never match in either variant (SQL join semantics)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val l = Seq((1L, Option(7L), ts(10)), (2L, None: Option[Long], ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((100L, Option(7L), ts(5)), (200L, None: Option[Long], ts(5)))
+      .toDF("signup_id", "user_id", "ts")
+    def matches(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "asof_signup_id").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    val composed = matches(
+      AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts"))
+    val exec = matches(
+      AsOfJoinExecApi.asofJoinExec(l, r, Seq("user_id"), "ts", "ts"))
+    assert(composed == Map(1L -> 100L, 2L -> -1L), s"composed: $composed")
+    assert(exec == Map(1L -> 100L, 2L -> -1L), s"exec: $exec")
+  }
+
   test("tolerance bounds the look-back in the composed variant") {
     val bounded = AsOfJoin.asofJoin(purchases, signups, Seq("user_id"),
       "ts", "ts", tolerance = Some(60L))

@@ -24,6 +24,11 @@ class CleanSpec extends SparkSpecBase {
     val twice = Clean.dropIndexArtifact(once)
     assert(once.columns.sameElements(twice.columns))
     assert(!once.columns.contains(Schemas.indexArtifactCol))
+    // columns bind BY NAME: without the artifact column nothing shifts —
+    // simulation_id is the uuid and rxn_time starts at 0.0
+    val row = once.orderBy("rxn_time").select("simulation_id", "rxn_time").head()
+    assert(row.getString(0) == TestFixtures.simUuid(1))
+    assert(row.getDouble(1) == 0.0)
   }
 
   test("missing required column fails validation with its name") {

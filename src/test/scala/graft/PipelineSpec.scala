@@ -74,6 +74,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(byKey(TestFixtures.simUuid(3) -> "metadata") == (1L, "success"))
   }
 
+  test("CSV whose in-file SimulationID disagrees with its filename is quarantined") {
+    val root = TestFixtures.tempRoot("pipe-mismatch")
+    TestFixtures.writeCsv(root, "2024-03-01", 5, 4)
+    TestFixtures.writeCsv(root, "2024-03-01", 6, 4,
+      inFileIdOverride = Some(TestFixtures.simUuid(99)))
+    val r = FilePipeline.run(spark, root.toString)
+    assert(r.factRowsInserted == 4) // only the consistent file's rows
+    assert(r.failures == 1)
+    assert(r.filesArchived == 1) // mismatched file retained in incoming
+    assert(Files.exists(root.resolve(
+      s"incoming/2024-03-01/rxndata_${TestFixtures.simUuid(6)}.csv")))
+    val layout = FilePipeline.Layout(root.toString)
+    val states = graft.ops.Ledger.latestState(
+      graft.ops.Ledger.read(spark, layout.ledger))
+      .select("simulation_id", "status").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(states(TestFixtures.simUuid(5)) == "success")
+    assert(states(TestFixtures.simUuid(6)) == "failed")
+  }
+
   test("invalid metadata (missing simulation_id) gets a failed ledger row, not inserted") {
     val root = TestFixtures.tempRoot("pipe-badmeta")
     TestFixtures.writeMetadata(root, "2024-03-01", 9, omitId = true)

@@ -12,8 +12,10 @@ object TestFixtures {
   def simUuid(n: Int): String = f"00000000-0000-4000-8000-${n}%012d"
 
   def writeCsv(root: Path, day: String, simNo: Int, nRows: Int,
-      withArtifact: Boolean = true, dropColumn: Option[String] = None): Path = {
+      withArtifact: Boolean = true, dropColumn: Option[String] = None,
+      inFileIdOverride: Option[String] = None): Path = {
     val id = simUuid(simNo)
+    val inFileId = inFileIdOverride.getOrElse(id)
     val dir = root.resolve(s"incoming/$day")
     Files.createDirectories(dir)
     val header = dropColumn match {
@@ -25,7 +27,7 @@ object TestFixtures {
     val rows = (0 until nRows).map { i =>
       cols.map {
         case "Unnamed: 0" => i.toString
-        case "SimulationID" => id
+        case "SimulationID" => inFileId
         case "t (sec)" => (i * 0.5).toString
         case _ => (300.0 + simNo * 10 + i * 0.25).toString
       }.mkString(",")
