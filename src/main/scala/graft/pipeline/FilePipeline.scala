@@ -105,60 +105,49 @@ object FilePipeline {
   def readFact(spark: SparkSession, layout: Layout): DataFrame =
     spark.read.parquet(layout.factTable)
 
-  /** Stage 1+2+3 for one batch run. Returns what happened. */
-  def run(spark: SparkSession, root: String): RunReport = {
-    val layout = Layout(root)
+  /** What one fact-stage ingest did: rows appended, files safe to archive,
+    * per-file failures already ledgered. */
+  case class CsvIngest(rowsInserted: Long, okFiles: Seq[Path], failures: Int)
+
+  /** Fact-stage ingest of a concrete file list (K1+K3+K6) — shared by the
+    * batch [[run]] and the streaming foreachBatch body so both get the
+    * same hardening:
+    *
+    *   - files are read grouped by exact header shape (no positional
+    *     mis-binding when artifact and artifact-less files share a batch);
+    *   - files whose header can never validate (missing required columns
+    *     after rename, or empty) are quarantined whole — ledger 'failed',
+    *     zero rows written — instead of failing the batch;
+    *   - the in-file SimulationID must agree with the filename uuid
+    *     (FIXTURES.md contract); violating files are quarantined whole;
+    *   - surviving rows are enriched against the current dim at write
+    *     time and appended to the day-partitioned fact table;
+    *   - one final-status ledger row per file.
+    *
+    * Driver work is O(files) (header peek + per-file ledger rows); all
+    * row-level compute is distributed. */
+  def ingestCsvFiles(spark: SparkSession, layout: Layout,
+      csvFiles: Seq[Path]): CsvIngest = {
+    if (csvFiles.isEmpty) return CsvIngest(0L, Seq.empty, 0)
     val t0 = new Timestamp(System.currentTimeMillis())
-    var failures = 0
-    var ledgerRows = Vector.empty[Ledger.Entry]
-    var okMetaIds = Set.empty[String]
+    val byHeader = Clean.groupByHeader(spark, csvFiles.map(_.toString))
+    val (goodGroups, badGroups) =
+      byHeader.partition { case (h, _) => Clean.headerIsValid(h) }
+    val readable = byHeader.values.flatten.toSet
+    // headerless/empty files + files whose header misses a required column
+    val invalidFiles: Set[String] = badGroups.values.flatten.toSet ++
+      csvFiles.map(_.toString).filterNot(readable)
+    val invalidIds = csvFiles
+      .filter(p => invalidFiles.contains(p.toString)).flatMap(simId).toSet
 
-    // --- metadata stage (K4, fixed: validate-then-skip, real row count) --
-    val metaFiles = newFiles(spark, layout,
-      listIncoming(spark, layout, ".json"), Ledger.EtlTypeMetadata)
-    var dimInserted = 0L
-    if (metaFiles.nonEmpty) {
-      import spark.implicits._
-      // one JSON object per file (not JSONL) — multiLine, like json.load
-      val raw = spark.read.schema(Schemas.metadataJsonSchema)
-        .option("multiLine", "true")
-        .json(metaFiles.map(_.toString): _*)
-        .withColumnsRenamed(Schemas.metadataRenameMap)
-        .withColumn("date_run", to_date(col("date_run")))
-      val typed = raw.as[graft.schema.Metadata]
-      val valid = typed.filter(col("simulation_id").isNotNull)
-      val hw = Enrich.highWaterMark(readDim(spark, layout), "simulation_num")
-      val numbered = Enrich.numberDim(valid, hw)
-        .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
-      numbered.write.mode("append").parquet(layout.dimTable)
-      dimInserted = numbered.count()
-      val t1 = new Timestamp(System.currentTimeMillis())
-      okMetaIds = valid.select("simulation_id").collect().map(_.getString(0)).toSet
-      ledgerRows ++= metaFiles.flatMap(simId).map { id =>
-        val ok = okMetaIds.contains(id)
-        if (!ok) failures += 1
-        Ledger.Entry(id, Ledger.EtlTypeMetadata, t0, t1,
-          if (ok) 1L else 0L, if (ok) "success" else "failed",
-          if (ok) None else Some("metadata validation failed"))
-      }
-    }
-
-    // --- fact stage (K1+K3: clean + load + write-time enrichment) --------
-    val csvFiles = newFiles(spark, layout,
-      listIncoming(spark, layout, ".csv"), Ledger.EtlTypeCsv)
-    var factInserted = 0L
     var perFileCounts = Map.empty[String, Long]
     var mismatchIds = Set.empty[String]
-    if (csvFiles.nonEmpty) {
-      val raw = Clean.readIncomingCsvs(spark, csvFiles.map(_.toString))
+    if (goodGroups.nonEmpty) {
+      val raw = Clean.readGroupedCsvs(spark, goodGroups)
       val cleaned = Clean.clean(raw)
         .withColumn("row_id", monotonically_increasing_id())
         .withColumn("simulation_num", lit(null).cast("int"))
         .cache()
-      // integrity gate: the in-file SimulationID must agree with the
-      // filename uuid (FIXTURES.md contract). Files violating it are
-      // quarantined whole: ledger 'failed', no rows written, file kept
-      // in incoming — the fact-stage twin of the metadata validation.
       mismatchIds = cleaned
         .filter(col("simulation_id").isNull ||
           col("simulation_id") =!= col("file_simulation_id"))
@@ -174,31 +163,91 @@ object FilePipeline {
       out.write.mode("append").partitionBy("day").parquet(layout.factTable)
       perFileCounts = out.groupBy(col("simulation_id")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      factInserted = perFileCounts.values.sum
       out.unpersist()
       cleaned.unpersist()
     }
-    val t2 = new Timestamp(System.currentTimeMillis())
-    ledgerRows ++= csvFiles.flatMap(simId).map { id =>
-      if (mismatchIds.contains(id)) {
+    val t1 = new Timestamp(System.currentTimeMillis())
+    var failures = 0
+    val ledgerRows = csvFiles.flatMap(simId).map { id =>
+      if (invalidIds.contains(id)) {
         failures += 1
-        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2, 0L, "failed",
+        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t1, 0L, "failed",
+          Some("header missing required columns or file unreadable"))
+      } else if (mismatchIds.contains(id)) {
+        failures += 1
+        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t1, 0L, "failed",
           Some("in-file SimulationID disagrees with filename"))
       } else {
-        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t2,
+        Ledger.Entry(id, Ledger.EtlTypeCsv, t0, t1,
           perFileCounts.getOrElse(id, 0L), "success", None)
       }
     }
-
-    // --- ledger + archive (B4/B5 then B6/B7: move-after-commit last;
-    //     failed files stay in incoming for retry, like main.py:29-31) ---
     Ledger.append(spark, layout.ledger, ledgerRows)
-    val archived = archiveFiles(spark, layout,
-      csvFiles.filter(p => simId(p).exists(id => !mismatchIds.contains(id))) ++
-        metaFiles.filter(p => simId(p).exists(okMetaIds)))
+    val okFiles = csvFiles.filter(p => simId(p).exists(id =>
+      !mismatchIds.contains(id) && !invalidIds.contains(id)))
+    CsvIngest(perFileCounts.values.sum, okFiles, failures)
+  }
 
-    RunReport(csvFiles.size, factInserted, metaFiles.size, dimInserted,
-      archived, failures)
+  /** Stage 1+2+3 for one batch run. Returns what happened. */
+  def run(spark: SparkSession, root: String): RunReport = {
+    val layout = Layout(root)
+    val t0 = new Timestamp(System.currentTimeMillis())
+    var failures = 0
+    var okMetaIds = Set.empty[String]
+
+    // --- metadata stage (K4, fixed: validate-then-skip, real row count;
+    //     per-file reconciliation BEFORE the dim append so a failed file
+    //     contributes zero dim rows — in-file id must match the filename
+    //     uuid, same gate as the fact stage) -----------------------------
+    val metaFiles = newFiles(spark, layout,
+      listIncoming(spark, layout, ".json"), Ledger.EtlTypeMetadata)
+    var dimInserted = 0L
+    if (metaFiles.nonEmpty) {
+      import spark.implicits._
+      // one JSON object per file (not JSONL) — multiLine, like json.load
+      val raw = spark.read.schema(Schemas.metadataJsonSchema)
+        .option("multiLine", "true")
+        .json(metaFiles.map(_.toString): _*)
+        .withColumn("file_simulation_id",
+          regexp_extract(input_file_name(),
+            "metadata_([0-9a-fA-F-]{36})\\.json", 1))
+        .withColumnsRenamed(Schemas.metadataRenameMap)
+        .withColumn("date_run", to_date(col("date_run")))
+      val valid = raw.filter(col("simulation_id").isNotNull &&
+        col("simulation_id") === col("file_simulation_id"))
+      okMetaIds = valid.select("simulation_id").collect()
+        .map(_.getString(0)).toSet
+      val typed = valid.drop("file_simulation_id").as[graft.schema.Metadata]
+      val hw = Enrich.highWaterMark(readDim(spark, layout), "simulation_num")
+      val numbered = Enrich.numberDim(typed, hw)
+        .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
+      numbered.write.mode("append").parquet(layout.dimTable)
+      dimInserted = okMetaIds.size.toLong
+      val t1 = new Timestamp(System.currentTimeMillis())
+      val ledgerRows = metaFiles.flatMap(simId).map { id =>
+        val ok = okMetaIds.contains(id)
+        if (!ok) failures += 1
+        Ledger.Entry(id, Ledger.EtlTypeMetadata, t0, t1,
+          if (ok) 1L else 0L, if (ok) "success" else "failed",
+          if (ok) None
+          else Some("metadata validation failed or id/filename mismatch"))
+      }
+      Ledger.append(spark, layout.ledger, ledgerRows)
+    }
+
+    // --- fact stage (K1+K3: clean + load + write-time enrichment) --------
+    val csvFiles = newFiles(spark, layout,
+      listIncoming(spark, layout, ".csv"), Ledger.EtlTypeCsv)
+    val ingest = ingestCsvFiles(spark, layout, csvFiles)
+    failures += ingest.failures
+
+    // --- archive (B6/B7: move-after-commit last; failed files stay in
+    //     incoming for retry, like main.py:29-31) ------------------------
+    val archived = archiveFiles(spark, layout,
+      ingest.okFiles ++ metaFiles.filter(p => simId(p).exists(okMetaIds)))
+
+    RunReport(csvFiles.size, ingest.rowsInserted, metaFiles.size,
+      dimInserted, archived, failures)
   }
 
   /** K5 backfill — enrich fact rows whose metadata arrived in a later run.

@@ -1,11 +1,11 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.ops.{Clean, Enrich}
+import graft.pipeline.FilePipeline
 import graft.pipeline.FilePipeline.Layout
-import graft.schema.Schemas
 
 /** Structured Streaming variant of the ingest pipeline (SURVEY.md §2 K2/K3,
   * B6): the file-source checkpoint replaces the reference's
@@ -21,41 +21,47 @@ object StreamingIngest {
 
   /** Start the incremental CSV ingest stream over `incoming/ * / *.csv`.
     * maxFilesPerTrigger bounds micro-batch size (the scale knob the
-    * reference's 50-file index-drop heuristic, D3, approximates). */
+    * reference's 50-file index-drop heuristic, D3, approximates).
+    *
+    * The stream tracks FILES, not parsed rows: a CSV file source needs a
+    * fixed user schema, which binds columns positionally (per-file headers
+    * ignored) — a file lacking the optional `Unnamed: 0` artifact would be
+    * silently column-shifted. So the source is a `text` stream (schema is
+    * just `value`; the checkpoint still gives exactly-once per file and
+    * `cleanSource=archive` still moves committed files), and the batch
+    * body hands the batch's file list to [[FilePipeline.ingestCsvFiles]] —
+    * the same hardened path as batch mode: per-header-shape schema
+    * binding, invalid-header quarantine, in-file-vs-filename id mismatch
+    * quarantine, write-time enrichment, ledger rows. The file data is read
+    * twice (once by the source, once parsed); micro-batches are bounded by
+    * maxFilesPerTrigger, and correctness beats the extra bounded scan.
+    * Note one streaming-specific deviation: quarantined files are still
+    * archived by the source (the checkpoint marks them consumed); their
+    * ledger rows record the failure. */
   def start(spark: SparkSession, root: String,
       checkpoint: String, maxFilesPerTrigger: Int = 50,
       archiveSource: Boolean = true): StreamingQuery = {
     val layout = Layout(root)
     val reader = spark.readStream
-      .option("header", "true")
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .schema(Schemas.rawCsvSchema)
     val withArchive =
       if (archiveSource)
         reader.option("cleanSource", "archive")
           .option("sourceArchiveDir", layout.archive)
       else reader
     val raw = withArchive
-      .csv(s"${layout.incoming}/*")
-      .withColumn("_file", input_file_name())
-      .withColumn("file_simulation_id",
-        regexp_extract(col("_file"), "rxndata_([0-9a-fA-F-]{36})\\.csv", 1))
-      .withColumn("day",
-        regexp_extract(col("_file"), "/([^/]+)/[^/]+\\.csv$", 1))
-      .drop("_file")
+      .text(s"${layout.incoming}/*")
+      .select(input_file_name().as("_file"))
 
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cleaned = Clean.clean(batch)
-          .withColumn("row_id", monotonically_increasing_id())
-          .withColumn("simulation_num", lit(null).cast("int"))
-        val dim = graft.pipeline.FilePipeline.readDim(batch.sparkSession, layout)
-        Enrich.enrichFact(cleaned, dim)
-          .select((Schemas.factSimSchema.fieldNames.map(col) :+ col("day")): _*)
-          .write.mode("append").partitionBy("day").parquet(layout.factTable)
+        val files = batch.select("_file").distinct()
+          .collect().map(r => new Path(r.getString(0)))
+          .toSeq.sortBy(_.toString)
+        FilePipeline.ingestCsvFiles(batch.sparkSession, layout, files)
         ()
       }
       .start()

@@ -94,6 +94,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(states(TestFixtures.simUuid(6)) == "failed")
   }
 
+  test("one batch mixing artifact and artifact-less CSVs binds by header per shape") {
+    val root = TestFixtures.tempRoot("pipe-shapes")
+    // artifact-less file FIRST in listing order: a schemaless multi-file
+    // read would take its 8-col header and shift the 9-col file's values
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 3, withArtifact = false)
+    TestFixtures.writeCsv(root, "2024-03-01", 2, 3, withArtifact = true)
+    val r = FilePipeline.run(spark, root.toString)
+    assert(r.factRowsInserted == 6 && r.failures == 0)
+    val layout = FilePipeline.Layout(root.toString)
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.filter(col("simulation_id").isNull).count() == 0)
+    // value-level: temperature column holds temperature, not a shift
+    val temps = fact.groupBy("simulation_id")
+      .agg(org.apache.spark.sql.functions.min("temperature")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(temps(TestFixtures.simUuid(1)) == 310.0)
+    assert(temps(TestFixtures.simUuid(2)) == 320.0)
+  }
+
+  test("CSV whose header lacks a required column is quarantined per-file, not batch-fatal") {
+    val root = TestFixtures.tempRoot("pipe-badheader")
+    TestFixtures.writeCsv(root, "2024-03-01", 7, 4)
+    TestFixtures.writeCsv(root, "2024-03-01", 8, 4,
+      dropColumn = Some("CB (mol/m^3)"))
+    val r = FilePipeline.run(spark, root.toString)
+    assert(r.factRowsInserted == 4) // good file still lands
+    assert(r.failures == 1)
+    assert(Files.exists(root.resolve( // bad file retained for retry
+      s"incoming/2024-03-01/rxndata_${TestFixtures.simUuid(8)}.csv")))
+    val layout = FilePipeline.Layout(root.toString)
+    val states = graft.ops.Ledger.latestState(
+      graft.ops.Ledger.read(spark, layout.ledger))
+      .select("simulation_id", "status", "error_message").collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(states(TestFixtures.simUuid(7))._1 == "success")
+    assert(states(TestFixtures.simUuid(8))._1 == "failed")
+    assert(states(TestFixtures.simUuid(8))._2.contains("required"))
+  }
+
   test("invalid metadata (missing simulation_id) gets a failed ledger row, not inserted") {
     val root = TestFixtures.tempRoot("pipe-badmeta")
     TestFixtures.writeMetadata(root, "2024-03-01", 9, omitId = true)
@@ -105,5 +144,27 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("status") === "failed")
     assert(failed.count() == 1)
     assert(failed.select("error_message").head().getString(0) != null)
+  }
+
+  test("metadata whose in-file id differs from its filename contributes zero dim rows") {
+    val root = TestFixtures.tempRoot("pipe-metamismatch")
+    // file named metadata_<uuid(11)>.json but carrying uuid(12) inside:
+    // without the per-file gate its row lands in dim while the ledger
+    // marks uuid(11) failed — re-ingest then duplicates uuid(12)
+    val good = TestFixtures.writeMetadata(root, "2024-03-01", 12)
+    java.nio.file.Files.move(good, good.resolveSibling(
+      s"metadata_${TestFixtures.simUuid(11)}.json"))
+    TestFixtures.writeMetadata(root, "2024-03-01", 13)
+    val r = FilePipeline.run(spark, root.toString)
+    assert(r.dimRowsInserted == 1 && r.failures == 1)
+    val layout = FilePipeline.Layout(root.toString)
+    val dim = spark.read.parquet(layout.dimTable)
+    // neither the in-file id nor the filename id of the bad file landed
+    assert(dim.count() == 1)
+    assert(dim.select("simulation_id").head().getString(0)
+      == TestFixtures.simUuid(13))
+    // second run: the failed file is retried, still contributes nothing
+    val r2 = FilePipeline.run(spark, root.toString)
+    assert(spark.read.parquet(layout.dimTable).count() == 1)
   }
 }

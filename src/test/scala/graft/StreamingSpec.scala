@@ -60,6 +60,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(layout.factTable).count() == 15)
   }
 
+  test("streaming ingest binds columns by header name: mixed artifact/no-artifact files unshifted") {
+    val root = TestFixtures.tempRoot("stream-shapes")
+    val checkpoint = root.resolve("checkpoint").toString
+    // regression for the positional-schema bug: one file WITH the pandas
+    // index artifact, one WITHOUT, in the same stream — under a fixed
+    // 9-column schema the artifact-less file's columns all shift left
+    // (simulation_id gets the CA value). Assert value-level integrity.
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 4, withArtifact = true)
+    TestFixtures.writeCsv(root, "2024-03-01", 2, 6, withArtifact = false)
+    val q = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q.awaitTermination()
+    val layout = Layout(root.toString)
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.count() == 10)
+    // no nulls, no shifted ids: each file's rows carry its own uuid
+    assert(fact.filter(col("simulation_id").isNull).count() == 0)
+    val perSim = fact.groupBy("simulation_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSim == Map(
+      TestFixtures.simUuid(1) -> 4L, TestFixtures.simUuid(2) -> 6L))
+    // rxn_time unshifted for the artifact-less file: 0.0, 0.5, 1.0, ...
+    val times = fact.filter(col("simulation_id") === TestFixtures.simUuid(2))
+      .orderBy("rxn_time").select("rxn_time").collect().map(_.getDouble(0))
+    assert(times.sameElements(Array(0.0, 0.5, 1.0, 1.5, 2.0, 2.5)))
+    // temperature stayed in its own column (shift would put t_sensor there)
+    val t = fact.filter(col("simulation_id") === TestFixtures.simUuid(1))
+      .select("temperature").head().getDouble(0)
+    assert(t == 310.0)
+  }
+
+  test("streaming ingest quarantines id-mismatch files via the shared ledger gate") {
+    val root = TestFixtures.tempRoot("stream-quarantine")
+    val checkpoint = root.resolve("checkpoint").toString
+    TestFixtures.writeCsv(root, "2024-03-01", 3, 5)
+    TestFixtures.writeCsv(root, "2024-03-01", 4, 5,
+      inFileIdOverride = Some(TestFixtures.simUuid(77)))
+    val q = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q.awaitTermination()
+    val layout = Layout(root.toString)
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.count() == 5) // only the consistent file's rows landed
+    assert(fact.select("simulation_id").distinct().head().getString(0)
+      == TestFixtures.simUuid(3))
+    val states = graft.ops.Ledger.latestState(
+      graft.ops.Ledger.read(spark, layout.ledger))
+      .select("simulation_id", "status").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(states(TestFixtures.simUuid(3)) == "success")
+    assert(states(TestFixtures.simUuid(4)) == "failed")
+  }
+
   test("watermark drops events later than the threshold in append mode") {
     import spark.implicits._
     import java.sql.Timestamp
