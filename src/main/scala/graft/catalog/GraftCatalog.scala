@@ -54,7 +54,13 @@ object GraftCatalog {
     n
   }
 
-  /** Rewrite-and-swap preserving day partitioning when present. */
+  /** Rewrite-and-swap preserving day partitioning when present. The swap
+    * renames the live table ASIDE first and deletes it only after the new
+    * tree is in place — a crash mid-swap leaves either the old table live
+    * or the old table recoverable at `<path>-_old`, never a missing
+    * table (the delete→rename pattern had a data-loss window). For
+    * concurrent-reader isolation use an ACID table format; this is the
+    * best plain-Parquet can do. */
   private def rewrite(spark: SparkSession, tablePath: String,
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val df = spark.read.parquet(tablePath)
@@ -65,8 +71,11 @@ object GraftCatalog {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(s"$tablePath-_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
   }
 
   /** J2-analogue (join-key index): persist a DataFrame as a bucketed,

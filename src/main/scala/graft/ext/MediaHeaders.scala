@@ -39,12 +39,16 @@ object MediaHeaders {
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
       // fmt chunk normally starts at 12; scan chunks to be safe
       var i = 12
-      while (i + 8 <= b.length) {
+      var malformed = false
+      while (!malformed && i + 8 <= b.length) {
         val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't'
         val sz = le32(b, i + 4)
         if (isFmt && i + 16 <= b.length)
           return Some(Header("wav", le32(b, i + 12), 0, le16(b, i + 10)))
-        i += 8 + sz + (sz & 1)
+        // untrusted chunk size: a negative le32 would stall or reverse
+        // the scan — treat as malformed and fall through to the fallback
+        if (sz < 0) malformed = true
+        else i += 8 + sz + (sz & 1)
       }
       Some(Header("wav", 0, 0, 0))
     } else None

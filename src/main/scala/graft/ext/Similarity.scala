@@ -38,37 +38,77 @@ object Similarity {
 
   private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
-  /** All pairs with cosine ≥ tau. Exact; broadcast-block nested loop —
-    * REQUIRES the corpus to fit in a broadcast (the collect below is the
-    * block). This is the exact/verification path for bounded corpora; at
-    * fact scale use [[neardupPairsLsh]], which never materializes the
-    * corpus on the driver. */
+  /** All pairs with cosine ≥ tau. Exact, block-partitioned: the corpus is
+    * processed in bounded vec_id ranges of ≤ ~blockSize vectors — each
+    * block is collected, broadcast, scored against the full corpus in a
+    * tight shuffle-free JVM loop, materialized (localCheckpoint), and its
+    * broadcast destroyed before the next block starts. Peak driver/
+    * executor footprint is ONE block, never the corpus; total work is
+    * ceil(n/blockSize) cached scans. A pair (a,b), a<b, is emitted exactly
+    * once: by the block containing b. Block boundaries come from
+    * approxQuantile (driver receives nBlocks+1 doubles only) and affect
+    * memory, not results. At fact scale prefer [[neardupPairsLsh]]. */
   def neardupPairs(spark: SparkSession, dir: String,
-      tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4, blockSize: Int = 4096): DataFrame = {
     import spark.implicits._
+    val empty = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("a", "b", "cosine")
     val ds = vecs(spark, dir)
-    val all = ds.collect().sortBy(_.vec_id)
-    val bc = spark.sparkContext.broadcast(all)
-    val norms = spark.sparkContext.broadcast(all.map(v => norm(v.embedding)))
-    ds.flatMap { v =>
-        val block = bc.value
-        val ns = norms.value
-        val nv = norm(v.embedding)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < block.length) {
-          val u = block(j)
-          if (u.vec_id > v.vec_id) {
-            val c = dot(v.embedding, u.embedding) / (nv * ns(j))
-            if (c >= tau) out += ((v.vec_id, u.vec_id, c))
-          }
-          j += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = ds.count()
+      if (n == 0) return empty
+      val nBlocks = math.max(1, math.ceil(n.toDouble / blockSize).toInt)
+      val bounds: Array[Double] =
+        if (nBlocks == 1) Array(Double.NegativeInfinity, Double.PositiveInfinity)
+        else {
+          val probs = (0 to nBlocks).map(_.toDouble / nBlocks).toArray
+          val q = ds.toDF().stat.approxQuantile("vec_id", probs, 0.001)
+          q(0) = Double.NegativeInfinity
+          q(nBlocks) = Double.PositiveInfinity
+          q
         }
-        out
+      val parts = (0 until nBlocks).flatMap { b =>
+        val lo = bounds(b)
+        val hi = bounds(b + 1)
+        val inBlock =
+          if (b == nBlocks - 1) col("vec_id") > lo
+          else col("vec_id") > lo && col("vec_id") <= hi
+        val block = ds.filter(inBlock).collect().sortBy(_.vec_id)
+        if (block.isEmpty) None
+        else {
+          val bc = spark.sparkContext.broadcast(block)
+          val bns = spark.sparkContext
+            .broadcast(block.map(v => norm(v.embedding)))
+          val part = ds.flatMap { v =>
+              val blk = bc.value
+              val ns = bns.value
+              val nv = norm(v.embedding)
+              val out =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+              var j = 0
+              while (j < blk.length) {
+                val u = blk(j)
+                if (u.vec_id > v.vec_id) {
+                  val c = dot(v.embedding, u.embedding) / (nv * ns(j))
+                  if (c >= tau) out += ((v.vec_id, u.vec_id, c))
+                }
+                j += 1
+              }
+              out
+            }
+            .toDF("a", "b", "cos")
+            .localCheckpoint(true) // materialize so the broadcast can die
+          bc.destroy()
+          bns.destroy()
+          Some(part)
+        }
       }
-      .toDF("a", "b", "cos")
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
-      .orderBy(col("a"), col("b"))
+      if (parts.isEmpty) empty
+      else parts.reduce(_.union(_))
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+        .orderBy(col("a"), col("b"))
+    } finally ds.unpersist()
   }
 
   val neardupOracle: String =
@@ -119,23 +159,59 @@ object Similarity {
        SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= $k
        ORDER BY q_id, rank"""
 
-  /** Scale path for [[neardupPairs]]: candidate pairs from multiprobe LSH
-    * buckets only (O(n·(1+nBits)) shuffled key rows, never O(n²)), exact
-    * cosine verification within candidates. Approximate — recall vs the
-    * exact pair set is measured in ScalaTest; rows-only driver check. */
+  /** Keyspace sizing: the bucket count must GROW with the corpus or the
+    * in-bucket candidate join degenerates toward O(n²/buckets). nBits ≈
+    * log₂(n/targetBucket) keeps the expected bucket population near
+    * targetBucket at any scale; the floor of 6 preserves small-corpus
+    * recall (fewer bits = coarser buckets = higher recall). */
+  private[ext] def autoBits(n: Long, targetBucket: Int = 64): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** Index-side LSH keys: one (vec_id, table, bucket) row per table —
+    * banded multi-table signatures. Recall of a single table is capped by
+    * its bucket granularity; L independent tables lift it to
+    * 1-(1-p_table)^L without coarsening any one table's buckets (the
+    * MinHash banding trick applied to sign-random-projection). */
+  private def tableKeys(ds: Dataset[Vec], bits: Int,
+      tables: Int): Dataset[(Long, Int, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { v =>
+      (0 until tables).map(t => (v.vec_id, t, bucketKey(v.embedding, bits, t)))
+    }
+  }
+
+  /** Query-side probes: per table, the home bucket plus every 1-bit-flip
+    * bucket (multiprobe). */
+  private def tableProbes(keyed: Dataset[(Long, Int, Long)],
+      bits: Int): Dataset[(Long, Int, Long)] = {
+    import keyed.sparkSession.implicits._
+    keyed.flatMap { case (id, t, key) =>
+      (key +: (0 until bits).map(b => key ^ (1L << b))).map(kk => (id, t, kk))
+    }
+  }
+
+  /** Scale path for [[neardupPairs]]: candidate pairs from multiprobe
+    * multi-table LSH buckets only (O(n·tables·(1+nBits)) shuffled key
+    * rows, never O(n²)), exact cosine verification within candidates.
+    * nBits ≤ 0 (default) derives the keyspace from the corpus size via
+    * [[autoBits]] so bucket population stays bounded at any scale; the
+    * `tables` independent hash tables trade bounded extra fanout for
+    * recall (1-(1-p)^tables). Approximate — recall vs the exact pair set
+    * is gated ≥ 0.5 in ScalaTest; rows-only driver check. */
   def neardupPairsLsh(spark: SparkSession, dir: String,
-      tau: Double = 0.4, nBits: Int = 6): DataFrame = {
+      tau: Double = 0.4, nBits: Int = -1, tables: Int = 4): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
-    val keyed = ds.map(v => (v.vec_id, bucketKey(v.embedding, nBits)))
-    val probes = keyed.flatMap { case (id, key) =>
-      (key +: (0 until nBits).map(b => key ^ (1L << b))).map(kk => (id, kk))
-    }
+    val bits = if (nBits > 0) nBits else autoBits(ds.count())
+    val keyed = tableKeys(ds, bits, tables)
+    val probes = tableProbes(keyed, bits)
     // a < b keeps each candidate pair once even when both sides probe
     val candidates = probes.as("x")
       .joinWith(keyed.as("y"),
-        col("x._2") === col("y._2") && col("x._1") < col("y._1"))
-      .map { case ((a, _), (b, _)) => (a, b) }
+        col("x._2") === col("y._2") && col("x._3") === col("y._3") &&
+          col("x._1") < col("y._1"))
+      .map { case ((a, _, _), (b, _, _)) => (a, b) }
       .distinct()
     // vectors resolved by join — no driver-side corpus materialization
     scorePairs(candidates.toDF("a", "b"), ds, "a", "b")
@@ -174,7 +250,11 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4, k: Int = 5,
       lloydIters: Int = 3): DataFrame = {
     import spark.implicits._
+    // the corpus is scanned lloydIters+2 times (Lloyd passes + index +
+    // probe) — cache it once instead of re-reading parquet every pass
     val ds = vecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // bounded driver pull: only nLists seed vectors, never the corpus
     val seeds = ds.orderBy(col("vec_id")).limit(nLists).collect()
     val dim = seeds.head.embedding.length
@@ -266,6 +346,8 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(true) // materialize so the cache can be released
+    } finally ds.unpersist()
   }
 
   /** Deterministic ±1 hyperplane components from a splitmix-style hash —
@@ -278,40 +360,47 @@ object Similarity {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** ANN via sign-random-projection LSH with multiprobe: nBits-bit bucket
-    * key per vector (sign of dot with deterministic ±1 hyperplanes); the
-    * query side also probes every bucket at Hamming distance ≤ 1 (flip
-    * each bit), the standard multiprobe trade of (1+nBits)× candidate
-    * fanout for much higher recall. Exact cosine top-k within the
-    * candidates. Approximate — recall measured against [[knnBruteForce]]
-    * in ScalaTest; rows-only driver check. */
-  private def bucketKey(emb: Array[Float], nBits: Int): Long = {
+  /** nBits-bit bucket key for one hash table: sign of dot with
+    * deterministic ±1 hyperplanes; table t draws planes t·nBits …
+    * t·nBits+nBits-1 so tables are independent. */
+  private def bucketKey(emb: Array[Float], nBits: Int, table: Int = 0): Long = {
     var key = 0L
     var b = 0
     while (b < nBits) {
       var s = 0.0
       var i = 0
-      while (i < emb.length) { s += emb(i).toDouble * planeSign(b, i); i += 1 }
+      while (i < emb.length) {
+        s += emb(i).toDouble * planeSign(table * nBits + b, i); i += 1
+      }
       if (s >= 0) key |= (1L << b)
       b += 1
     }
     key
   }
 
+  /** ANN via multi-table sign-random-projection LSH with multiprobe: per
+    * table an nBits-bit bucket key per vector; the query side probes the
+    * home bucket and every bucket at Hamming distance ≤ 1 in each table —
+    * tables×(1+nBits)× candidate fanout (of long keys only) for
+    * 1-(1-p_table)^tables recall. Exact cosine top-k within candidates.
+    * Approximate — recall gated ≥ 0.5 against [[knnBruteForce]] in
+    * ScalaTest; rows-only driver check. */
   def annLsh(spark: SparkSession, dir: String,
-      nBits: Int = 6, k: Int = 5): DataFrame = {
+      nBits: Int = -1, k: Int = 5, tables: Int = 4): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
-    // shuffle only (id, bucket) longs; vectors travel via broadcast
-    val keyed = ds.map(v => (v.vec_id, bucketKey(v.embedding, nBits)))
-    // query side probes the home bucket + each 1-bit-flip bucket
-    val probes = keyed.flatMap { case (id, key) =>
-      (key +: (0 until nBits).map(b => key ^ (1L << b))).map(kk => (id, kk))
-    }
+    // keyspace grows with the corpus (nBits ≤ 0 → autoBits) so bucket
+    // population stays bounded at any scale
+    val bits = if (nBits > 0) nBits else autoBits(ds.count())
+    // shuffle only (id, table, bucket) rows; vectors resolved by join
+    val keyed = tableKeys(ds, bits, tables)
+    val probes = tableProbes(keyed, bits)
     val candidates = probes.as("x")
       .joinWith(keyed.as("y"),
-        col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
-      .map { case ((qid, _), (nid, _)) => (qid, nid) }
+        col("x._2") === col("y._2") && col("x._3") === col("y._3") &&
+          col("x._1") =!= col("y._1"))
+      .map { case ((qid, _, _), (nid, _, _)) => (qid, nid) }
+      .distinct() // a pair can surface from several tables/probes
 
     val scored = scorePairs(
       candidates.toDF("q_id", "neighbor_id"), ds, "q_id", "neighbor_id")

@@ -37,8 +37,14 @@ object AsOfJoin {
       .select(on.map(col) ++ Seq(col(leftTs).as("_ts"), col("_l"),
         lit(null).cast(rightStruct).as("_r"), lit(1).as("_side")): _*)
     // SQL join semantics: NULL keys never match — drop null-keyed right
-    // rows so a null-keyed left partition contains no right rows at all
-    val r = on.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    // rows so a null-keyed left partition contains no right rows at all.
+    // Same for NULL right timestamps (`r.ts <= l.ts` is never true under
+    // three-valued logic): without the filter they sort NULLS FIRST into
+    // the window and a null-ts left row would "match" them. A null-ts
+    // left row then sorts before every surviving right row and matches
+    // nothing — agreeing with [[AsOfJoinExec]] and DuckDB ASOF.
+    val r = on.foldLeft(right.filter(col(rightTs).isNotNull))(
+        (d, k) => d.filter(col(k).isNotNull))
       .withColumn("_r", struct(right.columns.map(col): _*))
       .select(on.map(col) ++ Seq(col(rightTs).as("_ts"),
         lit(null).cast(leftStruct).as("_l"), col("_r"),

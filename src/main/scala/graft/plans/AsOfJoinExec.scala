@@ -79,11 +79,16 @@ case class AsOfJoinExec(
       var lastMatchKey: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        if (lk.anyNull) {
-          // SQL join semantics: NULL keys never match
+        val ltsRow = lTsProj(l)
+        if (lk.anyNull || ltsRow.isNullAt(0)) {
+          // SQL join semantics: NULL keys never match; a NULL left
+          // timestamp matches nothing either (the composed union+window
+          // variant orders nulls first, before any right row) — without
+          // this check getLong(0) reads the null slot as epoch 0 and the
+          // two advertised-equivalent implementations diverge
           outProj(joined(l, nullRight))
         } else {
-          val lts = lTsProj(l).getLong(0)
+          val lts = ltsRow.getLong(0)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
@@ -93,12 +98,19 @@ case class AsOfJoinExec(
               val cmp = keyOrd.compare(rk, lk)
               if (cmp < 0) {
                 rBuf.next() // right key below current left key: discard
-              } else if (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= lts) {
-                val r = rBuf.next()
-                lastMatch = r.copy()
-                lastMatchKey = lk.copy()
-              } else {
+              } else if (cmp > 0) {
                 advancing = false
+              } else {
+                val rts = rTsProj(rBuf.head)
+                if (rts.isNullAt(0)) {
+                  rBuf.next() // null right ts never matches (sorted first)
+                } else if (rts.getLong(0) <= lts) {
+                  val r = rBuf.next()
+                  lastMatch = r.copy()
+                  lastMatchKey = lk.copy()
+                } else {
+                  advancing = false
+                }
               }
             }
           }

@@ -36,11 +36,18 @@ object Sessionize {
 
   /** Flat-map group logic: fold this batch's events into per-user session
     * state; emit a closed session whenever a gap ≥ 30min appears. The
-    * open session stays in state across batches (a production deployment
-    * would additionally arm an event-time timeout to flush idle users —
-    * kept out here so micro-batch scheduling stays data-driven). */
+    * open session stays in state across batches, guarded by an EVENT-TIME
+    * TIMEOUT armed at lastTs+gap: when the watermark passes it, Spark
+    * invokes this function with hasTimedOut=true and the idle user's
+    * session flushes — without it, a user who stops sending events holds
+    * state (and their final session) forever. */
   def update(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(close(userId, _)).iterator
+      state.remove()
+      return flushed
+    }
     var out = Vector.empty[ClosedSession]
     var cur = state.getOption
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
@@ -56,7 +63,10 @@ object Sessionize {
           cur = Some(SessionState(t, t, 1, e.value))
       }
     }
-    cur.foreach(state.update)
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastTs + GapMs)
+    }
     out.iterator
   }
 
@@ -65,12 +75,17 @@ object Sessionize {
       (s.lastTs - s.start) / 1000L)
 
   /** Wire the stateful operator over a (streaming or batch) event
-    * Dataset. */
-  def sessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+    * Dataset. The watermark both bounds late data and drives the
+    * event-time timeout that flushes idle users' open sessions; in batch
+    * execution it is a no-op and timeouts never fire (state is discarded
+    * at the end anyway). */
+  def sessions(events: Dataset[Event],
+      watermark: String = "30 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -54,6 +54,33 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(exec == Map(1L -> 100L, 2L -> -1L), s"exec: $exec")
   }
 
+  test("NULL timestamps: both variants agree (null left ts no match; null right ts discarded)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val l = Seq(
+      (1L, 7L, Option(ts(10))),
+      (2L, 7L, None: Option[Timestamp]), // null left ts: must match nothing
+      (3L, 8L, Option(ts(10))))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (100L, 7L, Option(ts(5))),
+      (200L, 7L, None: Option[Timestamp]), // null right ts: never a match
+      (300L, 8L, None: Option[Timestamp]))
+      .toDF("signup_id", "user_id", "ts")
+    def matches(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "asof_signup_id").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    val expected = Map(1L -> 100L, 2L -> -1L, 3L -> -1L)
+    val composed = matches(
+      AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts"))
+    val exec = matches(
+      AsOfJoinExecApi.asofJoinExec(l, r, Seq("user_id"), "ts", "ts"))
+    assert(composed == expected, s"composed: $composed")
+    assert(exec == expected, s"exec: $exec")
+  }
+
   test("tolerance bounds the look-back in the composed variant") {
     val bounded = AsOfJoin.asofJoin(purchases, signups, Seq("user_id"),
       "ts", "ts", tolerance = Some(60L))

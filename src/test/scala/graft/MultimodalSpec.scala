@@ -46,6 +46,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MediaHeaders.parse("not media at all".getBytes).isEmpty)
   }
 
+  test("malformed RIFF with negative chunk size terminates with the fallback header") {
+    // chunk size 0xFFFFFFF8 = -8 would freeze a naive `i += 8 + sz` scan
+    val bb = ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    bb.put("junk".getBytes).putInt(0xFFFFFFF8)
+    val parsed = MediaHeaders.parse(bb.array()) // must return, not hang
+    assert(parsed.contains(MediaHeaders.Header("wav", 0, 0, 0)))
+  }
+
   test("resize preserves aspect ratio and caps the long side") {
     import spark.implicits._
     val frames = Seq((1L, png(640, 480)), (2L, png(60, 30))).toDF("doc_id", "payload")

@@ -38,4 +38,33 @@ class SessionizeSpec extends SparkSpecBase {
     assert(s.n_events == 2 && s.sum_value == 3.0)
     assert(s.duration_seconds == 300)
   }
+
+  test("idle user's open session flushes via event-time timeout, no further events needed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Sessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions_idle_out")
+      .outputMode("append").start()
+
+    // user 9 sends two events and goes silent; user 8 keeps the stream
+    // alive and advances the watermark past 9's gap timeout
+    input.addData(Event(9L, ts(0), 1.0), Event(9L, ts(10), 2.0),
+      Event(8L, ts(0), 1.0))
+    query.processAllAvailable()
+    // watermark after this batch: 12:00 - 30min = 11:30 > 10:40 timeout
+    input.addData(Event(8L, Timestamp.valueOf("2024-03-01 12:00:00"), 1.0))
+    query.processAllAvailable()
+    // one more batch so the timeout is evaluated against the new watermark
+    input.addData(Event(8L, Timestamp.valueOf("2024-03-01 12:01:00"), 1.0))
+    query.processAllAvailable()
+
+    val closed = spark.table("sessions_idle_out")
+      .as[Sessionize.ClosedSession].collect()
+    query.stop()
+    val nine = closed.filter(_.user_id == 9L)
+    assert(nine.length == 1, s"idle session not flushed: ${closed.toSeq}")
+    assert(nine.head.n_events == 2 && nine.head.sum_value == 3.0)
+    assert(nine.head.duration_seconds == 600)
+  }
 }

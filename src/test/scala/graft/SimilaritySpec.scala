@@ -20,11 +20,12 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     // recall@1 over queries that produced any candidate. Random 64-dim
     // vectors are LSH's worst case (top-1 cosine ~0.5 ⇒ p_agree ~ 2/3);
-    // with 6 bits + 1-bit multiprobe the analytic recall is ~0.35.
+    // one 6-bit table + 1-bit multiprobe gives ~0.35 analytically, and
+    // 4 independent tables lift it to ~1-(1-0.35)^4 ≈ 0.8.
     val hits = ann.count { case (q, n) => brute.get(q).contains(n) }
     val recall = hits.toDouble / ann.size
     assert(ann.size > 450, s"too few buckets produced candidates: ${ann.size}")
-    assert(recall > 0.15, s"recall@1 $recall suspiciously low")
+    assert(recall > 0.5, s"recall@1 $recall below the multi-table floor")
   }
 
   test("IVF ANN beats LSH recall on this corpus and stays deterministic") {
@@ -35,7 +36,7 @@ class SimilaritySpec extends SparkSpecBase {
     val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
     val recall = hits.toDouble / ivf.size
     assert(ivf.size > 450)
-    assert(recall > 0.3, s"IVF recall@1 $recall suspiciously low")
+    assert(recall > 0.5, s"IVF recall@1 $recall suspiciously low")
     val again = Similarity.annIvf(spark, sf0001, nLists = 16, nProbe = 4, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(ivf == again)
@@ -55,6 +56,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exact.nonEmpty)
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
     val recall = lsh.size.toDouble / exact.size
-    assert(recall > 0.1, s"recall $recall too low (exact=${exact.size})")
+    assert(recall > 0.5, s"recall $recall too low (exact=${exact.size})")
+  }
+
+  test("block-partitioned exact pairs are identical regardless of block size") {
+    val oneBlock = Similarity.neardupPairs(spark, sf0001, tau = 0.4,
+      blockSize = 1 << 20).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val manyBlocks = Similarity.neardupPairs(spark, sf0001, tau = 0.4,
+      blockSize = 64).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneBlock == manyBlocks)
+    assert(oneBlock.nonEmpty)
   }
 }
