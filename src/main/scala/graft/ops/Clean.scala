@@ -141,7 +141,12 @@ object Clean {
   /** B1 — cleaned-CSV write for literal `processed/` parity (header kept,
     * no index column, like df.to_csv(index=False) at file_manager.py:63).
     * The batch pipeline itself skips this text hop and writes Parquet
-    * bronze — this exists for reference-compatible output only. */
-  def writeProcessedCsv(df: DataFrame, dest: String): Unit =
-    df.write.option("header", "true").mode("overwrite").csv(dest)
+    * bronze — this is the opt-in reference-compatible output
+    * (`Layout.processedParity`), appended per run so successive batches
+    * accumulate like the reference's per-file writes. Documented
+    * deviation: file names are Spark task parts, not `rxndata_<uuid>.csv`
+    * — provenance lives in the ledger, not filenames. */
+  def writeProcessedCsv(df: DataFrame, dest: String,
+      mode: String = "append"): Unit =
+    df.write.option("header", "true").mode(mode).csv(dest)
 }

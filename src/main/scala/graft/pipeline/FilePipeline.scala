@@ -34,9 +34,18 @@ import graft.schema.Schemas
   */
 object FilePipeline {
 
-  case class Layout(root: String) {
+  /** Warehouse layout; `jdbc` additionally mirrors fact/dim appends into
+    * a relational database (B2/B3 literal parity — the reference's COPY
+    * + INSERT terminate in PostgreSQL; see [[graft.sources.JdbcSink]]);
+    * `processedParity` additionally writes the reference's cleaned-CSV
+    * `processed/<day>/` tree (B1, file_manager.py:63) — off by default
+    * because Parquet bronze supersedes the text hop. */
+  case class Layout(root: String,
+      jdbc: Option[graft.sources.JdbcSink.Target] = None,
+      processedParity: Boolean = false) {
     val incoming = s"$root/incoming"
     val archive = s"$root/archive"
+    val processed = s"$root/processed"
     val factTable = s"$root/warehouse/fact_sim"
     val dimTable = s"$root/warehouse/dim_rxn"
     val ledger = s"$root/warehouse/etl_run_log"
@@ -161,6 +170,22 @@ object FilePipeline {
         (Schemas.factSimSchema.fieldNames.map(col) :+ col("day")): _*)
         .cache()
       out.write.mode("append").partitionBy("day").parquet(layout.factTable)
+      // B2 parity: mirror the bulk load into the relational sink (the
+      // reference's fact_sim has no day column — it's our partition key)
+      layout.jdbc.foreach(t =>
+        graft.sources.JdbcSink.append(out.drop("day"), t, "fact_sim"))
+      // B1 parity: the reference's cleaned-CSV processed/<day>/ tree.
+      // Per-day loop is bounded by the batch's day count (listing-scale)
+      if (layout.processedParity) {
+        val days = out.select(col("day").cast("string")).distinct()
+          .collect().map(_.getString(0))
+        days.foreach { d =>
+          Clean.writeProcessedCsv(
+            good.filter(col("day") === d)
+              .select(Schemas.requiredCols.map(col): _*),
+            s"${layout.processed}/$d")
+        }
+      }
       perFileCounts = out.groupBy(col("simulation_id")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       out.unpersist()
@@ -189,8 +214,10 @@ object FilePipeline {
   }
 
   /** Stage 1+2+3 for one batch run. Returns what happened. */
-  def run(spark: SparkSession, root: String): RunReport = {
-    val layout = Layout(root)
+  def run(spark: SparkSession, root: String): RunReport =
+    run(spark, Layout(root))
+
+  def run(spark: SparkSession, layout: Layout): RunReport = {
     val t0 = new Timestamp(System.currentTimeMillis())
     var failures = 0
     var okMetaIds = Set.empty[String]
@@ -222,6 +249,9 @@ object FilePipeline {
       val numbered = Enrich.numberDim(typed, hw)
         .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
       numbered.write.mode("append").parquet(layout.dimTable)
+      // B3 parity: mirror the dim insert into the relational sink
+      layout.jdbc.foreach(t =>
+        graft.sources.JdbcSink.append(numbered, t, "dim_rxn"))
       dimInserted = okMetaIds.size.toLong
       val t1 = new Timestamp(System.currentTimeMillis())
       val ledgerRows = metaFiles.flatMap(simId).map { id =>
@@ -251,22 +281,31 @@ object FilePipeline {
   }
 
   /** K5 backfill — enrich fact rows whose metadata arrived in a later run.
-    * Reads the null-key slice, broadcast-joins the dim, and rewrites the
-    * fact table. At warehouse scale this becomes a dynamic-partition
-    * overwrite of only the affected day partitions (or a Delta MERGE);
-    * plain Parquet forces the rewrite-and-swap here. */
+    * Partition-scoped: only day partitions that actually contain null-key
+    * rows are rewritten, via dynamic-partition overwrite — a one-day
+    * backfill pays one day's rewrite, not a full-table one, and untouched
+    * day directories are left byte-identical. The affected slice is
+    * materialized (localCheckpoint) before the overwrite so the write
+    * doesn't read from the path it replaces; partition commits go through
+    * Spark's staging protocol, so there is no delete→rename window in
+    * which the table is missing. (A Delta MERGE is the managed-format
+    * equivalent.) */
   def backfillEnrichment(spark: SparkSession, root: String): Long = {
     val layout = Layout(root)
     val fact = readFact(spark, layout)
-    val nullRows = fact.filter(col("simulation_num").isNull).count()
+    // partition-type inference reads `day` back as DATE — compare as string
+    val perDay = fact.filter(col("simulation_num").isNull)
+      .groupBy(col("day").cast("string").as("day")).count().collect()
+    val nullRows = perDay.map(_.getLong(1)).sum
     if (nullRows == 0) return 0L
-    val enriched = Enrich.enrichFact(fact, readDim(spark, layout))
-    val tmp = s"${layout.factTable}__rewrite"
-    enriched.write.mode("overwrite").partitionBy("day").parquet(tmp)
-    val f = fs(spark)
-    val factPath = new Path(layout.factTable)
-    f.delete(factPath, true)
-    f.rename(new Path(tmp), factPath)
+    val days = perDay.map(_.getString(0)).toSeq
+    val affected = fact.filter(col("day").cast("string").isInCollection(days))
+    val enriched = Enrich.enrichFact(affected, readDim(spark, layout))
+      .select((Schemas.factSimSchema.fieldNames.map(col) :+ col("day")): _*)
+      .localCheckpoint(true)
+    enriched.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(layout.factTable)
     nullRows
   }
 }

@@ -146,6 +146,79 @@ class PipelineSpec extends SparkSpecBase {
     assert(failed.select("error_message").head().getString(0) != null)
   }
 
+  test("backfill rewrites only affected day partitions; untouched days byte-identical") {
+    val root = TestFixtures.tempRoot("pipe-backfill")
+    // day1 fully enriched at write time; day2's metadata arrives late
+    TestFixtures.writeCsv(root, "2024-03-01", 21, 6)
+    TestFixtures.writeMetadata(root, "2024-03-01", 21)
+    TestFixtures.writeCsv(root, "2024-03-02", 22, 4)
+    FilePipeline.run(spark, root.toString)
+    val day1 = root.resolve("warehouse/fact_sim/day=2024-03-01")
+    def snapshot(p: java.nio.file.Path): Set[(String, Long, Long)] = {
+      val s = Files.list(p).iterator()
+      var out = Set.empty[(String, Long, Long)]
+      while (s.hasNext) {
+        val f = s.next()
+        if (!f.getFileName.toString.startsWith("."))
+          out += ((f.getFileName.toString, Files.size(f),
+            Files.getLastModifiedTime(f).toMillis))
+      }
+      out
+    }
+    val before = snapshot(day1)
+    TestFixtures.writeMetadata(root, "2024-03-02", 22, dateRun = "2024-03-02")
+    FilePipeline.run(spark, root.toString)
+    assert(FilePipeline.backfillEnrichment(spark, root.toString) == 4)
+    // untouched day: same files, same sizes, same mtimes
+    assert(snapshot(day1) == before)
+    // affected day now enriched
+    val layout = FilePipeline.Layout(root.toString)
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.filter(col("simulation_num").isNull).count() == 0)
+    assert(fact.count() == 10)
+  }
+
+  test("JDBC sink parity (B2/B3): fact and dim round-trip through embedded Derby") {
+    val root = TestFixtures.tempRoot("pipe-jdbc")
+    val target = graft.sources.JdbcSink.Target(
+      s"jdbc:derby:${root.resolve("db")};create=true", numPartitions = 2)
+    TestFixtures.writeCsv(root, "2024-03-01", 31, 5)
+    TestFixtures.writeMetadata(root, "2024-03-01", 31)
+    val layout = FilePipeline.Layout(root.toString, jdbc = Some(target))
+    val r = FilePipeline.run(spark, layout)
+    assert(r.factRowsInserted == 5 && r.dimRowsInserted == 1)
+    // read back THROUGH JDBC: the relational sink holds the same rows
+    val fact = graft.sources.JdbcSink.read(spark, target, "fact_sim")
+    assert(fact.count() == 5)
+    assert(fact.columns.toSet ==
+      graft.schema.Schemas.factSimSchema.fieldNames.toSet)
+    assert(fact.filter(col("simulation_id") === TestFixtures.simUuid(31))
+      .count() == 5)
+    val dim = graft.sources.JdbcSink.read(spark, target, "dim_rxn")
+    assert(dim.count() == 1)
+    val d = dim.head()
+    assert(d.getAs[String]("simulation_id") == TestFixtures.simUuid(31))
+    assert(d.getAs[Int]("simulation_num") == 1)
+    // parquet warehouse and JDBC mirror agree
+    assert(spark.read.parquet(layout.factTable).count() == fact.count())
+  }
+
+  test("processedParity writes the reference's cleaned processed/<day>/ CSV tree") {
+    val root = TestFixtures.tempRoot("pipe-processed")
+    TestFixtures.writeCsv(root, "2024-03-01", 41, 5)
+    val layout = FilePipeline.Layout(root.toString, processedParity = true)
+    FilePipeline.run(spark, layout)
+    val dir = root.resolve("processed/2024-03-01")
+    assert(Files.exists(dir))
+    val cleaned = spark.read.option("header", "true").csv(dir.toString)
+    assert(cleaned.count() == 5)
+    assert(cleaned.columns.toSet == graft.schema.Schemas.requiredCols.toSet)
+    // accumulates across runs, like the reference's per-file writes
+    TestFixtures.writeCsv(root, "2024-03-01", 42, 3)
+    FilePipeline.run(spark, layout)
+    assert(spark.read.option("header", "true").csv(dir.toString).count() == 8)
+  }
+
   test("metadata whose in-file id differs from its filename contributes zero dim rows") {
     val root = TestFixtures.tempRoot("pipe-metamismatch")
     // file named metadata_<uuid(11)>.json but carrying uuid(12) inside:
