@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Relational}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.AsOfJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,7 +69,14 @@ object SparkEntry {
     "q45_range_join" -> Analytics.q45RangeJoin,
     "q46_asof_exec" -> AsOfJoin.q46AsofExec,
     "q47_neardup_lsh" -> ((s: SparkSession, d: String) =>
-      Similarity.neardupPairsLsh(s, d))
+      Similarity.neardupPairsLsh(s, d)),
+    "q48_dedup_clusters" -> (Curate.dedupClusters(_, _)),
+    "q49_stratified_sample" -> ((s: SparkSession, d: String) =>
+      Curate.stratifiedSample(s, d)),
+    "q50_repetition" -> (Curate.repetition(_, _)),
+    "q51_mixture_sample" -> ((s: SparkSession, d: String) =>
+      Curate.mixtureSample(s, d)),
+    "q52_quality_score" -> (Curate.qualityScore(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,6 +237,11 @@ object SparkEntry {
     "q43_set_ops" -> Analytics.q43Oracle,
     "q44_pivot" -> Analytics.q44Oracle,
     "q45_range_join" -> Analytics.q45Oracle,
-    "q46_asof_exec" -> AsOfJoin.q41Oracle
+    "q46_asof_exec" -> AsOfJoin.q41Oracle,
+    "q48_dedup_clusters" -> Curate.dedupClustersOracle,
+    "q49_stratified_sample" -> Curate.stratifiedSampleOracle,
+    "q50_repetition" -> Curate.repetitionOracle,
+    "q51_mixture_sample" -> Curate.mixtureSampleOracle,
+    "q52_quality_score" -> Curate.qualityScoreOracle
   )
 }

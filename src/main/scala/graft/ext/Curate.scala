@@ -1,0 +1,350 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators over the `documents` table: duplicate
+  * clustering (connected components over near-dup pairs), deterministic
+  * stratified sampling, token-budget mixture sampling, repetition signals
+  * (the classic "repetitious text" quality filters), and a composite
+  * quality score.
+  *
+  * Scale posture notes per operator are on each method; the shared
+  * principles: sampling orders by a content-independent md5 hash so the
+  * choice is deterministic and reproducible across runs and engines, and
+  * per-document signals are pure column expressions (sorted-array
+  * run-length folds instead of explode+groupBy) so they stay narrow maps
+  * with no shuffle at all.
+  */
+object Curate {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Deterministic per-row sample hash: md5 of the decimal doc id. Chosen
+    * over xxhash64 because the oracle engine computes the identical hex
+    * string, so sampling decisions are bit-equal across engines. */
+  private def sampleHash(id: Column): Column = md5(id.cast("string"))
+
+  // --- duplicate clustering (connected components) -------------------------
+
+  /** Connected components over an undirected pair list `(a, b)` by
+    * iterative min-label propagation: every node starts as its own
+    * component and repeatedly adopts the minimum label among itself and
+    * its neighbors until a fixpoint.
+    *
+    * Scale: each iteration is one shuffle join keyed on node id plus a
+    * min-aggregate; iteration count is the cluster graph's diameter, and
+    * near-dup clusters are overwhelmingly stars/cliques (diameter ≤ 2-3).
+    * Labels are localCheckpoint'ed per round so lineage stays flat. The
+    * convergence check aggregates a single count — no driver-side data.
+    * For adversarial long-path graphs the alternating large-star/
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") converges in O(log n) rounds with the same
+    * join primitive; the fixture graphs here never need it.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("node" -> "a", "comp" -> "comp_a")), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("comp_a")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.drop("changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** q48: duplicate clusters — connected components over the exact
+    * word-3-gram Jaccard ≥ 0.8 pairs, with the cluster representative
+    * (minimum doc id) as cluster_id and the member count. Only documents
+    * that participate in at least one near-dup pair appear. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, 0.8).select(col("a"), col("b"))
+    val cc = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same pair derivation as q23's oracle, then transitive closure
+    * via a recursive CTE (min reachable id = component representative). */
+  val dedupClustersOracle: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos
+         FROM documents),
+       t AS (
+         SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM d GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+               FROM d x JOIN d y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT a, b FROM com JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM walk GROUP BY node)
+       SELECT cc.doc_id, cc.cluster_id, s.n_members
+       FROM cc JOIN (SELECT cluster_id, count(*) n_members FROM cc GROUP BY 1) s
+         USING (cluster_id)
+       ORDER BY doc_id"""
+
+  // --- stratified sampling -------------------------------------------------
+
+  /** q49: exact-k-per-stratum deterministic sample — the k documents per
+    * language with the smallest md5(doc_id) hash, ranked.
+    *
+    * Scale: a naive window sorts every stratum in full; with a handful of
+    * strata over 100 TB each sort is a near-global sort on one reducer
+    * chain. Instead, phase 1 aggregates per-stratum counts (tiny result),
+    * derives a hash-prefix cutoff keeping an expected `oversample`×k
+    * survivors per stratum, and phase 2 windows only the survivors
+    * (thousands of rows regardless of corpus size). Because the true
+    * winners are exactly the k smallest hashes, any cutoff that retains
+    * ≥ k survivors per stratum is lossless; the verification aggregate
+    * re-checks that and falls back to the full window for any stratum the
+    * prefilter under-selected (P ≈ e^{-k·oversample·ln(oversample/e)} —
+    * negligible, but the fallback keeps the operator exact by
+    * construction, not by probability).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20,
+      oversample: Int = 4): DataFrame =
+    stratifiedSampleOf(docs(spark, dir), k, oversample)
+
+  def stratifiedSampleOf(d0: DataFrame, k: Int, oversample: Int = 4): DataFrame = {
+    val d = d0.select(col("doc_id"), col("lang"), sampleHash(col("doc_id")).as("h"))
+    // phase 1: per-stratum counts → hex cutoff on the first 6 hash chars
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val space = 1L << 24 // 6 hex chars
+    val cutoffs = counts.map { case (lang, n) =>
+      val p = math.min(1.0, oversample.toDouble * k / math.max(n, 1L))
+      val bound = math.min(space, math.ceil(p * space).toLong + 1)
+      lang -> f"$bound%06x"
+    }
+    val cutoffDf = d.sparkSession.createDataFrame(cutoffs.toSeq)
+      .toDF("lang", "cutoff")
+    val survivors = d.join(broadcast(cutoffDf), "lang")
+      .filter(substring(col("h"), 1, 6) < col("cutoff"))
+    // verification: any under-selected stratum falls back to the full scan
+    val ok = survivors.groupBy("lang").agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = counts.filter { case (lang, n) =>
+      ok.getOrElse(lang, 0L) < math.min(n, k.toLong) }.keySet
+    val pool =
+      if (short.isEmpty) survivors
+      else survivors.unionByName(
+        d.filter(col("lang").isin(short.toSeq: _*))
+          .join(broadcast(cutoffDf), "lang")
+          .filter(substring(col("h"), 1, 6) >= col("cutoff"))
+      )
+    val win = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    pool
+      .withColumn("sample_rank", row_number().over(win).cast("int"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """WITH ranked AS (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+       SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+       FROM ranked WHERE rk <= 20 ORDER BY lang, sample_rank"""
+
+  // --- token-budget mixture sampling ---------------------------------------
+
+  /** q51: mixture sampling — per source, admit documents in deterministic
+    * hash order until the running token total exceeds the budget. This is
+    * how a training mix hits per-source token targets reproducibly: the
+    * admitted set only grows when the budget grows, and is independent of
+    * scan order.
+    *
+    * Scale: the cumulative-sum window sorts within each source. The same
+    * two-phase prefilter as [[stratifiedSample]] applies when sources are
+    * few and huge (cutoff ≈ budget / stratum-token-total oversampled);
+    * kept single-phase here because the oracled contract is the windowed
+    * semantics and q49 already demonstrates the prefilter machinery. */
+  def mixtureSample(spark: SparkSession, dir: String,
+      budgetTokens: Long = 600L): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        sampleHash(col("doc_id")).as("h"))
+    val win = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  val mixtureSampleOracle: String =
+    """WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok,
+                    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       c AS (SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+              CAST(cum AS BIGINT) AS cum_tokens
+       FROM c WHERE cum <= 600 ORDER BY source, cum_tokens"""
+
+  // --- repetition signals --------------------------------------------------
+
+  /** Longest run of equal adjacent elements in a *sorted* array — i.e. the
+    * multiplicity of the array's mode — as a single codegen'd fold. Lets
+    * per-document "most frequent token/bigram" signals stay shuffle-free
+    * instead of explode + two groupBy shuffles. */
+  private[ext] def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull &&
+            x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Adjacent word bigrams of a *materialized* token-array column (bind
+    * the array to its own projection first — HOF lambdas re-evaluate
+    * outer expressions per element). */
+  private def bigramsOf(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** q50: repetition-based quality signals (the Gopher/C4-style filters):
+    * share of tokens accounted for by the most frequent token, duplicate
+    * token fraction, and share of bigrams accounted for by the most
+    * frequent bigram. Pure narrow map — sorted-array run-length folds,
+    * zero shuffles at any corpus size. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
+  def repetitionOf(d0: DataFrame): DataFrame = {
+    val tok = d0.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val arr = tok.select(col("doc_id"), col("w"),
+      array_sort(col("w")).as("ws"), bigramsOf(col("w")).as("bg"))
+    arr.select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(maxRunLength(col("ws")).cast("double") / size(col("w")), 4)
+          .as("top_token_ratio"),
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double")
+          / size(col("w")), 4).as("dup_token_ratio"),
+        round(coalesce(
+          maxRunLength(array_sort(col("bg"))).cast("double") / size(col("bg")),
+          lit(0.0)), 4).as("top_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                      generate_subscripts(string_split(text,' '),1) AS pos
+                    FROM documents),
+       tc AS (SELECT doc_id, w, count(*) c FROM tok GROUP BY 1,2),
+       t1 AS (SELECT doc_id, max(c) top_c, sum(c) n, count(*) n_uniq
+              FROM tc GROUP BY 1),
+       bg AS (SELECT a.doc_id, a.w||' '||b.w AS g FROM tok a
+              JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1),
+       bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1,2),
+       b1 AS (SELECT doc_id, max(c) top_bc, sum(c) nb FROM bc GROUP BY 1)
+       SELECT t1.doc_id, CAST(n AS BIGINT) AS n_tokens,
+         round(top_c*1.0/n,4) AS top_token_ratio,
+         round(1.0 - n_uniq*1.0/n,4) AS dup_token_ratio,
+         round(coalesce(top_bc*1.0/nb, 0.0),4) AS top_bigram_ratio
+       FROM t1 LEFT JOIN b1 ON t1.doc_id=b1.doc_id ORDER BY t1.doc_id"""
+
+  // --- composite quality score ---------------------------------------------
+
+  /** q52: one interpretable quality score in [0,1] combining length,
+    * repetition and token-shape signals (each clamped to [0,1], fixed
+    * public weights), plus a coarse band for routing. Same shuffle-free
+    * shape as [[repetition]]. Weights: 0.3 length (saturates at 200
+    * tokens), 0.3 token diversity, 0.2 bigram diversity, 0.2 average
+    * token length scaled from the [2,6]-char band. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    val arr = tok.select(col("doc_id"), col("text"), col("w"),
+      bigramsOf(col("w")).as("bg"))
+    val n = size(col("w")).cast("double")
+    val dup = lit(1.0) - size(array_distinct(col("w"))).cast("double") / n
+    val topBg = coalesce(
+      maxRunLength(array_sort(col("bg"))).cast("double") / size(col("bg")),
+      lit(0.0))
+    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / n
+    val score =
+      lit(0.3) * least(n / 200.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - dup) +
+      lit(0.2) * (lit(1.0) - topBg) +
+      lit(0.2) * least(greatest((avgLen - 2.0) / 4.0, lit(0.0)), lit(1.0))
+    arr.select(col("doc_id"), round(score, 4).as("quality_score"),
+        when(round(score, 4) >= 0.6, "high")
+          .when(round(score, 4) >= 0.5, "medium")
+          .otherwise("low").as("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                      generate_subscripts(string_split(text,' '),1) AS pos
+                    FROM documents),
+       bg AS (SELECT a.doc_id, a.w||' '||b.w AS g FROM tok a
+              JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1),
+       bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1,2),
+       b1 AS (SELECT doc_id, max(c) top_bc, sum(c) nb FROM bc GROUP BY 1),
+       base AS (
+         SELECT doc_id, text,
+           len(string_split(text,' ')) * 1.0 AS n,
+           len(list_distinct(string_split(text,' '))) * 1.0 AS n_uniq,
+           length(replace(text,' ','')) * 1.0 AS chars
+         FROM documents),
+       sig AS (
+         SELECT base.doc_id,
+           0.3 * least(n / 200.0, 1.0) +
+           0.3 * (1.0 - (1.0 - n_uniq / n)) +
+           0.2 * (1.0 - coalesce(top_bc * 1.0 / nb, 0.0)) +
+           0.2 * least(greatest((chars / n - 2.0) / 4.0, 0.0), 1.0) AS s
+         FROM base LEFT JOIN b1 ON base.doc_id = b1.doc_id)
+       SELECT doc_id, round(s, 4) AS quality_score,
+         CASE WHEN round(s, 4) >= 0.6 THEN 'high'
+              WHEN round(s, 4) >= 0.5 THEN 'medium'
+              ELSE 'low' END AS quality_band
+       FROM sig ORDER BY doc_id"""
+}

@@ -59,30 +59,103 @@ object TextAnalysis {
          * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
        FROM documents ORDER BY doc_id"""
 
-  /** Tiny per-language stopword profiles for the n-gram/stopword-count
-    * language-ID heuristic. Deterministic; not oracle-expressible (the
-    * argmax tie-break logic), so driver does a rows-only check. */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
-    "it" -> Seq("il", "la", "di", "che", "e", "un"))
+  /** Seed corpora for the char-trigram language profiles: Article 1 of
+    * the Universal Declaration of Human Rights (public domain, the
+    * standard multilingual seed text) plus each language's highest-
+    * frequency function words — function words dominate character-trigram
+    * statistics, which is exactly why trigram profiles discriminate
+    * (Cavnar & Trenkle, "N-Gram-Based Text Categorization", 1994). */
+  private val seedTexts: Seq[(String, String)] = Seq(
+    "en" -> ("All human beings are born free and equal in dignity and " +
+      "rights. They are endowed with reason and conscience and should " +
+      "act towards one another in a spirit of brotherhood. " +
+      "the of and to in is was that for it with as his on be at by had"),
+    "de" -> ("Alle Menschen sind frei und gleich an Würde und Rechten " +
+      "geboren. Sie sind mit Vernunft und Gewissen begabt und sollen " +
+      "einander im Geist der Brüderlichkeit begegnen. " +
+      "der die und in den von zu das mit sich des auf für ist im nicht ein"),
+    "es" -> ("Todos los seres humanos nacen libres e iguales en dignidad " +
+      "y derechos y, dotados como están de razón y conciencia, deben " +
+      "comportarse fraternalmente los unos con los otros. " +
+      "de la que el en y a los del se las por un para con no una su al"),
+    "fr" -> ("Tous les êtres humains naissent libres et égaux en dignité " +
+      "et en droits. Ils sont doués de raison et de conscience et " +
+      "doivent agir les uns envers les autres dans un esprit de " +
+      "fraternité. " +
+      "de la le et les des en un du une que est pour qui dans par sur au"),
+    "it" -> ("Tutti gli esseri umani nascono liberi ed eguali in dignità " +
+      "e diritti. Essi sono dotati di ragione e di coscienza e devono " +
+      "agire gli uni verso gli altri in spirito di fratellanza. " +
+      "di e il la che a in un per è una sono le dei nel con si da come"))
 
-  /** Language-ID: score = stopword hits per profile over token count;
-    * predicted = argmax (ties resolved by profile order; 'und' =
-    * undetermined when no profile hits). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val w = tokens(col("text"))
-    val scores = langProfiles.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      (lang, size(filter(w, t => array_contains(arr, t))))
+  /** Shared normalization for profile building and doc scoring: lowercase,
+    * non-letters → space, collapse runs, pad with one space each side so
+    * word-boundary trigrams exist. Must match [[normChars]]. */
+  private def normString(s: String): String =
+    " " + s.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
+
+  private def trigramsOfString(s: String): Seq[String] = {
+    val t = normString(s)
+    (0 to t.length - 3).map(i => t.substring(i, i + 3))
+  }
+
+  /** Ranked-trigram profiles: top-K trigrams of each seed corpus, rank
+    * mapped to a linear weight in (0,1] (Cavnar-Trenkle's out-of-place
+    * measure recast as a weighted-overlap score so it evaluates as one
+    * codegen'd fold per language — no join, no shuffle). */
+  private val profileK = 300
+  private[ext] val trigramProfiles: Map[String, Map[String, Double]] =
+    seedTexts.toMap.map { case (lang, txt) =>
+      val ranked = trigramsOfString(txt)
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(profileK)
+      val k = ranked.size
+      lang -> ranked.zipWithIndex.map { case ((t, _), i) =>
+        t -> (k - i).toDouble / k }.toMap
     }
-    val scored = d.select(
-      (col("doc_id") +: col("lang").as("labeled_lang") +: size(w).as("n") +:
+
+  /** Column twin of [[normString]]. */
+  private def normChars(text: Column): Column =
+    concat(lit(" "),
+      trim(regexp_replace(lower(text), "[^\\p{L}]+", " ")), lit(" "))
+
+  /** Language-ID via char-trigram profile scoring plus a Unicode-script
+    * gate: documents whose CJK-codepoint share exceeds 0.2 are Chinese
+    * regardless of trigram evidence (Latin trigram profiles are
+    * meaningless over Han text); otherwise predicted = argmax of
+    * per-language mean trigram weight, 'und' when the best score is
+    * below a floor. Deterministic; not oracle-expressible (argmax +
+    * tie-break), so the driver records a rows-only check and the
+    * value-level gate is TextSpec's crafted multilingual fixtures.
+    *
+    * Scale: the profiles are literal maps baked into the plan (~300
+    * entries/lang), scoring is one `aggregate` fold per language inside
+    * whole-stage codegen — a pure narrow map, no shuffle, no UDF. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables(spark, dir, "documents"))
+
+  def langIdOf(d: DataFrame): DataFrame = {
+    val langs = trigramProfiles.keys.toSeq.sorted
+    val n = col("text")
+    val cjkRatio = (length(n) - length(regexp_replace(n, "[\\u4e00-\\u9fff]", "")))
+      .cast("double") / greatest(length(n), lit(1))
+    val tg = col("_tg")
+    val scores = langs.map { l =>
+      val m = typedLit(trigramProfiles(l))
+      l -> (aggregate(tg, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+        / greatest(size(tg), lit(1)))
+    }
+    // bind the normalized string to its own column first — HOF lambdas
+    // re-evaluate outer expressions per element (O(len²) regexp otherwise)
+    val withTg = d.withColumn("_norm", normChars(n)).withColumn("_tg",
+      transform(sequence(lit(1), greatest(length(col("_norm")) - 2, lit(0))),
+        i => col("_norm").substr(i, lit(3))))
+    val scored = withTg.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        cjkRatio.as("_cjk") +:
         scores.map { case (l, s) => s.as(s"score_$l") }): _*)
-    val best = scores.map(_._1).foldLeft((lit("und"), lit(0))) {
+    val best = langs.foldLeft((lit("und"), lit(0.02))) {
       case ((bestLang, bestScore), l) =>
         val s = col(s"score_$l")
         (when(s > bestScore, lit(l)).otherwise(bestLang),
@@ -90,8 +163,9 @@ object TextAnalysis {
     }
     scored
       .select(col("doc_id"), col("labeled_lang"),
-        best._1.as("pred_lang"),
-        round(best._2.cast("double") / col("n"), 4).as("confidence"))
+        when(col("_cjk") > 0.2, lit("zh")).otherwise(best._1).as("pred_lang"),
+        round(when(col("_cjk") > 0.2, col("_cjk"))
+          .otherwise(least(best._2, lit(1.0))), 4).as("confidence"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ext.{Curate, Dedup}
+
+class CurateSpec extends SparkSpecBase {
+
+  test("connectedComponents labels a chain and an isolated pair correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration) plus pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Curate.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters matches a driver-side transitive closure of the pairs") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .select(col("a"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // union-find over the collected pairs (tiny at sf0.001)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Curate.dedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == want)
+    // n_members is consistent with the labelling
+    val sizes = want.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(got.forall(t => sizes(t._2) == t._3))
+    assert(got.forall(_._3 >= 2)) // every clustered doc has a partner
+  }
+
+  test("stratifiedSample prefilter is lossless vs the full-window semantics") {
+    val d = Tables(spark, sf0001, "documents")
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = d
+      .withColumn("sample_rank", row_number().over(win).cast("int"))
+      .filter(col("sample_rank") <= 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = Curate.stratifiedSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("stratifiedSample under-selecting cutoff falls back and stays exact") {
+    val d = Tables(spark, sf0001, "documents")
+    // oversample=0 → cutoff admits ~nothing → every stratum takes the
+    // fallback path; result must be identical to the healthy config.
+    val a = Curate.stratifiedSampleOf(d, 5, oversample = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val b = Curate.stratifiedSampleOf(d, 5, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(a == b)
+    assert(a.groupBy(_._2).values.forall(_.size == 5))
+  }
+
+  test("repetition signals on crafted documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),      // one token repeated
+      (2L, "a b c d"),      // all distinct
+      (3L, "x y x y x y")   // repeated bigram pattern
+    ).toDF("doc_id", "text")
+    val got = Curate.repetitionOf(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 1.0, 0.75, 1.0)))
+    assert(got(2L) == ((4L, 0.25, 0.0, round3(1.0 / 3)))) // bigrams: ab bc cd
+    // "x y x y x y": 6 tokens, top token 3/6; bigrams x·y=3, y·x=2 → 3/5
+    assert(got(3L) == ((6L, 0.5, round3(4.0 / 6), 0.6)))
+  }
+
+  private def round3(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mixtureSample admits a budget-bounded hash-prefix per source") {
+    val got = Curate.mixtureSample(spark, sf0001, budgetTokens = 600L)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= 600L))
+    // per source the admitted set is exactly the documents whose running
+    // hash-ordered token sum fits — recompute independently
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = d.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(x => (x._4, x._1)).takeWhile { x => cum += x._3; cum <= 600L }
+        .toSeq
+    }.map(_._1).toSet
+    assert(rows.map(_._1).toSet == want)
+  }
+
+  test("qualityScore is bounded and bands match thresholds") {
+    val q = Curate.qualityScore(spark, sf0001).collect()
+      .map(r => (r.getDouble(1), r.getString(2)))
+    assert(q.length == 500)
+    assert(q.forall { case (s, _) => s >= 0.0 && s <= 1.0 })
+    assert(q.forall {
+      case (s, "high")   => s >= 0.6
+      case (s, "medium") => s >= 0.5 && s < 0.6
+      case (s, "low")    => s < 0.5
+      case _             => false
+    })
+    // discriminative: not all docs land in one band at sf0.001
+    assert(q.map(_._2).distinct.length >= 2)
+  }
+}

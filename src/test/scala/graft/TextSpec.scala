@@ -48,4 +48,27 @@ class TextSpec extends SparkSpecBase {
     assert(l.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
     assert(l.filter(col("pred_lang").isNull).count() == 0)
   }
+
+  test("langId identifies real-language sentences not in the seed corpora") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L, "en", "the weather was cold and the children walked to the " +
+        "house with their mother in the evening"),
+      (2L, "de", "der Hund und die Katze sind nicht im Haus weil das " +
+        "Wetter heute sehr schön ist und die Kinder draußen spielen"),
+      (3L, "es", "el perro y el gato están en la casa porque los niños " +
+        "no quieren jugar en el jardín con sus amigos"),
+      (4L, "fr", "le chien et le chat sont dans la maison parce que les " +
+        "enfants ne veulent pas jouer dans le jardin avec leurs amis"),
+      (5L, "it", "il cane e il gatto sono nella casa perché i bambini " +
+        "non vogliono giocare in giardino con i loro amici"),
+      (6L, "zh", "这是一个用中文写的句子，孩子们今天不想在花园里玩耍"),
+      (7L, "und", "zzz qqq xxx kkk vvv www")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langIdOf(fixtures).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "it", 6L -> "zh", 7L -> "und")
+    assert(got == want)
+  }
 }
