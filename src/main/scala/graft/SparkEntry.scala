@@ -76,7 +76,12 @@ object SparkEntry {
     "q50_repetition" -> (Curate.repetition(_, _)),
     "q51_mixture_sample" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSample(s, d)),
-    "q52_quality_score" -> (Curate.qualityScore(_, _))
+    "q52_quality_score" -> (Curate.qualityScore(_, _)),
+    "q53_dedup_resolution" -> (Curate.dedupResolution(_, _)),
+    "q54_decontaminate" -> ((s: SparkSession, d: String) =>
+      Curate.decontaminate(s, d)),
+    "q55_pack_chunks" -> ((s: SparkSession, d: String) =>
+      Curate.packChunks(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,6 +247,9 @@ object SparkEntry {
     "q49_stratified_sample" -> Curate.stratifiedSampleOracle,
     "q50_repetition" -> Curate.repetitionOracle,
     "q51_mixture_sample" -> Curate.mixtureSampleOracle,
-    "q52_quality_score" -> Curate.qualityScoreOracle
+    "q52_quality_score" -> Curate.qualityScoreOracle,
+    "q53_dedup_resolution" -> Curate.dedupResolutionOracle,
+    "q54_decontaminate" -> Curate.decontaminateOracle,
+    "q55_pack_chunks" -> Curate.packChunksOracle
   )
 }

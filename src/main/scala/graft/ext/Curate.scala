@@ -3,7 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.TaskContext
 import graft.Tables
+import graft.functions.ShingleHashes.shingle_hashes
 
 /** Training-data curation operators over the `documents` table: duplicate
   * clustering (connected components over near-dup pairs), deterministic
@@ -347,4 +349,194 @@ object Curate {
               WHEN round(s, 4) >= 0.5 THEN 'medium'
               ELSE 'low' END AS quality_band
        FROM sig ORDER BY doc_id"""
+
+  // --- duplicate resolution ------------------------------------------------
+
+  /** q53: duplicate resolution — for every near-dup cluster (q48) keep the
+    * member with the highest quality score (q52), ties to the lowest doc
+    * id. This is the step that turns "clusters found" into "rows to keep":
+    * downstream, `filter(is_kept)` anti-joins the dropped duplicates out
+    * of the training mix.
+    *
+    * Scale: one join of the cluster labels against per-doc quality (both
+    * keyed on doc_id) and a window per cluster_id — cluster sizes are
+    * bounded by near-dup group sizes (tens, not millions), so the window
+    * partitions stay tiny at any corpus size. */
+  def dedupResolution(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("quality_score"))
+    val win = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("is_kept", row_number().over(win) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("is_kept"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Oracle: q48's transitive closure + q52's score joined, argmax per
+    * cluster by (score desc, doc_id). */
+  val dedupResolutionOracle: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos
+         FROM documents),
+       t AS (
+         SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM d GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+               FROM d x JOIN d y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT a, b FROM com JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM walk GROUP BY node),
+       qtok AS (SELECT doc_id, unnest(string_split(text,' ')) AS qw,
+                  generate_subscripts(string_split(text,' '),1) AS qpos
+                FROM documents),
+       qbg AS (SELECT a.doc_id, a.qw||' '||b.qw AS g FROM qtok a
+               JOIN qtok b ON a.doc_id=b.doc_id AND b.qpos=a.qpos+1),
+       qbc AS (SELECT doc_id, g, count(*) c FROM qbg GROUP BY 1,2),
+       qb1 AS (SELECT doc_id, max(c) top_bc, sum(c) nb FROM qbc GROUP BY 1),
+       qbase AS (
+         SELECT doc_id, len(string_split(text,' ')) * 1.0 AS n,
+           len(list_distinct(string_split(text,' '))) * 1.0 AS n_uniq,
+           length(replace(text,' ','')) * 1.0 AS chars
+         FROM documents),
+       qsig AS (
+         SELECT qbase.doc_id,
+           round(0.3 * least(n / 200.0, 1.0) +
+           0.3 * (n_uniq / n) +
+           0.2 * (1.0 - coalesce(top_bc * 1.0 / nb, 0.0)) +
+           0.2 * least(greatest((chars / n - 2.0) / 4.0, 0.0), 1.0), 4) AS s
+         FROM qbase LEFT JOIN qb1 ON qbase.doc_id = qb1.doc_id),
+       ranked AS (
+         SELECT cc.doc_id, cc.cluster_id, qsig.s AS quality_score,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY qsig.s DESC, cc.doc_id) AS rk
+         FROM cc JOIN qsig ON cc.doc_id = qsig.doc_id)
+       SELECT doc_id, cluster_id, quality_score,
+         CAST(rk = 1 AS BOOLEAN) AS is_kept
+       FROM ranked ORDER BY cluster_id, doc_id"""
+
+  // --- benchmark decontamination -------------------------------------------
+
+  /** q54: n-gram decontamination — flag corpus documents sharing any
+    * distinct word-5-gram with the benchmark set (here: doc_id % 50 = 0
+    * stands in for an eval benchmark), with the count of shared distinct
+    * 5-grams. The standard train/test-leakage filter for training mixes.
+    *
+    * Scale: shingles are hashed to longs by the single-pass codegen'd
+    * [[shingle_hashes]] expression (no n-gram string materialization);
+    * the benchmark's distinct hash set is orders of magnitude smaller
+    * than the corpus (eval suites are thousands of documents), so the
+    * join is an explicit broadcast — the corpus side never shuffles, the
+    * only shuffle is the final per-doc count aggregation. */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), k)).as("gh"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gh")).distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       gi AS (SELECT doc_id, ws,
+                unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i FROM w),
+       g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh FROM gi),
+       d AS (SELECT DISTINCT doc_id, sh FROM g),
+       bench AS (SELECT DISTINCT sh FROM d WHERE doc_id % 50 = 0)
+       SELECT d.doc_id, count(*) AS n_shared
+       FROM d JOIN bench USING (sh)
+       WHERE d.doc_id % 50 <> 0
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  // --- sequence packing (scalable prefix sum) ------------------------------
+
+  /** q55: concat-and-chunk sequence packing — per source, documents are
+    * concatenated in deterministic hash order and cut into fixed
+    * `chunkTokens` training sequences; each document reports the chunk it
+    * starts in and its token offset there. (Documents may straddle chunk
+    * boundaries — the concat-then-chunk scheme standard in LM training.)
+    *
+    * Scale: the naive plan is a running-sum window per source, which at
+    * 100 TB funnels each source through one reducer chain. This
+    * implementation is the scalable two-phase prefix sum instead:
+    * (1) range-repartition by the global order (source, hash, doc_id) and
+    * compute per-partition local prefix sums in one ordered scan
+    * (mapPartitions — the textbook case where per-partition imperative
+    * logic is the right tool); (2) aggregate one (partition, source)
+    * subtotal row per pair — thousands of rows regardless of corpus
+    * size — cumulate them on the driver, and broadcast-join the offsets
+    * back. One range shuffle + one tiny aggregate; no global window, no
+    * single-reducer bottleneck. Results are independent of partition
+    * boundaries, so the plan is deterministic at any parallelism. */
+  def packChunks(spark: SparkSession, dir: String,
+      chunkTokens: Long = 512L): DataFrame = {
+    val d0 = docs(spark, dir)
+    import d0.sparkSession.implicits._
+    val d = d0.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      sampleHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long, String)]
+    // phase 1: global range order + per-partition running sums
+    val local = d
+      .repartitionByRange(col("source"), col("h"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("h"), col("doc_id"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var curSource: String = null
+        var cum = 0L
+        it.map { case (docId, source, n, h) =>
+          if (source != curSource) { curSource = source; cum = 0L }
+          val before = cum
+          cum += n
+          (docId, source, n, h, pid, before)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "h", "pid", "local_before")
+      .localCheckpoint() // phase 2 reads it twice; don't recompute the shuffle
+    // phase 2: per-(pid, source) totals → running offsets per source
+    val totals = local.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offsets = totals.keys.toSeq.map { case (pid, source) =>
+      val off = totals.collect {
+        case ((p, s), tot) if s == source && p < pid => tot
+      }.sum
+      (pid, source, off)
+    }
+    val offsetDf = d0.sparkSession.createDataFrame(offsets)
+      .toDF("pid", "source", "offset")
+    local.join(broadcast(offsetDf), Seq("pid", "source"))
+      .withColumn("before", col("local_before") + col("offset"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("before") / chunkTokens).cast("long").as("chunk_id"),
+        (col("before") % chunkTokens).as("chunk_offset"))
+      .orderBy(col("source"), col("chunk_id"), col("chunk_offset"), col("doc_id"))
+  }
+
+  val packChunksOracle: String =
+    """WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n,
+                    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       c AS (SELECT doc_id, source, n,
+               sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+         CAST((cum - n) // 512 AS BIGINT) AS chunk_id,
+         CAST((cum - n) % 512 AS BIGINT) AS chunk_offset
+       FROM c ORDER BY source, chunk_id, chunk_offset, doc_id"""
 }

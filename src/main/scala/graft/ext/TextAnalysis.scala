@@ -59,66 +59,6 @@ object TextAnalysis {
          * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
        FROM documents ORDER BY doc_id"""
 
-  /** Seed corpora for the char-trigram language profiles: Article 1 of
-    * the Universal Declaration of Human Rights (public domain, the
-    * standard multilingual seed text) plus each language's highest-
-    * frequency function words — function words dominate character-trigram
-    * statistics, which is exactly why trigram profiles discriminate
-    * (Cavnar & Trenkle, "N-Gram-Based Text Categorization", 1994). */
-  private val seedTexts: Seq[(String, String)] = Seq(
-    "en" -> ("All human beings are born free and equal in dignity and " +
-      "rights. They are endowed with reason and conscience and should " +
-      "act towards one another in a spirit of brotherhood. " +
-      "the of and to in is was that for it with as his on be at by had"),
-    "de" -> ("Alle Menschen sind frei und gleich an Würde und Rechten " +
-      "geboren. Sie sind mit Vernunft und Gewissen begabt und sollen " +
-      "einander im Geist der Brüderlichkeit begegnen. " +
-      "der die und in den von zu das mit sich des auf für ist im nicht ein"),
-    "es" -> ("Todos los seres humanos nacen libres e iguales en dignidad " +
-      "y derechos y, dotados como están de razón y conciencia, deben " +
-      "comportarse fraternalmente los unos con los otros. " +
-      "de la que el en y a los del se las por un para con no una su al"),
-    "fr" -> ("Tous les êtres humains naissent libres et égaux en dignité " +
-      "et en droits. Ils sont doués de raison et de conscience et " +
-      "doivent agir les uns envers les autres dans un esprit de " +
-      "fraternité. " +
-      "de la le et les des en un du une que est pour qui dans par sur au"),
-    "it" -> ("Tutti gli esseri umani nascono liberi ed eguali in dignità " +
-      "e diritti. Essi sono dotati di ragione e di coscienza e devono " +
-      "agire gli uni verso gli altri in spirito di fratellanza. " +
-      "di e il la che a in un per è una sono le dei nel con si da come"))
-
-  /** Shared normalization for profile building and doc scoring: lowercase,
-    * non-letters → space, collapse runs, pad with one space each side so
-    * word-boundary trigrams exist. Must match [[normChars]]. */
-  private def normString(s: String): String =
-    " " + s.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
-
-  private def trigramsOfString(s: String): Seq[String] = {
-    val t = normString(s)
-    (0 to t.length - 3).map(i => t.substring(i, i + 3))
-  }
-
-  /** Ranked-trigram profiles: top-K trigrams of each seed corpus, rank
-    * mapped to a linear weight in (0,1] (Cavnar-Trenkle's out-of-place
-    * measure recast as a weighted-overlap score so it evaluates as one
-    * codegen'd fold per language — no join, no shuffle). */
-  private val profileK = 300
-  private[ext] val trigramProfiles: Map[String, Map[String, Double]] =
-    seedTexts.toMap.map { case (lang, txt) =>
-      val ranked = trigramsOfString(txt)
-        .groupBy(identity).view.mapValues(_.size).toSeq
-        .sortBy { case (t, c) => (-c, t) }.take(profileK)
-      val k = ranked.size
-      lang -> ranked.zipWithIndex.map { case ((t, _), i) =>
-        t -> (k - i).toDouble / k }.toMap
-    }
-
-  /** Column twin of [[normString]]. */
-  private def normChars(text: Column): Column =
-    concat(lit(" "),
-      trim(regexp_replace(lower(text), "[^\\p{L}]+", " ")), lit(" "))
-
   /** Language-ID via char-trigram profile scoring plus a Unicode-script
     * gate: documents whose CJK-codepoint share exceeds 0.2 are Chinese
     * regardless of trigram evidence (Latin trigram profiles are
@@ -128,33 +68,25 @@ object TextAnalysis {
     * tie-break), so the driver records a rows-only check and the
     * value-level gate is TextSpec's crafted multilingual fixtures.
     *
-    * Scale: the profiles are literal maps baked into the plan (~300
-    * entries/lang), scoring is one `aggregate` fold per language inside
-    * whole-stage codegen — a pure narrow map, no shuffle, no UDF. */
+    * Scale: scoring is the single-pass codegen'd
+    * [[graft.functions.TrigramLangScores]] expression (one hash lookup
+    * per trigram covering all languages at once) — a pure narrow map,
+    * no shuffle, no UDF. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables(spark, dir, "documents"))
 
   def langIdOf(d: DataFrame): DataFrame = {
-    val langs = trigramProfiles.keys.toSeq.sorted
+    import graft.functions.LangProfiles
+    import graft.functions.LangProfiles.trigram_lang_scores
+    val langs = LangProfiles.langs
     val n = col("text")
     val cjkRatio = (length(n) - length(regexp_replace(n, "[\\u4e00-\\u9fff]", "")))
       .cast("double") / greatest(length(n), lit(1))
-    val tg = col("_tg")
-    val scores = langs.map { l =>
-      val m = typedLit(trigramProfiles(l))
-      l -> (aggregate(tg, lit(0.0),
-        (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
-        / greatest(size(tg), lit(1)))
-    }
-    // bind the normalized string to its own column first — HOF lambdas
-    // re-evaluate outer expressions per element (O(len²) regexp otherwise)
-    val withTg = d.withColumn("_norm", normChars(n)).withColumn("_tg",
-      transform(sequence(lit(1), greatest(length(col("_norm")) - 2, lit(0))),
-        i => col("_norm").substr(i, lit(3))))
-    val scored = withTg.select(
+    val scored = d.withColumn("_scores", trigram_lang_scores(n)).select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         cjkRatio.as("_cjk") +:
-        scores.map { case (l, s) => s.as(s"score_$l") }): _*)
+        langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("_scores"), i + 1).as(s"score_$l") }): _*)
     val best = langs.foldLeft((lit("und"), lit(0.02))) {
       case ((bestLang, bestScore), l) =>
         val s = col(s"score_$l")

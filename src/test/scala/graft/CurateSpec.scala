@@ -106,6 +106,56 @@ class CurateSpec extends SparkSpecBase {
     assert(rows.map(_._1).toSet == want)
   }
 
+  test("dedupResolution keeps exactly the best-quality member per cluster") {
+    val rows = Curate.dedupResolution(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    byCluster.values.foreach { ms =>
+      val kept = ms.filter(_._4)
+      assert(kept.length == 1)
+      // the kept member is the (max quality, min doc_id) argmax
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(kept.head == best)
+    }
+  }
+
+  test("decontaminate matches a driver-side string 5-gram recompute") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 50 == 0).flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench) }
+      .filter(_._2 > 0).toMap
+    val got = Curate.decontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want)
+  }
+
+  test("packChunks two-phase prefix sum equals the window semantics") {
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val win = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("cum", sum(col("n")).over(win))
+      .select(col("doc_id"),
+        ((col("cum") - col("n")) / 512).cast("long").as("chunk_id"),
+        ((col("cum") - col("n")) % 512).as("chunk_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Curate.packChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.size == 500) // every doc packed exactly once
+    assert(got.forall(_._3 < 512L))
+  }
+
   test("qualityScore is bounded and bands match thresholds") {
     val q = Curate.qualityScore(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getString(2)))
