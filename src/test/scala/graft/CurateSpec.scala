@@ -156,6 +156,29 @@ class CurateSpec extends SparkSpecBase {
     assert(got.forall(_._3 < 512L))
   }
 
+  test("plan shapes: repetition/quality shuffle-free, decontaminate and " +
+      "packChunks broadcast") {
+    // q50/q52 signals are pure narrow maps: the only exchange allowed is
+    // the deterministic output sort
+    for (df <- Seq(Curate.repetition(spark, sf0001),
+        Curate.qualityScore(spark, sf0001))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(p).length == 1, p.take(800))
+      assert(p.contains("rangepartitioning"), p.take(800))
+    }
+    // q54: the benchmark gram set must broadcast; the corpus side must hit
+    // the join with no exchange of its own (no hash shuffle before the join)
+    val p54 = Curate.decontaminate(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p54.contains("BroadcastHashJoin"), p54.take(800))
+    // q55 after the checkpointed two-phase cumsum: offsets broadcast in,
+    // and only the output sort shuffles
+    val p55 = Curate.packChunks(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p55.contains("BroadcastHashJoin"), p55.take(800))
+    assert("Exchange".r.findAllIn(p55).length <= 2, p55.take(800))
+  }
+
   test("qualityScore is bounded and bands match thresholds") {
     val q = Curate.qualityScore(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getString(2)))

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.pipeline.FilePipeline.Layout
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingDedup, StreamingIngest}
 
 class StreamingSpec extends SparkSpecBase {
 
@@ -111,6 +111,40 @@ class StreamingSpec extends SparkSpecBase {
       .map(x => x.getString(0) -> x.getString(1)).toMap
     assert(states(TestFixtures.simUuid(3)) == "success")
     assert(states(TestFixtures.simUuid(4)) == "failed")
+  }
+
+  test("streaming dedup drops in-horizon duplicates and keeps state bounded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: two identical texts 10 min apart (in-horizon dup) + one unique
+    input.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "same text"),
+      (Timestamp.valueOf("2024-03-01 10:10:00"), 2L, "same text"),
+      (Timestamp.valueOf("2024-03-01 10:05:00"), 3L, "other text"))
+    q.processAllAvailable()
+    // batch 2: advance the watermark past the first digest's eviction
+    // point (12:00 - 30 min = 11:30 > 10:00) so its state is dropped
+    input.addData((Timestamp.valueOf("2024-03-01 12:00:00"), 9L, "mover"))
+    q.processAllAvailable()
+    // batch 3: the same content again, beyond the horizon — digest state
+    // has been evicted, so it is re-admitted (lambda-split contract)
+    input.addData((Timestamp.valueOf("2024-03-01 14:00:00"), 4L, "same text"))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-03-01 18:00:00"), 5L, "flush"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 (in-horizon dup) suppressed; doc 4 (cross-horizon) re-admitted
+    assert(got.contains(1L) && got.contains(3L) && got.contains(4L), s"got $got")
+    assert(!got.contains(2L), s"got $got")
   }
 
   test("watermark drops events later than the threshold in append mode") {
