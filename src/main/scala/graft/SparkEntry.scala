@@ -81,7 +81,8 @@ object SparkEntry {
     "q54_decontaminate" -> ((s: SparkSession, d: String) =>
       Curate.decontaminate(s, d)),
     "q55_pack_chunks" -> ((s: SparkSession, d: String) =>
-      Curate.packChunks(s, d))
+      Curate.packChunks(s, d)),
+    "q56_scrub" -> (TextAnalysis.scrub(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +251,7 @@ object SparkEntry {
     "q52_quality_score" -> Curate.qualityScoreOracle,
     "q53_dedup_resolution" -> Curate.dedupResolutionOracle,
     "q54_decontaminate" -> Curate.decontaminateOracle,
-    "q55_pack_chunks" -> Curate.packChunksOracle
+    "q55_pack_chunks" -> Curate.packChunksOracle,
+    "q56_scrub" -> TextAnalysis.scrubOracle
   )
 }

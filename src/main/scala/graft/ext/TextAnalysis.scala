@@ -128,4 +128,47 @@ object TextAnalysis {
        len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'),
          t -> length(t) > 0)) AS n_re_tokens
        FROM documents ORDER BY doc_id"""
+
+  /** PII / link scrubbing patterns. Kept to syntax with identical
+    * semantics in Java regex and RE2 (no backreferences, no lookaround)
+    * so the engine and the DuckDB oracle replace the exact same spans.
+    * URL first — an URL can embed an email-shaped or ip-shaped substring
+    * and must win as a unit. */
+  private[ext] val scrubPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"))
+
+  /** q56: scrub URLs, emails and IPv4 literals from document text,
+    * reporting the per-document redaction counts — the standard PII/
+    * link-removal pass before training. Pure narrow map (three codegen'd
+    * regexp passes), shuffle-free at any corpus size. */
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubOf(Tables(spark, dir, "documents"))
+
+  def scrubOf(d: DataFrame): DataFrame = {
+    val counts = scrubPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val scrubbed = scrubPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    d.select(
+        (col("doc_id") +: scrubbed.as("scrubbed_text") +: counts): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val scrubOracle: String = {
+    val repl = scrubPatterns.foldLeft("text") {
+      case (e, (_, pat, token)) =>
+        s"regexp_replace($e, '$pat', '$token', 'g')"
+    }
+    val counts = scrubPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(", ")
+    s"""SELECT doc_id, $repl AS scrubbed_text, $counts
+       FROM documents ORDER BY doc_id"""
+  }
 }

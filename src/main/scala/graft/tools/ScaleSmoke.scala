@@ -51,7 +51,16 @@ object ScaleSmoke {
       "q23_ngram_jaccard" -> (graft.ext.Dedup.ngramJaccardPairs(_, _)),
       "q24_simhash_pairs" -> (graft.ext.Dedup.simhashPairs(_, _)),
       "q47_neardup_lsh" -> ((s: SparkSession, d: String) =>
-        graft.ext.Similarity.neardupPairsLsh(s, d))
+        graft.ext.Similarity.neardupPairsLsh(s, d)),
+      "q30_lang_id" -> (graft.ext.TextAnalysis.langId(_, _)),
+      "q48_dedup_clusters" -> (graft.ext.Curate.dedupClusters(_, _)),
+      "q49_stratified_sample" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.stratifiedSample(s, d)),
+      "q50_repetition" -> (graft.ext.Curate.repetition(_, _)),
+      "q54_decontaminate" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.decontaminate(s, d)),
+      "q55_pack_chunks" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.packChunks(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

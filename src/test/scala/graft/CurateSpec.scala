@@ -179,6 +179,21 @@ class CurateSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p55).length <= 2, p55.take(800))
   }
 
+  test("packChunks is deterministic across parallelism levels") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def run(): Set[(Long, Long, Long)] =
+      Curate.packChunks(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    try {
+      spark.conf.set(key, "3")
+      val a = run()
+      spark.conf.set(key, "17")
+      val b = run()
+      assert(a == b) // range-partition boundaries moved; results must not
+    } finally spark.conf.set(key, saved)
+  }
+
   test("qualityScore is bounded and bands match thresholds") {
     val q = Curate.qualityScore(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getString(2)))

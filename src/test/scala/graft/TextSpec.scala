@@ -49,6 +49,25 @@ class TextSpec extends SparkSpecBase {
     assert(l.filter(col("pred_lang").isNull).count() == 0)
   }
 
+  test("scrub redacts urls, emails and ips with correct counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "visit https://example.com/a?b=1 or mail bob@example.org now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 rebooted"),
+      (3L, "no pii here at all"),
+      // the URL embeds an email-shaped and ip-shaped substring — must be
+      // redacted as ONE url, not partially rewritten by later passes
+      (4L, "see http://u@example.com/10.0.0.1 ok")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubOf(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (("visit <URL> or mail <EMAIL> now", 1L, 1L, 0L)))
+    assert(got(2L) == (("server at <IP> and <IP> rebooted", 0L, 0L, 2L)))
+    assert(got(3L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(got(4L) == (("see <URL> ok", 1L, 1L, 1L)))
+  }
+
   test("langId identifies real-language sentences not in the seed corpora") {
     import spark.implicits._
     val fixtures = Seq(
