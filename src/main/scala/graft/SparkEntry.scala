@@ -82,7 +82,9 @@ object SparkEntry {
       Curate.decontaminate(s, d)),
     "q55_pack_chunks" -> ((s: SparkSession, d: String) =>
       Curate.packChunks(s, d)),
-    "q56_scrub" -> (TextAnalysis.scrub(_, _))
+    "q56_scrub" -> (TextAnalysis.scrub(_, _)),
+    "q57_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocab(s, d)),
+    "q58_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +254,8 @@ object SparkEntry {
     "q53_dedup_resolution" -> Curate.dedupResolutionOracle,
     "q54_decontaminate" -> Curate.decontaminateOracle,
     "q55_pack_chunks" -> Curate.packChunksOracle,
-    "q56_scrub" -> TextAnalysis.scrubOracle
+    "q56_scrub" -> TextAnalysis.scrubOracle,
+    "q57_vocab" -> TextAnalysis.vocabOracle,
+    "q58_tfidf" -> TextAnalysis.tfidfOracle
   )
 }

@@ -388,7 +388,11 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String,
       nBits: Int = -1, k: Int = 5, tables: Int = 4): DataFrame = {
     import spark.implicits._
-    val ds = vecs(spark, dir)
+    // persisted: read once for the count, the table keying, and both
+    // sides of the candidate scoring join (same fix annIvf got — without
+    // it the parquet is re-scanned 4x per call)
+    val ds = vecs(spark, dir).persist()
+    try {
     // keyspace grows with the corpus (nBits ≤ 0 → autoBits) so bucket
     // population stays bounded at any scale
     val bits = if (nBits > 0) nBits else autoBits(ds.count())
@@ -413,5 +417,7 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(true) // materialize so the cache can be released
+    } finally ds.unpersist()
   }
 }

@@ -160,6 +160,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q57: corpus vocabulary — the top-`topK` tokens by total occurrence
+    * count, with document frequency. The first thing anyone computes over
+    * a new corpus, and the input to stopword/vocab-truncation decisions.
+    *
+    * Scale: explode → hash aggregate benefits from map-side partial
+    * aggregation (token cardinality ≪ token occurrences), the distinct
+    * doc count is Spark's standard two-phase distinct-agg expansion, and
+    * the top-k is TakeOrdered — no full sort of the vocabulary. */
+  def vocab(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+  }
+
+  val vocabOracle: String =
+    """SELECT token, count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+       GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50"""
+
+  /** q58: TF-IDF keyword extraction — each document's top-3 terms by
+    * tf·idf (raw term count × ln(N/df)), the classic salient-term
+    * signal for tagging and retrieval.
+    *
+    * Scale: one explode+agg for per-(doc, term) counts, one agg for
+    * document frequencies (vocabulary-sized, broadcast when it fits),
+    * a join keyed on term, and a per-document window (bounded by doc
+    * vocabulary). The corpus total N is a scalar aggregate, not a
+    * driver collect of data rows. */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val terms = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = d.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    terms.join(df_, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .filter(col("term_rank") <= topK)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("term_rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n * 1.0 / dfq.df), 4) AS score
+         FROM tf JOIN dfq USING (term) CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS INT) AS term_rank
+         FROM scored)
+       SELECT doc_id, term_rank, term, score
+       FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""
+
   val scrubOracle: String = {
     val repl = scrubPatterns.foldLeft("text") {
       case (e, (_, pat, token)) =>
