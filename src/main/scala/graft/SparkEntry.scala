@@ -84,7 +84,10 @@ object SparkEntry {
       Curate.packChunks(s, d)),
     "q56_scrub" -> (TextAnalysis.scrub(_, _)),
     "q57_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocab(s, d)),
-    "q58_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d))
+    "q58_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
+    "q59_temperature_mixture" -> ((s: SparkSession, d: String) =>
+      Curate.temperatureMixture(s, d)),
+    "q60_curation_pipeline" -> (Curate.curationPipeline(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +259,8 @@ object SparkEntry {
     "q55_pack_chunks" -> Curate.packChunksOracle,
     "q56_scrub" -> TextAnalysis.scrubOracle,
     "q57_vocab" -> TextAnalysis.vocabOracle,
-    "q58_tfidf" -> TextAnalysis.tfidfOracle
+    "q58_tfidf" -> TextAnalysis.tfidfOracle,
+    "q59_temperature_mixture" -> Curate.temperatureMixtureOracle,
+    "q60_curation_pipeline" -> Curate.curationPipelineOracle
   )
 }

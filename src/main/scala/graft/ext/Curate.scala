@@ -528,6 +528,172 @@ object Curate {
       .orderBy(col("source"), col("chunk_id"), col("chunk_offset"), col("doc_id"))
   }
 
+  // --- temperature-scaled mixture weights ----------------------------------
+
+  /** q59: temperature-scaled source mixture — per-source sampling weights
+    * `tokens^alpha / Σ tokens^alpha` (alpha < 1 upweights small sources,
+    * the standard training-mix temperature), an admission rate hitting a
+    * token budget of `budgetFrac` × corpus, and the count of documents a
+    * deterministic hash-cutoff admission actually admits at that rate.
+    *
+    * Determinism across engines: rates are rounded to 4 decimals before
+    * the cutoff is derived, so a last-ulp `pow` difference between
+    * engines cannot flip a document across the admission boundary; the
+    * cutoff compares the md5 hash's 24-bit prefix, which both engines
+    * print identically.
+    *
+    * Scale: two aggregations (per-source stats: one row per source; the
+    * per-source admitted count) plus one broadcast join of the rate
+    * table. The corpus-total window runs over the source-level aggregate
+    * — rows bounded by source count, never corpus size. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      alpha: Double = 0.7, budgetFrac: Double = 0.5): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      substring(sampleHash(col("doc_id")), 1, 6).as("hp"))
+    val s = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("pw", pow(col("n_tokens").cast("double"), alpha))
+    val all = Window.partitionBy() // source-level aggregate only: tiny
+    val rates = s
+      .withColumn("spw", sum(col("pw")).over(all))
+      .withColumn("stok", sum(col("n_tokens")).over(all))
+      .withColumn("weight", round(col("pw") / col("spw"), 4))
+      .withColumn("rate", round(least(lit(1.0),
+        (lit(budgetFrac) * col("stok") * col("pw") / col("spw"))
+          / col("n_tokens")), 4))
+      .withColumn("cutoff", ceil(col("rate") * 16777216.0).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("rate"), col("cutoff"))
+    d.join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("rate"))
+      .agg(sum(when(col("cutoff") >= 16777216L ||
+          col("hp") < format_string("%06x", col("cutoff")), 1L)
+        .otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureMixtureOracle: String =
+    """WITH s AS (
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+       w AS (SELECT *, pow(n_tokens, 0.7) AS pw FROM s),
+       tot AS (SELECT sum(pw) AS spw, sum(n_tokens) AS stok FROM w),
+       r AS (SELECT w.source AS src, n_docs, n_tokens,
+               round(pw / spw, 4) AS weight,
+               round(least(1.0, (0.5 * stok * pw / spw) / n_tokens), 4) AS rate
+             FROM w CROSS JOIN tot),
+       adm AS (SELECT d.doc_id, d.source AS src,
+                 substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS hp
+               FROM documents d),
+       j AS (SELECT r.*, CAST(ceil(rate * 16777216.0) AS BIGINT) AS cutoff
+             FROM r)
+       SELECT j.src AS source, n_docs, n_tokens, weight, rate,
+         CAST(count(*) FILTER (WHERE cutoff >= 16777216
+           OR hp < printf('%06x', cutoff)) AS BIGINT) AS n_sampled
+       FROM j JOIN adm ON adm.src = j.src
+       GROUP BY 1,2,3,4,5 ORDER BY source"""
+
+  // --- end-to-end curation verdict -----------------------------------------
+
+  /** q60: the composed curation verdict — for every document, whether it
+    * survives the full pipeline: not dropped as a worse-quality near-dup
+    * (q53), not contaminated against the benchmark set (q54), not in the
+    * low quality band (q52). The "what actually ships to training" query,
+    * demonstrating the curation operators compose by plain joins.
+    *
+    * Scale: the per-stage costs are each stage's own (documented on each
+    * operator); composition adds three left joins keyed on doc_id. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityScore(spark, dir)
+      .select(col("doc_id"), (col("quality_band") === "low").as("low_q"))
+    val dropped = dedupResolution(spark, dir)
+      .filter(!col("is_kept")).select(col("doc_id"), lit(true).as("dd"))
+    val contaminated = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("ct"))
+    base
+      .join(dropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dd"), lit(false)).as("is_dup_dropped"),
+        coalesce(col("ct"), lit(false)).as("is_contaminated"),
+        col("low_q").as("is_low_quality"),
+        (coalesce(col("dd"), lit(false)) === false &&
+          coalesce(col("ct"), lit(false)) === false &&
+          !col("low_q")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPipelineOracle: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos
+         FROM documents),
+       t AS (
+         SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM d GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+               FROM d x JOIN d y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT a, b FROM com JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM walk GROUP BY node),
+       qtok AS (SELECT doc_id, unnest(string_split(text,' ')) AS qw,
+                  generate_subscripts(string_split(text,' '),1) AS qpos
+                FROM documents),
+       qbg AS (SELECT a.doc_id, a.qw||' '||b.qw AS g FROM qtok a
+               JOIN qtok b ON a.doc_id=b.doc_id AND b.qpos=a.qpos+1),
+       qbc AS (SELECT doc_id, g, count(*) c FROM qbg GROUP BY 1,2),
+       qb1 AS (SELECT doc_id, max(c) top_bc, sum(c) nb FROM qbc GROUP BY 1),
+       qbase AS (
+         SELECT doc_id, len(string_split(text,' ')) * 1.0 AS n,
+           len(list_distinct(string_split(text,' '))) * 1.0 AS n_uniq,
+           length(replace(text,' ','')) * 1.0 AS chars
+         FROM documents),
+       qsig AS (
+         SELECT qbase.doc_id,
+           round(0.3 * least(n / 200.0, 1.0) +
+           0.3 * (n_uniq / n) +
+           0.2 * (1.0 - coalesce(top_bc * 1.0 / nb, 0.0)) +
+           0.2 * least(greatest((chars / n - 2.0) / 4.0, 0.0), 1.0), 4) AS s
+         FROM qbase LEFT JOIN qb1 ON qbase.doc_id = qb1.doc_id),
+       ranked AS (
+         SELECT cc.doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY qsig.s DESC, cc.doc_id) AS rk
+         FROM cc JOIN qsig ON cc.doc_id = qsig.doc_id),
+       dup_dropped AS (SELECT doc_id FROM ranked WHERE rk > 1),
+       cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       cgi AS (SELECT doc_id, ws,
+                unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i FROM cw),
+       cg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+              FROM cgi),
+       cbench AS (SELECT DISTINCT sh FROM cg WHERE doc_id % 50 = 0),
+       contaminated AS (
+         SELECT DISTINCT cg.doc_id FROM cg JOIN cbench USING (sh)
+         WHERE cg.doc_id % 50 <> 0)
+       SELECT doc.doc_id,
+         (dd.doc_id IS NOT NULL) AS is_dup_dropped,
+         (ct.doc_id IS NOT NULL) AS is_contaminated,
+         (qsig.s < 0.5) AS is_low_quality,
+         (dd.doc_id IS NULL AND ct.doc_id IS NULL AND qsig.s >= 0.5) AS is_kept
+       FROM documents doc
+       LEFT JOIN dup_dropped dd ON doc.doc_id = dd.doc_id
+       LEFT JOIN contaminated ct ON doc.doc_id = ct.doc_id
+       JOIN qsig ON doc.doc_id = qsig.doc_id
+       ORDER BY doc.doc_id"""
+
   val packChunksOracle: String =
     """WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n,
                     md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -194,6 +194,41 @@ class CurateSpec extends SparkSpecBase {
     } finally spark.conf.set(key, saved)
   }
 
+  test("temperatureMixture upweights small sources and admits within caps") {
+    val rows = Curate.temperatureMixture(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 0.01) // weights normalize
+    assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    assert(rows.forall(r => r._6 <= r._2)) // admitted ≤ docs
+    // alpha < 1: smaller sources get a HIGHER admission rate
+    val bySize = rows.sortBy(_._3)
+    assert(bySize.head._5 >= bySize.last._5)
+  }
+
+  test("curationPipeline flags agree with the individual operators") {
+    val got = Curate.curationPipeline(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == 500)
+    val dropped = Curate.dedupResolution(spark, sf0001)
+      .filter(!col("is_kept")).collect().map(_.getLong(0)).toSet
+    val contaminated = Curate.decontaminate(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val lowQ = Curate.qualityScore(spark, sf0001)
+      .filter(col("quality_band") === "low")
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, (dd, ct, lq, kept)) =>
+      assert(dd == dropped(id), s"doc $id dup flag")
+      assert(ct == contaminated(id), s"doc $id contamination flag")
+      assert(lq == lowQ(id), s"doc $id quality flag")
+      assert(kept == (!dd && !ct && !lq), s"doc $id kept flag")
+    }
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+
   test("qualityScore is bounded and bands match thresholds") {
     val q = Curate.qualityScore(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getString(2)))
