@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{Fingerprint64, ShingleHashes, TrigramLangScores}
+import graft.plans.AsOfJoinStrategy
+
+/** SparkSessionExtensions entry point — makes the engine's custom
+  * Catalyst pieces first-class for ANY session (including plain
+  * `spark-sql` / thrift users who never touch the Scala API):
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * injects the as-of join planner strategy (so `AsOfJoinNode` plans
+  * without the imperative `extraStrategies` registration the Scala API
+  * also performs) and registers the codegen'd expressions as SQL
+  * functions: `fingerprint64(text)`, `shingle_hashes(text[, k])`,
+  * `trigram_lang_scores(text)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Fingerprint64(c)
+        case _ => throw new IllegalArgumentException(
+          "fingerprint64(text) takes exactly one argument")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ShingleHashes(c, 3)
+        case Seq(c, Literal(k: Int, _)) => ShingleHashes(c, k)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text[, k: int literal])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("trigram_lang_scores"),
+      new ExpressionInfo(
+        classOf[TrigramLangScores].getName, "trigram_lang_scores"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TrigramLangScores(c)
+        case _ => throw new IllegalArgumentException(
+          "trigram_lang_scores(text) takes exactly one argument")
+      }))
+  }
+}

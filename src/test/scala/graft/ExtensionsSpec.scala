@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.Fingerprint64
+import graft.plans.AsOfJoinStrategy
+
+/** GraftExtensions: a session built with
+  * spark.sql.extensions=graft.GraftExtensions gets the custom SQL
+  * functions and the as-of planner strategy with zero Scala-API calls. */
+class ExtensionsSpec extends SparkSpecBase {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val prev = spark // force init of the shared session / context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions applies the same class the spark.sql.extensions
+      // static conf names (a static conf cannot be applied when the test
+      // JVM's SparkContext already exists)
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate() // shares the SparkContext, new session state
+      f(s2)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("SQL functions registered via spark.sql.extensions") {
+    withExtendedSession { s2 =>
+      val fp = s2.sql("SELECT fingerprint64('hello world')")
+        .collect()(0).getLong(0)
+      assert(fp == Fingerprint64.hashBytes("hello world".getBytes("UTF-8")))
+      // 'a b c d e' has 4 distinct 2-gram shingles
+      val n2 = s2.sql("SELECT size(shingle_hashes('a b c d e', 2))")
+        .collect()(0).getInt(0)
+      assert(n2 == 4)
+      // default k = 3 -> 3 shingles
+      val n3 = s2.sql("SELECT size(shingle_hashes('a b c d e'))")
+        .collect()(0).getInt(0)
+      assert(n3 == 3)
+      val scores = s2.sql("SELECT trigram_lang_scores('the of and to in')")
+        .collect()(0).getSeq[Double](0)
+      assert(scores.length == 5)
+      assert(scores.exists(_ > 0.0))
+    }
+  }
+
+  test("as-of planner strategy injected via spark.sql.extensions") {
+    withExtendedSession { s2 =>
+      assert(s2.sessionState.planner.strategies.contains(AsOfJoinStrategy))
+    }
+  }
+
+  test("plain sessions do not leak the injected functions") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT fingerprint64('x')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("fingerprint64"))
+  }
+}
