@@ -47,7 +47,7 @@ object Curate {
     * MapReduce and Beyond") converges in O(log n) rounds with the same
     * join primitive; the fixture graphs here never need it.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -71,6 +71,13 @@ object Curate {
       labels = next.drop("changed")
       iter += 1
     }
+    // a silent partial propagation would be WRONG labels, not slow ones —
+    // refuse to answer rather than mislabel
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds; the " +
+        "pair graph has a path longer than expected for near-dup " +
+        "clusters — raise maxIters or switch to the O(log n)-round " +
+        "large-star/small-star algorithm (Kiveris et al.)")
     labels
   }
 

@@ -16,6 +16,17 @@ class CurateSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    import spark.implicits._
+    // a path graph of length 6 needs ~5 propagation rounds; cap at 2
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Curate.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupClusters matches a driver-side transitive closure of the pairs") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
       .select(col("a"), col("b")).collect()
