@@ -87,7 +87,8 @@ object SparkEntry {
     "q58_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidf(s, d)),
     "q59_temperature_mixture" -> ((s: SparkSession, d: String) =>
       Curate.temperatureMixture(s, d)),
-    "q60_curation_pipeline" -> (Curate.curationPipeline(_, _))
+    "q60_curation_pipeline" -> (Curate.curationPipeline(_, _)),
+    "q61_dedup_incremental" -> (Dedup.incremental(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,6 +262,7 @@ object SparkEntry {
     "q57_vocab" -> TextAnalysis.vocabOracle,
     "q58_tfidf" -> TextAnalysis.tfidfOracle,
     "q59_temperature_mixture" -> Curate.temperatureMixtureOracle,
-    "q60_curation_pipeline" -> Curate.curationPipelineOracle
+    "q60_curation_pipeline" -> Curate.curationPipelineOracle,
+    "q61_dedup_incremental" -> Dedup.incrementalOracle
   )
 }

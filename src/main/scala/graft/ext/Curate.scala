@@ -155,13 +155,17 @@ object Curate {
     val space = 1L << 24 // 6 hex chars
     val cutoffs = counts.map { case (lang, n) =>
       val p = math.min(1.0, oversample.toDouble * k / math.max(n, 1L))
-      val bound = math.min(space, math.ceil(p * space).toLong + 1)
-      lang -> f"$bound%06x"
+      lang -> math.min(space, math.ceil(p * space).toLong + 1)
     }
     val cutoffDf = d.sparkSession.createDataFrame(cutoffs.toSeq)
       .toDF("lang", "cutoff")
+    // cutoff == space means admit-all: compare numerically via the flag,
+    // not lexicographically — a 7-hex-digit "%06x" would sort BELOW most
+    // 6-digit prefixes and silently under-select (the fallback would
+    // still correct it, at the price of a full re-scan)
     val survivors = d.join(broadcast(cutoffDf), "lang")
-      .filter(substring(col("h"), 1, 6) < col("cutoff"))
+      .filter(col("cutoff") >= space ||
+        substring(col("h"), 1, 6) < format_string("%06x", col("cutoff")))
     // verification: any under-selected stratum falls back to the full scan
     val ok = survivors.groupBy("lang").agg(count(lit(1)).as("m")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -172,7 +176,8 @@ object Curate {
       else survivors.unionByName(
         d.filter(col("lang").isin(short.toSeq: _*))
           .join(broadcast(cutoffDf), "lang")
-          .filter(substring(col("h"), 1, 6) >= col("cutoff"))
+          .filter(col("cutoff") < space &&
+            substring(col("h"), 1, 6) >= format_string("%06x", col("cutoff")))
       )
     val win = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     pool

@@ -69,6 +69,41 @@ object Dedup {
        count(*) AS n_copies, max(n_chars) AS n_chars
        FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
+  /** Incremental exact dedup — the ingestion-time shape of [[exact]]:
+    * admit only batch documents whose content digest is new, both
+    * against the already-ingested digest set and within the batch
+    * (first occurrence = min id wins).
+    *
+    * Scale: within-batch first-occurrence is a digest groupBy (map-side
+    * combinable); the seen-set check is a left-anti join on a
+    * fixed-width 32-byte key — the seen side ships only digests, never
+    * text, so a petabyte corpus contributes gigabytes of join state. */
+  def incrementalNew(batch: DataFrame, seenDigests: DataFrame): DataFrame =
+    batch
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(seenDigests.select(col("digest")).distinct(), Seq("digest"),
+        "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+
+  /** q61: [[incrementalNew]] over the documents table with the even ids
+    * standing in for the already-ingested corpus. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    incrementalNew(d.filter(col("doc_id") % 2 =!= 0),
+      d.filter(col("doc_id") % 2 === 0))
+  }
+
+  val incrementalOracle: String =
+    """WITH d AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+       seen AS (SELECT DISTINCT digest FROM d WHERE doc_id % 2 = 0),
+       firstb AS (SELECT digest, min(doc_id) AS doc_id
+                  FROM d WHERE doc_id % 2 <> 0 GROUP BY 1)
+       SELECT doc_id, digest FROM firstb
+       WHERE digest NOT IN (SELECT digest FROM seen) ORDER BY doc_id"""
+
   // --- MinHash + LSH -------------------------------------------------------
 
   val MinhashK = 64      // signature length

@@ -65,6 +65,18 @@ class CurateSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stratifiedSample admit-all cutoff (k >= stratum) is exact") {
+    val d = Tables(spark, sf0001, "documents")
+    // k exceeds every stratum -> p = 1 -> numeric admit-all path; every
+    // doc must come back, ranked, with no stratum lost to the hex compare
+    val got = Curate.stratifiedSampleOf(d, 200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.length == 500)
+    assert(got.map(_._1).distinct.length == 500)
+    val perLang = got.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    perLang.values.foreach(rs => assert(rs.toSeq == (1 to rs.length)))
+  }
+
   test("stratifiedSample under-selecting cutoff falls back and stays exact") {
     val d = Tables(spark, sf0001, "documents")
     // oversample=0 → cutoff admits ~nothing → every stratum takes the

@@ -36,6 +36,22 @@ class DedupSpec extends SparkSpecBase {
     assert(grouped == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incrementalNew drops seen digests and within-batch duplicates") {
+    import spark.implicits._
+    val seen = Seq("old text one", "old text two")
+      .toDF("text").select(sha2(col("text"), 256).as("digest"))
+    val batch = Seq(
+      (10L, "old text one"),  // already ingested -> dropped
+      (11L, "fresh text"),    // new -> kept
+      (12L, "fresh text"),    // within-batch dup -> dropped (11 wins)
+      (13L, "another fresh")  // new -> kept
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val got = Dedup.incrementalNew(batch, seen)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
   test("shingles: short docs yield empty array, k-grams are distinct") {
     import spark.implicits._
     val df = Seq("a b", "a b c d", "a b a b a b c d").toDF("text")
