@@ -85,8 +85,14 @@ object Curate {
     * word-3-gram Jaccard ≥ 0.8 pairs, with the cluster representative
     * (minimum doc id) as cluster_id and the member count. Only documents
     * that participate in at least one near-dup pair appear. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(spark, dir, 0.8).select(col("a"), col("b"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(
+      Dedup.ngramJaccardPairs(spark, dir, 0.8).select(col("a"), col("b")))
+
+  /** Pure form over a precomputed pair list — pass a `localCheckpoint`'ed
+    * pairs DataFrame to share the (dominant) pair-derivation cost across
+    * clustering, resolution, and the composed verdict in one pipeline. */
+  def dedupClustersOf(pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
@@ -374,12 +380,16 @@ object Curate {
     * keyed on doc_id) and a window per cluster_id — cluster sizes are
     * bounded by near-dup group sizes (tens, not millions), so the window
     * partitions stay tiny at any corpus size. */
-  def dedupResolution(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
-    val quality = qualityScore(spark, dir).select(col("doc_id"), col("quality_score"))
+  def dedupResolution(spark: SparkSession, dir: String): DataFrame =
+    dedupResolutionOf(dedupClusters(spark, dir), qualityScore(spark, dir))
+
+  /** Pure form over precomputed clusters (q48 shape) and quality scores
+    * (q52 shape) — reuse both across a pipeline instead of re-deriving. */
+  def dedupResolutionOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))
-    clusters.join(quality, "doc_id")
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
       .withColumn("is_kept", row_number().over(win) === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("is_kept"))
       .orderBy(col("cluster_id"), col("doc_id"))
@@ -618,12 +628,21 @@ object Curate {
     *
     * Scale: the per-stage costs are each stage's own (documented on each
     * operator); composition adds three left joins keyed on doc_id. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val base = qualityScore(spark, dir)
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineOf(qualityScore(spark, dir),
+      dedupResolution(spark, dir), decontaminate(spark, dir))
+
+  /** Pure form over precomputed q52/q53/q54 outputs. A pipeline that
+    * `localCheckpoint`s the quality scores and the near-dup pairs pays
+    * the dominant derivations once across all of q48/q52/q53/q54/q60
+    * (the registered standalone entries each re-derive by design). */
+  def curationPipelineOf(quality: DataFrame, resolution: DataFrame,
+      contaminatedDocs: DataFrame): DataFrame = {
+    val base = quality
       .select(col("doc_id"), (col("quality_band") === "low").as("low_q"))
-    val dropped = dedupResolution(spark, dir)
+    val dropped = resolution
       .filter(!col("is_kept")).select(col("doc_id"), lit(true).as("dd"))
-    val contaminated = decontaminate(spark, dir)
+    val contaminated = contaminatedDocs
       .select(col("doc_id"), lit(true).as("ct"))
     base
       .join(dropped, Seq("doc_id"), "left")

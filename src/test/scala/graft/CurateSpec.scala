@@ -252,6 +252,25 @@ class CurateSpec extends SparkSpecBase {
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
 
+  test("pipeline reuse: checkpointed intermediates reproduce the " +
+      "standalone queries") {
+    import graft.ext.Dedup
+    // pay the dominant derivations once...
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .select(col("a"), col("b")).localCheckpoint()
+    val quality = Curate.qualityScore(spark, sf0001).localCheckpoint()
+    // ...and derive clustering, resolution, and the verdict from them
+    val clusters = Curate.dedupClustersOf(pairs)
+    val resolution = Curate.dedupResolutionOf(clusters, quality)
+    val verdict = Curate.curationPipelineOf(quality, resolution,
+      Curate.decontaminate(spark, sf0001))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(clusters) == rows(Curate.dedupClusters(spark, sf0001)))
+    assert(rows(resolution) == rows(Curate.dedupResolution(spark, sf0001)))
+    assert(rows(verdict) == rows(Curate.curationPipeline(spark, sf0001)))
+  }
+
   test("qualityScore is bounded and bands match thresholds") {
     val q = Curate.qualityScore(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getString(2)))
