@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Fingerprint64, ShingleHashes, TrigramLangScores}
+import graft.functions.{Fingerprint64, NfcNormalize, ShingleHashes, TrigramLangScores}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(k: Int, _)) => ShingleHashes(c, k)
         case _ => throw new IllegalArgumentException(
           "shingle_hashes(text[, k: int literal])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text) takes exactly one argument")
       }))
 
     ext.injectFunction((

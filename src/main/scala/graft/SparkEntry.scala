@@ -88,7 +88,8 @@ object SparkEntry {
     "q59_temperature_mixture" -> ((s: SparkSession, d: String) =>
       Curate.temperatureMixture(s, d)),
     "q60_curation_pipeline" -> (Curate.curationPipeline(_, _)),
-    "q61_dedup_incremental" -> (Dedup.incremental(_, _))
+    "q61_dedup_incremental" -> (Dedup.incremental(_, _)),
+    "q62_nfc_normalize" -> (TextAnalysis.normalize(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -263,6 +264,7 @@ object SparkEntry {
     "q58_tfidf" -> TextAnalysis.tfidfOracle,
     "q59_temperature_mixture" -> Curate.temperatureMixtureOracle,
     "q60_curation_pipeline" -> Curate.curationPipelineOracle,
-    "q61_dedup_incremental" -> Dedup.incrementalOracle
+    "q61_dedup_incremental" -> Dedup.incrementalOracle,
+    "q62_nfc_normalize" -> TextAnalysis.normalizeOracle
   )
 }

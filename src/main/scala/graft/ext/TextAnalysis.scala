@@ -160,6 +160,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q62: Unicode NFC normalization pass — composed-form text plus a
+    * flag for documents the pass actually changed (mixed-form corpora
+    * break digest dedup and tokenizer equality). Narrow map via the
+    * custom codegen'd [[graft.functions.NfcNormalize]] expression with
+    * an allocation-free already-normalized fast path. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc_normalize
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        nfc_normalize(col("text")).as("normalized_text"),
+        (nfc_normalize(col("text")) =!= col("text")).as("was_denormalized"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeOracle: String =
+    """SELECT doc_id, nfc_normalize(text) AS normalized_text,
+       (nfc_normalize(text) <> text) AS was_denormalized
+       FROM documents ORDER BY doc_id"""
+
   /** q57: corpus vocabulary — the top-`topK` tokens by total occurrence
     * count, with document frequency. The first thing anyone computes over
     * a new corpus, and the input to stopword/vocab-truncation decisions.

@@ -49,6 +49,24 @@ class TextSpec extends SparkSpecBase {
     assert(l.filter(col("pred_lang").isNull).count() == 0)
   }
 
+  test("nfc_normalize composes decomposed forms and flags changed docs") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    val composed = "café"            // é as one codepoint
+    val decomposed = "café"         // e + combining acute
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), nfc_normalize(col("text")).as("n"),
+        (nfc_normalize(col("text")) =!= col("text")).as("chg"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((composed, true)))  // decomposed -> composed
+    assert(got(2L) == ((composed, false)))
+    assert(got(3L) == (("plain ascii", false)))
+    // digest dedup now sees the two spellings as one document
+    assert(got(1L)._1 == got(2L)._1)
+  }
+
   test("scrub redacts urls, emails and ips with correct counts") {
     import spark.implicits._
     val df = Seq(
