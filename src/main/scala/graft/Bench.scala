@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * JIT + session initialization don't land in the first measured query;
   * queries run in name order for stable output.
   *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * reported per-query time is the MEDIAN, with min/max spread emitted in
+  * a parallel "spread" map. A single-run harness cannot distinguish an
+  * engine regression from transient machine load (a pure codegen'd
+  * narrow map once recorded 3.4 s and 77.6 s from byte-identical code);
+  * the median of three is robust to one loaded run while keeping total
+  * bench wall-clock bounded.
+  *
   * Each query is materialized through the `noop` sink, not `count()`:
   * under a count Catalyst prunes every column and drops sorts, so
   * per-row transform queries would benchmark little more than a scan.
@@ -16,6 +24,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,15 +36,24 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
     try exec(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = Seq.fill(runs)(timeOnce(fn)).sorted
+      val median = ts(ts.length / 2)
+      (name, median, ts.head, ts.last)
+    }
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ import graft.plans.AsOfJoinStrategy
   * without the imperative `extraStrategies` registration the Scala API
   * also performs) and registers the codegen'd expressions as SQL
   * functions: `fingerprint64(text)`, `shingle_hashes(text[, k])`,
-  * `trigram_lang_scores(text)`.
+  * `nfc_normalize(text)`, `trigram_lang_scores(text)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

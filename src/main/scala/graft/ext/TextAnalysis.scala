@@ -141,9 +141,13 @@ object TextAnalysis {
       "<IP>"))
 
   /** q56: scrub URLs, emails and IPv4 literals from document text,
-    * reporting the per-document redaction counts — the standard PII/
-    * link-removal pass before training. Pure narrow map (three codegen'd
-    * regexp passes), shuffle-free at any corpus size. */
+    * reporting per-document pattern occurrence counts in the RAW text —
+    * the standard PII/link-removal pass before training. Note the counts
+    * are raw-text occurrences, not replacements performed: replacements
+    * apply sequentially, so an email or IP embedded inside a URL is
+    * consumed by the `<URL>` replacement yet still counted under its own
+    * pattern (the oracle counts identically). Pure narrow map (three
+    * codegen'd regexp passes), shuffle-free at any corpus size. */
   def scrub(spark: SparkSession, dir: String): DataFrame =
     scrubOf(Tables(spark, dir, "documents"))
 

@@ -129,6 +129,53 @@ class CurateSpec extends SparkSpecBase {
     assert(rows.map(_._1).toSet == want)
   }
 
+  test("mixtureSample is deterministic across parallelism and window-free") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def run(): Set[(Long, String, Long, Long)] =
+      Curate.mixtureSample(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    try {
+      spark.conf.set(key, "3")
+      val a = run()
+      spark.conf.set(key, "17")
+      val b = run()
+      assert(a == b) // range-partition boundaries moved; results must not
+    } finally spark.conf.set(key, saved)
+    // the scale contract: no per-source unbounded window anywhere — the
+    // running sum comes from the two-phase prefix sum, not a Window
+    val plan = Curate.mixtureSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("stratifiedSample keeps a NULL-lang stratum (null-safe join key)") {
+    import spark.implicits._
+    // 3 langs incl. a NULL stratum; window PARTITION BY lang groups NULLs
+    // together — the sampler must not drop them via an inner join on lang
+    val d = (1L to 30L).map { i =>
+      val lang = (i % 3) match {
+        case 0 => null
+        case 1 => "en"
+        case _ => "de"
+      }
+      (i, lang, s"doc $i text")
+    }.toDF("doc_id", "lang", "text")
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = d
+      .withColumn("sample_rank", row_number().over(win).cast("int"))
+      .filter(col("sample_rank") <= 4)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = Curate.stratifiedSampleOf(d, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.count(_._2 == null) == 4) // the NULL stratum is sampled
+  }
+
   test("dedupResolution keeps exactly the best-quality member per cluster") {
     val rows = Curate.dedupResolution(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
