@@ -121,11 +121,16 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for the query set (vec_id < nQueries),
     * self-matches excluded. Queries broadcast; each partition scans its
-    * corpus slice once computing nQueries dot products per vector, then a
-    * per-query top-k (partial per partition via the sort-limit). */
+    * corpus slice once computing nQueries dot products per vector; the
+    * per-query top-k is a bounded-heap aggregate
+    * ([[graft.functions.TopK]]), so partial aggregation keeps at most k
+    * candidates per (partition, query) map-side and the shuffle carries
+    * k-element buffers — never the n·nQueries scored rows a row_number
+    * window would sort. */
   def knnBruteForce(spark: SparkSession, dir: String,
       nQueries: Int = 16, k: Int = 5): DataFrame = {
     import spark.implicits._
+    import graft.functions.TopK.top_k_by_score
     val ds = vecs(spark, dir)
     val queries = ds.filter(col("vec_id") < nQueries).collect().sortBy(_.vec_id)
     val bq = spark.sparkContext.broadcast(
@@ -137,12 +142,11 @@ object Similarity {
           (qid, v.vec_id, dot(qe, v.embedding) / (qn * nv))
       }
     }.toDF("q_id", "neighbor_id", "cos")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    scored.groupBy(col("q_id"))
+      .agg(top_k_by_score(col("cos"), col("neighbor_id"), k).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("nb"))
+      .select(col("q_id"), col("nb.rank").as("rank"),
+        col("nb.id").as("neighbor_id"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -35,21 +35,67 @@ object Analytics {
     * (value at row ⌈q·n⌉ of the sorted group). Interpolated percentiles
     * average two neighbors and land on .xx5 midpoints — a cross-engine
     * rounding coin flip — so the discrete form is the hash-stable exact
-    * surface; a 100 TB deployment uses approx_percentile (q40). */
+    * surface; approx_percentile (q40) is the sketch twin.
+    *
+    * Scale: the naive plan (row_number window per stratum) funnels every
+    * stratum — 3 distinct return flags — through one reducer sort chain:
+    * a near-global sort at 100×. This is the two-phase exact form
+    * instead: phase 1 aggregates a coarse per-(stratum, value-bucket)
+    * histogram — map-side combinable, result rows bounded by strata ×
+    * price domain / bucket width, never corpus size — and the driver
+    * locates, per stratum, the single bucket containing each target rank
+    * plus the count of rows in buckets strictly below it. Phase 2
+    * broadcast-joins those target buckets back and windows ONLY the rows
+    * inside them (≈ n/buckets of the stratum): the value at global rank
+    * r is the row with local rank r − offset inside its bucket, because
+    * every row in a lower bucket is strictly smaller and ties (equal
+    * values) can never straddle a bucket boundary. Exact by
+    * construction at any scale; worst case (all values in one bucket)
+    * degrades to the naive window, never to a wrong answer. */
   def q35Percentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bucketed = li.withColumn("bkt",
+      floor(col("l_extendedprice") / 1000.0).cast("long"))
+    // phase 1: coarse histogram (tiny) → per-stratum target buckets
+    val hist = bucketed.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // rows below `bkt` = offset; rank r lives in the first bucket whose
+    // cumulative count reaches r
+    def locate(sorted: Seq[(Long, Long)], r: Long): (Long, Long) = {
+      var cum = 0L
+      var found: Option[(Long, Long)] = None
+      val it = sorted.iterator
+      while (found.isEmpty && it.hasNext) {
+        val (b, c) = it.next()
+        if (r <= cum + c) found = Some((b, cum)) else cum += c
+      }
+      found.getOrElse(throw new IllegalStateException(
+        s"rank $r exceeds stratum size $cum"))
+    }
+    val targets = hist.groupBy(_._1).toSeq.flatMap { case (flag, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      Seq("p50" -> math.ceil(0.5 * n).toLong,
+          "p95" -> math.ceil(0.95 * n).toLong).map { case (qn, r) =>
+        val (bkt, offset) = locate(sorted, r)
+        (flag, qn, bkt, offset, r, n)
+      }
+    }
+    val targetDf = spark.createDataFrame(targets)
+      .toDF("l_returnflag", "q", "bkt", "offset", "rank", "n")
+    // phase 2: window only the bracketed buckets' rows
+    val w = Window.partitionBy(col("l_returnflag"), col("q"), col("bkt"))
+      .orderBy(col("l_extendedprice"))
+    bucketed.join(broadcast(targetDf), Seq("l_returnflag", "bkt"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("offset") + col("rn") === col("rank"))
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
-          .as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.95), col("l_extendedprice")))
-          .as("p95"),
+        max(when(col("q") === "p50", col("l_extendedprice"))).as("p50"),
+        max(when(col("q") === "p95", col("l_extendedprice"))).as("p95"),
         max(col("n")).as("n"))
       .orderBy(col("l_returnflag"))
   }

@@ -13,6 +13,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(knn.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(1 to 5)))
   }
 
+  test("kNN bounded-heap top-k equals a driver-side recompute, window-free") {
+    val vs = Tables(spark, sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val want = vs.filter(_._1 < 16).flatMap { case (q, qe) =>
+      vs.filter(_._1 != q).map { case (n, ne) => (n, cos(qe, ne)) }
+        .sortBy(x => (-x._2, x._1)).take(5).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1, n) }
+    }.toSet
+    val df = ext.Similarity.knnBruteForce(spark, sf0001, nQueries = 16, k = 5)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // scale contract: the top-k is a bounded-heap aggregate with map-side
+    // partials, not a row_number window over all scored rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("top_k_by_score"), plan.take(800))
+    assert(plan.contains("partial_top_k_by_score"), plan.take(800))
+  }
+
   test("multiprobe LSH ANN reaches usable recall@1 on random vectors") {
     val brute = Similarity.knnBruteForce(spark, sf0001, nQueries = 500, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
