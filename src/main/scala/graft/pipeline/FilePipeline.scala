@@ -213,71 +213,77 @@ object FilePipeline {
     CsvIngest(perFileCounts.values.sum, okFiles, failures)
   }
 
+  /** What one metadata-stage ingest did. */
+  case class MetaIngest(dimRowsInserted: Long, okFiles: Seq[Path], failures: Int)
+
+  /** Metadata-stage ingest of a concrete file list (K4, fixed:
+    * validate-then-skip, real row count; per-file reconciliation BEFORE
+    * the dim append so a failed file contributes zero dim rows — the
+    * in-file id must match the filename uuid, same gate as the fact
+    * stage). Shared by the batch [[run]] and the streaming foreachBatch
+    * body so both modes produce dim rows from `metadata_<uuid>.json`. */
+  def ingestMetadataFiles(spark: SparkSession, layout: Layout,
+      metaFiles: Seq[Path]): MetaIngest = {
+    if (metaFiles.isEmpty) return MetaIngest(0L, Seq.empty, 0)
+    val t0 = new Timestamp(System.currentTimeMillis())
+    import spark.implicits._
+    // one JSON object per file (not JSONL) — multiLine, like json.load
+    val raw = spark.read.schema(Schemas.metadataJsonSchema)
+      .option("multiLine", "true")
+      .json(metaFiles.map(_.toString): _*)
+      .withColumn("file_simulation_id",
+        regexp_extract(input_file_name(),
+          "metadata_([0-9a-fA-F-]{36})\\.json", 1))
+      .withColumnsRenamed(Schemas.metadataRenameMap)
+      .withColumn("date_run", to_date(col("date_run")))
+    val valid = raw.filter(col("simulation_id").isNotNull &&
+      col("simulation_id") === col("file_simulation_id"))
+    val okMetaIds = valid.select("simulation_id").collect()
+      .map(_.getString(0)).toSet
+    val typed = valid.drop("file_simulation_id").as[graft.schema.Metadata]
+    val hw = Enrich.highWaterMark(readDim(spark, layout), "simulation_num")
+    val numbered = Enrich.numberDim(typed, hw)
+      .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
+    numbered.write.mode("append").parquet(layout.dimTable)
+    // B3 parity: mirror the dim insert into the relational sink
+    layout.jdbc.foreach(t =>
+      graft.sources.JdbcSink.append(numbered, t, "dim_rxn"))
+    val t1 = new Timestamp(System.currentTimeMillis())
+    var failures = 0
+    val ledgerRows = metaFiles.flatMap(simId).map { id =>
+      val ok = okMetaIds.contains(id)
+      if (!ok) failures += 1
+      Ledger.Entry(id, Ledger.EtlTypeMetadata, t0, t1,
+        if (ok) 1L else 0L, if (ok) "success" else "failed",
+        if (ok) None
+        else Some("metadata validation failed or id/filename mismatch"))
+    }
+    Ledger.append(spark, layout.ledger, ledgerRows)
+    MetaIngest(okMetaIds.size.toLong,
+      metaFiles.filter(p => simId(p).exists(okMetaIds)), failures)
+  }
+
   /** Stage 1+2+3 for one batch run. Returns what happened. */
   def run(spark: SparkSession, root: String): RunReport =
     run(spark, Layout(root))
 
   def run(spark: SparkSession, layout: Layout): RunReport = {
-    val t0 = new Timestamp(System.currentTimeMillis())
-    var failures = 0
-    var okMetaIds = Set.empty[String]
-
-    // --- metadata stage (K4, fixed: validate-then-skip, real row count;
-    //     per-file reconciliation BEFORE the dim append so a failed file
-    //     contributes zero dim rows — in-file id must match the filename
-    //     uuid, same gate as the fact stage) -----------------------------
+    // --- metadata stage (K4) --------------------------------------------
     val metaFiles = newFiles(spark, layout,
       listIncoming(spark, layout, ".json"), Ledger.EtlTypeMetadata)
-    var dimInserted = 0L
-    if (metaFiles.nonEmpty) {
-      import spark.implicits._
-      // one JSON object per file (not JSONL) — multiLine, like json.load
-      val raw = spark.read.schema(Schemas.metadataJsonSchema)
-        .option("multiLine", "true")
-        .json(metaFiles.map(_.toString): _*)
-        .withColumn("file_simulation_id",
-          regexp_extract(input_file_name(),
-            "metadata_([0-9a-fA-F-]{36})\\.json", 1))
-        .withColumnsRenamed(Schemas.metadataRenameMap)
-        .withColumn("date_run", to_date(col("date_run")))
-      val valid = raw.filter(col("simulation_id").isNotNull &&
-        col("simulation_id") === col("file_simulation_id"))
-      okMetaIds = valid.select("simulation_id").collect()
-        .map(_.getString(0)).toSet
-      val typed = valid.drop("file_simulation_id").as[graft.schema.Metadata]
-      val hw = Enrich.highWaterMark(readDim(spark, layout), "simulation_num")
-      val numbered = Enrich.numberDim(typed, hw)
-        .select(Schemas.dimRxnSchema.fieldNames.map(col): _*)
-      numbered.write.mode("append").parquet(layout.dimTable)
-      // B3 parity: mirror the dim insert into the relational sink
-      layout.jdbc.foreach(t =>
-        graft.sources.JdbcSink.append(numbered, t, "dim_rxn"))
-      dimInserted = okMetaIds.size.toLong
-      val t1 = new Timestamp(System.currentTimeMillis())
-      val ledgerRows = metaFiles.flatMap(simId).map { id =>
-        val ok = okMetaIds.contains(id)
-        if (!ok) failures += 1
-        Ledger.Entry(id, Ledger.EtlTypeMetadata, t0, t1,
-          if (ok) 1L else 0L, if (ok) "success" else "failed",
-          if (ok) None
-          else Some("metadata validation failed or id/filename mismatch"))
-      }
-      Ledger.append(spark, layout.ledger, ledgerRows)
-    }
+    val meta = ingestMetadataFiles(spark, layout, metaFiles)
 
     // --- fact stage (K1+K3: clean + load + write-time enrichment) --------
     val csvFiles = newFiles(spark, layout,
       listIncoming(spark, layout, ".csv"), Ledger.EtlTypeCsv)
     val ingest = ingestCsvFiles(spark, layout, csvFiles)
-    failures += ingest.failures
 
     // --- archive (B6/B7: move-after-commit last; failed files stay in
     //     incoming for retry, like main.py:29-31) ------------------------
-    val archived = archiveFiles(spark, layout,
-      ingest.okFiles ++ metaFiles.filter(p => simId(p).exists(okMetaIds)))
+    val archived = archiveFiles(spark, layout, ingest.okFiles ++ meta.okFiles)
 
     RunReport(csvFiles.size, ingest.rowsInserted, metaFiles.size,
-      dimInserted, archived, failures)
+      meta.dimRowsInserted, archived, meta.failures + ingest.failures)
   }
 
   /** K5 backfill — enrich fact rows whose metadata arrived in a later run.

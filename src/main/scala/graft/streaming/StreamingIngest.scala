@@ -19,9 +19,12 @@ import graft.pipeline.FilePipeline.Layout
   */
 object StreamingIngest {
 
-  /** Start the incremental CSV ingest stream over `incoming/ * / *.csv`.
-    * maxFilesPerTrigger bounds micro-batch size (the scale knob the
-    * reference's 50-file index-drop heuristic, D3, approximates).
+  /** Start the incremental ingest stream over `incoming/ * / *.{csv,json}`
+    * — BOTH fact CSVs and `metadata_<uuid>.json` dim files flow through
+    * the stream, so pure-streaming mode produces dim rows too (the batch
+    * pipeline's K4 stage, not just K1/K3). maxFilesPerTrigger bounds
+    * micro-batch size (the scale knob the reference's 50-file index-drop
+    * heuristic, D3, approximates).
     *
     * The stream tracks FILES, not parsed rows: a CSV file source needs a
     * fixed user schema, which binds columns positionally (per-file headers
@@ -29,11 +32,15 @@ object StreamingIngest {
     * silently column-shifted. So the source is a `text` stream (schema is
     * just `value`; the checkpoint still gives exactly-once per file and
     * `cleanSource=archive` still moves committed files), and the batch
-    * body hands the batch's file list to [[FilePipeline.ingestCsvFiles]] —
-    * the same hardened path as batch mode: per-header-shape schema
-    * binding, invalid-header quarantine, in-file-vs-filename id mismatch
-    * quarantine, write-time enrichment, ledger rows. The file data is read
-    * twice (once by the source, once parsed); micro-batches are bounded by
+    * body splits the batch's file list by suffix and hands each half to
+    * the same hardened batch-mode stage: metadata files first
+    * ([[FilePipeline.ingestMetadataFiles]] — id/filename reconciliation,
+    * high-water dim numbering, ledger rows) so CSVs arriving in the SAME
+    * micro-batch enrich against the fresh dim rows, then fact CSVs
+    * ([[FilePipeline.ingestCsvFiles]] — per-header-shape schema binding,
+    * invalid-header quarantine, id-mismatch quarantine, write-time
+    * enrichment, ledger rows). The file data is read twice (once by the
+    * source, once parsed); micro-batches are bounded by
     * maxFilesPerTrigger, and correctness beats the extra bounded scan.
     * Note one streaming-specific deviation: quarantined files are still
     * archived by the source (the checkpoint marks them consumed); their
@@ -43,7 +50,7 @@ object StreamingIngest {
       archiveSource: Boolean = true): StreamingQuery = {
     val layout = Layout(root)
     val reader = spark.readStream
-      .option("pathGlobFilter", "*.csv")
+      .option("pathGlobFilter", "*.{csv,json}")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     val withArchive =
       if (archiveSource)
@@ -61,7 +68,11 @@ object StreamingIngest {
         val files = batch.select("_file").distinct()
           .collect().map(r => new Path(r.getString(0)))
           .toSeq.sortBy(_.toString)
-        FilePipeline.ingestCsvFiles(batch.sparkSession, layout, files)
+        val (jsonFiles, csvFiles) =
+          files.partition(_.getName.endsWith(".json"))
+        // dim before fact: same-batch CSVs see this batch's metadata
+        FilePipeline.ingestMetadataFiles(batch.sparkSession, layout, jsonFiles)
+        FilePipeline.ingestCsvFiles(batch.sparkSession, layout, csvFiles)
         ()
       }
       .start()

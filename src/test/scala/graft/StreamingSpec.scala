@@ -91,6 +91,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(t == 310.0)
   }
 
+  test("streaming ingest routes metadata JSONs to the dim stage (K4 parity)") {
+    val root = TestFixtures.tempRoot("stream-meta")
+    val checkpoint = root.resolve("checkpoint").toString
+    // one metadata file + its fact CSV in the same stream: the dim row
+    // must land AND the same-batch fact rows must enrich against it
+    TestFixtures.writeMetadata(root, "2024-03-01", 1)
+    TestFixtures.writeCsv(root, "2024-03-01", 1, 6)
+    // a bad metadata file (missing in-file id) is quarantined, not fatal
+    TestFixtures.writeMetadata(root, "2024-03-01", 2, omitId = true)
+    val q = StreamingIngest.start(spark, root.toString, checkpoint,
+      archiveSource = false)
+    q.awaitTermination()
+    val layout = Layout(root.toString)
+    val dim = spark.read.parquet(layout.dimTable)
+    assert(dim.count() == 1)
+    val d = dim.head()
+    assert(d.getAs[String]("simulation_id") == TestFixtures.simUuid(1))
+    assert(d.getAs[Int]("simulation_num") == 1)
+    // same-micro-batch enrichment: fact rows carry the fresh dim's number
+    val fact = spark.read.parquet(layout.factTable)
+    assert(fact.count() == 6)
+    assert(fact.filter(col("simulation_num") === 1).count() == 6)
+    val states = graft.ops.Ledger.latestState(
+      graft.ops.Ledger.read(spark, layout.ledger))
+      .filter(col("etl_type") === graft.ops.Ledger.EtlTypeMetadata)
+      .select("simulation_id", "status").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(states(TestFixtures.simUuid(1)) == "success")
+    assert(states(TestFixtures.simUuid(2)) == "failed")
+  }
+
   test("streaming ingest quarantines id-mismatch files via the shared ledger gate") {
     val root = TestFixtures.tempRoot("stream-quarantine")
     val checkpoint = root.resolve("checkpoint").toString
