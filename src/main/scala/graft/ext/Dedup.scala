@@ -179,22 +179,50 @@ object Dedup {
       tau: Double = 0.8): DataFrame =
     ngramJaccardPairsOf(shingleHashDf(spark, dir), tau)
 
-  /** Prefix-filter join over any (doc_id, hs) shingle-hash DataFrame. */
+  /** Prefix-filter join over any (doc_id, hs) shingle-hash DataFrame.
+    *
+    * Two standard exactness-preserving refinements (Xiao et al., PPJoin)
+    * keep the candidate set near the true pair set instead of ~1000×:
+    *
+    *   - document-frequency ordering: every set is re-sorted by the
+    *     GLOBAL (df, hash) order before prefixes are taken, so prefixes
+    *     hold each document's rarest shingles and hot shingles (which
+    *     index many documents) fall out of the prefix zone. Correct for
+    *     any consistent global total order; measured here it cut
+    *     candidates 222k → ~true-pair scale at sf0.1. Costs two extra
+    *     shuffles of the exploded (doc_id, hash) stream — linear,
+    *     map-side-combinable, and far cheaper than verifying the
+    *     un-pruned candidate fanout;
+    *   - length filter inside the candidate join: jaccard ≥ τ forces
+    *     τ·max(na,nb) ≤ min(na,nb), so wildly different-size sets never
+    *     become candidates. */
   def ngramJaccardPairsOf(shingleSets: DataFrame, tau: Double): DataFrame = {
-    // hs is already the sorted distinct shingle-hash set
     val sh = shingleSets
       .withColumn("n", size(col("hs")))
       .localCheckpoint()
+    // global df per shingle hash, then each set re-sorted rare-first —
+    // array_intersect and |A∩B| are order-independent, so verification
+    // runs on the df-ordered sets directly
+    val freq = sh.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = sh
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+        x => x.getField("h")).as("hs"))
+      .localCheckpoint()
     val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")
-    val prefix = sh.select(col("doc_id"),
+    val prefix = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("p"))
     val candidates = prefix.as("x").join(prefix.as("y"),
-        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id"))
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     candidates
-      .join(sh.select(col("doc_id").as("a"), col("hs").as("hsa"), col("n").as("na")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("hs").as("hsb"), col("n").as("nb")), "b")
+      .join(ordered.select(col("doc_id").as("a"), col("hs").as("hsa"), col("n").as("na")), "a")
+      .join(ordered.select(col("doc_id").as("b"), col("hs").as("hsb"), col("n").as("nb")), "b")
       .withColumn("c", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")))

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Long): Unit = {
@@ -18,24 +19,39 @@ object Probe {
     }
     // warmup
     graft.Tables(spark, dir, "documents").count()
-    time("shingles explode count") {
-      graft.Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(graft.ext.Dedup.shingles(col("text"))).as("s"))
-        .count()
+    val sh = graft.ext.Dedup
+      .shingleHashDfOf(graft.Tables(spark, dir, "documents"))
+      .withColumn("n", size(col("hs")))
+    time("sh localCheckpoint") { sh.localCheckpoint().count() }
+    val shc = sh.localCheckpoint()
+    val tau = 0.8
+    val freq = shc.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = shc
+      .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      .join(freq, "h")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+        x => x.getField("h")).as("hs"))
+    time("df-ordered rebuild") { ordered.count() }
+    val ord = ordered.localCheckpoint()
+    val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")
+    val prefix = ord.select(col("doc_id"), col("n"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("p"))
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.p") === col("y.p") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= col("y.n") * tau && col("y.n") >= col("x.n") * tau)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    time("candidates (df-ordered)") { candidates.count() }
+    time("full ngramJaccardPairs x1") {
+      graft.ext.Dedup.ngramJaccardPairs(spark, dir).count()
     }
-    time("shingles + xxhash count") {
-      graft.Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(graft.ext.Dedup.shingles(col("text"))).as("s"))
-        .select(xxhash64(col("s")).as("h")).filter(col("h") =!= 0).count()
+    time("full ngramJaccardPairs x2") {
+      graft.ext.Dedup.ngramJaccardPairs(spark, dir).count()
     }
-    time("minhash signatures") {
-      graft.ext.Dedup.minhashSignatures(spark, dir).count()
-    }
-    time("simhash sketches") {
-      graft.ext.Dedup.simhash(spark, dir).count()
-    }
-    time("minhash pairs full") {
-      graft.ext.Dedup.minhashPairs(spark, dir).count()
+    time("full dedupClusters (q48)") {
+      graft.ext.Curate.dedupClusters(spark, dir).count()
     }
     spark.stop()
   }
