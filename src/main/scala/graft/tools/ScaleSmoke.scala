@@ -60,7 +60,12 @@ object ScaleSmoke {
       "q54_decontaminate" -> ((s: SparkSession, d: String) =>
         graft.ext.Curate.decontaminate(s, d)),
       "q55_pack_chunks" -> ((s: SparkSession, d: String) =>
-        graft.ext.Curate.packChunks(s, d))
+        graft.ext.Curate.packChunks(s, d)),
+      "q35_percentile" -> graft.queries.Analytics.q35Percentile,
+      "q26_knn_bruteforce" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.knnBruteForce(s, d)),
+      "q51_mixture_sample" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.mixtureSample(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
