@@ -89,7 +89,10 @@ object SparkEntry {
       Curate.temperatureMixture(s, d)),
     "q60_curation_pipeline" -> (Curate.curationPipeline(_, _)),
     "q61_dedup_incremental" -> (Dedup.incremental(_, _)),
-    "q62_nfc_normalize" -> (TextAnalysis.normalize(_, _))
+    "q62_nfc_normalize" -> (TextAnalysis.normalize(_, _)),
+    "q63_span_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.spanDedup(s, d)),
+    "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,6 +268,8 @@ object SparkEntry {
     "q59_temperature_mixture" -> Curate.temperatureMixtureOracle,
     "q60_curation_pipeline" -> Curate.curationPipelineOracle,
     "q61_dedup_incremental" -> Dedup.incrementalOracle,
-    "q62_nfc_normalize" -> TextAnalysis.normalizeOracle
+    "q62_nfc_normalize" -> TextAnalysis.normalizeOracle,
+    "q63_span_dedup" -> Dedup.spanDedupOracle,
+    "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle
   )
 }

@@ -231,6 +231,77 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  // --- span-level dedup (C4/RefinedWeb-style) ------------------------------
+
+  /** q63: span-level exact dedup — the C4/RefinedWeb-style pass that
+    * removes REPEATED SPANS from otherwise-kept documents (document-level
+    * dedup alone leaves boilerplate duplicated across pages). Documents
+    * are cut into consecutive non-overlapping k-word spans (the
+    * fixed-width analogue of C4's three-sentence spans — this corpus has
+    * no sentence boundaries); across the whole corpus each distinct span
+    * survives only at its first occurrence (min (doc_id, position)), and
+    * every later occurrence is dropped from its document. Documents whose
+    * every span was dropped disappear (fully-boilerplate pages).
+    *
+    * Scale: span candidate keys are 64-bit hashes, so the occurrence
+    * shuffle carries (hash, doc_id, pos) longs — never span text; the
+    * dropped set is re-attached by a (doc_id, pos) anti-join, and span
+    * text flows through exactly one shuffle (the per-document
+    * reconstruction groupBy). Matching is on xxhash64 with ~2⁻⁶⁴
+    * per-pair collision risk — accepted for the no-string-shuffle scan,
+    * same tradeoff as [[Curate.decontaminate]] (the oracle compares the
+    * span strings themselves). */
+  def spanDedup(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    spanDedupOf(Tables(spark, dir, "documents"), k)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def spanDedupOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    // consecutive k-word spans, order-preserving, derived narrowly —
+    // bind the token array first (HOF lambdas re-evaluate outer exprs)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) > 0)
+    val spans = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("w")) - 1) / k).cast("int")),
+          i => array_join(slice(col("w"), i * k + 1, lit(k)), " "))))
+      .withColumnsRenamed(Map("pos" -> "span_pos", "col" -> "span"))
+    // first occurrence per span hash: one long-keyed shuffle, map-side
+    // combinable min; every other (doc_id, span_pos) is dropped
+    val occ = spans.select(xxhash64(col("span")).as("h"),
+      col("doc_id"), col("span_pos"))
+    val keeper = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_pos"))).as("first"))
+    val dropped = occ.join(keeper, "h")
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("span_pos") =!= col("first.span_pos"))
+      .select(col("doc_id"), col("span_pos"))
+    // reconstruction: surviving spans, original order
+    spans.join(dropped, Seq("doc_id", "span_pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_pos"), col("span")))),
+          x => x.getField("span")), " ").as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle keys on the span STRING (DuckDB side never hashes). */
+  val spanDedupOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             generate_subscripts(string_split(text,' '),1) AS pos
+           FROM documents),
+       sp AS (SELECT doc_id, CAST(floor((pos-1)/10) AS BIGINT) AS span_pos,
+                string_agg(w, ' ' ORDER BY pos) AS span
+              FROM tok GROUP BY 1,2),
+       occ AS (SELECT doc_id, span_pos, span,
+                 row_number() OVER (PARTITION BY span
+                   ORDER BY doc_id, span_pos) AS occ
+               FROM sp)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_kept,
+              string_agg(span, ' ' ORDER BY span_pos) AS text_dedup
+       FROM occ WHERE occ = 1
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Oracle computes the same pairs with a positional self-join trigram
     * build — O(n²)-free there too, but structured for DuckDB. */
   val ngramJaccardOracle: String =

@@ -208,6 +208,56 @@ object TextAnalysis {
              FROM documents)
        GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50"""
 
+  /** q64: corpus-unigram log-probability score — the CCNet-style LM
+    * quality proxy: score each document by the mean log-likelihood of
+    * its tokens under the corpus's own unigram distribution
+    * (p(w) = count(w) / total tokens). Documents of common, fluent
+    * vocabulary score high; rare-token soup (mojibake, codes, spam)
+    * scores low. CCNet uses a wiki-trained 5-gram KenLM; the unigram
+    * self-model is the engine-native analogue that needs no external
+    * artifact.
+    *
+    * Scale: one explode+agg for the vocabulary (map-side combinable,
+    * vocabulary-sized result), one join keyed on token, one per-doc
+    * agg. The corpus token total is a scalar aggregate.
+    *
+    * Hash-stability: per-token ln p is rounded to 6 decimals and summed
+    * as DECIMAL(18,6) — decimal addition is exact and
+    * order-independent, so cross-engine float-summation-order drift
+    * (which a double `avg` would expose) cannot flip the rounded
+    * output. The only float op is the per-token ln, same 1-ulp risk
+    * class as [[tfidf]]'s per-row score. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val lp6 = round(log(col("c").cast("double") / total), 6)
+      .cast("decimal(18,6)")
+    tok.join(counts, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(lp6).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp").cast("double") / col("n_tokens"), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+       c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       t AS (SELECT sum(c) AS total FROM c)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CAST(round(ln(c.c * 1.0 / t.total), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+       FROM tok JOIN c USING (w) CROSS JOIN t
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** q58: TF-IDF keyword extraction — each document's top-3 terms by
     * tf·idf (raw term count × ln(N/df)), the classic salient-term
     * signal for tagging and retrieval.

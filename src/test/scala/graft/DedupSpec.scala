@@ -52,6 +52,32 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Seq(11L, 13L))
   }
 
+  test("span dedup keeps first occurrence, drops repeats, erases all-boilerplate docs") {
+    import spark.implicits._
+    // k=2 spans. doc 1: [a b][c d]; doc 2 repeats doc 1's first span then
+    // fresh material [a b][e f]; doc 3 is ENTIRELY doc-1 spans -> erased;
+    // doc 4 repeats its own span within the document [g h][g h] -> one kept
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d"),
+      (4L, "g h g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupOf(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(
+      (1L, 2L, "a b c d"),   // first occurrences of both spans
+      (2L, 1L, "e f"),       // "a b" was doc 1's -> dropped
+      (4L, 1L, "g h")))      // within-doc repeat collapses; doc 3 gone
+  }
+
+  test("span dedup trailing short span survives and order is preserved") {
+    import spark.implicits._
+    val docs = Seq((7L, "p q r s t")).toDF("doc_id", "text") // [p q][r s][t]
+    val got = Dedup.spanDedupOf(docs, k = 2).head()
+    assert(got.getLong(1) == 3L && got.getString(2) == "p q r s t")
+  }
+
   test("shingles: short docs yield empty array, k-grams are distinct") {
     import spark.implicits._
     val df = Seq("a b", "a b c d", "a b a b a b c d").toDF("text")

@@ -67,6 +67,28 @@ class TextSpec extends SparkSpecBase {
     assert(got(1L)._1 == got(2L)._1)
   }
 
+  test("unigram logprob scores common-vocabulary docs above rare-token soup") {
+    val lp = TextAnalysis.unigramLogprob(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(lp.nonEmpty)
+    // bounds: every per-token ln p is in (ln(1/total), 0); the mean too
+    assert(lp.values.forall { case (_, s) => s < 0.0 })
+    // hand-computed check on a crafted corpus: p(common)=4/6, each rare
+    // token 1/6; both docs share the same shape so both get the same
+    // score, equal to the hand arithmetic with the same rounding ladder
+    import spark.implicits._
+    val tiny = Seq((1L, "common common rare1"), (2L, "common common rare2"))
+      .toDF("doc_id", "text")
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val expected =
+      r((r(math.log(4 / 6.0), 6) * 2 + r(math.log(1 / 6.0), 6)).toDouble / 3, 4)
+        .toDouble
+    val got = TextAnalysis.unigramLogprobOf(tiny)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(got == Map(1L -> expected, 2L -> expected))
+  }
+
   test("scrub redacts urls, emails and ips with correct counts") {
     import spark.implicits._
     val df = Seq(
