@@ -92,7 +92,10 @@ object SparkEntry {
     "q62_nfc_normalize" -> (TextAnalysis.normalize(_, _)),
     "q63_span_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.spanDedup(s, d)),
-    "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _))
+    "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _)),
+    "q65_group_topk" -> ((s: SparkSession, d: String) =>
+      Analytics.q65GroupTopK(s, d)),
+    "q66_salted_join" -> Relational.q66SaltedJoin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,6 +273,8 @@ object SparkEntry {
     "q61_dedup_incremental" -> Dedup.incrementalOracle,
     "q62_nfc_normalize" -> TextAnalysis.normalizeOracle,
     "q63_span_dedup" -> Dedup.spanDedupOracle,
-    "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle
+    "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle,
+    "q65_group_topk" -> Analytics.q65Oracle,
+    "q66_salted_join" -> Relational.q66Oracle
   )
 }

@@ -110,26 +110,46 @@ object Dedup {
   val LshBands = 16      // bands of 4 rows → catches jaccard ≳ 0.6
   val LshRows: Int = MinhashK / LshBands
 
+  /** Default hot-bucket guard for the banded candidate joins (see
+    * [[BucketCap]]): a band bucket with more members than this is dropped
+    * (logged, recoverable via [[BucketCap.hotBuckets]]) instead of
+    * emitting m²/2 candidate pairs. Far above any honest near-dup
+    * cluster in the fixtures; at 100 TB it is the difference between a
+    * bounded join and a 10¹²-pair straggler. */
+  val DefaultMaxBucket = 1024
+
   /** MinHash signatures via the custom [[graft.functions.MinHashAgg]]
     * TypedImperativeAggregate: one xxhash64 per (doc, shingle) row, k
     * permutation minima maintained in a single mutable buffer, partial
     * sketches merged map-side — one aggregate instead of k parallel
     * `min()` columns. Returns (doc_id, sig array<long>). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingleHashDf(spark, dir)
+    minhashSignaturesOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests and
+    * the incremental path). */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    shingleHashDfOf(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"))
       .agg(minhash_sketch(col("h"), MinhashK).as("sig"))
 
-  /** LSH candidate pairs from a signature table: band the signature, hash
-    * each band, shuffle on (band_idx, band_hash), emit pairs within a
-    * bucket. The only pairwise work is inside buckets — O(n·bands)
-    * shuffled rows, never O(n²). */
-  private def candidatesFromSigs(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("doc_id"), posexplode(
+  /** (doc_id, band_idx, band_hash) — one row per signature band. */
+  private def bandedSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
       array((0 until LshBands).map(b =>
         hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+
+  /** LSH candidate pairs from a signature table: band the signature, hash
+    * each band, shuffle on (band_idx, band_hash), emit pairs within a
+    * bucket. The only pairwise work is inside buckets — O(n·bands)
+    * shuffled rows, never O(n²) — and buckets themselves are bounded by
+    * the [[BucketCap]] guard (maxBucket ≤ 0 disables). */
+  private[ext] def candidatesFromSigs(sigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = BucketCap.capBuckets(bandedSigs(sigs),
+      Seq("band_idx", "band_hash"), maxBucket, "minhash-lsh")
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -147,9 +167,14 @@ object Dedup {
     * shingle aggregation three times. Deterministic (salted hashes, no
     * RNG) but engine-specific hash values → rows-only driver check;
     * ScalaTest checks recall against the exact [[ngramJaccardPairs]]. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir).localCheckpoint()
-    candidatesFromSigs(sigs)
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def minhashPairsOf(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = minhashSignaturesOf(docs).localCheckpoint()
+    candidatesFromSigs(sigs, maxBucket)
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "a", "sig" -> "sig_a")), "a")
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "b", "sig" -> "sig_b")), "b")
       .select(col("a"), col("b"),
@@ -334,7 +359,11 @@ object Dedup {
     * one buffer update per (doc, shingle) row, partial bit-count vectors
     * merged map-side in a single shuffle. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    shingleHashDf(spark, dir)
+    simhashOf(Tables(spark, dir, "documents"))
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def simhashOf(docs: DataFrame): DataFrame =
+    shingleHashDfOf(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"))
       .agg(simhash_sketch(col("h")).as("simhash"))
@@ -342,16 +371,24 @@ object Dedup {
   /** SimHash near-dup pairs within hamming distance ≤ maxHamming, found by
     * the banding pigeonhole (4 bands of 16 bits: any pair with ≤3 bit
     * flips matches on ≥1 whole band), then verified with bit_count(xor).
-    * Rows-only driver check; recall vs exact Jaccard in ScalaTest. */
+    * Band buckets are bounded by the [[BucketCap]] guard. Rows-only
+    * driver check; recall vs exact Jaccard in ScalaTest. */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(spark, dir).localCheckpoint()
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(Tables(spark, dir, "documents"), maxHamming)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sh = simhashOf(docs).localCheckpoint()
     val bandWidth = SimhashBits / SimhashBands
-    val banded = sh.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until SimhashBands).map(b =>
-        shiftrightunsigned(col("simhash"), b * bandWidth)
-          .bitwiseAND((1L << bandWidth) - 1)): _*)))
-      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val banded = BucketCap.capBuckets(
+      sh.select(col("doc_id"), col("simhash"), posexplode(
+        array((0 until SimhashBands).map(b =>
+          shiftrightunsigned(col("simhash"), b * bandWidth)
+            .bitwiseAND((1L << bandWidth) - 1)): _*)))
+        .toDF("doc_id", "simhash", "band_idx", "band_val"),
+      Seq("band_idx", "band_val"), maxBucket, "simhash-bands")
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&

@@ -201,14 +201,25 @@ object Similarity {
     * nBits ≤ 0 (default) derives the keyspace from the corpus size via
     * [[autoBits]] so bucket population stays bounded at any scale; the
     * `tables` independent hash tables trade bounded extra fanout for
-    * recall (1-(1-p)^tables). Approximate — recall vs the exact pair set
-    * is gated ≥ 0.5 in ScalaTest; rows-only driver check. */
+    * recall (1-(1-p)^tables). Even with autoBits, degenerate vector
+    * clusters (zero vectors, boilerplate embeddings) can collapse onto
+    * one bucket, so index-side buckets are additionally bounded by the
+    * [[BucketCap]] guard (logged, maxBucket ≤ 0 disables). Approximate —
+    * recall vs the exact pair set is gated ≥ 0.5 in ScalaTest; rows-only
+    * driver check. */
   def neardupPairsLsh(spark: SparkSession, dir: String,
-      tau: Double = 0.4, nBits: Int = -1, tables: Int = 4): DataFrame = {
+      tau: Double = 0.4, nBits: Int = -1, tables: Int = 4,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     import spark.implicits._
     val ds = vecs(spark, dir)
     val bits = if (nBits > 0) nBits else autoBits(ds.count())
-    val keyed = tableKeys(ds, bits, tables)
+    // the guard's anti-join fronts the bucket keys — reselect the tuple
+    // order before re-binding the encoder
+    val keyed = BucketCap.capBuckets(
+        tableKeys(ds, bits, tables).toDF("_1", "_2", "_3"),
+        Seq("_2", "_3"), maxBucket, "srp-lsh")
+      .select("_1", "_2", "_3")
+      .as[(Long, Int, Long)]
     val probes = tableProbes(keyed, bits)
     // a < b keeps each candidate pair once even when both sides probe
     val candidates = probes.as("x")

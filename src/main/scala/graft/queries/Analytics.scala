@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TopK
 
 /** Second analytics family: grouping-set variants, exact percentiles,
   * date arithmetic, string/array scalar-function coverage, and the SQL
@@ -278,6 +279,34 @@ object Analytics {
                     ('mid', 25.0, 40.0), ('large', 40.0, 1e9)) AS bands(band, lo, hi)
          ON l_quantity >= lo AND l_quantity < hi
        GROUP BY band ORDER BY band"""
+
+  /** q65: per-group top-k through the bounded-heap
+    * [[graft.functions.TopK]] aggregate — the grouped form of q10's
+    * global TakeOrdered. The compositional plan (row_number window +
+    * rank ≤ k) sorts EVERY row of every group on one reducer chain per
+    * group; the aggregate keeps a k-element heap per group instead, so
+    * partials are map-side, the shuffle carries only k-element buffers,
+    * and no sort ever sees the full group. Same output contract as the
+    * window form (score desc, ties id asc) — oracled against exactly
+    * that window in DuckDB. */
+  def q65GroupTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(TopK.top_k_by_score(col("o_totalprice"), col("o_orderkey"), k)
+        .as("top"))
+      .select(col("o_orderpriority"), inline(col("top")))
+      .withColumnRenamed("id", "o_orderkey")
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  val q65Oracle: String =
+    """WITH ranked AS (
+         SELECT o_orderpriority, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+         FROM orders)
+       SELECT o_orderpriority, rank, o_orderkey FROM ranked
+       WHERE rank <= 5 ORDER BY o_orderpriority, rank"""
 
   /** Scalable percentile twin for the bench path: approx_percentile with
     * a bounded sketch — the form that survives 100 TB (single-pass,

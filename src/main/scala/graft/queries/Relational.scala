@@ -312,4 +312,28 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
   }
+
+  /** q66: the skew-salted join ([[graft.ops.Skew.saltedJoin]]) under the
+    * oracle gate — fact⋈dim on the supplier key with the fact side salted
+    * 8 ways and the dim side replicated per salt. Semantically identical
+    * to the plain equi-join (which is exactly what the oracle runs); the
+    * payoff is the shuffle shape: the hottest join key's partition
+    * shrinks ~8×, the tool of record when one key is so hot that even
+    * AQE's split partitions exceed executor memory. */
+  def q66SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q66Oracle: String =
+    """SELECT s_nationkey, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.Dedup
+import graft.ext.{BucketCap, Dedup}
 
 class DedupSpec extends SparkSpecBase {
 
@@ -22,6 +22,36 @@ class DedupSpec extends SparkSpecBase {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sh.nonEmpty)
     assert(sh.subsetOf(exactPairs), s"false positives: ${sh -- exactPairs}")
+  }
+
+  test("BucketCap.hotBuckets reports only oversized buckets") {
+    import spark.implicits._
+    val banded = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("id", "bkt")
+    val hot = BucketCap.hotBuckets(banded, Seq("bkt"), cap = 2).collect()
+    assert(hot.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("x", 3L)))
+  }
+
+  test("hot-bucket cap drops the boilerplate cluster's pairs, keeps " +
+      "normal near-dups, and cap<=0 disables the guard") {
+    import spark.implicits._
+    // 40 identical boilerplate docs -> every band bucket holds 40 members;
+    // one honest near-dup pair (1 of 10 shingles differs, jaccard ~0.82)
+    val boiler = (100L until 140L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the quick brown fox jumps over the lazy dog every single night"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairsOf(docs, maxBucket = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists { case (x, y) => x >= 100L || y >= 100L },
+      s"boilerplate pairs survived the cap: $capped")
+    val uncapped = Dedup.minhashPairsOf(docs, maxBucket = 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
   }
 
   test("exact dedup groups identical texts only") {

@@ -50,6 +50,29 @@ class QueriesSpec extends SparkSpecBase {
     assert(ps.contains("BroadcastHashJoin"), ps.take(800))
   }
 
+  test("q65 bounded-heap group top-k equals the window form, with no " +
+      "Window or full sort in the plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, sf0001, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = o.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val df = queries.Analytics.q65GroupTopK(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // scale contract: the heap aggregate replaces the per-group sort —
+    // no Window anywhere, and the aggregate has a map-side partial
+    val ps = df.queryExecution.executedPlan.toString
+    assert(!ps.contains("Window"), ps.take(800))
+    assert(ps.contains("ObjectHashAggregate"), ps.take(800))
+    assert(ps.contains("partial_top_k_by_score"), ps.take(800))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with a stable schema") {
       val df = fn(spark, sf0001)
