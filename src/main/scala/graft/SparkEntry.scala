@@ -95,7 +95,10 @@ object SparkEntry {
     "q64_unigram_logprob" -> (TextAnalysis.unigramLogprob(_, _)),
     "q65_group_topk" -> ((s: SparkSession, d: String) =>
       Analytics.q65GroupTopK(s, d)),
-    "q66_salted_join" -> Relational.q66SaltedJoin
+    "q66_salted_join" -> Relational.q66SaltedJoin,
+    "q67_kmv_distinct" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.distinctEstimate(s, d)),
+    "q68_incr_neardup" -> (Dedup.incrementalNearDup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

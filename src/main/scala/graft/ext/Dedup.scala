@@ -187,6 +187,59 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Incremental NEAR-dup admission — the LSH twin of [[incrementalNew]]:
+    * flag batch documents whose MinHash signature band-collides with an
+    * already-ingested document and whose signature-agreement estimate
+    * confirms jaccard ≥ tau. Returns one row per flagged batch doc with
+    * its best (highest-estimate, ties → highest id) seen match.
+    *
+    * Scale: the seen corpus contributes only its band index (16 longs
+    * per doc) and signatures (64 longs) — never text; the join is keyed
+    * on (band_idx, band_hash) with the [[BucketCap]] guard on BOTH
+    * sides, so a boilerplate band bucket in a petabyte seen-corpus
+    * cannot cross-explode against the batch. In production the seen
+    * side's banded index and signatures are precomputed once and only
+    * appended to. */
+  def incrementalNearDupOf(batch: DataFrame, seen: DataFrame,
+      tau: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bs = minhashSignaturesOf(batch).localCheckpoint()
+    val ss = minhashSignaturesOf(seen).localCheckpoint()
+    val bb = BucketCap.capBuckets(bandedSigs(bs),
+      Seq("band_idx", "band_hash"), maxBucket, "incr-neardup-batch")
+    val sb = BucketCap.capBuckets(bandedSigs(ss),
+      Seq("band_idx", "band_hash"), maxBucket, "incr-neardup-seen")
+    val cand = bb.as("x").join(sb.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("seen_id"))
+      .distinct()
+    cand
+      .join(bs.withColumnsRenamed(Map("sig" -> "sig_b")), "doc_id")
+      .join(ss.withColumnsRenamed(
+        Map("doc_id" -> "seen_id", "sig" -> "sig_s")), "seen_id")
+      .select(col("doc_id"), col("seen_id"),
+        round(aggregate(
+          zip_with(col("sig_b"), col("sig_s"), (x, y) =>
+            when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / MinhashK, 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("est_jaccard"), col("seen_id"))).as("best"))
+      .select(col("doc_id"), col("best.seen_id").as("near_dup_of"),
+        col("best.est_jaccard").as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68: [[incrementalNearDupOf]] with the odd ids standing in for the
+    * incoming batch and the evens for the already-ingested corpus
+    * (mirrors q61's split). */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    incrementalNearDupOf(d.filter(col("doc_id") % 2 =!= 0),
+      d.filter(col("doc_id") % 2 === 0))
+  }
+
   // --- exact n-gram Jaccard ------------------------------------------------
 
   /** Exact word-3-gram Jaccard ≥ τ pairs via prefix filtering (the

@@ -317,4 +317,37 @@ object TextAnalysis {
     s"""SELECT doc_id, $repl AS scrubbed_text, $counts
        FROM documents ORDER BY doc_id"""
   }
+
+  /** q67: per-language distinct 3-gram-shingle estimation via the
+    * [[graft.functions.Kmv]] k-minimum-values sketch, reported next to
+    * the exact `count_distinct` so the output carries its own error
+    * audit. (Shingles, not tokens: this corpus's whitespace vocabulary
+    * is ~31 words per language, which never fills a k=256 sketch —
+    * distinct shingles number in the thousands and exercise the
+    * estimator.) The exact pass exists for verification; the production
+    * shape drops it and keeps only the O(k)-byte-per-group sketch — the
+    * mergeable, deterministic alternative to `approx_count_distinct`
+    * (q40) whose kept hash VALUES also compose into union/Jaccard
+    * estimates across groups. Deterministic (xxhash64-derived shingle
+    * hashes, no RNG) but engine-specific hash values → rows-only driver
+    * check; the relative error is gated in ScalaTest. */
+  def distinctEstimate(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame =
+    distinctEstimateOf(Tables(spark, dir, "documents"), k)
+
+  /** Same over any (lang, text) DataFrame (injectable for tests). */
+  def distinctEstimateOf(docs: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.Kmv
+    import graft.functions.ShingleHashes.shingle_hashes
+    val est = Kmv.kmv_estimate(col("sk"), k)
+    docs
+      .select(col("lang"), explode(shingle_hashes(col("text"))).as("h"))
+      .groupBy(col("lang"))
+      .agg(Kmv.kmv_sketch(col("h"), k).as("sk"),
+        count_distinct(col("h")).as("n_exact"))
+      .select(col("lang"), col("n_exact"),
+        round(est, 2).as("n_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy(col("lang"))
+  }
 }

@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
   }
 
+  test("incremental near-dup flags batch docs colliding with seen corpus") {
+    import spark.implicits._
+    val seen = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog every single day"),
+      (4L, "completely different content about databases and indexes here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog every single night"),
+      (13L, "unrelated fresh material with nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupOf(batch, seen).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((11L, 2L)), s"got $got")
+  }
+
   test("exact dedup groups identical texts only") {
     import spark.implicits._
     val docs = Seq(

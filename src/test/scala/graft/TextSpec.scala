@@ -108,6 +108,26 @@ class TextSpec extends SparkSpecBase {
     assert(got(4L) == (("see <URL> ok", 1L, 1L, 1L)))
   }
 
+  test("KMV sketch is exact below k and within theory error when full") {
+    import spark.implicits._
+    // below k: "x y z x y z" has 3 distinct 3-gram shingles
+    // (x y z / y z x / z x y), k=16 -> estimate IS the exact count
+    val tiny = Seq((1L, "aa", "x y z x y z")).toDF("doc_id", "lang", "text")
+    val exact = TextAnalysis.distinctEstimateOf(tiny, k = 16).head()
+    assert(exact.getLong(1) == 3L && exact.getDouble(2) == 3.0 &&
+      exact.getDouble(3) == 0.0)
+    // full sketch at sf0.001: KMV std error is ~1/sqrt(k-2) = 6.3% at
+    // k=256; gate each stratum at 4 sigma
+    val rows = TextAnalysis.distinctEstimate(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) < 0.25,
+        s"lang ${r.getString(0)}: rel_err ${r.getDouble(3)}")
+    }
+    // at least one stratum must actually exercise the full-sketch path
+    assert(rows.exists(_.getLong(1) > 256), rows.map(_.getLong(1)).toSeq)
+  }
+
   test("langId identifies real-language sentences not in the seed corpora") {
     import spark.implicits._
     val fixtures = Seq(
