@@ -98,7 +98,8 @@ object SparkEntry {
     "q66_salted_join" -> Relational.q66SaltedJoin,
     "q67_kmv_distinct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.distinctEstimate(s, d)),
-    "q68_incr_neardup" -> (Dedup.incrementalNearDup(_, _))
+    "q68_incr_neardup" -> (Dedup.incrementalNearDup(_, _)),
+    "q69_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -32,30 +32,47 @@ import org.apache.spark.sql.types._
   */
 object Kmv {
 
-  /** Column API: sorted (unsigned ascending) array of the ≤ k smallest
-    * distinct feature hashes of the group. */
+  /** Column API: sorted ascending array of the ≤ k smallest distinct
+    * feature hashes of the group — stored SIGN-FLIPPED (h ⊕ 2⁶³), so
+    * the natural signed order Spark's array functions use coincides
+    * with the unsigned order the k-minimum statistic needs. Sketches
+    * therefore compose with plain `array_union`/`array_sort`/`slice`/
+    * `array_intersect`: k smallest of A∪B = `slice(array_sort(
+    * array_union(a, b)), 1, k)` — see [[kmv_union_jaccard]]. */
   def kmv_sketch(featureHash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvAgg(ColumnBridge.expression(featureHash), k)
         .toAggregateExpression())
 
-  /** Unsigned long → double in [0, 2⁶⁴). */
-  private def unsignedD(c: Column): Column =
-    when(c >= 0, c.cast("double"))
-      .otherwise(c.cast("double") + lit(math.pow(2.0, 64)))
+  /** Flipped value → hash-as-uniform-draw in [0, 2⁶⁴) as double. */
+  private def drawD(c: Column): Column =
+    c.cast("double") + lit(math.pow(2.0, 63))
 
   /** Distinct-count estimate from a [[kmv_sketch]] array: exact size
     * when the sketch is not full, else (k−1)·2⁶⁴ / u₍k₎ where u₍k₎ is
-    * the largest kept hash (unsigned). */
+    * the largest kept hash (as a uniform draw). */
   def kmv_estimate(sketch: Column, k: Int): Column =
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble * math.pow(2.0, 64)) /
-        unsignedD(element_at(sketch, k)))
+        drawD(element_at(sketch, k)))
+
+  /** Jaccard estimate between two [[kmv_sketch]] arrays (Beyer et al.:
+    * K(A∪B) is itself the KMV sample of the union; the fraction of it
+    * lying in both A's and B's sketches estimates |A∩B|/|A∪B|). Pure
+    * array functions — valid BECAUSE of the flipped storage order. */
+  def kmv_union_jaccard(a: Column, b: Column, k: Int): Column = {
+    val unionK = slice(array_sort(array_union(a, b)), 1, k)
+    size(array_intersect(array_intersect(unionK, a), b)).cast("double") /
+      least(lit(k), size(unionK)).cast("double")
+  }
 }
 
-/** Buffer = bounded ordered set of the k smallest distinct hashes, in
-  * UNSIGNED order (hashes model U(0,1) draws; signed order would put
-  * negative longs first and break the k-th-minimum statistic). */
+/** Buffer = bounded ordered set of the k smallest distinct hashes.
+  * Hashes model U(0,1) draws, so the statistic needs UNSIGNED order;
+  * values are stored sign-flipped (h ⊕ 2⁶³), under which natural signed
+  * order IS unsigned hash order — both for this buffer and for any
+  * downstream array function over the evaluated sketch. Only `update`
+  * flips; merge/eval operate in the flipped domain throughout. */
 case class KmvAgg(
     child: Expression,
     k: Int,
@@ -65,11 +82,6 @@ case class KmvAgg(
   with UnaryLike[Expression] {
 
   require(k > 1, "kmv_sketch requires k > 1")
-
-  private val unsigned: Ordering[Long] = new Ordering[Long] {
-    override def compare(x: Long, y: Long): Int =
-      java.lang.Long.compareUnsigned(x, y)
-  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -81,19 +93,19 @@ case class KmvAgg(
   override def prettyName: String = "kmv_sketch"
 
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
-    mutable.TreeSet.empty(unsigned)
+    mutable.TreeSet.empty[Long]
 
-  private def offer(buf: mutable.TreeSet[Long], h: Long): Unit = {
-    if (buf.size < k) buf.add(h)
-    else if (unsigned.compare(h, buf.last) < 0) {
-      if (buf.add(h)) buf.remove(buf.last)
+  private def offer(buf: mutable.TreeSet[Long], flipped: Long): Unit = {
+    if (buf.size < k) buf.add(flipped)
+    else if (flipped < buf.last) {
+      if (buf.add(flipped)) buf.remove(buf.last)
     }
   }
 
   override def update(buf: mutable.TreeSet[Long],
       input: InternalRow): mutable.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[Long])
+    if (v != null) offer(buf, v.asInstanceOf[Long] ^ Long.MinValue)
     buf
   }
 

@@ -69,6 +69,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf == again)
   }
 
+  test("PQ ANN reaches usable recall@5 against brute force, deterministic") {
+    val brute = Similarity.knnBruteForce(spark, sf0001, nQueries = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val pq = Similarity.annPq(spark, sf0001, nQueries = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(pq.size == 64)
+    val overlap = pq.map { case (q, ns) =>
+      (ns intersect brute.getOrElse(q, Set.empty)).size }.sum
+    val recall = overlap.toDouble / (64 * 5)
+    assert(recall > 0.4, s"PQ recall@5 $recall suspiciously low")
+    val again = Similarity.annPq(spark, sf0001, nQueries = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val first = Similarity.annPq(spark, sf0001, nQueries = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == first)
+  }
+
   test("near-dup pairs ordered a<b with cosine above threshold") {
     val rows = Similarity.neardupPairs(spark, sf0001, tau = 0.4).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
