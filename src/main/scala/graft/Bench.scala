@@ -53,6 +53,11 @@ object Bench {
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // compact headline FIRST on its own line: the driver's bench capture
+    // has truncated the (long) per-query line before — this way any tail
+    // or head capture still retains the total. Deliberately no "metric"
+    // key, so a `grep metric` still selects only the full line below.
+    println(s"""{"total":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.length},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -99,7 +99,11 @@ object SparkEntry {
     "q67_kmv_distinct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.distinctEstimate(s, d)),
     "q68_incr_neardup" -> (Dedup.incrementalNearDup(_, _)),
-    "q69_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d))
+    "q69_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "q70_fingerprint_md5" -> (TextAnalysis.fingerprintsMd5(_, _)),
+    "q71_media_content_stats" -> (Multimodal.contentStats(_, _)),
+    "q72_media_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +283,7 @@ object SparkEntry {
     "q63_span_dedup" -> Dedup.spanDedupOracle,
     "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle,
     "q65_group_topk" -> Analytics.q65Oracle,
-    "q66_salted_join" -> Relational.q66Oracle
+    "q66_salted_join" -> Relational.q66Oracle,
+    "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle
   )
 }

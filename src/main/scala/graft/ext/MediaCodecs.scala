@@ -1,0 +1,306 @@
+package graft.ext
+
+/** Pure-JVM pixel/sample codecs for the UNCOMPRESSED media formats — the
+  * part of content-level decode that needs no codec library, so it is
+  * implemented for real (the container-header-only path in
+  * [[MediaHeaders]] remains for compressed codecs, whose entropy decode
+  * genuinely needs a library this environment doesn't ship):
+  *
+  *   - BMP  (BITMAPINFOHEADER, 24-bpp BI_RGB): bottom-up padded BGR rows
+  *   - PPM  (P6 binary): ASCII header + raw top-down RGB rows
+  *   - PGM  (P5 binary): ASCII header + raw top-down gray rows
+  *   - WAV  (RIFF PCM, 8/16-bit): fmt + data chunk sample decode
+  *
+  * Both directions are implemented — encode synthesizes
+  * standards-compliant files (used by tests and by the media-payload
+  * synthesis over the text corpus), decode parses from bytes alone —
+  * and the two paths share no state, so round-trip tests are meaningful.
+  *
+  * Everything here is per-row compute inside a mapPartitions batch: no
+  * Spark dependency, no allocation beyond the output buffers, safe to
+  * call from executor code at any scale.
+  */
+object MediaCodecs {
+
+  /** Decoded raster: `pixels` is row-major, top-down, interleaved
+    * (RGB for channels=3, gray for channels=1), values 0-255. */
+  case class ImagePixels(
+      format: String, width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]) {
+    def nPixels: Int = width * height
+  }
+
+  /** Decoded PCM audio summary shape: samples normalized to [-1, 1]. */
+  case class PcmAudio(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Double]) {
+    def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+    def durationSec: Double =
+      if (sampleRate == 0) 0.0 else nFrames.toDouble / sampleRate
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def wle16(o: Array[Byte], i: Int, v: Int): Unit = {
+    o(i) = (v & 0xff).toByte; o(i + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def wle32(o: Array[Byte], i: Int, v: Int): Unit = {
+    o(i) = (v & 0xff).toByte; o(i + 1) = ((v >> 8) & 0xff).toByte
+    o(i + 2) = ((v >> 16) & 0xff).toByte; o(i + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  // ---------------------------------------------------------------- images
+
+  /** Decode any supported uncompressed raster; None for other formats. */
+  def decodeImage(b: Array[Byte]): Option[ImagePixels] =
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
+      decodePnm(b)
+    else None
+
+  /** BMP, BITMAPINFOHEADER 24-bpp BI_RGB only (the uncompressed common
+    * case); rows are bottom-up and padded to 4 bytes, samples BGR. */
+  def decodeBmp(b: Array[Byte]): Option[ImagePixels] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (dibSize < 40 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = pixOff + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val d = (y * w + x) * 3
+        out(d) = b(s + 2) // R <- BGR
+        out(d + 1) = b(s + 1)
+        out(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImagePixels("bmp", w, h, 3, out))
+  }
+
+  /** Binary PNM: P6 (RGB) / P5 (gray), maxval <= 255. Header tokens are
+    * whitespace-separated with `#` comments, per the netpbm spec. */
+  def decodePnm(b: Array[Byte]): Option[ImagePixels] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val channels = if (b(1) == '6') 3 else 1
+    var i = 2
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (i < b.length &&
+        (inComment || b(i).toChar.isWhitespace || b(i) == '#')) {
+        if (b(i) == '#') inComment = true
+        else if (b(i) == '\n') inComment = false
+        i += 1
+      }
+      var v = 0
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // single whitespace byte after maxval, per spec
+    val n = w * h * channels
+    if (i + n > b.length) return None
+    val out = new Array[Byte](n)
+    System.arraycopy(b, i, out, 0, n)
+    Some(ImagePixels(if (channels == 3) "ppm" else "pgm", w, h, channels, out))
+  }
+
+  /** Encode to the raster's native container (bmp / ppm / pgm). */
+  def encodeImage(img: ImagePixels): Array[Byte] = img.format match {
+    case "bmp" => encodeBmp(img)
+    case _     => encodePnm(img)
+  }
+
+  def encodeBmp(img: ImagePixels): Array[Byte] = {
+    require(img.channels == 3, "BMP writer emits 24-bpp RGB")
+    val stride = ((img.width * 3 + 3) / 4) * 4
+    val size = 54 + stride * img.height
+    val o = new Array[Byte](size)
+    o(0) = 'B'; o(1) = 'M'
+    wle32(o, 2, size); wle32(o, 10, 54)
+    wle32(o, 14, 40); wle32(o, 18, img.width); wle32(o, 22, img.height)
+    wle16(o, 26, 1); wle16(o, 28, 24); wle32(o, 30, 0)
+    wle32(o, 34, stride * img.height)
+    var y = 0
+    while (y < img.height) {
+      val dst = 54 + (img.height - 1 - y) * stride
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val d = dst + x * 3
+        o(d) = img.pixels(s + 2) // BGR <- RGB
+        o(d + 1) = img.pixels(s + 1)
+        o(d + 2) = img.pixels(s)
+        x += 1
+      }
+      y += 1
+    }
+    o
+  }
+
+  def encodePnm(img: ImagePixels): Array[Byte] = {
+    val magic = if (img.channels == 3) "P6" else "P5"
+    val header = s"$magic\n${img.width} ${img.height}\n255\n"
+      .getBytes("US-ASCII")
+    val o = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, o, 0, header.length)
+    System.arraycopy(img.pixels, 0, o, header.length, img.pixels.length)
+    o
+  }
+
+  /** Real resample: box-filter average over the source region each target
+    * pixel covers (correct for downscale; degrades to nearest-neighbor at
+    * 1:1 or upscale). Integer output via round-half-up. */
+  def resizeImage(img: ImagePixels, nw: Int, nh: Int): ImagePixels = {
+    require(nw > 0 && nh > 0)
+    val out = new Array[Byte](nw * nh * img.channels)
+    var y = 0
+    while (y < nh) {
+      // source row span [y0, y1) covered by target row y
+      val y0 = y.toLong * img.height / nh
+      val y1 = math.max(y0 + 1, (y + 1).toLong * img.height / nh)
+      var x = 0
+      while (x < nw) {
+        val x0 = x.toLong * img.width / nw
+        val x1 = math.max(x0 + 1, (x + 1).toLong * img.width / nw)
+        var c = 0
+        while (c < img.channels) {
+          var sum = 0L
+          var sy = y0
+          while (sy < y1) {
+            var sx = x0
+            while (sx < x1) {
+              sum += img.pixels(((sy * img.width + sx) * img.channels
+                + c).toInt) & 0xff
+              sx += 1
+            }
+            sy += 1
+          }
+          val n = (y1 - y0) * (x1 - x0)
+          out((y * nw + x) * img.channels + c) = ((sum + n / 2) / n).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    ImagePixels(img.format, nw, nh, img.channels, out)
+  }
+
+  /** Per-channel-agnostic pixel stats: (mean, population std) over all
+    * samples, values in 0-255. */
+  def pixelStats(img: ImagePixels): (Double, Double) = {
+    val n = img.pixels.length
+    if (n == 0) return (0.0, 0.0)
+    var sum = 0L; var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      val v = img.pixels(i) & 0xff
+      sum += v; sumSq += v.toLong * v
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    val variance = sumSq.toDouble / n - mean * mean
+    (mean, math.sqrt(math.max(0.0, variance)))
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** Decode RIFF/WAVE PCM (format tag 1, 8-bit unsigned or 16-bit
+    * signed). Returns None for compressed or exotic WAVs. */
+  def decodeWav(b: Array[Byte]): Option[PcmAudio] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12
+    var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val sz = le32(b, i + 4)
+      if (sz < 0) return None // untrusted size: refuse rather than loop
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't'
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a'
+      if (isFmt && i + 8 + 16 <= b.length) {
+        fmtTag = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (isData) {
+        dataOff = i + 8
+        dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    if (fmtTag != 1 || channels <= 0 || rate <= 0 ||
+      (bits != 8 && bits != 16) || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample
+    val samples = new Array[Double](n)
+    var s = 0
+    while (s < n) {
+      samples(s) =
+        if (bits == 8) ((b(dataOff + s) & 0xff) - 128) / 128.0
+        else le16(b, dataOff + s * 2).toShort / 32768.0
+      s += 1
+    }
+    Some(PcmAudio(rate, channels, bits, samples))
+  }
+
+  /** Encode 16-bit PCM WAV from normalized [-1, 1] samples. */
+  def encodeWav16(rate: Int, channels: Int,
+      samples: Array[Double]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val o = new Array[Byte](44 + dataLen)
+    o(0) = 'R'; o(1) = 'I'; o(2) = 'F'; o(3) = 'F'
+    wle32(o, 4, 36 + dataLen)
+    o(8) = 'W'; o(9) = 'A'; o(10) = 'V'; o(11) = 'E'
+    o(12) = 'f'; o(13) = 'm'; o(14) = 't'; o(15) = ' '
+    wle32(o, 16, 16); wle16(o, 20, 1); wle16(o, 22, channels)
+    wle32(o, 24, rate); wle32(o, 28, rate * channels * 2)
+    wle16(o, 32, channels * 2); wle16(o, 34, 16)
+    o(36) = 'd'; o(37) = 'a'; o(38) = 't'; o(39) = 'a'
+    wle32(o, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val clamped = math.max(-1.0, math.min(1.0, samples(i)))
+      wle16(o, 44 + i * 2, math.round(clamped * 32767).toInt & 0xffff)
+      i += 1
+    }
+    o
+  }
+
+  /** PCM stats: (rms, peak) over normalized samples. */
+  def pcmStats(a: PcmAudio): (Double, Double) = {
+    if (a.samples.isEmpty) return (0.0, 0.0)
+    var sumSq = 0.0; var peak = 0.0
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i)
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    (math.sqrt(sumSq / a.samples.length), peak)
+  }
+}

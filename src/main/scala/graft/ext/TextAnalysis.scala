@@ -113,6 +113,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q70: oracle twin of [[fingerprints]] — the same
+    * normalize-then-fingerprint pipeline with an md5-derived 64-bit
+    * fingerprint (first 16 hex chars) that BOTH engines can compute, so
+    * the normalization logic gets a cross-engine hash-level check while
+    * the codegen'd [[fingerprint64]] stays the performance path (q31).
+    * Hex-string form deliberately: converting to a signed 64-bit int
+    * differs between engines (unsigned overflow), the hex prefix does
+    * not. Pure narrow map, shuffle-free. */
+  def fingerprintsMd5(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    d.select(col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp64_hex"),
+        substring(md5(norm), 1, 16).as("normalized_fp64_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintsMd5Oracle: String =
+    """SELECT doc_id,
+       substring(md5(text), 1, 16) AS fp64_hex,
+       substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16)
+         AS normalized_fp64_hex
+       FROM documents ORDER BY doc_id"""
+
   /** Token counts with both tokenizers — oracled on the whitespace one. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
@@ -230,17 +254,51 @@ object TextAnalysis {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables(spark, dir, "documents"))
 
-  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
-  def unigramLogprobOf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+  /** Same over any (doc_id, text) DataFrame (injectable for tests).
+    *
+    * Skew posture (the token key is Zipf-distributed — "the"/"and" own a
+    * huge share of occurrences, and at web scale a plain token-keyed join
+    * puts each hot token's entire occurrence stream on one reducer):
+    *   1. pre-aggregate to per-(doc, token) counts `k` — map-side
+    *      combinable, and each hot token now appears once per *document*
+    *      instead of once per *occurrence*;
+    *   2. persist the vocabulary counts (vocabulary-sized — a few GB even
+    *      for a web-scale corpus — not corpus-sized);
+    *   3. broadcast the top-[[hotK]] tokens' counts and resolve them with
+    *      a broadcast left join — the hot keys never enter a shuffle;
+    *   4. shuffle-join only the cold residual, whose key distribution is
+    *      near-uniform by construction (every heavy hitter was removed).
+    * The two union branches share the per-(doc, token) exchange via AQE
+    * stage reuse (verified: the executed plan's cold branch reads a
+    * ReusedExchange over the hot branch's shuffle), so the corpus is
+    * scanned and exploded once; hot tokens only ever cross the (doc_id,
+    * token) composite shuffle, which doc_id keeps skew-free. */
+  def unigramLogprobOf(docs: DataFrame, hotK: Int = 1024): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val counts = docTok.groupBy(col("w")).agg(sum(col("k")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("c"))).head().getLong(0)
-    val lp6 = round(log(col("c").cast("double") / total), 6)
-      .cast("decimal(18,6)")
-    tok.join(counts, "w")
+    // per-token ln p, rounded then summed exactly as decimal; k copies of
+    // one token contribute k * lp6 — integer-by-decimal multiply is exact,
+    // so the result is bit-identical to the per-occurrence formulation
+    def lpPart(c: Column): Column =
+      (col("k") * round(log(c.cast("double") / total), 6)
+        .cast("decimal(18,6)")).as("lp_part")
+    val hot = counts.orderBy(col("c").desc, col("w")).limit(hotK)
+      .withColumnRenamed("c", "c_hot")
+    val tagged = docTok.join(broadcast(hot), Seq("w"), "left")
+    val hotPart = tagged.filter(col("c_hot").isNotNull)
+      .select(col("doc_id"), col("k"), lpPart(col("c_hot")))
+    val coldPart = tagged.filter(col("c_hot").isNull).drop("c_hot")
+      .join(counts, Seq("w"))
+      .select(col("doc_id"), col("k"), lpPart(col("c")))
+    hotPart.unionByName(coldPart)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(lp6).as("sum_lp"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("lp_part")).as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_lp").cast("double") / col("n_tokens"), 4)
           .as("avg_logprob"))

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.ByteBuffer
 
-import graft.ext.{MediaHeaders, Multimodal}
+import graft.ext.{MediaCodecs, MediaHeaders, Multimodal}
 
 class MultimodalSpec extends SparkSpecBase {
 
@@ -77,6 +77,147 @@ class MultimodalSpec extends SparkSpecBase {
     assert(byDoc(1L).map(_.frame_idx).sorted.sameElements(Seq(0, 3, 6, 9)))
     assert(byDoc(1L).find(_.frame_idx == 3).get.offset_bytes == 300)
     assert(!byDoc.contains(2L)) // images emit no frames
+  }
+
+  test("PPM P6 decode: hand-built file yields exact known pixel statistics") {
+    val px = Array[Int](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val file = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      px.map(_.toByte)).toArray
+    val img = MediaCodecs.decodePnm(file).get
+    assert(img.format == "ppm" && img.width == 2 && img.height == 2 &&
+      img.channels == 3)
+    assert(img.pixels.map(_ & 0xff).sameElements(px))
+    val (mean, std) = MediaCodecs.pixelStats(img)
+    assert(mean == 65.0) // sum 780 / 12
+    assert(math.abs(std - 34.520526) < 1e-5) // sqrt(65000/12 - 65^2)
+    // header comments and multi-whitespace are spec-legal
+    val commented = ("P6 # rgb\n# full-line comment\n 2\t2 \n255\n"
+      .getBytes("US-ASCII") ++ px.map(_.toByte)).toArray
+    assert(MediaCodecs.decodePnm(commented).get.pixels
+      .sameElements(img.pixels))
+  }
+
+  test("BMP decode: hand-built bottom-up padded BGR rows come out top-down RGB") {
+    // 2x2, 24bpp: stride = 8 (2*3 rounded up to 4). Rows written bottom-up.
+    val bb = ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0)
+    bb.putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row first: pixels (BGR): (3,2,1) (6,5,4) + 2 pad bytes
+    bb.put(Array[Byte](3, 2, 1, 6, 5, 4, 0, 0))
+    // top row: (9,8,7) (12,11,10) + pad
+    bb.put(Array[Byte](9, 8, 7, 12, 11, 10, 0, 0))
+    val img = MediaCodecs.decodeBmp(bb.array()).get
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    // top-down RGB: top row first, BGR->RGB swapped
+    assert(img.pixels.sameElements(
+      Array[Byte](7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6)))
+  }
+
+  test("BMP and PPM encode/decode round-trip preserves pixels exactly") {
+    // width 3 exercises BMP's 4-byte row padding (stride 12, row 9)
+    val px = Array.tabulate(3 * 2 * 3)(i => (i * 41 % 256).toByte)
+    for (fmt <- Seq("bmp", "ppm")) {
+      val img = MediaCodecs.ImagePixels(fmt, 3, 2, 3, px)
+      val decoded = MediaCodecs.decodeImage(MediaCodecs.encodeImage(img)).get
+      assert(decoded.format == fmt && decoded.width == 3 && decoded.height == 2)
+      assert(decoded.pixels.sameElements(px), fmt)
+    }
+    val gray = MediaCodecs.ImagePixels("pgm", 4, 3, 1,
+      Array.tabulate(12)(i => (i * 20).toByte))
+    val decodedGray = MediaCodecs.decodeImage(MediaCodecs.encodePnm(gray)).get
+    assert(decodedGray.channels == 1 && decodedGray.pixels.sameElements(gray.pixels))
+  }
+
+  test("box-filter resize averages each source block exactly") {
+    // 4x4 gray; each 2x2 block {a, a+2, a+8, a+10} averages to a+5
+    val src = MediaCodecs.ImagePixels("pgm", 4, 4, 1, Array[Byte](
+      0, 2, 100, 102,
+      8, 10, 108, 110,
+      40, 42, (200 - 256).toByte, (202 - 256).toByte,
+      48, 50, (208 - 256).toByte, (210 - 256).toByte))
+    val out = MediaCodecs.resizeImage(src, 2, 2)
+    assert(out.pixels.map(_ & 0xff).sameElements(Array(5, 105, 45, 205)))
+    // 1:1 resize is identity
+    assert(MediaCodecs.resizeImage(src, 4, 4).pixels.sameElements(src.pixels))
+  }
+
+  test("WAV PCM decode: hand-built 16-bit and 8-bit samples with known stats") {
+    val samples = Array(0.0, 0.5, -0.5, 1.0)
+    val a16 = MediaCodecs.decodeWav(
+      MediaCodecs.encodeWav16(8000, 1, samples)).get
+    assert(a16.sampleRate == 8000 && a16.channels == 1 &&
+      a16.bitsPerSample == 16)
+    // 16-bit quantization: round(0.5*32767)=16384, round(-16383.5)=-16383
+    assert(a16.samples(0) == 0.0 && a16.samples(1) == 16384.0 / 32768 &&
+      a16.samples(2) == -16383.0 / 32768)
+    assert(math.abs(a16.samples(3) - 32767.0 / 32768) < 1e-12)
+    assert(a16.durationSec == 4.0 / 8000)
+    val (rms, peak) = MediaCodecs.pcmStats(a16)
+    val expectedRms = math.sqrt(a16.samples.map(s => s * s).sum / 4)
+    assert(math.abs(rms - expectedRms) < 1e-12)
+    assert(peak == 32767.0 / 32768)
+    // 8-bit unsigned: 128 -> 0.0, 255 -> 0.9921875, 0 -> -1.0
+    val bb = ByteBuffer.allocate(47).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(39).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(16000).putShort(1).putShort(8)
+    bb.put("data".getBytes).putInt(3)
+    bb.put(128.toByte).put(255.toByte).put(0.toByte)
+    val a8 = MediaCodecs.decodeWav(bb.array()).get
+    assert(a8.bitsPerSample == 8 &&
+      a8.samples.sameElements(Array(0.0, 127.0 / 128, -1.0)))
+  }
+
+  test("compressed or malformed payloads refuse real decode (stub path keeps them)") {
+    assert(MediaCodecs.decodeImage(png(8, 8)).isEmpty) // compressed: header-only path
+    assert(MediaCodecs.decodeImage(jpeg(8, 8)).isEmpty)
+    assert(MediaCodecs.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    // truncated PPM (header promises more pixels than present)
+    assert(MediaCodecs.decodePnm("P6\n9 9\n255\nxy".getBytes).isEmpty)
+    // 8-bpp BMP (palette) is not an uncompressed-24bpp decode target
+    val bmp8 = MediaCodecs.encodeBmp(MediaCodecs.ImagePixels("bmp", 1, 1, 3,
+      Array[Byte](1, 2, 3)))
+    bmp8(28) = 8 // patch bpp
+    assert(MediaCodecs.decodeBmp(bmp8).isEmpty)
+  }
+
+  test("synthesized media corpus decodes to content-level stats (q71 path)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "ab"), (1L, "hello world"), (2L, "xyz"), (3L, "ab"))
+    val payloads = docs
+      .map { case (id, t) => (id, Multimodal.synthesizeMedia(id, t.getBytes("UTF-8"))) }
+      .toDF("doc_id", "payload")
+    val out = Multimodal.contentStatsOf(payloads).collect()
+      .map(s => s.doc_id -> s).toMap
+    // id 0: BMP from "ab" (len 2): w=8+2%9=10, h=6+2%7=8, pixels repeat
+    // [97,98] over 240 bytes -> mean 97.5 exactly, std 0.5
+    assert(out(0L).format == "bmp" && out(0L).kind == "image")
+    assert(out(0L).width.contains(10) && out(0L).height.contains(8))
+    assert(out(0L).px_mean.contains(97.5) && out(0L).px_std.contains(0.5))
+    assert(out(1L).format == "ppm" && out(1L).channels.contains(3))
+    assert(out(2L).format == "pgm" && out(2L).channels.contains(1))
+    // id 3: WAV from "ab": 8 samples at 8000 Hz -> 0.001 s
+    assert(out(3L).format == "wav" && out(3L).kind == "audio")
+    assert(out(3L).sample_rate.contains(8000))
+    assert(out(3L).duration_s.contains(0.001))
+    // peak = max |(97|98 - 128)/128| quantized to 16-bit
+    assert(math.abs(out(3L).peak.get - 31.0 / 128) < 1e-3)
+  }
+
+  test("q72 resize path: real box-filter resample, not the byte-fold stub") {
+    // 16x8 gradient PPM; maxSide 8 -> 8x4; constant rows resample exactly
+    val px = Array.tabulate(16 * 8 * 3) { i => ((i / (16 * 3)) * 30).toByte }
+    val img = MediaCodecs.ImagePixels("ppm", 16, 8, 3, px)
+    val resized = MediaCodecs.resizeImage(img, 8, 4)
+    // target row y averages source rows 2y,2y+1 -> (60y + 30y*... ) =
+    // (30*(2y) + 30*(2y+1))/2 = 60y + 15
+    for (y <- 0 until 4; x <- 0 until 8; c <- 0 until 3)
+      assert((resized.pixels((y * 8 + x) * 3 + c) & 0xff) == 60 * y + 15)
+    // and the re-encode is a valid file that decodes back
+    assert(MediaCodecs.decodeImage(MediaCodecs.encodeImage(resized))
+      .get.pixels.sameElements(resized.pixels))
   }
 
   test("decodeFeaturesOf: real headers parsed, non-media falls back to the stub") {
