@@ -201,9 +201,18 @@ object Dedup {
     * side's banded index and signatures are precomputed once and only
     * appended to. */
   def incrementalNearDupOf(batch: DataFrame, seen: DataFrame,
+      tau: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalNearDupSigs(
+      minhashSignaturesOf(batch).localCheckpoint(),
+      minhashSignaturesOf(seen).localCheckpoint(), tau, maxBucket)
+
+  /** Signature-level core of [[incrementalNearDupOf]] — the entry the
+    * production/streaming shape calls directly: the seen side is a
+    * PERSISTED (doc_id, sig) index that is appended to per batch, never
+    * re-derived from text (see
+    * [[graft.streaming.StreamingNearDup]]). */
+  def incrementalNearDupSigs(bs: DataFrame, ss: DataFrame,
       tau: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bs = minhashSignaturesOf(batch).localCheckpoint()
-    val ss = minhashSignaturesOf(seen).localCheckpoint()
     val bb = BucketCap.capBuckets(bandedSigs(bs),
       Seq("band_idx", "band_hash"), maxBucket, "incr-neardup-batch")
     val sb = BucketCap.capBuckets(bandedSigs(ss),
@@ -229,6 +238,41 @@ object Dedup {
       .select(col("doc_id"), col("best.seen_id").as("near_dup_of"),
         col("best.est_jaccard").as("est_jaccard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Recovery path for capped hot buckets — the route the [[BucketCap]]
+    * WARN log points at, as an operator: members of every dropped bucket
+    * re-enter through the EXACT digest pass. Giant band buckets at scale
+    * are overwhelmingly exact duplicates (boilerplate, templates, empty
+    * pages), so digest-grouping recovers their pairs with O(m) work per
+    * bucket where the capped pairwise join would have been m²/2 — and
+    * docs a hot bucket contains that are NOT exact duplicates are
+    * precisely the ones whose other 15 band buckets stay under the cap,
+    * so they keep their LSH path. Returns (a, b, est_jaccard=1.0): an
+    * exact-duplicate pair is a jaccard-1 near-dup pair, unionable with
+    * [[minhashPairsOf]] output (DedupSpec proves capped ∪ recovered =
+    * uncapped on a hot-bucket fixture).
+    *
+    * Scale: hot-bucket ids are bounded (≤ n/cap buckets materialize,
+    * broadcast); the digest join shuffles 32-byte digests of only the
+    * hot membership, never text. */
+  def hotBucketRecoveryOf(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = minhashSignaturesOf(docs).localCheckpoint()
+    val banded = bandedSigs(sigs)
+    val hot = BucketCap.hotBuckets(banded,
+      Seq("band_idx", "band_hash"), maxBucket)
+    val memberIds = banded
+      .join(broadcast(hot.select(col("band_idx"), col("band_hash"))),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id")).distinct()
+    val digests = docs.join(memberIds, "doc_id")
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("digest"))
+    digests.as("x").join(digests.as("y"),
+        col("x.digest") === col("y.digest") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(1.0).as("est_jaccard"))
   }
 
   /** q68: [[incrementalNearDupOf]] with the odd ids standing in for the

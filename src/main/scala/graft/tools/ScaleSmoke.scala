@@ -36,7 +36,30 @@ object ScaleSmoke {
     replicate("customer", Seq("c_custkey"), 10000000L)
     replicate("documents", Seq("doc_id"), 10000000L)
     replicate("embeddings", Seq("vec_id"), 10000000L)
+    // supplier is a dim: copied once, keys unshifted — replicated fact rows
+    // join the same supplier set, so per-row join fanout stays constant
+    graft.Tables(spark, base, "supplier").write.mode("overwrite")
+      .parquet(s"$big/supplier.parquet")
     println(f"[scale] synthesis ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    /** q66 variant with a DELIBERATELY skewed synthetic key: half of all
+      * lineitem rows are rewritten to one supplier key, so the salt is
+      * load-bearing (the registered q66 runs on near-uniform TPC-H keys,
+      * where salting is semantically proven but never stressed). The 10x
+      * ratio of this case is the evidence that the salted shuffle stays
+      * balanced as the hot key's row count grows 10x. */
+    def saltedSkewed(s: SparkSession, d: String): DataFrame = {
+      val li = graft.Tables(s, d, "lineitem")
+        .withColumn("l_suppkey",
+          when(col("l_orderkey") % 2 === 0, lit(1L))
+            .otherwise(col("l_suppkey")))
+      val sup = graft.Tables(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }
 
     def time(name: String, dir: String)(q: (SparkSession, String) => DataFrame): Double = {
       val t = System.nanoTime()
@@ -65,7 +88,20 @@ object ScaleSmoke {
       "q26_knn_bruteforce" -> ((s: SparkSession, d: String) =>
         graft.ext.Similarity.knnBruteForce(s, d)),
       "q51_mixture_sample" -> ((s: SparkSession, d: String) =>
-        graft.ext.Curate.mixtureSample(s, d))
+        graft.ext.Curate.mixtureSample(s, d)),
+      // round-4 operators
+      "q63_span_dedup" -> ((s: SparkSession, d: String) =>
+        graft.ext.Dedup.spanDedup(s, d)),
+      "q64_unigram_logprob" -> (graft.ext.TextAnalysis.unigramLogprob(_, _)),
+      "q67_kmv_distinct" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.distinctEstimate(s, d)),
+      "q68_incr_neardup" -> (graft.ext.Dedup.incrementalNearDup(_, _)),
+      "q69_ann_pq" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.annPq(s, d)),
+      // round-5 operators
+      "q70_fingerprint_md5" -> (graft.ext.TextAnalysis.fingerprintsMd5(_, _)),
+      "q71_media_content" -> (graft.ext.Multimodal.contentStats(_, _)),
+      "q66_salted_skewed" -> saltedSkewed _
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

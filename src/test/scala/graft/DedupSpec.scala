@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
   }
 
+  test("capped hot buckets are recall-recoverable: capped ∪ recovered = uncapped") {
+    import spark.implicits._
+    // 40 identical boilerplate docs (hot bucket in all 16 bands at cap 10)
+    // + one honest near-dup pair that stays under the cap
+    val boiler = (100L until 140L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the quick brown fox jumps over the lazy dog every single night"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(Dedup.minhashPairsOf(docs, maxBucket = 0))
+    val capped = pairSet(Dedup.minhashPairsOf(docs, maxBucket = 10))
+    val recovered = pairSet(Dedup.hotBucketRecoveryOf(docs, maxBucket = 10))
+    assert(recovered.nonEmpty && (capped & recovered).isEmpty)
+    assert((capped | recovered) == uncapped,
+      s"missing: ${uncapped -- (capped | recovered)}, " +
+        s"extra: ${(capped | recovered) -- uncapped}")
+    // the recovery found exactly the C(40,2) boilerplate pairs
+    assert(recovered.size == 40 * 39 / 2)
+  }
+
   test("incremental near-dup flags batch docs colliding with seen corpus") {
     import spark.implicits._
     val seen = Seq(
