@@ -53,12 +53,19 @@ object Bench {
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // compact headline FIRST on its own line: the driver's bench capture
-    // has truncated the (long) per-query line before — this way any tail
-    // or head capture still retains the total. Deliberately no "metric"
-    // key, so a `grep metric` still selects only the full line below.
-    println(s"""{"total":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.length},"sf":"$sfDir"}""")
+    // The driver records only the LAST ~2000 chars of output (r5 proved
+    // it: a headline printed FIRST was cut, "parsed" came back null), so
+    // ordering is: the full line with spreads first (humans, full
+    // captures), then LAST a line guaranteed to survive a tail capture
+    // and parse — per-query medians if that fits the tail budget,
+    // otherwise just the headline total.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs2 = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt2(med) }
+      .mkString("{", ",", "}")
+    val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs2,"sf":"$sfDir"}"""
+    println(if (mediansLine.length <= 1850) mediansLine
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

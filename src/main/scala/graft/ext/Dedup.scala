@@ -222,6 +222,35 @@ object Dedup {
           col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("seen_id"))
       .distinct()
+    bestSeenMatch(cand, bs, ss, tau)
+  }
+
+  /** Intra-set near-dup pass — flag each doc whose signature estimates
+    * jaccard ≥ tau against a LOWER-id doc in the SAME signature set.
+    * The lowest-id member of every near-dup group is never flagged (it
+    * has no lower partner), so exactly one representative survives; a
+    * flagged doc's reported best match may itself be flagged (greedy
+    * chain — standard for a micro-batch checking itself before the seen
+    * index, see [[graft.streaming.StreamingNearDup]]). Same banded
+    * candidate shape and BucketCap guard as the cross-set pass. */
+  def selfNearDupSigs(sigs: DataFrame, tau: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = BucketCap.capBuckets(bandedSigs(sigs),
+      Seq("band_idx", "band_hash"), maxBucket, "self-neardup")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("seen_id"))
+      .distinct()
+    bestSeenMatch(cand, sigs, sigs, tau)
+  }
+
+  /** Resolve (doc_id, seen_id) candidates against their signatures and
+    * keep each doc's best (highest-estimate, ties → highest id) match
+    * at jaccard ≥ tau. */
+  private def bestSeenMatch(cand: DataFrame, bs: DataFrame,
+      ss: DataFrame, tau: Double): DataFrame =
     cand
       .join(bs.withColumnsRenamed(Map("sig" -> "sig_b")), "doc_id")
       .join(ss.withColumnsRenamed(
@@ -238,20 +267,23 @@ object Dedup {
       .select(col("doc_id"), col("best.seen_id").as("near_dup_of"),
         col("best.est_jaccard").as("est_jaccard"))
       .orderBy(col("doc_id"))
-  }
 
   /** Recovery path for capped hot buckets — the route the [[BucketCap]]
     * WARN log points at, as an operator: members of every dropped bucket
     * re-enter through the EXACT digest pass. Giant band buckets at scale
     * are overwhelmingly exact duplicates (boilerplate, templates, empty
-    * pages), so digest-grouping recovers their pairs with O(m) work per
-    * bucket where the capped pairwise join would have been m²/2 — and
-    * docs a hot bucket contains that are NOT exact duplicates are
-    * precisely the ones whose other 15 band buckets stay under the cap,
-    * so they keep their LSH path. Returns (a, b, est_jaccard=1.0): an
-    * exact-duplicate pair is a jaccard-1 near-dup pair, unionable with
-    * [[minhashPairsOf]] output (DedupSpec proves capped ∪ recovered =
-    * uncapped on a hot-bucket fixture).
+    * pages), so digest-grouping recovers their CLUSTERS with O(m) work
+    * AND O(m) output per bucket — each member pairs with its digest
+    * group's min doc_id (a star of m−1 spanning pairs), never the m²/2
+    * all-pairs form, which for a 10⁶-member boilerplate bucket would be
+    * the same quadratic blowup BucketCap exists to prevent. The star
+    * preserves exactly the connectivity downstream clustering consumes
+    * (connected components of capped ∪ recovered = components of the
+    * uncapped run — proven in DedupSpec); docs a hot bucket contains
+    * that are NOT exact duplicates are precisely the ones whose other
+    * 15 band buckets stay under the cap, so they keep their LSH path.
+    * Returns (a, b, est_jaccard=1.0): an exact-duplicate pair is a
+    * jaccard-1 near-dup pair, unionable with [[minhashPairsOf]] output.
     *
     * Scale: hot-bucket ids are bounded (≤ n/cap buckets materialize,
     * broadcast); the digest join shuffles 32-byte digests of only the
@@ -268,11 +300,11 @@ object Dedup {
       .select(col("doc_id")).distinct()
     val digests = docs.join(memberIds, "doc_id")
       .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("digest"))
-    digests.as("x").join(digests.as("y"),
-        col("x.digest") === col("y.digest") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        lit(1.0).as("est_jaccard"))
+    val roots = digests.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("a"))
+    digests.join(roots, "digest")
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"), lit(1.0).as("est_jaccard"))
   }
 
   /** q68: [[incrementalNearDupOf]] with the odd ids standing in for the

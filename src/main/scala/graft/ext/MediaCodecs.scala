@@ -250,7 +250,14 @@ object MediaCodecs {
         dataOff = i + 8
         dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
       }
-      i += 8 + sz + (sz & 1)
+      // advance in Long space: a crafted sz near Int.MaxValue would wrap
+      // `i + 8 + sz` negative and index b() with a negative offset
+      val next = i.toLong + 8L + sz.toLong + (sz & 1)
+      if (next > b.length.toLong) {
+        // chunk claims to extend past the buffer — a trailing clamped
+        // data chunk is already handled above; nothing else to parse
+        i = b.length
+      } else i = next.toInt
     }
     if (fmtTag != 1 || channels <= 0 || rate <= 0 ||
       (bits != 8 && bits != 16) || dataOff < 0) return None

@@ -108,10 +108,17 @@ object TextAnalysis {
     val d = Tables(spark, dir, "documents")
     d.select(col("doc_id"),
         fingerprint64(col("text")).as("fingerprint"),
-        fingerprint64(lower(regexp_replace(col("text"), "\\s+", " ")))
+        fingerprint64(lower(regexp_replace(col("text"), WsClass, " ")))
           .as("normalized_fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  /** Whitespace class for normalization, spelled out: Java's `\s`
+    * includes vertical tab U+000B, RE2's (DuckDB) does not, so a `\s`
+    * normalization would silently diverge cross-engine on any document
+    * containing one. This explicit class means the same five characters
+    * in both engines. */
+  private[graft] val WsClass = "[ \\t\\n\\r\\f]+"
 
   /** q70: oracle twin of [[fingerprints]] — the same
     * normalize-then-fingerprint pipeline with an md5-derived 64-bit
@@ -123,7 +130,7 @@ object TextAnalysis {
     * not. Pure narrow map, shuffle-free. */
   def fingerprintsMd5(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val norm = lower(regexp_replace(col("text"), WsClass, " "))
     d.select(col("doc_id"),
         substring(md5(col("text")), 1, 16).as("fp64_hex"),
         substring(md5(norm), 1, 16).as("normalized_fp64_hex"))
@@ -133,8 +140,8 @@ object TextAnalysis {
   val fingerprintsMd5Oracle: String =
     """SELECT doc_id,
        substring(md5(text), 1, 16) AS fp64_hex,
-       substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16)
-         AS normalized_fp64_hex
+       substring(md5(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))),
+         1, 16) AS normalized_fp64_hex
        FROM documents ORDER BY doc_id"""
 
   /** Token counts with both tokenizers — oracled on the whitespace one. */
@@ -154,12 +161,14 @@ object TextAnalysis {
        FROM documents ORDER BY doc_id"""
 
   /** PII / link scrubbing patterns. Kept to syntax with identical
-    * semantics in Java regex and RE2 (no backreferences, no lookaround)
-    * so the engine and the DuckDB oracle replace the exact same spans.
-    * URL first — an URL can embed an email-shaped or ip-shaped substring
-    * and must win as a unit. */
+    * semantics in Java regex and RE2 (no backreferences, no lookaround,
+    * and no `\s`/`\S` — Java's includes vertical tab, RE2's does not;
+    * the URL terminator class spells out the five shared whitespace
+    * characters) so the engine and the DuckDB oracle replace the exact
+    * same spans. URL first — an URL can embed an email-shaped or
+    * ip-shaped substring and must win as a unit. */
   private[ext] val scrubPatterns: Seq[(String, String, String)] = Seq(
-    ("url", "https?://[^\\s]+", "<URL>"),
+    ("url", "https?://[^ \\t\\n\\r\\f]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
       "<IP>"))
@@ -262,8 +271,11 @@ object TextAnalysis {
     *   1. pre-aggregate to per-(doc, token) counts `k` — map-side
     *      combinable, and each hot token now appears once per *document*
     *      instead of once per *occurrence*;
-    *   2. persist the vocabulary counts (vocabulary-sized — a few GB even
-    *      for a web-scale corpus — not corpus-sized);
+    *   2. localCheckpoint the vocabulary counts (vocabulary-sized — a
+    *      few GB even for a web-scale corpus — not corpus-sized);
+    *      checkpoint rather than persist so the cached blocks' lifetime
+    *      is tied to the RDD (freed on GC) instead of leaking one
+    *      pinned DataFrame per invocation in a long-lived session;
     *   3. broadcast the top-[[hotK]] tokens' counts and resolve them with
     *      a broadcast left join — the hot keys never enter a shuffle;
     *   4. shuffle-join only the cold residual, whose key distribution is
@@ -279,7 +291,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("k"))
     val counts = docTok.groupBy(col("w")).agg(sum(col("k")).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val total = counts.agg(sum(col("c"))).head().getLong(0)
     // per-token ln p, rounded then summed exactly as decimal; k copies of
     // one token contribute k * lp6 — integer-by-decimal multiply is exact,

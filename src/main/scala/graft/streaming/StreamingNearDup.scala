@@ -14,6 +14,9 @@ import graft.ext.Dedup
   *   - the batch is checked against the INDEX (parquet of (doc_id, sig),
   *     64 longs per admitted doc — never text), with the BucketCap guard
   *     on both sides of the banded join;
+  *   - the batch is ALSO checked against itself ([[Dedup.selfNearDupSigs]])
+  *     so two near-identical docs arriving in one micro-batch don't both
+  *     get admitted — the lowest id of an intra-batch dup group survives;
   *   - clean docs are appended to `admittedDir` and their signatures to
   *     the index; flagged docs go to `flaggedDir` with their best match.
   *
@@ -21,10 +24,12 @@ import graft.ext.Dedup
   * index, which grows by 8×64 bytes per admitted document regardless of
   * document size, and the text of a batch never joins against anything
   * larger than the batch itself. Exactly-once: every output (admitted,
-  * flagged, index) is partitioned by batch_id and written with dynamic
-  * partition overwrite, so a re-run batch replaces exactly its own
-  * partition; the index read also excludes the current batchId so a
-  * half-written prior attempt cannot flag a batch as a dup of itself.
+  * flagged, index) is partitioned by batch_id; a re-run first DELETES
+  * its own batch_id partition from all three sinks (dynamic partition
+  * overwrite alone would leave a failed attempt's rows behind when the
+  * re-run computes an empty set), and the index read also excludes the
+  * current batchId so a half-written prior attempt cannot flag a batch
+  * as a dup of itself.
   */
 object StreamingNearDup {
 
@@ -42,22 +47,42 @@ object StreamingNearDup {
           spark.sparkContext.emptyRDD[Row], sigSchema)
     }
 
-  /** One micro-batch: flag near-dups of the index, admit the rest,
-    * append the admitted signatures. Package-visible for direct testing
-    * without a streaming harness. */
+  /** One micro-batch: flag near-dups of the index AND of lower-id docs
+    * within the batch itself (without the self pass, two copies arriving
+    * in one micro-batch would both be admitted and indexed), admit the
+    * rest, append the admitted signatures. Package-visible for direct
+    * testing without a streaming harness. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, admittedDir: String, flaggedDir: String,
       tau: Double): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // a re-run attempt must not inherit the failed attempt's partition:
+    // dynamic overwrite only replaces partitions PRESENT in the new
+    // data, so a re-run that computes an empty set (or an empty batch)
+    // would otherwise leave the stale rows — e.g. a doc both flagged
+    // and admitted. Drop batch_id=N from every sink up front.
+    Seq(flaggedDir, admittedDir, indexDir).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    if (batch.isEmpty) return
     val sigs = Dedup.minhashSignaturesOf(batch).localCheckpoint()
     val seen = readIndex(spark, indexDir)
       .filter(col("batch_id") =!= batchId) // idempotent re-run
       .select(col("doc_id"), col("sig")).localCheckpoint()
+    // union of the index pass and the intra-batch self pass, best match
+    // per doc (the self pass never flags a group's lowest id, so one
+    // representative of a batch-internal dup group is still admitted)
     val flagged = Dedup.incrementalNearDupSigs(sigs, seen, tau)
+      .unionByName(Dedup.selfNearDupSigs(sigs, tau))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("est_jaccard"), col("near_dup_of"))).as("best"))
+      .select(col("doc_id"), col("best.near_dup_of").as("near_dup_of"),
+        col("best.est_jaccard").as("est_jaccard"))
       .localCheckpoint()
     // idempotent per batch: each write lands in its own batch_id
-    // partition and overwrites ONLY that partition on re-run
+    // partition (cleared above) and overwrites ONLY that partition
     def writeBatch(df: DataFrame, dir: String): Unit =
       df.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")

@@ -54,7 +54,8 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
   }
 
-  test("capped hot buckets are recall-recoverable: capped ∪ recovered = uncapped") {
+  test("capped hot buckets are recall-recoverable: " +
+      "components(capped ∪ recovered) = components(uncapped)") {
     import spark.implicits._
     // 40 identical boilerplate docs (hot bucket in all 16 bands at cap 10)
     // + one honest near-dup pair that stays under the cap
@@ -70,11 +71,24 @@ class DedupSpec extends SparkSpecBase {
     val capped = pairSet(Dedup.minhashPairsOf(docs, maxBucket = 10))
     val recovered = pairSet(Dedup.hotBucketRecoveryOf(docs, maxBucket = 10))
     assert(recovered.nonEmpty && (capped & recovered).isEmpty)
-    assert((capped | recovered) == uncapped,
-      s"missing: ${uncapped -- (capped | recovered)}, " +
-        s"extra: ${(capped | recovered) -- uncapped}")
-    // the recovery found exactly the C(40,2) boilerplate pairs
-    assert(recovered.size == 40 * 39 / 2)
+    // star output: m-1 spanning pairs per exact-duplicate group (not
+    // C(m,2) — that would re-create the quadratic blowup the cap
+    // prevents), every pair true in the uncapped run
+    assert(recovered.size == 39, s"got ${recovered.size}")
+    assert(recovered.subsetOf(uncapped))
+    // what clustering consumes is connectivity — prove it's identical
+    def components(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      parent.keys.toSeq.groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(capped | recovered) == components(uncapped))
   }
 
   test("incremental near-dup flags batch docs colliding with seen corpus") {

@@ -173,6 +173,12 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MediaCodecs.decodeImage(png(8, 8)).isEmpty) // compressed: header-only path
     assert(MediaCodecs.decodeImage(jpeg(8, 8)).isEmpty)
     assert(MediaCodecs.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    // crafted chunk size near Int.MaxValue must not wrap the offset
+    // negative (would index b() out of range) — refuse, don't throw
+    val evil = ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    evil.put("junk".getBytes).putInt(Int.MaxValue - 4)
+    assert(MediaCodecs.decodeWav(evil.array()).isEmpty)
     // truncated PPM (header promises more pixels than present)
     assert(MediaCodecs.decodePnm("P6\n9 9\n255\nxy".getBytes).isEmpty)
     // 8-bpp BMP (palette) is not an uncompressed-24bpp decode target

@@ -108,6 +108,17 @@ class TextSpec extends SparkSpecBase {
     assert(got(4L) == (("see <URL> ok", 1L, 1L, 1L)))
   }
 
+  test("whitespace normalization class is the 5-char cross-engine set " +
+      "(vertical tab deliberately NOT collapsed — RE2's \\s excludes it)") {
+    import spark.implicits._
+    val got = Seq("a\u000Bb c\td\ne\rf\fg  h").toDF("text")
+      .select(regexp_replace(col("text"), TextAnalysis.WsClass, " "))
+      .head().getString(0)
+    // tab/newline/cr/ff/runs collapse; U+000B passes through untouched,
+    // exactly as DuckDB's RE2 would — a Java \s here would diverge
+    assert(got == "a\u000Bb c d e f g h")
+  }
+
   test("KMV sketch is exact below k and within theory error when full") {
     import spark.implicits._
     // below k: "x y z x y z" has 3 distinct 3-gram shingles
