@@ -103,7 +103,8 @@ object SparkEntry {
     "q70_fingerprint_md5" -> (TextAnalysis.fingerprintsMd5(_, _)),
     "q71_media_content_stats" -> (Multimodal.contentStats(_, _)),
     "q72_media_resize" -> ((s: SparkSession, d: String) =>
-      Multimodal.resizeStats(s, d))
+      Multimodal.resizeStats(s, d)),
+    "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,6 +285,7 @@ object SparkEntry {
     "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle,
     "q65_group_topk" -> Analytics.q65Oracle,
     "q66_salted_join" -> Relational.q66Oracle,
-    "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle
+    "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle,
+    "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle
   )
 }
