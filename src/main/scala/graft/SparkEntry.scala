@@ -104,7 +104,11 @@ object SparkEntry {
     "q71_media_content_stats" -> (Multimodal.contentStats(_, _)),
     "q72_media_resize" -> ((s: SparkSession, d: String) =>
       Multimodal.resizeStats(s, d)),
-    "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _))
+    "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _)),
+    "q74_resample" -> ((s: SparkSession, d: String) =>
+      Analytics.q74Resample(s, d)),
+    "q75_window_funcs" -> ((s: SparkSession, d: String) =>
+      Analytics.q75WindowFuncs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +290,8 @@ object SparkEntry {
     "q65_group_topk" -> Analytics.q65Oracle,
     "q66_salted_join" -> Relational.q66Oracle,
     "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle,
-    "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle
+    "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle,
+    "q74_resample" -> Analytics.q74Oracle,
+    "q75_window_funcs" -> Analytics.q75Oracle
   )
 }

@@ -321,4 +321,110 @@ object Analytics {
         approx_count_distinct(col("l_partkey")).as("nd_part_approx"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q74: time-series resample with gap-fill and forward-fill — the
+    * standard sensor-series regularization pass (the reference domain is
+    * reaction time-series): each user's events land on a dense daily
+    * grid from their first to last active day; gap days carry
+    * n_events=0 and the last observed day-max value forward.
+    *
+    * Forward-fill is the count-partition idiom, chosen because it is
+    * expressible IDENTICALLY in both engines (no IGNORE NULLS, which
+    * Spark and DuckDB support with different spellings): `grp` = running
+    * count of non-null observations per user — constant across a gap
+    * run — and the carried value is the max (= the only) observation in
+    * the (user, grp) frame.
+    *
+    * Values are count and max only: both order-independent and exact,
+    * no float summation anywhere. Scale: the grid explode is per-user
+    * bounded (days in span, not events); both windows partition by
+    * user_id — high-cardinality, never global; the join is keyed on
+    * (user_id, d) — skew-free. */
+  def q74Resample(spark: SparkSession, dir: String): DataFrame =
+    q74ResampleOf(Tables(spark, dir, "events"))
+
+  /** Same over any (user_id, ts, value) DataFrame (injectable for
+    * tests). */
+  def q74ResampleOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val daily = e.groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("day_max"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("d"))
+    val filled = grid.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.withColumn("grp", count(col("day_max")).over(wRun))
+      .withColumn("ff_max", max(col("day_max"))
+        .over(Window.partitionBy(col("user_id"), col("grp"))))
+      // dates export as formatted strings (repo rule: temporal values
+      // cross the oracle boundary as strings or epoch seconds)
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("ff_max"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q74Oracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+       daily AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n_events,
+                   max(value) AS day_max FROM e GROUP BY 1, 2),
+       grid AS (SELECT user_id,
+                  CAST(unnest(generate_series(min(d), max(d),
+                    INTERVAL 1 DAY)) AS DATE) AS d
+                FROM e GROUP BY user_id),
+       filled AS (SELECT g.user_id, g.d,
+                    coalesce(daily.n_events, 0) AS n_events, daily.day_max
+                  FROM grid g LEFT JOIN daily
+                    ON g.user_id = daily.user_id AND g.d = daily.d),
+       grps AS (SELECT *, count(day_max) OVER
+                  (PARTITION BY user_id ORDER BY d) AS grp FROM filled)
+       SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+         CAST(n_events AS BIGINT) AS n_events,
+         max(day_max) OVER (PARTITION BY user_id, grp) AS ff_max
+       FROM grps ORDER BY user_id, day"""
+
+  /** q75: ranking-function inventory — ntile, percent_rank, cume_dist,
+    * lag and lead in one windowed pass, completing §2 L's window-function
+    * coverage (q10/q16/q65 cover rank/row_number/running aggregates).
+    * All five are exact integer-rational computations over a unique
+    * ordering key — deterministic and hash-stable cross-engine.
+    *
+    * Scale note: this is the REPORT-shaped form (5 priority partitions,
+    * input bounded by the key prefilter). For corpus-scale ranks the
+    * production paths are the two-phase forms: q35 (percentile), q55
+    * (prefix sums), q65 (bounded-heap top-k) — a cume_dist over a
+    * 5-value partition key at 100 TB would funnel each fifth of the
+    * table through one reducer, exactly what those plans avoid. */
+  def q75WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q75Oracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price
+       FROM orders WHERE o_orderkey % 31 = 0
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+       ORDER BY o_orderkey"""
 }

@@ -101,7 +101,9 @@ object ScaleSmoke {
       // round-5 operators
       "q70_fingerprint_md5" -> (graft.ext.TextAnalysis.fingerprintsMd5(_, _)),
       "q71_media_content" -> (graft.ext.Multimodal.contentStats(_, _)),
-      "q66_salted_skewed" -> saltedSkewed _
+      "q66_salted_skewed" -> saltedSkewed _,
+      // round-6 operators
+      "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

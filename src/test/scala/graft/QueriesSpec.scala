@@ -50,6 +50,29 @@ class QueriesSpec extends SparkSpecBase {
     assert(ps.contains("BroadcastHashJoin"), ps.take(800))
   }
 
+  test("q74 resample: dense grid, gap days carry 0 events and the last " +
+      "observed max forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: events on day 1 and day 4 (gap 2-3); user 2: one day only
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", 5.0),
+      (1L, "2024-03-01 11:00:00", 7.0),
+      (1L, "2024-03-04 09:00:00", 2.0),
+      (2L, "2024-03-02 08:00:00", 9.0)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val got = queries.Analytics.q74ResampleOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got == List(
+      (1L, "2024-03-01", 2L, 7.0),  // two events, day max 7
+      (1L, "2024-03-02", 0L, 7.0),  // gap: filled, carries 7 forward
+      (1L, "2024-03-03", 0L, 7.0),
+      (1L, "2024-03-04", 1L, 2.0),  // fresh observation resets the fill
+      (2L, "2024-03-02", 1L, 9.0))) // single-day user: 1-row grid
+  }
+
   test("q65 bounded-heap group top-k equals the window form, with no " +
       "Window or full sort in the plan") {
     import org.apache.spark.sql.functions._
