@@ -45,6 +45,58 @@ object GraftCatalog {
     rewrite(spark, tablePath,
       _.sortWithinPartitions(sortCols.map(col): _*))
 
+  /** Multi-dimensional clustering (the Delta Z-ORDER analogue, and the
+    * columnar answer to the reference's composite b-trees
+    * fact(ca,cb,cc,cd) — create_indexes.sql): interleave the bits of
+    * the clustered columns into one z-value, then range-partition and
+    * sort by it, so every file's parquet min/max stats form a tight
+    * BOUNDING BOX in all clustered dimensions at once. A linear sort
+    * serves only its leading column — a predicate on the second column
+    * scans every file; z-order serves point/range predicates on EACH
+    * clustered column with ~n^((d-1)/d) of the files. CatalogSpec
+    * measures exactly that: per-file value ranges shrink in BOTH
+    * columns vs a leading-column linear sort.
+    *
+    * Columns are min-max scaled to 2^bits levels (the driver collects
+    * 2·d scalars, nothing else). Min-max scaling under heavy value skew
+    * concentrates cells — switch to quantile scaling (approx_percentile
+    * grid) if a clustered column is Zipf-distributed. */
+  def clusterZOrder(spark: SparkSession, tablePath: String,
+      cols: Seq[String], nFiles: Int, bits: Int = 16): Unit =
+    rewrite(spark, tablePath, df => {
+      df.withColumn("_z", zValue(df, cols, bits))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    })
+
+  /** The z-value column for `df` over `cols` (min-max scaled, bit-
+    * interleaved). Exposed for plan inspection and reuse. */
+  def zValue(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.length * bits <= 63,
+      s"${cols.length} cols x $bits bits must fit a signed long")
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+      max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxLevel = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getDouble(2 * i)
+      val span = math.max(stats.getDouble(2 * i + 1) - lo, 1e-12)
+      least(lit(maxLevel), greatest(lit(0L),
+        floor((col(c).cast("double") - lo) / span * maxLevel).cast("long")))
+    }
+    val d = scaled.length
+    (0 until bits).flatMap { i =>
+      scaled.zipWithIndex.map { case (c, j) =>
+        // bit i of column j lands at position i*d + j: high bits of all
+        // columns dominate together, which is what makes the sort a
+        // space-filling curve instead of a lexicographic one
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** J5-analogue — post-bulk-load compaction (OPTIMIZE): coalesce small
     * files produced by incremental appends into ~targetFiles. */
   def compact(spark: SparkSession, tablePath: String,

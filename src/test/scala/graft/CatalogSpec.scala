@@ -62,4 +62,45 @@ class CatalogSpec extends SparkSpecBase {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("z-order clustering tightens per-file bounding boxes in BOTH " +
+      "columns; linear sort serves only its leading column") {
+    import org.apache.spark.sql.functions._
+    val src = Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val domain = src.agg(
+        (max("l_partkey") - min("l_partkey")).cast("double"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+    val (dp, ds) = (domain.getDouble(0), domain.getDouble(1))
+    // per-file avg value range, normalized by the column domain
+    def avgRange(dir: String, c: String, dom: Double): Double = {
+      val r = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / dom).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+      r
+    }
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString + "/t"
+    src.write.parquet(zDir)
+    GraftCatalog.clusterZOrder(spark, zDir,
+      Seq("l_partkey", "l_suppkey"), nFiles = 8)
+    val linDir = java.nio.file.Files
+      .createTempDirectory("graft-linear").toString + "/t"
+    src.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey").write.parquet(linDir)
+    assert(spark.read.parquet(zDir).count() == src.count())
+    val (zp, zs) = (avgRange(zDir, "l_partkey", dp),
+      avgRange(zDir, "l_suppkey", ds))
+    val (lp, ls) = (avgRange(linDir, "l_partkey", dp),
+      avgRange(linDir, "l_suppkey", ds))
+    // linear: leading column tight, second column spans ~the full domain
+    assert(lp < 0.3, s"linear leading-col range $lp")
+    assert(ls > 0.8, s"linear second-col range $ls")
+    // z-order: BOTH columns bounded well below the full domain — the
+    // file-skipping property for predicates on either column
+    assert(zp < 0.75, s"z partkey range $zp")
+    assert(zs < 0.6, s"z suppkey range $zs")
+    assert(zs < ls / 2, s"z suppkey $zs not < half of linear $ls")
+  }
 }
