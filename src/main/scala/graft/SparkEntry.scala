@@ -108,7 +108,9 @@ object SparkEntry {
     "q74_resample" -> ((s: SparkSession, d: String) =>
       Analytics.q74Resample(s, d)),
     "q75_window_funcs" -> ((s: SparkSession, d: String) =>
-      Analytics.q75WindowFuncs(s, d))
+      Analytics.q75WindowFuncs(s, d)),
+    "q76_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -292,6 +294,7 @@ object SparkEntry {
     "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle,
     "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle,
     "q74_resample" -> Analytics.q74Oracle,
-    "q75_window_funcs" -> Analytics.q75Oracle
+    "q75_window_funcs" -> Analytics.q75Oracle,
+    "q76_heavy_hitters" -> TextAnalysis.heavyHittersOracle
   )
 }

@@ -388,6 +388,43 @@ object TextAnalysis {
        FROM documents ORDER BY doc_id"""
   }
 
+  /** q76: heavy hitters by candidates-then-recount — the top-`topK`
+    * corpus tokens found WITHOUT an exact full-vocabulary aggregate:
+    * a single [[graft.functions.MisraGries]] pass narrows the stream to
+    * ≤ `sketchK` candidate tokens in bounded memory (the summary
+    * provably contains every token with frequency > n/(sketchK+1)),
+    * then one broadcast-semijoin recount pass makes the candidate
+    * counts exact. Output = exact top-k (count desc, token asc) —
+    * hash-green against the plain exact-aggregate oracle — provided
+    * the true top-k clear the n/(sketchK+1) retention bar (they do by
+    * orders of magnitude here; raise sketchK for flatter corpora —
+    * TextSpec checks the retention guarantee property directly).
+    *
+    * Scale: the q57-style exact vocabulary aggregate grows (and
+    * spills) with distinct-token count — billions at web scale; this
+    * plan's first pass shuffles one ≤ sketchK-entry summary per
+    * partition and the recount joins against a broadcast ≤ sketchK-row
+    * candidate set. Nothing anywhere is vocabulary-sized. */
+  def heavyHitters(spark: SparkSession, dir: String, topK: Int = 20,
+      sketchK: Int = 64): DataFrame = {
+    import graft.functions.MisraGries.misra_gries
+    val tok = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val cand = tok.agg(misra_gries(col("token"), sketchK).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("token"))
+    tok.join(broadcast(cand), "token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+  }
+
+  val heavyHittersOracle: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents)
+       GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"""
+
   /** q67: per-language distinct 3-gram-shingle estimation via the
     * [[graft.functions.Kmv]] k-minimum-values sketch, reported next to
     * the exact `count_distinct` so the output carries its own error

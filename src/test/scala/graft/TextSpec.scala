@@ -119,6 +119,42 @@ class TextSpec extends SparkSpecBase {
     assert(got == "a\u000Bb c d e f g h")
   }
 
+  test("Misra-Gries retains every token above n/(k+1), counts are lower " +
+      "bounds, and the q76 recount equals the exact top-k") {
+    import spark.implicits._
+    import graft.functions.MisraGries.misra_gries
+    // Zipf-ish stream: token_i appears 2000/i times, i=1..40; n≈8550.
+    // With k=16 the retention bar is n/17 ≈ 503 -> tokens 1..3 MUST
+    // survive the sketch (freq 2000, 1000, 666)
+    val stream = (1 to 40).flatMap(i =>
+      Seq.fill(2000 / i)(f"tok$i%02d"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    // shuffle deterministically so heavy tokens interleave, and spread
+    // over 8 partitions so the MERGE path is exercised
+    val df = new scala.util.Random(7).shuffle(stream).toDF("token")
+      .repartition(8)
+    val mg = df.agg(misra_gries(col("token"), 16)).head()
+      .getMap[String, Long](0)
+    assert(mg.size <= 16)
+    val bar = n / 17
+    exact.filter(_._2 > bar).keys.foreach { t =>
+      assert(mg.contains(t), s"$t (freq ${exact(t)}) above bar $bar lost")
+    }
+    mg.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t sketch count $c exceeds true ${exact(t)}")
+      assert(exact(t) - c <= bar + 1,
+        s"$t undercount ${exact(t) - c} beyond guarantee $bar")
+    }
+    // candidates-then-recount = exact top-k on the documents corpus
+    val got = TextAnalysis.heavyHitters(spark, sf0001, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val want = TextAnalysis.vocab(spark, sf0001, topK = 10)
+      .select("token", "n_occurrences")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == want)
+  }
+
   test("KMV sketch is exact below k and within theory error when full") {
     import spark.implicits._
     // below k: "x y z x y z" has 3 distinct 3-gram shingles
