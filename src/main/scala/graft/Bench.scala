@@ -64,7 +64,9 @@ object Bench {
     val qs2 = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt2(med) }
       .mkString("{", ",", "}")
     val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs2,"sf":"$sfDir"}"""
-    println(if (mediansLine.length <= 1850) mediansLine
+    // tail budget: 2000-char capture minus sbt's trailing "[success]
+    // Total time" line (~60 chars) leaves ~1930 for the final line
+    println(if (mediansLine.length <= 1900) mediansLine
       else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }

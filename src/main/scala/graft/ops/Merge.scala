@@ -7,8 +7,9 @@ import graft.Tables
 /** Delta-style MERGE INTO (upsert) over plain partitioned Parquet.
   *
   * The reference's mutation surface is a batched SQL join-UPDATE
-  * (reference database_manager.py:150-170: `UPDATE fact_sim SET
-  * simulation_num = ... FROM dim_rxn WHERE ...`); this engine's ledger +
+  * (reference database_manager.py:200-236, `update fact_sim fs ...`
+  * per rxn_batch_size; plus the ledger status update at
+  * database_manager.py:171-193); this engine's ledger +
   * latestState and partition-scoped backfill
   * ([[graft.pipeline.FilePipeline.backfillEnrichment]]) cover that
   * pipeline's own needs append-only. What was still missing for a user

@@ -13,7 +13,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_pricing_summary", "q02_revenue_by_segment", "q03_enrich_leftjoin",
-      "q10_topk", "q13_semi_join", "q21_dedup_exact")
+      "q10_topk", "q13_semi_join", "q21_dedup_exact",
+      "q73_merge_upsert", "q74_resample", "q76_heavy_hitters")
     names.foreach { n =>
       println(s"\n===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

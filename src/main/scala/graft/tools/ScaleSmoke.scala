@@ -36,6 +36,7 @@ object ScaleSmoke {
     replicate("customer", Seq("c_custkey"), 10000000L)
     replicate("documents", Seq("doc_id"), 10000000L)
     replicate("embeddings", Seq("vec_id"), 10000000L)
+    replicate("events", Seq("event_id", "user_id"), 10000000L)
     // supplier is a dim: copied once, keys unshifted — replicated fact rows
     // join the same supplier set, so per-row join fanout stays constant
     graft.Tables(spark, base, "supplier").write.mode("overwrite")
@@ -103,7 +104,11 @@ object ScaleSmoke {
       "q71_media_content" -> (graft.ext.Multimodal.contentStats(_, _)),
       "q66_salted_skewed" -> saltedSkewed _,
       // round-6 operators
-      "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _))
+      "q73_merge_upsert" -> (graft.ops.Merge.mergeUpsert(_, _)),
+      "q74_resample" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q74Resample(s, d)),
+      "q76_heavy_hitters" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.heavyHitters(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
