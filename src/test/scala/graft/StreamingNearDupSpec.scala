@@ -91,6 +91,27 @@ class StreamingNearDupSpec extends SparkSpecBase {
     assert(readIds(adm).isEmpty && readIds(idx).isEmpty)
   }
 
+  test("start(): the foreachBatch wiring admits/flags across real " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (idx, adm, flg) = (tmp(), tmp(), tmp())
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.start(
+      input.toDF().toDF("doc_id", "text"), idx, adm, flg,
+      checkpointDir = tmp(), tau = 0.5)
+    input.addData(1L -> docA, 2L -> docB)
+    q.processAllAvailable()
+    // next micro-batch: near-dup of batch 0's doc 1 + a fresh doc
+    input.addData(11L -> docA2, 13L -> docC)
+    q.processAllAvailable()
+    q.stop()
+    assert(readIds(adm) == Set(1L, 2L, 13L))
+    assert(readIds(flg) == Set(11L))
+    assert(readIds(idx) == Set(1L, 2L, 13L))
+  }
+
   test("selfNearDupSigs flags only higher ids and chains greedily") {
     val sigs = Dedup.minhashSignaturesOf(
       df(3L -> docA, 8L -> docA2, 12L -> docA, 20L -> docB))
