@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity.Vec
+
+/** Persisted IVF (inverted-file) ANN index lifecycle — the production
+  * shape of [[Similarity.annIvf]], which trains, indexes and probes in
+  * one call (right for a registered query, wasteful for a living
+  * corpus). Here the three phases are separate artifacts:
+  *
+  *   - [[train]] → centroids (driver array, nLists · dim doubles);
+  *   - [[save]]/[[load]] → centroids as a parquet table, so training
+  *     happens once and probes run in later sessions/jobs;
+  *   - [[assign]] → postings (vec_id, list_id), a parquet-friendly
+  *     DataFrame appended per ingest batch — indexing N new vectors
+  *     costs O(N · nLists) distance evaluations, never a re-train;
+  *   - [[probe]] → top-k per query against an assigned corpus.
+  *
+  * At 100 TB: centroids are tiny and broadcast; postings carry two
+  * longs per vector; the only corpus-sized work is the in-list exact
+  * scoring, bounded by nProbe/nLists of the corpus per query. Stale
+  * centroids after heavy drift degrade recall, not correctness —
+  * re-train and re-assign offline, swap the postings table.
+  * Deterministic throughout (rank-based seeds, fixed iterations, no
+  * RNG); [[Similarity.annIvf]] (q42) delegates here, and
+  * SimilaritySpec gates recall vs brute force. */
+object IvfIndex {
+
+  /** Nearest-centroid id by L2 (ties → lowest id, stable). */
+  private[ext] def nearestList(cs: Array[Array[Double]],
+      v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic distributed Lloyd: centroids seeded from the first
+    * nLists vectors by vec_id rank (bounded driver pull), refined with
+    * a fixed number of assign+mean passes (each one mapPartitions →
+    * a single (nLists · dim) partial per partition, reduced on the
+    * driver — bounded state, corpus never collected). */
+  def train(ds: Dataset[Vec], nLists: Int,
+      lloydIters: Int = 3): Array[Array[Double]] = {
+    val spark = ds.sparkSession
+    val seeds = ds.orderBy(col("vec_id")).limit(nLists).collect()
+    require(seeds.nonEmpty, "cannot train an IVF index on an empty corpus")
+    val dim = seeds.head.embedding.length
+    var centroids: Array[Array[Double]] =
+      seeds.map(_.embedding.map(_.toDouble))
+    var it = 0
+    while (it < lloydIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = ds.mapPartitions { vs =>
+        val cs = bc.value
+        val acc = Array.fill(nLists)(new Array[Double](dim))
+        val cnt = new Array[Long](nLists)
+        vs.foreach { v =>
+          val c = nearestList(cs, v.embedding)
+          cnt(c) += 1
+          var i = 0
+          while (i < dim) { acc(c)(i) += v.embedding(i); i += 1 }
+        }
+        Iterator.single((acc, cnt))
+      }(org.apache.spark.sql.Encoders.kryo[(Array[Array[Double]], Array[Long])])
+        .reduce { (a, b) =>
+          var c = 0
+          while (c < nLists) {
+            var i = 0
+            while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
+            a._2(c) += b._2(c)
+            c += 1
+          }
+          a
+        }
+      centroids = Array.tabulate(nLists) { c =>
+        if (sums._2(c) == 0) centroids(c)
+        else sums._1(c).map(_ / sums._2(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Persist centroids as a (list_id, centroid array<double>) parquet
+    * table — the whole index definition, a few KB. */
+  def save(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids (bounded collect: nLists rows). */
+  def load(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy(col("list_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Assign each vector to its nearest list → postings (vec_id,
+    * list_id). Run once per ingest batch and APPEND — this is the
+    * incremental path: new vectors never trigger a re-train. */
+  def assign(ds: Dataset[Vec],
+      centroids: Array[Array[Double]]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val bc = ds.sparkSession.sparkContext.broadcast(centroids)
+    ds.map(v => (v.vec_id, nearestList(bc.value, v.embedding)))
+      .toDF("vec_id", "list_id")
+  }
+
+  /** Top-k per query over an assigned corpus: probe the nProbe nearest
+    * lists, exact cosine only within them, rank per query. `corpus`
+    * resolves candidate ids to raw vectors (in production the postings
+    * live in parquet while vectors stay wherever they are — the join
+    * ships ids until scoring). */
+  def probe(queries: Dataset[Vec], corpus: Dataset[Vec],
+      postings: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import queries.sparkSession.implicits._
+    val nLists = centroids.length
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val probes = queries.flatMap { v =>
+      val cs = bc.value
+      val dists = Array.tabulate(nLists) { c =>
+        var d = 0.0
+        var i = 0
+        while (i < v.embedding.length) {
+          val diff = v.embedding(i) - cs(c)(i); d += diff * diff; i += 1
+        }
+        (c, d)
+      }
+      dists.sortBy(x => (x._2, x._1)).take(nProbe)
+        .map { case (c, _) => (v.vec_id, c) }
+    }.toDF("q_id", "list_id")
+    val candidates = probes
+      .join(postings.toDF("neighbor_id", "list_id"), "list_id")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"))
+      .distinct()
+    val scored = Similarity.scorePairs(candidates, corpus,
+      "q_id", "neighbor_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -23,20 +23,20 @@ object Similarity {
 
   case class Vec(vec_id: Long, embedding: Array[Float])
 
-  private def vecs(spark: SparkSession, dir: String): Dataset[Vec] = {
+  private[ext] def vecs(spark: SparkSession, dir: String): Dataset[Vec] = {
     import spark.implicits._
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[Vec]
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private[ext] def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
-  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  private[ext] def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
 
   /** All pairs with cosine ≥ tau. Exact, block-partitioned: the corpus is
     * processed in bounded vec_id ranges of ≤ ~blockSize vectors — each
@@ -238,7 +238,7 @@ object Similarity {
   /** Attach exact cosine to (idColA, idColB) pairs by joining the vector
     * table twice — the candidate set shuffles, the corpus never lands on
     * the driver. */
-  private def scorePairs(pairs: DataFrame, ds: Dataset[Vec],
+  private[ext] def scorePairs(pairs: DataFrame, ds: Dataset[Vec],
       a: String, b: String): DataFrame = {
     import ds.sparkSession.implicits._
     pairs
@@ -264,104 +264,19 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String,
       nLists: Int = 16, nProbe: Int = 4, k: Int = 5,
       lloydIters: Int = 3): DataFrame = {
-    import spark.implicits._
     // the corpus is scanned lloydIters+2 times (Lloyd passes + index +
-    // probe) — cache it once instead of re-reading parquet every pass
+    // probe) — cache it once instead of re-reading parquet every pass.
+    // Train / assign / probe live in [[IvfIndex]] so the index can also
+    // be persisted and appended to across sessions (the production
+    // lifecycle); this registered query is the self-contained one-call
+    // composition of the three phases.
     val ds = vecs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // bounded driver pull: only nLists seed vectors, never the corpus
-    val seeds = ds.orderBy(col("vec_id")).limit(nLists).collect()
-    val dim = seeds.head.embedding.length
-
-    // seed centroids from the first nLists vectors; the distributed
-    // Lloyd iterations below spread them over the data
-    var centroids: Array[Array[Double]] =
-      seeds.map(_.embedding.map(_.toDouble))
-
-    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0
-        var i = 0
-        while (i < v.length) {
-          val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // distributed Lloyd refinement: assign + mean per list
-    var it = 0
-    while (it < lloydIters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val sums = ds.mapPartitions { vs =>
-        val cs = bc.value
-        val acc = Array.fill(nLists)(new Array[Double](dim))
-        val cnt = new Array[Long](nLists)
-        vs.foreach { v =>
-          val c = nearest(cs, v.embedding)
-          cnt(c) += 1
-          var i = 0
-          while (i < dim) { acc(c)(i) += v.embedding(i); i += 1 }
-        }
-        Iterator.single((acc, cnt))
-      }.reduce { (a, b) =>
-        var c = 0
-        while (c < nLists) {
-          var i = 0
-          while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
-          a._2(c) += b._2(c)
-          c += 1
-        }
-        a
-      }
-      centroids = Array.tabulate(nLists) { c =>
-        if (sums._2(c) == 0) centroids(c)
-        else sums._1(c).map(_ / sums._2(c))
-      }
-      it += 1
-    }
-
-    val bc = spark.sparkContext.broadcast(centroids)
-    // index side: each vector in its nearest list
-    val indexed = ds.map(v => (v.vec_id, nearest(bc.value, v.embedding)))
-    // query side: probe the nProbe nearest lists
-    val probes = ds.flatMap { v =>
-      val cs = bc.value
-      val dists = Array.tabulate(nLists) { c =>
-        var d = 0.0
-        var i = 0
-        while (i < dim) {
-          val diff = v.embedding(i) - cs(c)(i); d += diff * diff; i += 1
-        }
-        (c, d)
-      }
-      dists.sortBy(x => (x._2, x._1)).take(nProbe)
-        .map { case (c, _) => (v.vec_id, c) }
-    }
-    val candidates = probes.as("x")
-      .joinWith(indexed.as("y"),
-        col("x._2") === col("y._2") && col("x._1") =!= col("y._1"))
-      .map { case ((qid, _), (nid, _)) => (qid, nid) }
-
-    val scored = scorePairs(
-      candidates.distinct().toDF("q_id", "neighbor_id"),
-      ds, "q_id", "neighbor_id")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("q_id"), col("rank"))
-      .localCheckpoint(true) // materialize so the cache can be released
+      val centroids = IvfIndex.train(ds, nLists, lloydIters)
+      val postings = IvfIndex.assign(ds, centroids)
+      IvfIndex.probe(ds, ds, postings, centroids, nProbe, k)
+        .localCheckpoint(true) // materialize so the cache can be released
     } finally ds.unpersist()
   }
 
