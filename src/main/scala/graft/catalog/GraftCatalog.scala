@@ -58,13 +58,20 @@ object GraftCatalog {
     * columns vs a leading-column linear sort.
     *
     * Columns are min-max scaled to 2^bits levels (the driver collects
-    * 2·d scalars, nothing else). Min-max scaling under heavy value skew
-    * concentrates cells — switch to quantile scaling (approx_percentile
-    * grid) if a clustered column is Zipf-distributed. */
+    * 2·d scalars, nothing else). Min-max scaling under heavy value
+    * skew concentrates cells — `quantile = true` switches to
+    * equal-frequency boundaries from approxQuantile (the driver
+    * collects (2^bits − 1)·d doubles), which keeps a continuous
+    * heavy-tailed column spread over its cells so head-region
+    * predicates still prune (CatalogSpec measures it on a lognormal
+    * column). */
   def clusterZOrder(spark: SparkSession, tablePath: String,
-      cols: Seq[String], nFiles: Int, bits: Int = 16): Unit =
+      cols: Seq[String], nFiles: Int, bits: Int = 16,
+      quantile: Boolean = false): Unit =
     rewrite(spark, tablePath, df => {
-      df.withColumn("_z", zValue(df, cols, bits))
+      val z = if (quantile) zValueQuantile(df, cols, math.min(bits, 8))
+        else zValue(df, cols, bits)
+      df.withColumn("_z", z)
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -86,6 +93,35 @@ object GraftCatalog {
       least(lit(maxLevel), greatest(lit(0L),
         floor((col(c).cast("double") - lo) / span * maxLevel).cast("long")))
     }
+    interleave(scaled, bits)
+  }
+
+  /** Quantile-scaled z-value: each column's level is its equal-frequency
+    * bucket (count of approxQuantile boundaries ≤ value) instead of its
+    * min-max position. For a continuous heavy-tailed column min-max
+    * scaling maps nearly all rows to level 0 — the column then
+    * contributes no bits and its bounding boxes collapse to the full
+    * head range; equal-frequency boundaries keep every level ~equally
+    * populated. (Identical repeated values are indistinguishable under
+    * ANY scaling — quantile helps skewed-but-distinct distributions.)
+    * bits ≤ 8 per column: boundary arrays are 2^bits − 1 literals. */
+  def zValueQuantile(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && bits <= 8 && cols.length * bits <= 63,
+      s"${cols.length} cols x $bits bits (max 8) must fit a signed long")
+    val nb = 1 << bits
+    val scaled = cols.map { c =>
+      val probs = (1 until nb).map(_.toDouble / nb).toArray
+      val qs = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001)
+      val boundaries = array(qs.map(lit(_)): _*)
+      size(filter(boundaries, b => b <= col(c).cast("double"))).cast("long")
+    }
+    interleave(scaled, bits)
+  }
+
+  private def interleave(scaled: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
     val d = scaled.length
     (0 until bits).flatMap { i =>
       scaled.zipWithIndex.map { case (c, j) =>

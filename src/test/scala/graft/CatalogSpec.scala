@@ -103,4 +103,40 @@ class CatalogSpec extends SparkSpecBase {
     assert(zs < 0.6, s"z suppkey range $zs")
     assert(zs < ls / 2, s"z suppkey $zs not < half of linear $ls")
   }
+
+  test("quantile z-order keeps a heavy-tailed column prunable where " +
+      "min-max scaling collapses it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // continuous lognormal-ish skew: 8000 rows, a = exp(10u) spans
+    // [1, 22026] with ~90% of rows below 8100; b uniform
+    val src = spark.range(8000).select(
+      exp(((col("id") % 1000) / lit(100.0))).as("a"),
+      (col("id") * 37 % 911).cast("double").as("b"))
+      .localCheckpoint()
+    val aMedian = src.stat.approxQuantile("a", Array(0.5), 0.001).head
+    def filesCovering(dir: String, v: Double): Long =
+      spark.read.parquet(dir).groupBy(input_file_name())
+        .agg(min("a").as("lo"), max("a").as("hi"))
+        .filter(col("lo") <= v && col("hi") >= v).count()
+    def cluster(quantile: Boolean): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-zq").toString + "/t"
+      src.write.parquet(dir)
+      GraftCatalog.clusterZOrder(spark, dir, Seq("a", "b"),
+        nFiles = 16, bits = 8, quantile = quantile)
+      dir
+    }
+    val (mm, qt) = (cluster(false), cluster(true))
+    // a median-region point predicate: min-max scaling squeezes ~all of
+    // the head into level 0, so most files' [min,max] cover it; the
+    // equal-frequency cells isolate it to a handful
+    val (mmFiles, qtFiles) = (filesCovering(mm, aMedian),
+      filesCovering(qt, aMedian))
+    assert(qtFiles * 2 <= mmFiles,
+      s"quantile files $qtFiles not < half of min-max $mmFiles")
+    // values survive clustering byte-identically
+    assert(spark.read.parquet(qt).agg(round(sum("a"), 4)).head ==
+      src.agg(round(sum("a"), 4)).head)
+  }
 }
