@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Fingerprint64, NfcNormalize, ShingleHashes, TrigramLangScores}
+import graft.functions.{Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -16,9 +16,13 @@ import graft.plans.AsOfJoinStrategy
   *
   * injects the as-of join planner strategy (so `AsOfJoinNode` plans
   * without the imperative `extraStrategies` registration the Scala API
-  * also performs) and registers the codegen'd expressions as SQL
-  * functions: `fingerprint64(text)`, `shingle_hashes(text[, k])`,
-  * `nfc_normalize(text)`, `trigram_lang_scores(text)`.
+  * also performs), registers the codegen'd expressions as SQL
+  * functions — `fingerprint64(text)`, `shingle_hashes(text[, k])`,
+  * `nfc_normalize(text)`, `trigram_lang_scores(text)` — and the sketch
+  * AGGREGATES — `minhash_sketch(hash[, k])`, `simhash_sketch(hash)`,
+  * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])` — usable in
+  * plain `GROUP BY` SQL (the analyzer wraps a returned
+  * AggregateFunction in its AggregateExpression automatically).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -61,6 +65,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => TrigramLangScores(c)
         case _ => throw new IllegalArgumentException(
           "trigram_lang_scores(text) takes exactly one argument")
+      }))
+
+    // sketch aggregates: a builder may return the bare AggregateFunction —
+    // the analyzer wraps it in an AggregateExpression
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashAgg(c, 64)
+        case Seq(c, Literal(k: Int, _)) => MinHashAgg(c, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sketch(feature_hash: bigint[, k: int literal])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHashAgg(c)
+        case _ => throw new IllegalArgumentException(
+          "simhash_sketch(feature_hash: bigint) takes exactly one argument")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvAgg(c, 256)
+        case Seq(c, Literal(k: Int, _)) => KmvAgg(c, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch(feature_hash: bigint[, k: int literal])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MisraGriesAgg(c, 64)
+        case Seq(c, Literal(k: Int, _)) => MisraGriesAgg(c, k)
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(token: string[, k: int literal])")
       }))
   }
 }

@@ -50,6 +50,34 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("sketch aggregates usable from plain GROUP BY SQL") {
+    withExtendedSession { s2 =>
+      s2.range(0, 100)
+        .selectExpr("id % 5 AS g", "xxhash64(CAST(id % 30 AS STRING)) AS h",
+          "concat('tok', CAST(id % 3 AS STRING)) AS tok")
+        .createOrReplaceTempView("ext_agg_in")
+      // minhash: k-long signature per group
+      val sig = s2.sql(
+        "SELECT g, minhash_sketch(h, 16) AS s FROM ext_agg_in GROUP BY g")
+        .collect()
+      assert(sig.length == 5 && sig.forall(_.getSeq[Long](1).length == 16))
+      // simhash: one long per group
+      assert(s2.sql(
+        "SELECT simhash_sketch(h) FROM ext_agg_in").collect().length == 1)
+      // kmv below k is exact: 30 distinct hashes
+      val kmv = s2.sql(
+        "SELECT size(kmv_sketch(h, 64)) FROM ext_agg_in")
+        .collect()(0).getInt(0)
+      assert(kmv == 30)
+      // misra-gries retains all 3 tokens with exact counts (k > distinct)
+      val mg = s2.sql(
+        "SELECT misra_gries(tok, 8) FROM ext_agg_in")
+        .collect()(0).getMap[String, Long](0)
+      assert(mg.keySet == Set("tok0", "tok1", "tok2"))
+      assert(mg.values.sum == 100)
+    }
+  }
+
   test("as-of planner strategy injected via spark.sql.extensions") {
     withExtendedSession { s2 =>
       assert(s2.sessionState.planner.strategies.contains(AsOfJoinStrategy))
