@@ -213,6 +213,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(!rows.exists(_._3 == 100.0))
   }
 
+  test("streaming trending tokens: per-window MG summary emits on " +
+      "window close with exact counts below k") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.StreamingTrending.trendingTokens(
+      input.toDF().toDF("ts", "text"),
+      watermark = "10 minutes", window_ = "1 hour", k = 8)
+    val q = out.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    // window 10:00-11:00: "spark" x3, "etl" x2, "noise" x1
+    input.addData(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "spark etl spark"),
+      (Timestamp.valueOf("2024-03-01 10:40:00"), "spark etl noise"))
+    q.processAllAvailable()
+    // advance the watermark past 11:10 so the first window closes
+    input.addData(
+      (Timestamp.valueOf("2024-03-01 12:00:00"), "later window"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trend_out").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Long](1)).toMap
+    val w = Timestamp.valueOf("2024-03-01 10:00:00").getTime / 1000
+    assert(rows.contains(w), s"first window not emitted: ${rows.keySet}")
+    // distinct tokens < k -> MG counts are exact
+    assert(rows(w) == Map("spark" -> 3L, "etl" -> 2L, "noise" -> 1L))
+  }
+
   test("windowed streaming aggregation over a file stream matches the batch twin") {
     val root = TestFixtures.tempRoot("stream-window")
     // stream the events table (Tables converts ns->us so the streaming
