@@ -304,142 +304,18 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String,
       m: Int = 8, ksub: Int = 32, k: Int = 5, nQueries: Int = 16,
       lloydIters: Int = 3, shortlist: Int = 64): DataFrame = {
-    import spark.implicits._
+    // train / encode / probe live in [[PqIndex]] so codebooks and codes
+    // can be persisted and appended to across sessions (the production
+    // lifecycle — the codes table is the whole point of PQ at scale);
+    // this registered query is the self-contained one-call composition.
     val ds = vecs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // bounded driver pulls: ksub seed vectors + nQueries query vectors
-    val seeds = ds.orderBy(col("vec_id")).limit(ksub).collect()
-    val dim = seeds.head.embedding.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    val kk = math.min(ksub, seeds.length)
-
-    // codebooks(s)(c) = centroid c of subspace s, seeded from the first
-    // kk vectors' subvectors; Lloyd spreads them over the data
-    var codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => Array.tabulate(kk)(c =>
-        Array.tabulate(sub)(i => seeds(c).embedding(s * sub + i).toDouble)))
-
-    def nearestSub(cb: Array[Array[Double]], v: Array[Float],
-        off: Int): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        var d = 0.0
-        var i = 0
-        while (i < sub) {
-          val diff = v(off + i) - cb(c)(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // distributed Lloyd, all m subspaces in ONE corpus pass per iter:
-    // per-partition (sum, count) accumulators, merged associatively
-    var it = 0
-    while (it < lloydIters) {
-      val bc = spark.sparkContext.broadcast(codebooks)
-      val sums = ds.mapPartitions { vs =>
-        val cbs = bc.value
-        val acc = Array.fill(m, kk)(new Array[Double](sub))
-        val cnt = Array.fill(m)(new Array[Long](kk))
-        vs.foreach { v =>
-          var s = 0
-          while (s < m) {
-            val c = nearestSub(cbs(s), v.embedding, s * sub)
-            cnt(s)(c) += 1
-            var i = 0
-            while (i < sub) { acc(s)(c)(i) += v.embedding(s * sub + i); i += 1 }
-            s += 1
-          }
-        }
-        Iterator.single((acc, cnt))
-      }.reduce { (a, b) =>
-        var s = 0
-        while (s < m) {
-          var c = 0
-          while (c < kk) {
-            var i = 0
-            while (i < sub) { a._1(s)(c)(i) += b._1(s)(c)(i); i += 1 }
-            a._2(s)(c) += b._2(s)(c)
-            c += 1
-          }
-          s += 1
-        }
-        a
-      }
-      codebooks = Array.tabulate(m) { s =>
-        Array.tabulate(kk) { c =>
-          if (sums._2(s)(c) == 0) codebooks(s)(c)  // empty cluster: keep
-          else sums._1(s)(c).map(_ / sums._2(s)(c))
-        }
-      }
-      it += 1
-    }
-
-    val bcCb = spark.sparkContext.broadcast(codebooks)
-    // encode: vector -> m codes + reconstructed norm (one corpus pass);
-    // this is the ONLY representation the scan below reads
-    val codes = ds.map { v =>
-      val cbs = bcCb.value
-      val code = new Array[Int](m)
-      var normSq = 0.0
-      var s = 0
-      while (s < m) {
-        val c = nearestSub(cbs(s), v.embedding, s * sub)
-        code(s) = c
-        var i = 0
-        while (i < sub) { val x = cbs(s)(c)(i); normSq += x * x; i += 1 }
-        s += 1
-      }
-      (v.vec_id, code.toSeq, math.sqrt(normSq))
-    }
-
-    // ADC tables: per (query, subspace, code) the subspace dot product —
-    // nQueries·m·kk doubles, computed driver-side from the bounded
-    // query pull and broadcast with the query norms
-    val qs = ds.filter(_.vec_id < nQueries).collect().sortBy(_.vec_id)
-    val tables: Map[Long, (Array[Array[Double]], Double)] = qs.map { q =>
-      val t = Array.tabulate(m) { s =>
-        Array.tabulate(kk) { c =>
-          var d = 0.0
-          var i = 0
-          while (i < sub) { d += q.embedding(s * sub + i) * codebooks(s)(c)(i); i += 1 }
-          d
-        }
-      }
-      q.vec_id -> (t, norm(q.embedding).toDouble)
-    }.toMap
-    val bcT = spark.sparkContext.broadcast(tables)
-
-    // scan: per corpus code row, one score per query = m table lookups;
-    // bounded-heap shortlist per query (map-side partials, no window)
-    import graft.functions.TopK.top_k_by_score
-    val scored = codes.flatMap { case (vid, code, rnorm) =>
-      bcT.value.iterator.collect { case (qid, (t, qnorm)) if qid != vid =>
-        var d = 0.0
-        var s = 0
-        while (s < m) { d += t(s)(code(s)); s += 1 }
-        (qid, vid, if (rnorm > 0 && qnorm > 0) d / (rnorm * qnorm) else 0.0)
-      }
-    }.toDF("q_id", "neighbor_id", "approx_cos")
-    val short = scored.groupBy(col("q_id"))
-      .agg(top_k_by_score(col("approx_cos"), col("neighbor_id"), shortlist)
-        .as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("neighbor_id"))
-    // refinement: exact cosine on the shortlist only, then exact top-k
-    scorePairs(short, ds, "q_id", "neighbor_id")
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("cos"), col("neighbor_id"), k).as("top"))
-      .select(col("q_id"), inline(col("top")))
-      .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("q_id"), col("rank"))
-      .localCheckpoint(true) // materialize so the cache can be released
+      val codebooks = PqIndex.train(ds, m, ksub, lloydIters)
+      val codes = PqIndex.encode(ds, codebooks)
+      val queries = ds.filter(_.vec_id < nQueries).collect().sortBy(_.vec_id)
+      PqIndex.probe(queries, codes, codebooks, ds, k, shortlist)
+        .localCheckpoint(true) // materialize so the cache can be released
     } finally ds.unpersist()
   }
 
