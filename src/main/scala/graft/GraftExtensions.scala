@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
+import graft.functions.{CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -18,7 +18,8 @@ import graft.plans.AsOfJoinStrategy
   * without the imperative `extraStrategies` registration the Scala API
   * also performs), registers the codegen'd expressions as SQL
   * functions — `fingerprint64(text)`, `shingle_hashes(text[, k])`,
-  * `nfc_normalize(text)`, `trigram_lang_scores(text)` — and the sketch
+  * `nfc_normalize(text)`, `trigram_lang_scores(text)`,
+  * `cosine_similarity(a, b)` — and the sketch
   * AGGREGATES — `minhash_sketch(hash[, k])`, `simhash_sketch(hash)`,
   * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])` — usable in
   * plain `GROUP BY` SQL (the analyzer wraps a returned
@@ -65,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => TrigramLangScores(c)
         case _ => throw new IllegalArgumentException(
           "trigram_lang_scores(text) takes exactly one argument")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_similarity(a: array<float>, b: array<float>)")
       }))
 
     // sketch aggregates: a builder may return the bare AggregateFunction —

@@ -238,18 +238,20 @@ object Similarity {
   /** Attach exact cosine to (idColA, idColB) pairs by joining the vector
     * table twice — the candidate set shuffles, the corpus never lands on
     * the driver. */
+  /** Resolve candidate id pairs to vectors and score them with the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression — the
+    * arrays stay UnsafeArrayData inside whole-stage codegen instead of
+    * round-tripping through an Encoder per row (the previous typed
+    * `.map` implementation). Same double accumulation order, so
+    * results are bit-identical. */
   private[ext] def scorePairs(pairs: DataFrame, ds: Dataset[Vec],
       a: String, b: String): DataFrame = {
-    import ds.sparkSession.implicits._
+    import graft.functions.CosineSimilarity.cosine_similarity
     pairs
       .join(ds.toDF(a, "_ea"), a)
       .join(ds.toDF(b, "_eb"), b)
-      .select(col(a), col(b), col("_ea"), col("_eb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (x, y, ea, eb) =>
-        (x, y, dot(ea, eb) / (norm(ea) * norm(eb)))
-      }
-      .toDF(a, b, "cos")
+      .select(col(a), col(b),
+        cosine_similarity(col("_ea"), col("_eb")).as("cos"))
   }
 
   // --- IVF (inverted-file) ANN -------------------------------------------

@@ -47,6 +47,12 @@ class ExtensionsSpec extends SparkSpecBase {
         .collect()(0).getSeq[Double](0)
       assert(scores.length == 5)
       assert(scores.exists(_ > 0.0))
+      // identical vectors -> cosine 1.0 (within float->double exactness)
+      val cos = s2.sql(
+        """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                                    array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))""")
+        .collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-15)
     }
   }
 

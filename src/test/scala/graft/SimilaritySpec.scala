@@ -105,6 +105,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.5, s"recall $recall too low (exact=${exact.size})")
   }
 
+  test("cosine_similarity expression: bit-identical to the reference " +
+      "loop, zero-norm -> 0.0, ragged lengths throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity.cosine_similarity
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vs = (0 until 50).map { r =>
+      (Array.tabulate(16)(i => ((r * 31 + i * 7) % 13 - 6).toFloat),
+        Array.tabulate(16)(i => ((r * 17 + i * 5) % 11 - 5).toFloat))
+    }
+    val got = vs.toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    vs.map { case (a, b) => ref(a, b) }.zip(got).foreach { case (w, g) =>
+      assert(w == g, s"expected $w got $g") // bit-identical, no epsilon
+    }
+    val zero = Seq((Array.fill(4)(0f), Array.fill(4)(1f))).toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).head().getDouble(0)
+    assert(zero == 0.0)
+    val e = intercept[Exception] {
+      Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+        .select(cosine_similarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("block-partitioned exact pairs are identical regardless of block size") {
     val oneBlock = Similarity.neardupPairs(spark, sf0001, tau = 0.4,
       blockSize = 1 << 20).collect().map(r =>
