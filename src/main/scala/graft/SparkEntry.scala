@@ -110,7 +110,12 @@ object SparkEntry {
     "q75_window_funcs" -> ((s: SparkSession, d: String) =>
       Analytics.q75WindowFuncs(s, d)),
     "q76_heavy_hitters" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.heavyHitters(s, d))
+      TextAnalysis.heavyHitters(s, d)),
+    "q77_uniform_sample" -> ((s: SparkSession, d: String) =>
+      Curate.uniformSample(s, d)),
+    "q78_dsir_weights" -> (TextAnalysis.dsirWeights(_, _)),
+    "q79_decontaminate_bloom" -> ((s: SparkSession, d: String) =>
+      Curate.decontaminateBloom(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,6 +300,10 @@ object SparkEntry {
     "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle,
     "q74_resample" -> Analytics.q74Oracle,
     "q75_window_funcs" -> Analytics.q75Oracle,
-    "q76_heavy_hitters" -> TextAnalysis.heavyHittersOracle
+    "q76_heavy_hitters" -> TextAnalysis.heavyHittersOracle,
+    "q77_uniform_sample" -> Curate.uniformSampleOracle,
+    "q78_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    // identical semantics to q54 — the bloom prune is exactness-preserving
+    "q79_decontaminate_bloom" -> Curate.decontaminateOracle
   )
 }

@@ -784,4 +784,86 @@ object Curate {
          CAST((cum - n) // 512 AS BIGINT) AS chunk_id,
          CAST((cum - n) % 512 AS BIGINT) AS chunk_offset
        FROM c ORDER BY source, chunk_id, chunk_offset, doc_id"""
+
+  // --- uniform bottom-k sample (window-free) -------------------------------
+
+  /** q77: deterministic uniform k-per-group sample as a BOUNDED-HEAP
+    * aggregate — the window-free twin of [[stratifiedSample]]'s
+    * selection step. Each document's md5 sample hash is its draw; the
+    * k smallest draws per group win. [[graft.functions.TopK]] keeps a
+    * k-element heap per group, so partial aggregation runs map-side
+    * (each partition forwards at most k candidates per group) and the
+    * shuffle carries k-element buffers — no per-stratum sort, no
+    * count-then-cutoff pre-pass, no fallback scan. The trade vs q49:
+    * q49's cutoff pre-filter reads the corpus twice but keeps the
+    * window input tiny; this form is ONE pass and ONE bounded shuffle,
+    * the plan you want when the corpus read dominates (100 TB) and
+    * k·groups fits a heap. Determinism: the draw is content-independent
+    * (md5 of the decimal id, [[sampleHash]]), so the sample is
+    * reproducible across runs, partitionings, and engines; ties on the
+    * 52-bit draw prefix resolve by doc id in both engines. */
+  def uniformSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    uniformSampleOf(docs(spark, dir), k)
+
+  def uniformSampleOf(d: DataFrame, k: Int): DataFrame = {
+    // first 13 hex chars = 52 bits: exactly representable as a Double,
+    // so heap order == unsigned draw order with no rounding ties
+    val draw = conv(substring(sampleHash(col("doc_id")), 1, 13), 16, 10)
+      .cast("long")
+    d.select(col("lang"), col("doc_id"), (-draw.cast("double")).as("s"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.top_k_by_score(col("s"), col("doc_id"), k)
+        .as("sel"))
+      .select(col("lang"), explode(col("sel")).as("e"))
+      .select(col("lang"), col("e.rank").as("sample_rank"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  val uniformSampleOracle: String =
+    """SELECT lang, CAST(rk AS INT) AS sample_rank, doc_id FROM (
+         SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id
+           ) AS rk
+         FROM documents)
+       WHERE rk <= 8 ORDER BY lang NULLS FIRST, sample_rank"""
+
+  // --- bloom-pruned decontamination ----------------------------------------
+
+  /** q79: the q54 decontamination with a bloom-filter prune in front of
+    * the exact verification join — identical output (same oracle), a
+    * 100 TB-shaped plan. The benchmark's shingle set becomes a
+    * fixed-size bit array ([[graft.functions.Bloom]]): built with one
+    * map-side-OR aggregate, shipped into the scan as ONE binary literal
+    * (vs a per-task broadcast hash relation), and probed by a codegen'd
+    * bit test inside the corpus scan, so the overwhelmingly-clean gram
+    * stream is decimated before any join machinery sees it. Bloom
+    * errors are one-sided: no false negatives means the prune drops
+    * nothing the exact join would keep, and the join itself removes the
+    * ~fpp false positives — exactness is structural, not statistical.
+    * The filter is also a durable artifact: serialized, it can be
+    * stored beside the corpus and reused across jobs and streaming
+    * batches without rebuilding (the benchmark set changes rarely;
+    * the corpus is what grows). */
+  def decontaminateBloom(spark: SparkSession, dir: String, k: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), k)).as("gh"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gh")).distinct().localCheckpoint()
+    // benchmark-sized driver work: eval suites are small by nature, and
+    // the filter size is fixed by (nBench, fpp), not by the corpus
+    val nBench = math.max(1L, bench.count())
+    val bits = graft.functions.Bloom.bitsFor(nBench, fpp)
+    val hashes = graft.functions.Bloom.hashesFor(bits, nBench)
+    val filter = bench
+      .agg(graft.functions.Bloom.bloom_build(col("gh"), bits, hashes).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .filter(graft.functions.Bloom.might_contain(lit(filter), col("gh")))
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
 }

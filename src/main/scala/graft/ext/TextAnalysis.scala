@@ -328,6 +328,87 @@ object TextAnalysis {
        FROM tok JOIN c USING (w) CROSS JOIN t
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q78: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each raw document by the mean per-token log-likelihood RATIO
+    * between a target-domain unigram model and the raw-corpus unigram
+    * model. Documents whose vocabulary looks like the target (here:
+    * the corpus's English slice) get positive weights and win the
+    * resampling lottery; off-domain documents get negative weights.
+    * The published method uses hashed n-gram bag models for exactly
+    * the reason this engine can express it: both models are one
+    * map-side-combinable count aggregate each.
+    *
+    * Model: p_raw(w) = c_raw(w)/T_raw (every scored token exists in
+    * the raw corpus — it came from it); p_tgt is Laplace-smoothed,
+    * (c_tgt(w)+1)/(T_tgt+V) with V the raw vocabulary size, so
+    * target-unseen tokens contribute a finite penalty instead of -∞.
+    *
+    * Scale: ONE combined vocabulary table (w, c_raw, c_tgt) — the
+    * target counts are a conditional sum in the same aggregate, so
+    * adding the second model costs zero extra scans, shuffles, or
+    * joins over q64. The token join reuses q64's full skew posture:
+    * per-(doc, token) pre-aggregation, broadcast top-[[hotK]] hot
+    * tokens, shuffle only the near-uniform cold tail (see
+    * [[unigramLogprobOf]]). Hash-stability: per-token ln-ratio rounded
+    * to 6 decimals and summed as exact DECIMAL(18,6), as in q64. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables(spark, dir, "documents"), col("lang") === "en")
+
+  /** Same over any (doc_id, text) DataFrame with an arbitrary
+    * target-membership predicate (evaluated per document). */
+  def dsirWeightsOf(docs: DataFrame, isTarget: Column,
+      hotK: Int = 1024): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k"), first(col("tgt")).as("tgt"))
+    val counts = docTok.groupBy(col("w"))
+      .agg(sum(col("k")).as("c_raw"),
+        sum(when(col("tgt"), col("k")).otherwise(lit(0L))).as("c_tgt"))
+      .localCheckpoint()
+    val t = counts.agg(sum(col("c_raw")), sum(col("c_tgt")), count(lit(1)))
+      .head()
+    val tRaw = t.getLong(0)
+    val tTgtV = t.getLong(1) + t.getLong(2) // smoothed target denominator
+    def lrPart(cTgt: Column, cRaw: Column): Column =
+      (col("k") * round(
+        log((cTgt.cast("double") + 1.0) / tTgtV) -
+          log(cRaw.cast("double") / tRaw), 6)
+        .cast("decimal(18,6)")).as("lr_part")
+    val hot = counts.orderBy(col("c_raw").desc, col("w")).limit(hotK)
+      .withColumnRenamed("c_raw", "h_raw").withColumnRenamed("c_tgt", "h_tgt")
+    val tagged = docTok.join(broadcast(hot), Seq("w"), "left")
+    val hotPart = tagged.filter(col("h_raw").isNotNull)
+      .select(col("doc_id"), col("k"), lrPart(col("h_tgt"), col("h_raw")))
+    val coldPart = tagged.filter(col("h_raw").isNull).drop("h_raw", "h_tgt")
+      .join(counts, Seq("w"))
+      .select(col("doc_id"), col("k"), lrPart(col("c_tgt"), col("c_raw")))
+    hotPart.unionByName(coldPart)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("lr_part")).as("sum_lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lr").cast("double") / col("n_tokens"), 4)
+          .as("dsir_logweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsOracle: String =
+    """WITH tok AS (SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS w FROM documents),
+       c AS (SELECT w, count(*) AS c_raw,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+             FROM tok GROUP BY 1),
+       t AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt,
+               count(*) AS v FROM c)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CAST(round(ln((c.c_tgt + 1.0) / (t.t_tgt + t.v))
+               - ln(c.c_raw * 1.0 / t.t_raw), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*), 4) AS dsir_logweight
+       FROM tok JOIN c USING (w) CROSS JOIN t
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** q58: TF-IDF keyword extraction — each document's top-3 terms by
     * tf·idf (raw term count × ln(N/df)), the classic salient-term
     * signal for tagging and retrieval.

@@ -332,4 +332,24 @@ class CurateSpec extends SparkSpecBase {
     // discriminative: not all docs land in one band at sf0.001
     assert(q.map(_._2).distinct.length >= 2)
   }
+
+  test("uniformSample equals the window-derived bottom-k per language") {
+    val expect = Tables(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 13).as("p"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("p"), col("doc_id"))))
+      .filter(col("rk") <= 8)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    val got = Curate.uniformSample(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // and every represented language contributes exactly min(n, 8) rows
+    val perLang = Tables(spark, sf001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> math.min(r.getLong(1), 8L)).toMap
+    val gotPerLang = got.groupBy(t => Option(t._1))
+      .map { case (l, rows) => l -> rows.size.toLong }
+    assert(gotPerLang == perLang)
+  }
 }

@@ -197,4 +197,29 @@ class TextSpec extends SparkSpecBase {
       5L -> "it", 6L -> "zh", 7L -> "und")
     assert(got == want)
   }
+
+  test("dsirWeights favors target-language documents and counts tokens " +
+      "like q64") {
+    val docs = Tables(spark, sf001, "documents")
+    val w = TextAnalysis.dsirWeights(spark, sf001)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // every document scored exactly once
+    assert(w.length == docs.count())
+    // importance weights separate the target domain: the mean log-ratio
+    // of English documents beats the mean of every other language
+    val byLang = w.groupBy(_._4).map { case (l, rows) =>
+      l -> rows.map(_._3).sum / rows.size
+    }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, avg) =>
+      assert(en > avg, s"en $en should beat $l $avg")
+    }
+    // token accounting identical to the q64 unigram pipeline
+    val n64 = TextAnalysis.unigramLogprob(spark, sf001)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w.foreach { case (id, n, _, _) => assert(n == n64(id)) }
+  }
 }
