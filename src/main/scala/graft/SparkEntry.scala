@@ -115,7 +115,9 @@ object SparkEntry {
       Curate.uniformSample(s, d)),
     "q78_dsir_weights" -> (TextAnalysis.dsirWeights(_, _)),
     "q79_decontaminate_bloom" -> ((s: SparkSession, d: String) =>
-      Curate.decontaminateBloom(s, d))
+      Curate.decontaminateBloom(s, d)),
+    "q80_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Curate.weightedSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +306,7 @@ object SparkEntry {
     "q77_uniform_sample" -> Curate.uniformSampleOracle,
     "q78_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     // identical semantics to q54 — the bloom prune is exactness-preserving
-    "q79_decontaminate_bloom" -> Curate.decontaminateOracle
+    "q79_decontaminate_bloom" -> Curate.decontaminateOracle,
+    "q80_weighted_sample" -> Curate.weightedSampleOracle
   )
 }

@@ -828,6 +828,53 @@ object Curate {
          FROM documents)
        WHERE rk <= 8 ORDER BY lang NULLS FIRST, sample_rank"""
 
+  // --- weighted sample without replacement ---------------------------------
+
+  /** q80: per-source WEIGHTED sample without replacement
+    * (Efraimidis-Spirakis 2006: drawing k items with probability
+    * proportional to weight w, without replacement, is exactly "take
+    * the top-k by uᵢ^(1/wᵢ)" for independent uniform draws uᵢ — here
+    * ranked by the equivalent ln(uᵢ)/wᵢ). Weight = document length
+    * (n_chars), the token-budget-aware choice: long documents are
+    * proportionally likelier to be picked, the standard correction when
+    * downstream training consumes tokens but sampling picks documents.
+    *
+    * Scale: the textbook plan is a per-source window sort over EVERY
+    * document's key; this is the same bounded-heap aggregate as q77 —
+    * one pass, map-side partials, k-element buffers on the shuffle.
+    * Determinism and engine-parity: uᵢ derives from the md5 draw
+    * ([[sampleHash]], 52-bit prefix, +0.5 to dodge ln 0), the key is
+    * rounded to 10 decimals (keys live in [-36/w_min, 0) so this keeps
+    * ≥6 significant digits while absorbing sub-ulp ln() differences
+    * between engines), and residual ties resolve by doc id. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    weightedSampleOf(docs(spark, dir), k)
+
+  def weightedSampleOf(d: DataFrame, k: Int): DataFrame = {
+    val draw = conv(substring(sampleHash(col("doc_id")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (draw.cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    val key = round(log(u) / greatest(col("n_chars"), lit(1L)), 10)
+    d.select(col("source"), col("doc_id"), key.as("s"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.top_k_by_score(col("s"), col("doc_id"), k)
+        .as("sel"))
+      .select(col("source"), explode(col("sel")).as("e"))
+      .select(col("source"), col("e.rank").as("sample_rank"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  val weightedSampleOracle: String =
+    """SELECT source, CAST(rk AS INT) AS sample_rank, doc_id FROM (
+         SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             ORDER BY round(ln((('0x' ||
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                   + 0.5) / 4503599627370496.0)
+               / greatest(n_chars, 1), 10) DESC, doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 8 ORDER BY source NULLS FIRST, sample_rank"""
+
   // --- bloom-pruned decontamination ----------------------------------------
 
   /** q79: the q54 decontamination with a bloom-filter prune in front of

@@ -352,4 +352,29 @@ class CurateSpec extends SparkSpecBase {
       .map { case (l, rows) => l -> rows.size.toLong }
     assert(gotPerLang == perLang)
   }
+
+  test("weightedSample equals the window form and biases toward long docs") {
+    val d = Tables(spark, sf001, "documents")
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4503599627370496.0
+    val expect = d
+      .select(col("source"), col("doc_id"),
+        round(log(u) / greatest(col("n_chars"), lit(1L)), 10).as("key"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("key").desc, col("doc_id"))))
+      .filter(col("rk") <= 8)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    val got = Curate.weightedSample(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // length-proportional selection: the sample's mean length exceeds
+    // the corpus mean (deterministic draws — no flakiness)
+    val lens = d.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampleMean = got.toSeq.map(t => lens(t._3)).sum.toDouble / got.size
+    val corpusMean = lens.values.sum.toDouble / lens.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus $corpusMean")
+  }
 }

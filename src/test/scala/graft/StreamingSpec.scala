@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.pipeline.FilePipeline.Layout
-import graft.streaming.{StreamingDedup, StreamingIngest}
+import graft.streaming.{StreamingDedup, StreamingIngest, StreamingJoin}
 
 class StreamingSpec extends SparkSpecBase {
 
@@ -264,5 +264,97 @@ class StreamingSpec extends SparkSpecBase {
     val s = streamed.orderBy("window_start_epoch", "event_type").collect()
     val b = batch.collect()
     assert(s.sameElements(b))
+  }
+
+  test("stream-stream interval join matches in-horizon pairs only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamingJoin.intervalJoin(
+      imps.toDF().toDF("its", "user_id", "imp_id"),
+      clicks.toDF().toDF("cts", "user_id", "click_id"),
+      keys = Seq("user_id"), leftTs = "its", rightTs = "cts",
+      horizon = "30 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    imps.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 1L, 100L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 2L, 200L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 3L, 300L))
+    clicks.addData(
+      // user 1: click 10 min later — inside the horizon
+      (Timestamp.valueOf("2024-03-01 10:10:00"), 1L, 1100L),
+      // user 2: click 2 h later — outside the horizon
+      (Timestamp.valueOf("2024-03-01 12:00:00"), 2L, 2200L),
+      // user 3: never clicks
+      (Timestamp.valueOf("2024-03-01 12:00:00"), 99L, 9900L))
+    q.processAllAvailable()
+    // push both watermarks forward so all join state can close
+    imps.addData((Timestamp.valueOf("2024-03-01 18:00:00"), 50L, 500L))
+    clicks.addData((Timestamp.valueOf("2024-03-01 18:00:00"), 50L, 5500L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").select("imp_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1100L)), s"got $got")
+    assert(!got.exists(_._1 == 200L), s"late click must not match: $got")
+    assert(!got.exists(_._1 == 300L), s"no-click imp must not match: $got")
+  }
+
+  test("stream-stream left-outer interval join emits unmatched rows " +
+      "after the watermark closes their window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamingJoin.intervalJoin(
+      imps.toDF().toDF("its", "user_id", "imp_id"),
+      clicks.toDF().toDF("cts", "user_id", "click_id"),
+      keys = Seq("user_id"), leftTs = "its", rightTs = "cts",
+      horizon = "30 minutes", watermark = "10 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    imps.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 1L, 100L),
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 3L, 300L))
+    clicks.addData((Timestamp.valueOf("2024-03-01 10:10:00"), 1L, 1100L))
+    q.processAllAvailable()
+    imps.addData((Timestamp.valueOf("2024-03-01 18:00:00"), 50L, 500L))
+    clicks.addData((Timestamp.valueOf("2024-03-01 18:00:00"), 50L, 5500L))
+    q.processAllAvailable()
+    // one more advance: outer results emit only after state fully closes
+    imps.addData((Timestamp.valueOf("2024-03-01 23:00:00"), 51L, 510L))
+    clicks.addData((Timestamp.valueOf("2024-03-01 23:00:00"), 51L, 5100L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_outer")
+      .select(col("imp_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.contains((100L, Some(1100L))), s"got $got")
+    assert(got.contains((300L, None)),
+      s"unmatched imp should surface with null click: $got")
+  }
+
+  test("intervalJoin rejects streams sharing non-key columns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val b = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingJoin.intervalJoin(
+        a.toDF().toDF("ts", "user_id", "v"),
+        b.toDF().toDF("cts", "user_id", "v"), // "v" collides
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "cts",
+        horizon = "1 hour", watermark = "10 minutes")
+    }
+    assert(e.getMessage.contains("only the key columns"))
   }
 }
