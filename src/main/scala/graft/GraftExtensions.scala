@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
+import graft.functions.{BloomBuildAgg, BloomMightContain, CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -21,9 +21,11 @@ import graft.plans.AsOfJoinStrategy
   * `nfc_normalize(text)`, `trigram_lang_scores(text)`,
   * `cosine_similarity(a, b)` — and the sketch
   * AGGREGATES — `minhash_sketch(hash[, k])`, `simhash_sketch(hash)`,
-  * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])` — usable in
-  * plain `GROUP BY` SQL (the analyzer wraps a returned
-  * AggregateFunction in its AggregateExpression automatically).
+  * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])`,
+  * `bloom_build(hash[, bits, hashes])` with its probe
+  * `might_contain(filter, hash)` — usable in plain `GROUP BY` SQL
+  * (the analyzer wraps a returned AggregateFunction in its
+  * AggregateExpression automatically).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -107,6 +109,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(k: Int, _)) => KmvAgg(c, k)
         case _ => throw new IllegalArgumentException(
           "kmv_sketch(feature_hash: bigint[, k: int literal])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => BloomBuildAgg(c, 1 << 20, 7)
+        case Seq(c, Literal(bits: Int, _), Literal(h: Int, _)) =>
+          BloomBuildAgg(c, bits.toLong, h)
+        case Seq(c, Literal(bits: Long, _), Literal(h: Int, _)) =>
+          BloomBuildAgg(c, bits, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_build(feature_hash: bigint[, bits, hashes: int literals])")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[BloomMightContain].getName, "might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(f, k) => BloomMightContain(f, k)
+        case _ => throw new IllegalArgumentException(
+          "might_contain(filter: binary, feature_hash: bigint)")
       }))
 
     ext.injectFunction((

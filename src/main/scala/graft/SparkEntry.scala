@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Relational}
-import graft.ext.{Curate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Curate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.AsOfJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -117,7 +117,14 @@ object SparkEntry {
     "q79_decontaminate_bloom" -> ((s: SparkSession, d: String) =>
       Curate.decontaminateBloom(s, d)),
     "q80_weighted_sample" -> ((s: SparkSession, d: String) =>
-      Curate.weightedSample(s, d))
+      Curate.weightedSample(s, d)),
+    "q81_datacard" -> (Curate.dataCard(_, _)),
+    // q82/q83: BPE is iterative — no SQL oracle exists; gated by BpeSpec's
+    // reference-implementation equality (see oracleSql omission contract)
+    "q82_bpe_merges" -> ((s: SparkSession, d: String) =>
+      Bpe.mergeTable(s, d)),
+    "q83_bpe_tokens" -> ((s: SparkSession, d: String) =>
+      Bpe.encodeCorpus(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,6 +314,7 @@ object SparkEntry {
     "q78_dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     // identical semantics to q54 — the bloom prune is exactness-preserving
     "q79_decontaminate_bloom" -> Curate.decontaminateOracle,
-    "q80_weighted_sample" -> Curate.weightedSampleOracle
+    "q80_weighted_sample" -> Curate.weightedSampleOracle,
+    "q81_datacard" -> Curate.dataCardOracle
   )
 }

@@ -828,6 +828,42 @@ object Curate {
          FROM documents)
        WHERE rk <= 8 ORDER BY lang NULLS FIRST, sample_rank"""
 
+  // --- corpus data card ----------------------------------------------------
+
+  /** q81: per-source corpus data card — the summary table a mixture
+    * designer reads before setting sampling weights (and the artifact
+    * data-governance wants published with a corpus): document and token
+    * volume, length profile, language spread, English share, and the
+    * exact-duplicate count inside each source. All exact, one pass.
+    *
+    * Scale: a single groupBy(source); the two DISTINCT aggregates
+    * (languages, text digests) expand rows per-distinct-column but
+    * shuffle only (source, lang) and (source, digest-128) pairs —
+    * digests, never text. Source cardinality is small by construction
+    * (it's a provenance label), so the result is driver-friendly. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        (count(lit(1)) - countDistinct(md5(col("text"))))
+          .as("n_exact_dups"))
+      .orderBy(col("source"))
+
+  val dataCardOracle: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         round(avg(n_chars), 2) AS avg_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+           AS n_exact_dups
+       FROM documents GROUP BY source ORDER BY source"""
+
   // --- weighted sample without replacement ---------------------------------
 
   /** q80: per-source WEIGHTED sample without replacement

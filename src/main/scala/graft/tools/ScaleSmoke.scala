@@ -108,7 +108,17 @@ object ScaleSmoke {
       "q74_resample" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q74Resample(s, d)),
       "q76_heavy_hitters" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.heavyHitters(s, d))
+        graft.ext.TextAnalysis.heavyHitters(s, d)),
+      "q77_uniform_sample" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.uniformSample(s, d)),
+      "q78_dsir_weights" -> (graft.ext.TextAnalysis.dsirWeights(_, _)),
+      "q79_decontam_bloom" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.decontaminateBloom(s, d)),
+      "q80_weighted_sample" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.weightedSample(s, d)),
+      "q81_datacard" -> (graft.ext.Curate.dataCard(_, _)),
+      "q83_bpe_tokens" -> ((s: SparkSession, d: String) =>
+        graft.ext.Bpe.encodeCorpus(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -81,6 +81,19 @@ class ExtensionsSpec extends SparkSpecBase {
         .collect()(0).getMap[String, Long](0)
       assert(mg.keySet == Set("tok0", "tok1", "tok2"))
       assert(mg.values.sum == 100)
+      // bloom: build over the 30 distinct hashes, probe in the same SQL —
+      // every member found, a disjoint probe set nearly all rejected
+      val bl = s2.sql(
+        """WITH f AS (SELECT bloom_build(h, 65536, 7) AS bf FROM ext_agg_in)
+           SELECT
+             (SELECT count(*) FROM ext_agg_in, f
+               WHERE might_contain(f.bf, h)) AS members,
+             (SELECT count(*) FROM (SELECT xxhash64(CAST(id + 1000 AS STRING)) AS h2
+                 FROM range(200)), f
+               WHERE might_contain(f.bf, h2)) AS strangers""")
+        .collect()(0)
+      assert(bl.getLong(0) == 100, s"all member rows probe true: $bl")
+      assert(bl.getLong(1) < 10, s"strangers mostly rejected: $bl")
     }
   }
 
