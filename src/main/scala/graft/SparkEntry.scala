@@ -124,7 +124,23 @@ object SparkEntry {
     "q82_bpe_merges" -> ((s: SparkSession, d: String) =>
       Bpe.mergeTable(s, d)),
     "q83_bpe_tokens" -> ((s: SparkSession, d: String) =>
-      Bpe.encodeCorpus(s, d))
+      Bpe.encodeCorpus(s, d)),
+    "q84_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "q85_funnel" -> ((s: SparkSession, d: String) =>
+      Analytics.q85Funnel(s, d)),
+    "q86_anomaly" -> ((s: SparkSession, d: String) =>
+      Analytics.q86Anomaly(s, d)),
+    "q87_profile" -> ((s: SparkSession, d: String) =>
+      graft.ops.Profile.profile(graft.Tables(s, d, "orders"))),
+    // q88: k-means centroids are engine-specific — rows-only driver check;
+    // SimilaritySpec replays the within-cluster decision against a local
+    // reference implementation
+    "q88_semdedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedup(s, d)),
+    "q89_source_overlap" -> ((s: SparkSession, d: String) =>
+      Curate.sourceOverlap(s, d)),
+    "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
+      Analytics.q90Cohort(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,6 +331,12 @@ object SparkEntry {
     // identical semantics to q54 — the bloom prune is exactness-preserving
     "q79_decontaminate_bloom" -> Curate.decontaminateOracle,
     "q80_weighted_sample" -> Curate.weightedSampleOracle,
-    "q81_datacard" -> Curate.dataCardOracle
+    "q81_datacard" -> Curate.dataCardOracle,
+    "q84_bm25" -> TextAnalysis.bm25Oracle,
+    "q85_funnel" -> Analytics.q85Oracle,
+    "q86_anomaly" -> Analytics.q86Oracle,
+    "q87_profile" -> graft.ops.Profile.ordersProfileOracle,
+    "q89_source_overlap" -> Curate.sourceOverlapOracle,
+    "q90_cohort_retention" -> Analytics.q90Oracle
   )
 }

@@ -53,7 +53,10 @@ object BucketCap {
         s"$nRows banded rows) from candidate generation; route them to " +
         s"exact dedup")
     }
+    // re-select in the caller's column order: a USING join moves the key
+    // columns first, which would silently break positional renames
     banded.join(broadcast(hot.select(bucketCols.map(col): _*)),
-      bucketCols, "left_anti")
+        bucketCols, "left_anti")
+      .select(banded.columns.map(col).toSeq: _*)
   }
 }

@@ -949,4 +949,57 @@ object Curate {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
   }
+
+  /** q89: cross-source contamination matrix — for every pair of corpus
+    * sources, how many distinct word-5-grams they share and the Jaccard
+    * of their gram sets. The source-level view of q54's document-level
+    * decontamination: before mixing crawls/dumps into a training set, a
+    * pipeline wants to know which sources are near-copies of each other
+    * (mirrors, re-crawls, scraped aggregators).
+    *
+    * Scale: grams are 64-bit [[shingle_hashes]] longs, never strings
+    * (same ~2⁻⁶⁴ collision tradeoff as q54, documented there); the
+    * per-source distinct set is one map-side-combinable aggregate; the
+    * pair join shuffles (source, hash) longs keyed on the hash. Per-gram
+    * fanout is C(sources containing it, 2) — bounded by the source
+    * CATALOG size (dozens–hundreds), not the corpus; a gram shared by
+    * every source costs C(n_sources, 2), still trivial. Output is
+    * source-pair-sized. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("source"), explode(shingle_hashes(col("text"), k)).as("gh"))
+      .distinct()
+      .localCheckpoint() // reused: per-source sizes + the pair join
+    val n = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    g.select(col("source").as("source_a"), col("gh"))
+      .join(g.select(col("source").as("source_b"), col("gh")), Seq("gh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(n.select(col("source").as("source_a"),
+        col("n").as("na"))), "source_a")
+      .join(broadcast(n.select(col("source").as("source_b"),
+        col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) /
+          (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       gi AS (SELECT source, ws,
+                unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i FROM w),
+       g AS (SELECT DISTINCT source, array_to_string(ws[i:i+4], ' ') AS sh
+             FROM gi),
+       n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+       p AS (SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS shared
+             FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT sa AS source_a, sb AS source_b, shared AS n_shared,
+         round(shared * 1.0 / (na.n + nb.n - shared), 4) AS jaccard
+       FROM p JOIN n na ON na.source = p.sa JOIN n nb ON nb.source = p.sb
+       ORDER BY source_a, source_b"""
 }

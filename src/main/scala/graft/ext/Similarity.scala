@@ -391,4 +391,57 @@ object Similarity {
       .localCheckpoint(true) // materialize so the cache can be released
     } finally ds.unpersist()
   }
+
+  /** q88: SemDeDup — semantic deduplication by clustering then exact
+    * within-cluster pruning (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * the embeddings ([[IvfIndex.train]]'s deterministic distributed
+    * Lloyd), compute exact cosine only WITHIN each cluster, and drop
+    * every vector that has a ≥ tau neighbor with a lower vec_id (one
+    * deterministic survivor per semantic-duplicate chain; the paper
+    * keeps a random member — lowest-id is that choice made
+    * reproducible).
+    *
+    * The clustering is what makes this a 100 TB operator: candidate
+    * generation is the paper's "quadratic inside clusters only" —
+    * nClusters grows with the corpus so expected cluster size stays
+    * bounded, and [[BucketCap]] caps pathological clusters (logged +
+    * recoverable) exactly like every banded-LSH join in [[Dedup]]. The
+    * self-join ships (vec_id, cluster) longs only; vectors resolve
+    * through [[scorePairs]] at scoring time.
+    *
+    * Deterministic but centroid values are engine-specific → rows-only
+    * driver check; SimilaritySpec replays the within-cluster decision
+    * exactly against a local reference. */
+  def semDedup(spark: SparkSession, dir: String, nClusters: Int = 16,
+      tau: Double = 0.4, clusterCap: Int = 10000): DataFrame = {
+    // tau 0.4 matches this corpus's near-dup threshold (q25); real text
+    // embeddings run much higher (the paper uses ~0.95 on OpenCLIP)
+    val ds = vecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = IvfIndex.train(ds, nClusters)
+      val assigned = IvfIndex.assign(ds, centroids)
+        .localCheckpoint() // reused: candidate join (twice) + verdict join
+      // name-based renames: capBuckets's USING join reorders columns to
+      // (list_id, vec_id), so a positional toDF would swap the roles
+      val capped = BucketCap.capBuckets(assigned, Seq("list_id"),
+        clusterCap, "semDedup")
+      val candidates = capped.select(col("vec_id").as("a"), col("list_id"))
+        .join(capped.select(col("vec_id").as("b"), col("list_id")),
+          Seq("list_id"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      val dropped = scorePairs(candidates, ds, "a", "b")
+        .filter(col("cos") >= tau)
+        .select(col("b").as("vec_id"), lit(1).as("_dropped"))
+        .distinct()
+      assigned
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"),
+          when(col("_dropped").isNotNull, "drop").otherwise("keep")
+            .as("action"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true) // materialize so the cache can be released
+    } finally ds.unpersist()
+  }
 }

@@ -538,4 +538,84 @@ object TextAnalysis {
         round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
       .orderBy(col("lang"))
   }
+
+  /** q84: BM25 relevance scoring — the standard retrieval ranking
+    * function (Robertson/Spärck Jones; the Lucene `1 + (N-df+0.5)/(df+0.5)`
+    * idf variant), scoring every document against a fixed query-term set
+    * and returning the top `topK`.
+    *
+    * Scale: one explode+agg for per-document length (dl), one for
+    * per-(doc, query-term) tf — the tf pass filters to the query terms
+    * BEFORE the aggregate, so only matching tokens cross the shuffle.
+    * df is query-term-sized (broadcast); N and avgdl are two scalar
+    * aggregates. Nothing vocabulary-sized shuffles, no window, no sort
+    * beyond the final top-k.
+    *
+    * Hash stability: per-term contributions round to 6dp and sum as
+    * DECIMAL(18,6) (exact, order-independent) before the final 4dp
+    * round — the same discipline as [[dsirWeights]]. */
+  def bm25(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("hash", "join", "stream"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame =
+    bm25Of(Tables(spark, dir, "documents"), queryTerms, k1, b, topK)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests).
+    *
+    * Single corpus scan: dl and every per-query-term tf come out of ONE
+    * groupBy(doc_id) with conditional sums (query sets are small), then a
+    * stack unpivot — no second tokenize pass and no dl join. Everything
+    * after the first aggregate is per-matching-document-sized. */
+  def bm25Of(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.forall(_.matches("[\\p{L}\\p{N}_-]+")),
+      "query terms must be plain tokens")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tfCols = queryTerms.map(t =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      // reused 3× (scalars, df counts, scoring); doc-count-sized rows of
+      // a few longs each — not corpus-sized
+      .localCheckpoint()
+    // two bounded scalars (corpus size, total token count) — not data rows
+    val sc = perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val n = sc.getLong(0)
+    val avgdl = sc.getLong(1).toDouble / n
+    val stackExpr = s"stack(${queryTerms.length}, " +
+      queryTerms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (w, tf)"
+    val tf = perDoc.select(col("doc_id"), col("dl"), expr(stackExpr))
+      .filter(col("tf") > 0)
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val part = round(
+      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 6)
+      .cast("decimal(18,6)")
+    tf.join(broadcast(dfT), "w")
+      .withColumn("part", part)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("part")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  val bm25Oracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+              WHERE w IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+       dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(dl) AS BIGINT) AS tot FROM dl)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         round(CAST(sum(CAST(round(
+             ln(1.0 + (sc.n * 1.0 - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sc.tot * 1.0 / sc.n))),
+             6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+       FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN sc
+       GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
 }

@@ -427,4 +427,158 @@ object Analytics {
        FROM orders WHERE o_orderkey % 31 = 0
        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
        ORDER BY o_orderkey"""
+
+  /** q85: ordered-step funnel — how many users progressed
+    * view → click → purchase, each step strictly after the previous
+    * one and within a 1-day conversion window. The classic product
+    * analytics query, built as a cascade of conditional-min
+    * aggregates: step k's table is (user, first qualifying ts), so
+    * each stage is one groupBy(user_id) plus a join against the
+    * SHRINKING survivor set from the previous step.
+    *
+    * Scale: all joins key on user_id (high-cardinality, skew-free) and
+    * the right side only ever shrinks — by step 3 it is the converted
+    * cohort, typically broadcast-sized. No window functions, so no
+    * per-user event sort; timestamps never appear in the output (repo
+    * rule: raw event ts does not cross the oracle boundary). */
+  def q85Funnel(spark: SparkSession, dir: String): DataFrame =
+    q85FunnelOf(Tables(spark, dir, "events"))
+
+  /** Same over any (user_id, event_type, ts) DataFrame. */
+  def q85FunnelOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    def step(prev: DataFrame, prevT: String, evt: String, t: String) =
+      e.filter(col("event_type") === evt)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("ts") > col(prevT) &&
+          col("ts") <= col(prevT) + expr("interval 1 day"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = step(s1, "t1", "click", "t2")
+    val s3 = step(s2, "t2", "purchase", "t3")
+    def cnt(s: DataFrame, label: String) =
+      s.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"),
+        col("n_users"))
+    cnt(s1, "1_view").unionByName(cnt(s2, "2_click"))
+      .unionByName(cnt(s3, "3_purchase"))
+      .orderBy(col("step"))
+  }
+
+  val q85Oracle: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts > t1
+                AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1),
+       s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t2
+                AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1)
+       SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+       UNION ALL
+       SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
+       ORDER BY step"""
+
+  /** q86: per-user daily-volume anomalies — days where a user's event
+    * count exceeds their own mean by more than `z` sample standard
+    * deviations, with the z-test done ENTIRELY in integer arithmetic:
+    *
+    *   (cnt − S/N) > z·√((N·SS − S²)/(N·(N−1)))
+    *     ⇔  (N·cnt − S) > 0  ∧  (N·cnt − S)²·(N−1) > z²·N·(N·SS − S²)
+    *
+    * where S = Σcnt, SS = Σcnt² over the user's active days. Counts are
+    * integers, so both sides are exact BIGINTs — no float mean/stddev
+    * whose summation order could flip the driver's hash (the repo rule
+    * that keeps avg out of oracled outputs). Headroom: the largest
+    * term is (N·cnt)²·N ≈ (days·daily_max)²·days; at 10⁴ days and 10⁶
+    * events/day that is ~10²⁴ — past BIGINT — so the 100 TB form
+    * switches the comparison operands to DECIMAL(38,0); at any
+    * plausible per-user volume below that, BIGINT is exact.
+    *
+    * Scale: one groupBy(user_id, day), one groupBy(user_id), one join
+    * keyed on user_id — partial aggregation everywhere, no windows. */
+  def q86Anomaly(spark: SparkSession, dir: String, z: Int = 2,
+      minDays: Int = 5): DataFrame =
+    q86AnomalyOf(Tables(spark, dir, "events"), z, minDays)
+
+  /** Same over any (user_id, ts) DataFrame. */
+  def q86AnomalyOf(events: DataFrame, z: Int = 2,
+      minDays: Int = 5): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("n") * col("cnt") - col("s")
+    daily.join(stats, "user_id")
+      .filter(col("n") >= minDays && dev > 0 &&
+        dev * dev * (col("n") - 1) >
+          lit(z.toLong * z) * col("n") * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("n").as("n_days"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q86Oracle: String =
+    """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                        CAST(count(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY 1, 2),
+       st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cnt) AS BIGINT) AS s,
+                CAST(sum(cnt * cnt) AS BIGINT) AS ss
+              FROM daily GROUP BY 1)
+       SELECT user_id, strftime(d, '%Y-%m-%d') AS day, cnt,
+         n AS n_days
+       FROM daily JOIN st USING (user_id)
+       WHERE n >= 5 AND (n * cnt - s) > 0
+         AND (n * cnt - s) * (n * cnt - s) * (n - 1) > 4 * n * (n * ss - s * s)
+       ORDER BY user_id, day"""
+
+  /** q90: cohort retention matrix — users grouped by the week of their
+    * first purchase, tracked by how many stay active (≥1 purchase) in
+    * each subsequent week. The standard product-retention report, and
+    * the second conditional-aggregation shape next to q85's funnel.
+    *
+    * Exactness: every value is a date-trunc or an integer count; week
+    * offsets are exact multiples of 7 days so the division carries no
+    * float risk. Both engines truncate weeks to Monday.
+    *
+    * Scale: distinct (user, week) is one map-side-combinable aggregate;
+    * cohort assignment is a groupBy(user_id) + a user_id-keyed join —
+    * high-cardinality and skew-free; the matrix itself is
+    * (cohorts × weeks)-sized. */
+  def q90Cohort(spark: SparkSession, dir: String): DataFrame =
+    q90CohortOf(Tables(spark, dir, "events"))
+
+  /** Same over any (user_id, event_type, ts) DataFrame. */
+  def q90CohortOf(events: DataFrame): DataFrame = {
+    val d = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(date_trunc("week", to_date(col("ts")))).as("wk"))
+      .distinct()
+    val c = d.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    d.join(c, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // d is distinct per (user, wk)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q90Oracle: String =
+    """WITH d AS (SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       c AS (SELECT user_id, min(wk) AS cohort FROM d GROUP BY 1)
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+         CAST((wk - cohort) / 7 AS INT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM d JOIN c USING (user_id)
+       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
 }

@@ -118,7 +118,21 @@ object ScaleSmoke {
         graft.ext.Curate.weightedSample(s, d)),
       "q81_datacard" -> (graft.ext.Curate.dataCard(_, _)),
       "q83_bpe_tokens" -> ((s: SparkSession, d: String) =>
-        graft.ext.Bpe.encodeCorpus(s, d))
+        graft.ext.Bpe.encodeCorpus(s, d)),
+      "q84_bm25" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.bm25(s, d)),
+      "q85_funnel" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q85Funnel(s, d)),
+      "q86_anomaly" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q86Anomaly(s, d)),
+      "q87_profile" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profile.profile(graft.Tables(s, d, "orders"))),
+      "q88_semdedup" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.semDedup(s, d)),
+      "q89_source_overlap" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.sourceOverlap(s, d)),
+      "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q90Cohort(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

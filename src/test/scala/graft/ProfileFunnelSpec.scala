@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Profile
+import graft.queries.Analytics
+
+/** Value-level gates for the round-6 analytics operators, beyond the
+  * DuckDB oracles (which run on tables without nulls or edge timings). */
+class ProfileFunnelSpec extends SparkSpecBase {
+
+  test("profile counts nulls/distincts and renders min/max per type") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(2.5)),
+      (2L, None, Some(1.25)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "d")
+    val rows = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(rows("id") == ((0L, 4L, "1", "4")))
+    assert(rows("s") == ((1L, 2L, "a", "b")))
+    // doubles render through DECIMAL(18,2)
+    assert(rows("d") == ((1L, 2L, "1.25", "2.50")))
+  }
+
+  test("funnel honors step order and the 1-day conversion window") {
+    import spark.implicits._
+    def ts(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val events = Seq(
+      // user 1: full conversion inside windows
+      (1L, "view", ts(1, 0)), (1L, "click", ts(1, 5)),
+      (1L, "purchase", ts(1, 9)),
+      // user 2: click BEFORE first view — not a conversion
+      (2L, "click", ts(1, 0)), (2L, "view", ts(1, 5)),
+      (2L, "purchase", ts(1, 9)),
+      // user 3: click more than 1 day after view — window expired
+      (3L, "view", ts(1, 0)), (3L, "click", ts(3, 0)),
+      // user 4: view+click, purchase window expired
+      (4L, "view", ts(1, 0)), (4L, "click", ts(1, 1)),
+      (4L, "purchase", ts(4, 0))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Analytics.q85FunnelOf(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("integer z-test equals the float z-score rule on random counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20 users x 30 days of skewed counts, expanded to one row per event
+    val daily = for {
+      u <- 1 to 20; d <- 1 to 30
+      cnt = 1 + rnd.nextInt(5) + (if (rnd.nextInt(20) == 0) 25 else 0)
+    } yield (u.toLong, d, cnt)
+    val events = daily.flatMap { case (u, d, cnt) =>
+      (1 to cnt).map(i =>
+        (u, Timestamp.valueOf(f"2024-03-$d%02d 00:${i % 60}%02d:00")))
+    }.toDF("user_id", "ts")
+    val got = Analytics.q86AnomalyOf(events, z = 2, minDays = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // float reference: sample stddev, strict > comparison
+    // (.toSeq first: flatMap on the Map would collapse to one row per user)
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val cs = rows.map(_._3.toDouble)
+      val n = cs.length
+      val mean = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / (n - 1))
+      rows.filter(r => r._3 - mean > 2 * sd)
+        .map(r => (u, f"2024-03-${r._2}%02d"))
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}

@@ -149,4 +149,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(oneBlock == manyBlocks)
     assert(oneBlock.nonEmpty)
   }
+
+  test("semDedup drop set equals a local replay of the within-cluster rule") {
+    import graft.ext.IvfIndex
+    val tau = 0.4
+    val got = Similarity.semDedup(spark, sf001, nClusters = 8, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // local reference: same deterministic clustering, exact cosine, drop
+    // any vector with a >= tau neighbor of lower id in the same cluster
+    val ds = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as(org.apache.spark.sql.Encoders.product[Similarity.Vec])
+    val centroids = IvfIndex.train(ds, 8)
+    val vs = ds.collect().sortBy(_.vec_id)
+    // replay of IvfIndex.nearestList (private[ext]): L2, ties → lowest id
+    def nearest(v: Array[Float]): Int =
+      centroids.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) {
+          val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }
+    val cluster = vs.map(v => v.vec_id -> nearest(v.embedding)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val wantDropped = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if cluster(vs(i).vec_id) == cluster(vs(j).vec_id)
+      if cos(vs(i).embedding, vs(j).embedding) >= tau
+    } yield vs(j).vec_id).toSet
+    assert(got.size == vs.length) // verdict for every vector
+    assert(got.filter(_._2 == "drop").keySet == wantDropped)
+    assert(wantDropped.nonEmpty, "corpus should contain semantic dups")
+  }
 }
