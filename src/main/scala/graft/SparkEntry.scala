@@ -140,7 +140,9 @@ object SparkEntry {
     "q89_source_overlap" -> ((s: SparkSession, d: String) =>
       Curate.sourceOverlap(s, d)),
     "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
-      Analytics.q90Cohort(s, d))
+      Analytics.q90Cohort(s, d)),
+    "q91_chunk_overlap" -> ((s: SparkSession, d: String) =>
+      Curate.chunkOverlap(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -337,6 +339,7 @@ object SparkEntry {
     "q86_anomaly" -> Analytics.q86Oracle,
     "q87_profile" -> graft.ops.Profile.ordersProfileOracle,
     "q89_source_overlap" -> Curate.sourceOverlapOracle,
-    "q90_cohort_retention" -> Analytics.q90Oracle
+    "q90_cohort_retention" -> Analytics.q90Oracle,
+    "q91_chunk_overlap" -> Curate.chunkOverlapOracle
   )
 }

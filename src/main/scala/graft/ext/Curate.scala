@@ -1002,4 +1002,57 @@ object Curate {
          round(shared * 1.0 / (na.n + nb.n - shared), 4) AS jaccard
        FROM p JOIN n na ON na.source = p.sa JOIN n nb ON nb.source = p.sb
        ORDER BY source_a, source_b"""
+
+  /** q91: overlapping-window chunking — split each document into
+    * fixed-size token windows advanced by a smaller stride (the RAG /
+    * embedding-index splitter: `chunkTokens`=64 tokens per chunk,
+    * `stride`=48 → 16-token overlap so no semantic boundary is lost to a
+    * hard cut). Complements q55's concat-and-pack (training sequences)
+    * with the retrieval-side chunker.
+    *
+    * Chunk `i` covers tokens [i·stride+1, min(i·stride+chunk, n)];
+    * chunk count is ceil((n−chunk)/stride)+1, min 1 — every token is in
+    * ≥1 chunk and the last chunk may be short.
+    *
+    * Scale: pure narrow map + explode, zero shuffle (the ORDER BY is
+    * presentation only); output duplicates ~chunk/stride−1 of the corpus
+    * by construction (documented cost of overlap, here 1/3). */
+  def chunkOverlap(spark: SparkSession, dir: String, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame =
+    chunkOverlapOf(docs(spark, dir), chunkTokens, stride)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def chunkOverlapOf(d: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val nChunksM1 = greatest(
+      ceil((col("n_tokens") - chunkTokens) / stride.toDouble), lit(0L))
+    val base = col("chunk_idx") * stride
+    val len = least(base + chunkTokens, col("n_tokens").cast("long")) - base
+    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunksM1)))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        len.as("n_chunk_tokens"),
+        array_join(slice(col("ws"), (base + 1).cast("int"),
+          len.cast("int")), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkOverlapOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+       c AS (SELECT doc_id, len(ws) AS n_tokens,
+               unnest(generate_series(0,
+                 CAST(greatest(ceil((len(ws) - 64) / 48.0), 0) AS BIGINT)))
+                 AS ci,
+               ws
+             FROM w)
+       SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         CAST(least(ci*48 + 64, n_tokens) - ci*48 AS BIGINT)
+           AS n_chunk_tokens,
+         array_to_string(ws[(ci*48 + 1):least(ci*48 + 64, n_tokens)], ' ')
+           AS chunk_text
+       FROM c ORDER BY doc_id, chunk_idx"""
 }

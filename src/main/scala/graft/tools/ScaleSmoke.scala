@@ -132,7 +132,9 @@ object ScaleSmoke {
       "q89_source_overlap" -> ((s: SparkSession, d: String) =>
         graft.ext.Curate.sourceOverlap(s, d)),
       "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
-        graft.queries.Analytics.q90Cohort(s, d))
+        graft.queries.Analytics.q90Cohort(s, d)),
+      "q91_chunk_overlap" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.chunkOverlap(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
