@@ -444,7 +444,12 @@ object Analytics {
   def q85Funnel(spark: SparkSession, dir: String): DataFrame =
     q85FunnelOf(Tables(spark, dir, "events"))
 
-  /** Same over any (user_id, event_type, ts) DataFrame. */
+  /** Same over any (user_id, event_type, ts) DataFrame. Each step table
+    * is localCheckpoint'ed: it is user-cohort-sized (one row per
+    * surviving user) and feeds BOTH the next step's join and its own
+    * count branch — without the checkpoint the final union re-derives
+    * the cascade per branch, re-scanning the event table six times
+    * instead of once per step. */
   def q85FunnelOf(events: DataFrame): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
     def step(prev: DataFrame, prevT: String, evt: String, t: String) =
@@ -453,8 +458,10 @@ object Analytics {
         .filter(col("ts") > col(prevT) &&
           col("ts") <= col(prevT) + expr("interval 1 day"))
         .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+        .localCheckpoint()
     val s1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .localCheckpoint()
     val s2 = step(s1, "t1", "click", "t2")
     val s3 = step(s2, "t2", "purchase", "t3")
     def cnt(s: DataFrame, label: String) =
