@@ -142,7 +142,17 @@ object SparkEntry {
     "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
       Analytics.q90Cohort(s, d)),
     "q91_chunk_overlap" -> ((s: SparkSession, d: String) =>
-      Curate.chunkOverlap(s, d))
+      Curate.chunkOverlap(s, d)),
+    "q92_scd2" -> ((s: SparkSession, d: String) =>
+      graft.ops.Scd.q92Scd2(s, d)),
+    "q93_interval_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.RangeJoin.q93IntervalJoin(s, d)),
+    "q94_fuzzy_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.FuzzyMatch.q94FuzzyJoin(s, d)),
+    "q95_rolling_window" -> ((s: SparkSession, d: String) =>
+      Analytics.q95RollingWindow(s, d)),
+    "q96_cdc_apply" -> ((s: SparkSession, d: String) =>
+      graft.ops.Scd.q96CdcApply(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -340,6 +350,11 @@ object SparkEntry {
     "q87_profile" -> graft.ops.Profile.ordersProfileOracle,
     "q89_source_overlap" -> Curate.sourceOverlapOracle,
     "q90_cohort_retention" -> Analytics.q90Oracle,
-    "q91_chunk_overlap" -> Curate.chunkOverlapOracle
+    "q91_chunk_overlap" -> Curate.chunkOverlapOracle,
+    "q92_scd2" -> graft.ops.Scd.q92Oracle,
+    "q93_interval_join" -> graft.ops.RangeJoin.q93Oracle,
+    "q94_fuzzy_join" -> graft.ops.FuzzyMatch.q94Oracle,
+    "q95_rolling_window" -> Analytics.q95Oracle,
+    "q96_cdc_apply" -> graft.ops.Scd.q96Oracle
   )
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fuzzy entity matching via deletion-neighborhood blocking (the
+  * SymSpell trick, Garbe 2012 — public domain algorithm): two strings
+  * are within Levenshtein distance 1 iff their deletion neighborhoods
+  * ({self} ∪ every one-character deletion) intersect —
+  *
+  *   - identical:      share self;
+  *   - substitution:   deleting the differing position from each side
+  *                     yields the same string;
+  *   - insert/delete:  the shorter string IS one of the longer's
+  *                     deletions.
+  *
+  * So an edit-distance-≤1 join becomes: explode both sides into
+  * (variant → id), shuffle equi-join on the variant string, distinct
+  * the candidate id pairs, then verify with one levenshtein call per
+  * candidate (the neighborhood test over-generates, e.g. a
+  * transposition "abcd"/"bacd" shares variants at distance 2 — the
+  * verify filter is what makes the result exact, same
+  * generate-then-verify shape as the PPJoin path in
+  * [[graft.ext.Dedup]]).
+  *
+  * Scale: n·(len+1) variant rows per side — linear fanout, never
+  * all-pairs; candidates are confined to exact variant-key buckets.
+  * The skew story is the same as every banded join in this repo: a
+  * variant shared by m left × k right rows emits m·k candidates, so a
+  * degenerate key space (millions of near-identical short strings)
+  * wants the [[graft.ext.BucketCap]] treatment; for dimension-table
+  * entity resolution the buckets are tiny.
+  */
+object FuzzyMatch {
+
+  /** All Levenshtein-distance-≤1 pairs between `left` and `right`.
+    * Output: (lKey, rKey, dist). Null or empty names never match. */
+  def editDistance1Join(left: DataFrame, lKey: String, lName: String,
+      right: DataFrame, rKey: String, rName: String): DataFrame = {
+    def variants(df: DataFrame, key: String, name: String): DataFrame =
+      df.filter(col(name).isNotNull && length(col(name)) > 0)
+        .select(col(key), col(name),
+          explode(array_union(
+            array(col(name)),
+            expr(s"transform(sequence(1, length($name)), i -> " +
+              s"concat(substring($name, 1, i - 1), " +
+              s"substring($name, i + 1, length($name))))")))
+          .alias("_variant"))
+    val lv = variants(left, lKey, lName)
+    val rv = variants(right, rKey, rName)
+      .withColumnRenamed("_variant", "_rvariant")
+    lv.join(rv, col("_variant") === col("_rvariant"))
+      .select(col(lKey), col(rKey), col(lName), col(rName))
+      .distinct()
+      .withColumn("dist", levenshtein(col(lName), col(rName)))
+      .filter(col("dist") <= 1)
+      .select(col(lKey), col(rKey), col("dist"))
+  }
+
+  /** q94: entity resolution on the customer dimension — every third
+    * customer's name is deterministically corrupted (one digit
+    * deleted) and matched back against the clean dimension. A
+    * 17-char corruption can re-expand to many 18-char names (any
+    * single-digit insertion that lands on an existing key), so the
+    * expected output is a candidate SET per corrupt row, exactly what
+    * a resolution pipeline consumes. Oracle verifies against DuckDB's
+    * quadratic levenshtein join — all-pairs is the oracle's cost, not
+    * ours. */
+  def q94FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val corrupted = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("corrupt_key"),
+        expr("concat(substring(c_name, 1, cast(9 + c_custkey % 9 as int)), " +
+          "substring(c_name, cast(11 + c_custkey % 9 as int), " +
+          "length(c_name)))").as("cname"))
+    val clean = cust.select(col("c_custkey").as("match_key"), col("c_name"))
+    editDistance1Join(corrupted, "corrupt_key", "cname",
+        clean, "match_key", "c_name")
+      .orderBy(col("corrupt_key"), col("match_key"))
+  }
+
+  val q94Oracle: String =
+    """WITH corr AS (SELECT c_custkey AS corrupt_key,
+         substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT)) ||
+         substr(c_name, CAST(11 + c_custkey % 9 AS INT)) AS cname
+       FROM customer WHERE c_custkey % 3 = 0)
+       SELECT corr.corrupt_key, c.c_custkey AS match_key,
+         CAST(levenshtein(corr.cname, c.c_name) AS INT) AS dist
+       FROM corr JOIN customer c
+         ON abs(length(corr.cname) - length(c.c_name)) <= 1
+         AND levenshtein(corr.cname, c.c_name) <= 1
+       ORDER BY corrupt_key, match_key"""
+}

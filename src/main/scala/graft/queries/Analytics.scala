@@ -588,4 +588,49 @@ object Analytics {
          CAST(count(*) AS BIGINT) AS n_users
        FROM d JOIN c USING (user_id)
        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+
+  /** q95: time-based rolling features — per user, per event, the count
+    * of events and of purchases in the trailing 7 days, via a RANGE
+    * window frame over epoch seconds (`RANGE BETWEEN 604800 PRECEDING
+    * AND CURRENT ROW`). This is the feature-engineering sibling of the
+    * ROWS-frame inventory in q16/q75: a ROWS frame counts rows, a
+    * RANGE frame measures TIME, which is what "activity in the last
+    * week" means when events are irregularly spaced. Epoch seconds
+    * (integer floor) on both engines, so ns-vs-µs timestamp precision
+    * cannot move a row across a frame edge; RANGE peers (same user,
+    * same second) are included by both engines per the SQL standard.
+    *
+    * Scale: one shuffle on user_id, one per-user ordered pass with O(1)
+    * incremental frame state (Spark's WindowExec slides the frame
+    * bounds monotonically — no per-row rescan). Per-user partitions are
+    * event-history-sized; a pathological single-user firehose would
+    * want the q74-style pre-bucketed day grid instead, traded off in
+    * that docstring. */
+  def q95RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .filter(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+          .as("is_p"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-604800L, 0L)
+    e.select(col("user_id"), col("event_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("is_p")).over(w).as("n_purch_7d"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q95Oracle: String =
+    """WITH e AS (SELECT user_id, event_id,
+         epoch_ns(ts) // 1000000000 AS epoch_s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+       FROM events WHERE user_id % 7 = 0)
+       SELECT user_id, event_id, epoch_s,
+         CAST(count(*) OVER w AS BIGINT) AS n_7d,
+         CAST(sum(is_p) OVER w AS BIGINT) AS n_purch_7d
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id"""
 }
