@@ -134,7 +134,18 @@ object ScaleSmoke {
       "q90_cohort_retention" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q90Cohort(s, d)),
       "q91_chunk_overlap" -> ((s: SparkSession, d: String) =>
-        graft.ext.Curate.chunkOverlap(s, d))
+        graft.ext.Curate.chunkOverlap(s, d)),
+      // round-6 second-batch operators
+      "q92_scd2" -> ((s: SparkSession, d: String) =>
+        graft.ops.Scd.q92Scd2(s, d)),
+      "q93_interval_join" -> ((s: SparkSession, d: String) =>
+        graft.ops.RangeJoin.q93IntervalJoin(s, d)),
+      "q94_fuzzy_join" -> ((s: SparkSession, d: String) =>
+        graft.ops.FuzzyMatch.q94FuzzyJoin(s, d)),
+      "q95_rolling_window" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q95RollingWindow(s, d)),
+      "q96_cdc_apply" -> ((s: SparkSession, d: String) =>
+        graft.ops.Scd.q96CdcApply(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
