@@ -35,26 +35,41 @@ import graft.Tables
 object FuzzyMatch {
 
   /** All Levenshtein-distance-≤1 pairs between `left` and `right`.
-    * Output: (lKey, rKey, dist). Null or empty names never match. */
+    * Output: (lKey, rKey, dist). Null or empty names never match.
+    *
+    * The whole neighborhood pipeline runs over DISTINCT name strings —
+    * duplicate names (the common case in entity resolution: one dirty
+    * string recurring across millions of records) cost nothing in the
+    * generate/verify stages; keys re-attach by name equality at the
+    * end, so m left × k right duplicates of a matched name pair
+    * surface only in the final m·k output expansion, which is the
+    * answer's own size. Verification uses the bounded
+    * `levenshtein(l, r, 1)` form — O(len) early-exit bands instead of
+    * the O(len²) full DP table. */
   def editDistance1Join(left: DataFrame, lKey: String, lName: String,
       right: DataFrame, rKey: String, rName: String): DataFrame = {
-    def variants(df: DataFrame, key: String, name: String): DataFrame =
+    def named(df: DataFrame, name: String): DataFrame =
       df.filter(col(name).isNotNull && length(col(name)) > 0)
-        .select(col(key), col(name),
+    def variants(df: DataFrame, name: String): DataFrame =
+      named(df, name).select(col(name)).distinct()
+        .select(col(name),
           explode(array_union(
             array(col(name)),
             expr(s"transform(sequence(1, length($name)), i -> " +
               s"concat(substring($name, 1, i - 1), " +
               s"substring($name, i + 1, length($name))))")))
           .alias("_variant"))
-    val lv = variants(left, lKey, lName)
-    val rv = variants(right, rKey, rName)
+    val lv = variants(left, lName)
+    val rv = variants(right, rName)
       .withColumnRenamed("_variant", "_rvariant")
-    lv.join(rv, col("_variant") === col("_rvariant"))
-      .select(col(lKey), col(rKey), col(lName), col(rName))
+    val matchedNames = lv.join(rv, col("_variant") === col("_rvariant"))
+      .select(col(lName), col(rName))
       .distinct()
-      .withColumn("dist", levenshtein(col(lName), col(rName)))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col(lName), col(rName), 1))
+      .filter(col("dist") >= 0) // bounded form returns -1 past the threshold
+    matchedNames
+      .join(named(left, lName).select(col(lKey), col(lName)), lName)
+      .join(named(right, rName).select(col(rKey), col(rName)), rName)
       .select(col(lKey), col(rKey), col("dist"))
   }
 

@@ -44,6 +44,17 @@ class FuzzyMatchSpec extends SparkSpecBase {
       Seq((3L, ""), (4L, "a"))).isEmpty)
   }
 
+  test("duplicate names expand to the full key cross product, each verified once") {
+    // the pipeline dedups names before generate/verify — duplicates
+    // must still produce every (lKey, rKey) combination at the end
+    val got = join(
+      Seq((1L, "abc"), (2L, "abc"), (3L, "abd")),
+      Seq((10L, "abc"), (11L, "abc")))
+    assert(got == Set(
+      (1L, 10L, 0), (1L, 11L, 0), (2L, 10L, 0), (2L, 11L, 0),
+      (3L, 10L, 1), (3L, 11L, 1)))
+  }
+
   test("matches brute-force levenshtein over a generated vocabulary") {
     // deterministic vocabulary with dense near-collisions
     val alpha = "abc"
