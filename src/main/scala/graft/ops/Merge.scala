@@ -40,7 +40,8 @@ object Merge {
     * scale both sides hash-partition on the key — the same cost as the
     * reference's join-UPDATE, minus its per-batch re-scan loop. */
   def mergeView(target: DataFrame, source: DataFrame, keys: Seq[String],
-      deleteWhen: Option[Column] = None): DataFrame = {
+      deleteWhen: Option[Column] = None,
+      extraSourceCols: Seq[String] = Nil): DataFrame = {
     val cols = target.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"merge keys $keys must be target columns")
@@ -51,7 +52,10 @@ object Merge {
     // nulls the absent side wholesale, and ONLY the markers distinguish
     // "absent side" from "present row with null values"
     val t = target.withColumn("_t_present", lit(true)).alias("t")
-    val s = source.select(cols.map(col): _*)
+    // extraSourceCols (e.g. a CDC op code) survive into the join so
+    // deleteWhen can reference them as `s.<name>`; they never reach the
+    // output, which is target-schema'd below
+    val s = source.select((cols ++ extraSourceCols).distinct.map(col): _*)
       .withColumn("_s_present", lit(true)).alias("s")
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
@@ -98,7 +102,8 @@ object Merge {
     * table. */
   def mergeIntoParquet(spark: SparkSession, dir: String,
       source: DataFrame, keys: Seq[String], partitionCol: String,
-      deleteWhen: Option[Column] = None): Seq[String] = {
+      deleteWhen: Option[Column] = None,
+      extraSourceCols: Seq[String] = Nil): Seq[String] = {
     val target = spark.read.parquet(dir)
     def partsOf(df: DataFrame): Array[String] =
       df.select(col(partitionCol).cast("string")).distinct()
@@ -109,7 +114,8 @@ object Merge {
     if (affected.isEmpty) return Nil
     def slice(df: DataFrame): DataFrame =
       df.filter(col(partitionCol).cast("string").isInCollection(affected))
-    val merged = mergeView(slice(target), slice(source), keys, deleteWhen)
+    val merged = mergeView(slice(target), slice(source), keys, deleteWhen,
+        extraSourceCols)
       .localCheckpoint(true)
     val written = merged.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet

@@ -118,13 +118,22 @@ object Scd {
     * sort each key's history; max_by keeps it O(1) state per key.
     */
   def applyChangelog(changelog: DataFrame, keys: Seq[String],
+      version: String, op: String, payload: Seq[String]): DataFrame =
+    applyChangelogKeepOps(changelog, keys, version, op, payload)
+      .filter(col(op) =!= "D").drop(op)
+
+  /** [[applyChangelog]] minus the tombstone drop: latest row per key
+    * with its winning op code kept (column `op`, after `last_version`).
+    * This is the shape a MERGE consumer needs — see
+    * [[graft.streaming.StreamingCdc]], which routes 'D' winners to
+    * WHEN-MATCHED-DELETE instead of discarding them. */
+  def applyChangelogKeepOps(changelog: DataFrame, keys: Seq[String],
       version: String, op: String, payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
-    val winners = changelog.groupBy(keys.map(col): _*)
+    changelog.groupBy(keys.map(col): _*)
       .agg(max(col(version)).as("last_version"),
-        (max_by(col(op), col(version)).as("_op") +:
+        (max_by(col(op), col(version)).as(op) +:
           payload.map(c => max_by(col(c), col(version)).as(c))): _*)
-    winners.filter(col("_op") =!= "D").drop("_op")
   }
 
   /** q96: CDC compaction over a changelog synthesized from lineitem —
