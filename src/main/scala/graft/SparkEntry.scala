@@ -152,7 +152,11 @@ object SparkEntry {
     "q95_rolling_window" -> ((s: SparkSession, d: String) =>
       Analytics.q95RollingWindow(s, d)),
     "q96_cdc_apply" -> ((s: SparkSession, d: String) =>
-      graft.ops.Scd.q96CdcApply(s, d))
+      graft.ops.Scd.q96CdcApply(s, d)),
+    "q97_grouping_sets" -> ((s: SparkSession, d: String) =>
+      Analytics.q97GroupingSets(s, d)),
+    "q98_overlap_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.RangeJoin.q98OverlapJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,6 +359,8 @@ object SparkEntry {
     "q93_interval_join" -> graft.ops.RangeJoin.q93Oracle,
     "q94_fuzzy_join" -> graft.ops.FuzzyMatch.q94Oracle,
     "q95_rolling_window" -> Analytics.q95Oracle,
-    "q96_cdc_apply" -> graft.ops.Scd.q96Oracle
+    "q96_cdc_apply" -> graft.ops.Scd.q96Oracle,
+    "q97_grouping_sets" -> Analytics.q97Oracle,
+    "q98_overlap_join" -> graft.ops.RangeJoin.q98Oracle
   )
 }

@@ -80,6 +80,73 @@ object RangeJoin {
       .orderBy(col("window_id"))
   }
 
+  /** Interval × interval overlap join, same banding trick: explode BOTH
+    * sides into their covered bands, equi-join on the band, filter the
+    * exact half-open overlap (`lFrom < rTo && rFrom < lTo`). A pair
+    * overlapping across k shared bands would match k times, so the join
+    * keeps each pair only in its canonical band — the band of the LATER
+    * start (`greatest` of the two start bands): the later start lies
+    * inside both intervals whenever they overlap, so exactly one copy
+    * survives, with no distinct() pass over the output.
+    */
+  def bandedOverlapJoin(left: DataFrame, lFrom: String, lTo: String,
+      right: DataFrame, rFrom: String, rTo: String,
+      bandSeconds: Long): DataFrame = {
+    require(bandSeconds > 0, "band width must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left and right column names must be disjoint")
+    val b = lit(bandSeconds)
+    def explodeBands(df: DataFrame, from: String, to: String,
+        bandCol: String): DataFrame =
+      df.filter(col(to) > col(from))
+        .withColumn(bandCol,
+          explode(sequence(floor(col(from) / b), floor((col(to) - 1) / b))))
+    val lb = explodeBands(left, lFrom, lTo, "_lband")
+    val rb = explodeBands(right, rFrom, rTo, "_rband")
+    lb.join(rb, col("_lband") === col("_rband") &&
+        col(lFrom) < col(rTo) && col(rFrom) < col(lTo) &&
+        col("_lband") === greatest(floor(col(lFrom) / b),
+          floor(col(rFrom) / b)))
+      .drop("_lband", "_rband")
+  }
+
+  /** q98: overlap join over order "activity windows" — every fifth
+    * urgent order opens a 7-day window, every fifth-plus-one low
+    * priority order likewise; count, per urgent window, the low windows
+    * it overlaps. Same engine-portable integer epoch seconds as q93;
+    * date-aligned inputs make the seconds exact in both engines. */
+  def q98OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def windows(prio: String, residue: Int, keyName: String,
+        fromName: String, toName: String): DataFrame =
+      o.filter(col("o_orderpriority") === prio &&
+          col("o_orderkey") % 5 === residue)
+        .select(col("o_orderkey").as(keyName),
+          unix_timestamp(col("o_orderdate")).as(fromName),
+          (unix_timestamp(col("o_orderdate")) + 604800L).as(toName))
+    val urgent = windows("1-URGENT", 0, "l_orderkey", "lf", "lt")
+    val low = windows("5-LOW", 1, "r_orderkey", "rf", "rt")
+    bandedOverlapJoin(urgent, "lf", "lt", low, "rf", "rt", 604800L)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q98Oracle: String =
+    """WITH l AS (SELECT o_orderkey AS lk,
+         epoch_ms(o_orderdate) // 1000 AS lf,
+         epoch_ms(o_orderdate) // 1000 + 604800 AS lt
+       FROM orders
+       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0),
+       r AS (SELECT o_orderkey AS rk,
+         epoch_ms(o_orderdate) // 1000 AS rf,
+         epoch_ms(o_orderdate) // 1000 + 604800 AS rt
+       FROM orders
+       WHERE o_orderpriority = '5-LOW' AND o_orderkey % 5 = 1)
+       SELECT l.lk AS l_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps
+       FROM l JOIN r ON l.lf < r.rt AND r.rf < l.lt
+       GROUP BY 1 ORDER BY 1"""
+
   val q93Oracle: String =
     """WITH w AS (SELECT event_id AS window_id,
          epoch_ns(ts) // 1000000000 AS w_from

@@ -107,10 +107,16 @@ object Scd {
     * the result. `version` must be unique per key (a CDC offset / LSN),
     * otherwise "latest" is not well-defined.
     *
-    * Scale: ONE hash aggregation — `max_by` is map-side combinable, so
-    * each partition reduces its slice of a key's history to a single
+    * Scale: ONE aggregation — `max_by` is map-side combinable, so each
+    * partition reduces its slice of a key's history to a single
     * candidate before the shuffle; only one (key → winner) row per
-    * partition crosses the wire, never the history. Compare
+    * partition crosses the wire, never the history. Plan note: string
+    * payload columns give `max_by` an immutable buffer field, so Spark
+    * plans SortAggregate (partial + final), not HashAggregate — the
+    * in-partition sort is the CPU price for resolving string payloads
+    * in one pass; the shuffle volume is identical, and the alternative
+    * (max-version hash agg + self-join on the key) would re-shuffle
+    * the whole changelog instead of per-partition winners. Compare
     * [[Merge.mergeView]]'s full-outer join, which needs the target
     * present; this folds the feed alone, e.g. to bootstrap a table
     * from a complete changelog or to pre-compact a day's feed before a

@@ -633,4 +633,40 @@ object Analytics {
        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
        ORDER BY user_id, event_id"""
+
+  /** q97: explicit GROUPING SETS via the Spark 4 `Dataset.groupingSets`
+    * API — the free-form sibling of q12's ROLLUP and q34's CUBE,
+    * completing the §2 L grouping-extension family. `grouping_id()`
+    * disambiguates a genuine NULL group value from a rolled-up one
+    * (both engines use the same MSB-first bit order over the listed
+    * columns). One Expand + one aggregate — 4 sets → 4× the input to
+    * the partial aggregate, combined map-side like any other groupBy;
+    * the (all) coalescing is cosmetic and engine-portable. */
+  def q97GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), col("priority"), col("status"))
+  }
+
+  val q97Oracle: String =
+    """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+         coalesce(o_orderstatus, '(all)') AS status,
+         CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+         (o_orderpriority), (o_orderstatus), ())
+       ORDER BY gid, priority, status"""
 }

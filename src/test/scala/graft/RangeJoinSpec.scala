@@ -62,4 +62,40 @@ class RangeJoinSpec extends SparkSpecBase {
       .groupBy("iid", "pid").count().filter(col("count") > 1).count()
     assert(got == 0, "interval-side band fanout must not duplicate matches")
   }
+
+  private val lefts = Seq(
+    (1L, 100L, 200L),
+    (2L, 250L, 260L)
+  ).toDF("lid", "lf", "lt")
+
+  private val rights = Seq(
+    (10L, 150L, 400L),  // overlaps 1 (and spans many bands) and 2
+    (11L, 190L, 210L),  // overlaps 1 across the 200-band edge
+    (12L, 200L, 250L),  // touches 1's exclusive end and 2's start: neither
+    (13L, 90L, 100L),   // touches 1's inclusive start from below: no
+    (14L, 99L, 101L)    // genuine 1-second overlap with 1
+  ).toDF("rid", "rf", "rt")
+
+  private def overlaps(bandSeconds: Long): Set[(Long, Long)] =
+    RangeJoin.bandedOverlapJoin(lefts, "lf", "lt", rights, "rf", "rt",
+        bandSeconds)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+  private val expectedOverlaps = Set(
+    (1L, 10L), (1L, 11L), (1L, 14L), (2L, 10L))
+
+  test("overlap join: half-open semantics, end-touching pairs excluded") {
+    assert(overlaps(50L) == expectedOverlaps)
+  }
+
+  test("overlap join emits multi-band pairs exactly once, any band width") {
+    for (b <- Seq(3L, 7L, 64L, 100000L)) {
+      val got = RangeJoin.bandedOverlapJoin(lefts, "lf", "lt", rights,
+          "rf", "rt", b)
+        .groupBy("lid", "rid").count()
+      assert(got.filter(col("count") > 1).count() == 0,
+        s"band width $b produced duplicate pairs")
+      assert(overlaps(b) == expectedOverlaps, s"band width $b wrong set")
+    }
+  }
 }
