@@ -145,7 +145,9 @@ object ScaleSmoke {
       "q95_rolling_window" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q95RollingWindow(s, d)),
       "q96_cdc_apply" -> ((s: SparkSession, d: String) =>
-        graft.ops.Scd.q96CdcApply(s, d))
+        graft.ops.Scd.q96CdcApply(s, d)),
+      "q98_overlap_join" -> ((s: SparkSession, d: String) =>
+        graft.ops.RangeJoin.q98OverlapJoin(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
