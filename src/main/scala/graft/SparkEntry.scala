@@ -156,7 +156,11 @@ object SparkEntry {
     "q97_grouping_sets" -> ((s: SparkSession, d: String) =>
       Analytics.q97GroupingSets(s, d)),
     "q98_overlap_join" -> ((s: SparkSession, d: String) =>
-      graft.ops.RangeJoin.q98OverlapJoin(s, d))
+      graft.ops.RangeJoin.q98OverlapJoin(s, d)),
+    "q99_skew_profile" -> ((s: SparkSession, d: String) =>
+      graft.ops.Skew.q99SkewProfile(s, d)),
+    "q100_burst_dedup" -> ((s: SparkSession, d: String) =>
+      Analytics.q100BurstDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -361,6 +365,8 @@ object SparkEntry {
     "q95_rolling_window" -> Analytics.q95Oracle,
     "q96_cdc_apply" -> graft.ops.Scd.q96Oracle,
     "q97_grouping_sets" -> Analytics.q97Oracle,
-    "q98_overlap_join" -> graft.ops.RangeJoin.q98Oracle
+    "q98_overlap_join" -> graft.ops.RangeJoin.q98Oracle,
+    "q99_skew_profile" -> graft.ops.Skew.q99Oracle,
+    "q100_burst_dedup" -> Analytics.q100Oracle
   )
 }

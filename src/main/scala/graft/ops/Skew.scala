@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew mitigation for shuffle joins: salt the skewed (large) side's key
   * into `factor` sub-keys and replicate the small side across all salts.
@@ -35,6 +36,42 @@ object Skew {
       .withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Key-skew diagnostic — the measurement half of the salting story:
+    * per-key counts (one map-side-combinable aggregate), the global
+    * top-`k` heaviest keys (TakeOrdered — k rows per partition cross
+    * the wire, no global sort), each with its integer
+    * parts-per-10,000 share of all rows. Feed the worst share into
+    * [[saltedJoin]]'s factor: a key holding p‱ of rows needs
+    * factor ≈ p·nPartitions/10000 to level the shuffle.
+    *
+    * All-integer output (counts and integer-division shares), so the
+    * report is engine-portable and hash-stable. */
+  def keySkewProfile(df: DataFrame, key: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val total = df.count()
+    counts
+      .withColumn("share_bp", expr(s"cnt * 10000 div ${total}L")) // integer div: `/` on longs is double
+      .withColumn("total_rows", lit(total))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(k)
+  }
+
+  /** q99: the skew report over lineitem's supplier key — top-20 keys by
+    * row count with basis-point shares. */
+  def q99SkewProfile(spark: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables(spark, dir, "lineitem"), "l_suppkey", 20)
+      .select(col("l_suppkey"), col("cnt"), col("share_bp"),
+        col("total_rows"))
+
+  val q99Oracle: String =
+    """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+       FROM lineitem GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM lineitem)
+       SELECT l_suppkey, cnt,
+         CAST(cnt * 10000 // total_rows AS BIGINT) AS share_bp,
+         total_rows
+       FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 20"""
 
   /** Two-phase (salted partial → final) aggregation for hot grouping
     * keys: groupBy(key, salt) partial-aggregates first, then the tiny

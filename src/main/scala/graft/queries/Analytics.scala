@@ -669,4 +669,44 @@ object Analytics {
        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
          (o_orderpriority), (o_orderstatus), ())
        ORDER BY gid, priority, status"""
+
+  /** q100: time-based burst dedup — the batch twin of
+    * [[graft.streaming.StreamingDedup]]'s watermark semantics: within
+    * each (user, event_type) stream, an event is KEPT iff it starts a
+    * burst (first ever, or > 10 minutes after the previous event —
+    * gap-based, same session-start rule as q19's session windows);
+    * repeats inside a burst are duplicates. Reported as kept-vs-total
+    * per stream. Integer epoch seconds, integer counts — engine-exact.
+    *
+    * Scale: one shuffle on (user_id, event_type), per-stream ordered
+    * lag pass (O(1) state), then a map-side-combinable count — no
+    * global window, nothing driver-side. */
+  def q100BurstDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    val gap = col("epoch_s") - lag(col("epoch_s"), 1).over(w)
+    e.withColumn("kept",
+        when(gap.isNull || gap > 600, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q100Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+         epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
+       g AS (SELECT user_id, event_type,
+         epoch_s - lag(epoch_s) OVER
+           (PARTITION BY user_id, event_type
+            ORDER BY epoch_s, event_id) AS gap
+       FROM e)
+       SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept
+       FROM g GROUP BY 1, 2 ORDER BY user_id, event_type"""
 }

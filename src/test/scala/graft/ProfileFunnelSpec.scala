@@ -9,6 +9,28 @@ import graft.queries.Analytics
   * DuckDB oracles (which run on tables without nulls or edge timings). */
 class ProfileFunnelSpec extends SparkSpecBase {
 
+  test("burst dedup keeps gap-starts only (rolling 600s rule)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // same rule as q100, on a hand-checked stream: gaps of 601 open
+    // bursts, chained 600-gaps extend one burst even past 600 total
+    val e = Seq(
+      (1L, "c", 10L, 1000L), (1L, "c", 11L, 1500L),  // same burst
+      (1L, "c", 12L, 2101L),                         // gap 601 -> new burst
+      (1L, "c", 13L, 2701L), (1L, "c", 14L, 3301L),  // rolling: both kept? gaps=600 -> extend
+      (2L, "c", 20L, 1000L)                          // other stream
+    ).toDF("user_id", "event_type", "event_id", "epoch_s")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    val gap = col("epoch_s") - lag(col("epoch_s"), 1).over(w)
+    val kept = e.withColumn("kept",
+        when(gap.isNull || gap > 600, lit(1)).otherwise(lit(0)))
+      .filter(col("kept") === 1).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 20L))
+  }
+
   test("profile counts nulls/distincts and renders min/max per type") {
     import spark.implicits._
     val df = Seq(

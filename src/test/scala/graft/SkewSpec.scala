@@ -18,6 +18,24 @@ class SkewSpec extends SparkSpecBase {
     assert(plain.sameElements(salted))
   }
 
+  test("keySkewProfile: counts, integer shares, tie-break determinism, top-k plan") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq.fill(3)("also-warm") ++ Seq("cold")).toDF("k")
+    val got = Skew.keySkewProfile(df, "k", 3)
+      .select("k", "cnt", "share_bp", "total_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // 13 rows: hot 6 (4615 bp), the two 3-count keys tie -> key order
+    assert(got == List(("hot", 6L, 4615L, 13L),
+      ("also-warm", 3L, 2307L, 13L), ("warm", 3L, 2307L, 13L)))
+    // top-k must be TakeOrdered (k rows per partition), not a global sort
+    val plan = Skew.keySkewProfile(df, "k", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+  }
+
   test("salted two-phase sum equals the direct aggregation") {
     val li = Tables(spark, sf0001, "lineitem")
     val direct = li.groupBy("l_returnflag")
