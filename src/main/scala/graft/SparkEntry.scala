@@ -160,7 +160,11 @@ object SparkEntry {
     "q99_skew_profile" -> ((s: SparkSession, d: String) =>
       graft.ops.Skew.q99SkewProfile(s, d)),
     "q100_burst_dedup" -> ((s: SparkSession, d: String) =>
-      Analytics.q100BurstDedup(s, d))
+      Analytics.q100BurstDedup(s, d)),
+    // rows-only: engine-specific PCM resample output; value-gated by
+    // MultimodalSpec (known-signal resample, duration preservation)
+    "q101_audio_resample" -> ((s: SparkSession, d: String) =>
+      Multimodal.resampleAudioStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

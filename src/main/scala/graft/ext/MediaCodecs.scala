@@ -297,6 +297,42 @@ object MediaCodecs {
     o
   }
 
+  /** Sample-rate conversion by per-channel linear interpolation — the
+    * audio analogue of [[resizeImage]] (a training pipeline normalizes
+    * every clip to one rate before featurization). Output frame j reads
+    * source position j·srcRate/dstRate and lerps its two neighbors;
+    * the last source frame clamps. Pure integer-in/short-out and free
+    * of platform math, so results are bit-deterministic. Upsampling a
+    * band-limited signal properly wants a windowed-sinc filter; linear
+    * interpolation is the standard cheap path for feature extraction
+    * (MFCC-class features are insensitive to its rolloff). */
+  def resamplePcm(a: PcmAudio, dstRate: Int): PcmAudio = {
+    require(dstRate > 0, "target rate must be positive")
+    if (a.channels == 0 || a.nFrames == 0) return a.copy(sampleRate = dstRate)
+    if (a.sampleRate == dstRate) return a
+    val srcFrames = a.nFrames
+    val outFrames = math.max(1,
+      math.round(srcFrames.toLong * dstRate / a.sampleRate.toDouble).toInt)
+    val out = new Array[Double](outFrames * a.channels)
+    val step = a.sampleRate.toDouble / dstRate
+    var j = 0
+    while (j < outFrames) {
+      val pos = j * step
+      val i0 = math.min(srcFrames - 1, pos.toInt)
+      val i1 = math.min(srcFrames - 1, i0 + 1)
+      val frac = pos - i0
+      var c = 0
+      while (c < a.channels) {
+        val s0 = a.samples(i0 * a.channels + c)
+        val s1 = a.samples(i1 * a.channels + c)
+        out(j * a.channels + c) = s0 + (s1 - s0) * frac
+        c += 1
+      }
+      j += 1
+    }
+    a.copy(sampleRate = dstRate, samples = out)
+  }
+
   /** PCM stats: (rms, peak) over normalized samples. */
   def pcmStats(a: PcmAudio): (Double, Double) = {
     if (a.samples.isEmpty) return (0.0, 0.0)

@@ -282,4 +282,30 @@ object Multimodal {
         "height", "n_bytes", "px_mean", "px_std")
       .orderBy(col("doc_id"))
   }
+
+  /** q101: REAL audio sample-rate normalization — decode every WAV
+    * payload, [[MediaCodecs.resamplePcm]] it to `dstRate` (the
+    * every-clip-to-one-rate step before featurization), re-encode, and
+    * report both geometries plus post-resample RMS/peak. Same
+    * mapPartitions batch shape as the image path (q72); rounded to
+    * 6 dp for cross-run stability. */
+  def resampleAudioStats(spark: SparkSession, dir: String,
+      dstRate: Int = 4000): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeWav(p).map { a =>
+          val r = MediaCodecs.resamplePcm(a, dstRate)
+          val bytes = MediaCodecs.encodeWav16(r.sampleRate, r.channels,
+            r.samples)
+          val (rms, peak) = MediaCodecs.pcmStats(r)
+          (id, a.sampleRate, r.sampleRate, a.nFrames, r.nFrames,
+            bytes.length, r6(r.durationSec), r6(rms), r6(peak))
+        }
+      })
+      .toDF("doc_id", "src_rate", "rate", "src_frames", "frames",
+        "n_bytes", "duration_s", "rms", "peak")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -226,6 +226,48 @@ class MultimodalSpec extends SparkSpecBase {
       .get.pixels.sameElements(resized.pixels))
   }
 
+  test("resamplePcm: exact linear interpolation, duration preserved, identity at same rate") {
+    import graft.ext.MediaCodecs
+    // ramp 0, 0.2, 0.4, 0.6 at 4 Hz -> 8 Hz: midpoints interpolate,
+    // tail clamps to the last frame
+    val a = MediaCodecs.PcmAudio(4, 1, 16, Array(0.0, 0.2, 0.4, 0.6))
+    val up = MediaCodecs.resamplePcm(a, 8)
+    assert(up.sampleRate == 8 && up.nFrames == 8)
+    val expect = Array(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.6)
+    up.samples.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"got ${up.samples.toList}")
+    }
+    assert(math.abs(up.durationSec - a.durationSec) < 1e-9)
+    // downsample back: every other sample of the upsampled ramp
+    val down = MediaCodecs.resamplePcm(up, 4)
+    assert(down.nFrames == 4 &&
+      down.samples.zip(a.samples).forall(p => math.abs(p._1 - p._2) < 1e-12))
+    // identity and empty-input behavior
+    assert(MediaCodecs.resamplePcm(a, 4) eq a)
+    val empty = MediaCodecs.PcmAudio(8000, 1, 16, Array.emptyDoubleArray)
+    assert(MediaCodecs.resamplePcm(empty, 4000).sampleRate == 4000)
+    // stereo frames stay interleaved per channel
+    val st = MediaCodecs.PcmAudio(4, 2, 16, Array(0.0, 1.0, 0.4, 0.6))
+    val stUp = MediaCodecs.resamplePcm(st, 8)
+    assert(stUp.nFrames == 4 && stUp.channels == 2)
+    assert(math.abs(stUp.samples(2) - 0.2) < 1e-12 &&
+      math.abs(stUp.samples(3) - 0.8) < 1e-12)
+  }
+
+  test("q101 audio-resample path halves frames at 8000->4000 on the synthesized corpus") {
+    val out = Multimodal.resampleAudioStats(spark, sf0001, dstRate = 4000)
+      .collect()
+    assert(out.nonEmpty, "corpus must contain WAV payloads (doc_id % 4 == 3)")
+    out.foreach { r =>
+      val (src, dst) = (r.getAs[Int]("src_rate"), r.getAs[Int]("rate"))
+      val (sf, f) = (r.getAs[Int]("src_frames"), r.getAs[Int]("frames"))
+      assert(src == 8000 && dst == 4000)
+      assert(math.abs(f - sf / 2.0) <= 1, s"frames $f vs src $sf")
+      assert(r.getAs[Double]("peak") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("duration_s") > 0)
+    }
+  }
+
   test("decodeFeaturesOf: real headers parsed, non-media falls back to the stub") {
     import spark.implicits._
     val frames = Seq(
