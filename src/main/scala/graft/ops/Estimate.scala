@@ -57,4 +57,24 @@ object Estimate {
     val n = sampled(left).join(sampled(right), key).count()
     math.round(n.toDouble * buckets / threshold)
   }
+
+  /** The hot/cold composition from the variance note: the `hotK`
+    * heaviest LEFT keys (by [[Skew.keySkewProfile]]) are counted
+    * EXACTLY — per-key count × per-key count over a broadcast hot-key
+    * set, so the whale that dominates both the join and the
+    * estimator's variance contributes zero error — and only the tail
+    * is sampled. Same hot/cold split the q64 unigram join uses for
+    * Zipf keys, applied to estimation. */
+  def estimateEquiJoinRowsSkewAware(left: DataFrame, right: DataFrame,
+      key: String, fraction: Double, hotK: Int = 16,
+      buckets: Long = 1L << 20): Long = {
+    val hot = Skew.keySkewProfile(left.filter(col(key).isNotNull),
+      key, hotK).select(col(key))
+    val hotExact = exactEquiJoinRows(
+      left.join(broadcast(hot), key, "left_semi"), right, key)
+    val tailEstimate = estimateEquiJoinRows(
+      left.join(broadcast(hot), key, "left_anti"), right, key,
+      fraction, buckets)
+    hotExact + tailEstimate
+  }
 }

@@ -147,7 +147,13 @@ object ScaleSmoke {
       "q96_cdc_apply" -> ((s: SparkSession, d: String) =>
         graft.ops.Scd.q96CdcApply(s, d)),
       "q98_overlap_join" -> ((s: SparkSession, d: String) =>
-        graft.ops.RangeJoin.q98OverlapJoin(s, d))
+        graft.ops.RangeJoin.q98OverlapJoin(s, d)),
+      "q99_skew_profile" -> ((s: SparkSession, d: String) =>
+        graft.ops.Skew.q99SkewProfile(s, d)),
+      "q100_burst_dedup" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q100BurstDedup(s, d)),
+      "q101_audio_resample" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.resampleAudioStats(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -42,4 +42,23 @@ class EstimateSpec extends SparkSpecBase {
     assert(math.abs(e1 - real).toDouble / real < 0.3,
       s"estimate $e1 vs real $real drifted past 30%")
   }
+
+  test("skew-aware estimate nails a whale-dominated join where plain sampling can miss it") {
+    import spark.implicits._
+    // one whale key carries ~99% of the join product; 200 tail keys
+    val leftRows = Seq.tabulate(2000)(i => 0L) ++       // whale: 2000 rows
+      Seq.tabulate(200)(i => (i % 200 + 1).toLong)      // tail: 1 row each
+    val rightRows = Seq.tabulate(500)(i => 0L) ++
+      Seq.tabulate(400)(i => (i % 200 + 1).toLong)
+    val l = leftRows.toDF("k")
+    val r = rightRows.toDF("k")
+    val real = Estimate.exactEquiJoinRows(l, r, "k") // 2000*500 + 200*2
+    assert(real == 2000L * 500 + 200 * 2)
+    val aware = Estimate.estimateEquiJoinRowsSkewAware(l, r, "k",
+      fraction = 0.1, hotK = 4)
+    // whale counted exactly; only the 400-row tail product is sampled,
+    // so the estimate cannot be off by more than the tail's total
+    assert(math.abs(aware - real) <= 400,
+      s"skew-aware $aware vs real $real")
+  }
 }
