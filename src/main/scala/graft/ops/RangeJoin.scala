@@ -36,6 +36,25 @@ object RangeJoin {
     * Column sets must be disjoint. Floor-division banding is
     * sign-correct for pre-epoch values too (`floorDiv`, not `/`).
     */
+  /** Max bands one interval may span before the join refuses: a single
+    * corrupt interval (year 0 → year 9999) would otherwise explode to
+    * millions of band rows and take the stage down with it. Fail loud,
+    * per row, executor-side — the same untrusted-input posture as the
+    * media chunk walks. */
+  val MaxBandsPerInterval = 4096L
+
+  private def guardedBands(df: DataFrame, from: String, to: String,
+      bandCol: String, b: org.apache.spark.sql.Column): DataFrame = {
+    val lo = floor(col(from) / b)
+    val hi = floor((col(to) - 1) / b)
+    df.filter(col(to) > col(from))
+      .withColumn(bandCol, explode(sequence(lo,
+        when(hi - lo < MaxBandsPerInterval, hi).otherwise(raise_error(
+          concat(lit(s"interval spans more than $MaxBandsPerInterval " +
+            "bands; widen bandSeconds or drop corrupt rows: "),
+            col(from), lit(" .. "), col(to)))))))
+  }
+
   def bandedIntervalJoin(points: DataFrame, pSec: String,
       intervals: DataFrame, iFrom: String, iTo: String,
       bandSeconds: Long): DataFrame = {
@@ -43,16 +62,24 @@ object RangeJoin {
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "point and interval column names must be disjoint")
     val b = lit(bandSeconds)
-    // sequence() is safe: bands-per-interval = len/band + 1, bounded by
-    // construction; a runaway interval would blow the fanout, so guard
-    val bands = intervals
-      .filter(col(iTo) > col(iFrom))
-      .withColumn("_band",
-        explode(sequence(floor(col(iFrom) / b), floor((col(iTo) - 1) / b))))
+    val bands = guardedBands(intervals, iFrom, iTo, "_band", b)
     val pts = points.withColumn("_pband", floor(col(pSec) / b))
     bands.join(pts, col("_band") === col("_pband") &&
         col(pSec) >= col(iFrom) && col(pSec) < col(iTo))
       .drop("_band", "_pband")
+  }
+
+  /** Data-driven band width: the median interval length (one
+    * approxQuantile pass, bounded driver state). Median — not mean —
+    * so a few corrupt monster intervals cannot drag every band wide;
+    * they hit the [[MaxBandsPerInterval]] guard instead of silently
+    * degrading the join. */
+  def suggestBandSeconds(intervals: DataFrame, iFrom: String,
+      iTo: String): Long = {
+    val lens = intervals.filter(col(iTo) > col(iFrom))
+      .select((col(iTo) - col(iFrom)).cast("double").as("_len"))
+    val q = lens.stat.approxQuantile("_len", Array(0.5), 0.01)
+    math.max(1L, math.round(q.headOption.getOrElse(1.0)))
   }
 
   /** q93: event-burst windows — every 97th purchase event opens a
@@ -96,13 +123,8 @@ object RangeJoin {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left and right column names must be disjoint")
     val b = lit(bandSeconds)
-    def explodeBands(df: DataFrame, from: String, to: String,
-        bandCol: String): DataFrame =
-      df.filter(col(to) > col(from))
-        .withColumn(bandCol,
-          explode(sequence(floor(col(from) / b), floor((col(to) - 1) / b))))
-    val lb = explodeBands(left, lFrom, lTo, "_lband")
-    val rb = explodeBands(right, rFrom, rTo, "_rband")
+    val lb = guardedBands(left, lFrom, lTo, "_lband", b)
+    val rb = guardedBands(right, rFrom, rTo, "_rband", b)
     lb.join(rb, col("_lband") === col("_rband") &&
         col(lFrom) < col(rTo) && col(rFrom) < col(lTo) &&
         col("_lband") === greatest(floor(col(lFrom) / b),

@@ -88,6 +88,27 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(overlaps(50L) == expectedOverlaps)
   }
 
+  test("a runaway interval fails loud instead of exploding the band fanout") {
+    val corrupt = Seq((1L, 0L, 100L), (2L, 0L, Long.MaxValue / 4))
+      .toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.bandedIntervalJoin(points, "s", corrupt, "lo", "hi", 10L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bands")),
+      s"expected the band-guard raise_error, got: $ex")
+  }
+
+  test("suggestBandSeconds picks the median length, immune to monster rows") {
+    val iv = (Seq.fill(50)((1L, 0L, 100L)) ++ Seq.fill(50)((2L, 0L, 120L)) ++
+      Seq((3L, 0L, 100000000L))).toDF("iid", "lo", "hi")
+    val b = RangeJoin.suggestBandSeconds(iv, "lo", "hi")
+    assert(b >= 100L && b <= 120L, s"median-length band expected, got $b")
+  }
+
   test("overlap join emits multi-band pairs exactly once, any band width") {
     for (b <- Seq(3L, 7L, 64L, 100000L)) {
       val got = RangeJoin.bandedOverlapJoin(lefts, "lf", "lt", rights,
