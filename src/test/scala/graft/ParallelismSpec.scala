@@ -1,0 +1,35 @@
+package graft
+
+/** Shuffle-parallelism invariance for the round-6 oracled operators:
+  * the same query must produce byte-identical ordered results whether
+  * the shuffle runs over 3 partitions or 17. Catches per-partition
+  * nondeterminism (partial-aggregation order, window tie handling,
+  * band fanout) that the single-configuration oracle gate cannot see.
+  * The older two-phase operators have the same property pinned in
+  * their own suites (e.g. packChunks in CurateSpec). */
+class ParallelismSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "q92_scd2", "q93_interval_join", "q94_fuzzy_join",
+    "q95_rolling_window", "q96_cdc_apply", "q97_grouping_sets",
+    "q98_overlap_join", "q99_skew_profile", "q100_burst_dedup")
+
+  private def run(name: String, partitions: Int): Seq[String] = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  queries.foreach { name =>
+    test(s"$name is invariant under shuffle parallelism (3 vs 17)") {
+      val narrow = run(name, 3)
+      val wide = run(name, 17)
+      assert(narrow == wide,
+        s"$name diverged between 3 and 17 shuffle partitions")
+    }
+  }
+}
