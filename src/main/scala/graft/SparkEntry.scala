@@ -164,7 +164,9 @@ object SparkEntry {
     // rows-only: engine-specific PCM resample output; value-gated by
     // MultimodalSpec (known-signal resample, duration preservation)
     "q101_audio_resample" -> ((s: SparkSession, d: String) =>
-      Multimodal.resampleAudioStats(s, d))
+      Multimodal.resampleAudioStats(s, d)),
+    "q102_split_report" -> ((s: SparkSession, d: String) =>
+      Curate.splitReport(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -371,6 +373,7 @@ object SparkEntry {
     "q97_grouping_sets" -> Analytics.q97Oracle,
     "q98_overlap_join" -> graft.ops.RangeJoin.q98Oracle,
     "q99_skew_profile" -> graft.ops.Skew.q99Oracle,
-    "q100_burst_dedup" -> Analytics.q100Oracle
+    "q100_burst_dedup" -> Analytics.q100Oracle,
+    "q102_split_report" -> Curate.splitReportOracle
   )
 }

@@ -1055,4 +1055,61 @@ object Curate {
          array_to_string(ws[(ci*48 + 1):least(ci*48 + 64, n_tokens)], ' ')
            AS chunk_text
        FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** Deterministic train/val/test split by salted-hash HEX-PREFIX
+    * bands: a document's bucket is the first two hex chars of
+    * `md5(salt || ':' || id)` (256 buckets), and each split owns a
+    * contiguous band — fractions quantize to 1/256. Assignment is a
+    * pure function of (salt, id): stable across runs, clusters,
+    * engines and re-shards; changing the salt re-rolls every split
+    * without touching data. Staying in STRING space is deliberate —
+    * hex→int conversion is where engines disagree (signed overflow;
+    * the q70 lesson), while lowercase-hex comparison is portable
+    * everywhere. Narrow map, zero shuffle.
+    *
+    * `fractions` must sum to ≤ 1; any remainder falls into the last
+    * split (so (train 0.8, val 0.1, test 0.1) is exact-modulo-1/256).
+    */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to <= 1")
+    val bounds = fractions.init.scanLeft(0.0)(_ + _._2).tail
+      .map(f => f"${math.min(255, math.floor(f * 256).toInt)}%02x")
+    val bucket = substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 2)
+    val assigned = fractions.map(_._1).zip(bounds).foldRight(
+      lit(fractions.last._1)) { case ((name, bound), tail) =>
+      when(bucket < lit(bound), name).otherwise(tail)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** The q102 hex band boundaries for (0.8, 0.1, 0.1): train < 'cc'
+    * (204 buckets), val < 'e6' (26), test the rest (26). */
+  private val SplitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** q102: split the document corpus and report per-source split sizes
+    * (the balance sheet a data card wants: proportions hold per source,
+    * not just globally, because the hash ignores source entirely). */
+  def splitReport(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables(spark, dir, "documents"), "doc_id", "graft",
+        SplitFractions)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+
+  val splitReportOracle: String =
+    """WITH a AS (SELECT source, n_chars,
+         CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < 'cc' THEN 'train'
+              WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents)
+       SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM a GROUP BY 1, 2 ORDER BY source, split"""
 }

@@ -377,4 +377,29 @@ class CurateSpec extends SparkSpecBase {
     assert(sampleMean > corpusMean,
       s"weighted sample mean $sampleMean should exceed corpus $corpusMean")
   }
+
+  test("splitAssign: exhaustive, disjoint, near-target fractions, salt re-rolls") {
+    import spark.implicits._
+    val ids = (0L until 4000L).toDF("id")
+    val frac = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curate.splitAssign(ids, "id", "s1", frac)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every doc lands in exactly one split (withColumn keeps row count)
+    assert(got.values.sum == 4000L)
+    // quantization is 1/256; at n=4000 binomial spread ~2% absolute
+    assert(math.abs(got("train") / 4000.0 - 0.8) < 0.03, got.toString)
+    assert(math.abs(got("val") / 4000.0 - 0.1) < 0.02, got.toString)
+    assert(math.abs(got("test") / 4000.0 - 0.1) < 0.02, got.toString)
+    // determinism: same salt -> identical assignment
+    def assign(salt: String): Map[Long, String] =
+      Curate.splitAssign(ids, "id", salt, frac)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a1 = assign("s1")
+    assert(a1 == assign("s1"))
+    // a different salt re-rolls a substantial share of assignments
+    val a2 = assign("s2")
+    val moved = a1.count { case (k, v) => a2(k) != v }
+    assert(moved > 1000, s"salt change moved only $moved of 4000")
+  }
 }
