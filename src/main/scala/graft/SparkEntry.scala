@@ -166,7 +166,9 @@ object SparkEntry {
     "q101_audio_resample" -> ((s: SparkSession, d: String) =>
       Multimodal.resampleAudioStats(s, d)),
     "q102_split_report" -> ((s: SparkSession, d: String) =>
-      Curate.splitReport(s, d))
+      Curate.splitReport(s, d)),
+    "q103_split_leakage" -> ((s: SparkSession, d: String) =>
+      Curate.splitLeakage(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,6 +376,7 @@ object SparkEntry {
     "q98_overlap_join" -> graft.ops.RangeJoin.q98Oracle,
     "q99_skew_profile" -> graft.ops.Skew.q99Oracle,
     "q100_burst_dedup" -> Analytics.q100Oracle,
-    "q102_split_report" -> Curate.splitReportOracle
+    "q102_split_report" -> Curate.splitReportOracle,
+    "q103_split_leakage" -> Curate.splitLeakageOracle
   )
 }

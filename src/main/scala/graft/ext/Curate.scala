@@ -1112,4 +1112,60 @@ object Curate {
        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM a GROUP BY 1, 2 ORDER BY source, split"""
+
+  /** Near-dup pairs that STRADDLE split boundaries — the leakage a
+    * split must be audited for before an eval is trusted: a test doc
+    * whose near-duplicate sits in train is a contaminated benchmark
+    * row (the cross-SPLIT sibling of q54/q79's cross-CORPUS
+    * decontamination). Composes the exact PPJoin pair set (q23's
+    * derivation) with [[splitAssign]]; both endpoint joins key on
+    * doc_id — high-cardinality, skew-free — and ship (id, split)
+    * pairs only. The remedy is the caller's policy (move one endpoint
+    * to the other side, or drop it); this op makes the leak visible
+    * and deterministic. */
+  def splitLeakageOf(pairs: DataFrame, assigned: DataFrame): DataFrame = {
+    val s = assigned.select(col("doc_id"), col("split"))
+    pairs.select(col("a"), col("b"))
+      .join(s.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(s.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("split_a"), col("split_b"))
+  }
+
+  /** q103: leakage audit over the documents corpus at τ = 0.8 with the
+    * q102 split. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(
+        graft.ext.Dedup.ngramJaccardPairs(spark, dir, 0.8),
+        splitAssign(Tables(spark, dir, "documents"), "doc_id", "graft",
+          SplitFractions))
+      .orderBy(col("a"), col("b"))
+
+  val splitLeakageOracle: String =
+    """WITH w AS (
+         SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                generate_subscripts(string_split(text,' '),1) AS pos
+         FROM documents),
+       t AS (
+         SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM d GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+               FROM d x JOIN d y ON x.sh=y.sh AND x.doc_id<y.doc_id
+               GROUP BY 1,2),
+       p AS (SELECT a, b FROM com
+             JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+             WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       s AS (SELECT doc_id,
+         CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < 'cc' THEN 'train'
+              WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents)
+       SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b
+       FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b
+       WHERE sa.split <> sb.split ORDER BY a, b"""
 }

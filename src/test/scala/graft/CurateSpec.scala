@@ -402,4 +402,17 @@ class CurateSpec extends SparkSpecBase {
     val moved = a1.count { case (k, v) => a2(k) != v }
     assert(moved > 1000, s"salt change moved only $moved of 4000")
   }
+
+  test("splitLeakageOf flags exactly the pairs straddling a split boundary") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val assigned = Seq(1L -> "train", 2L -> "test",   // straddles
+      3L -> "train", 4L -> "train",                   // same side
+      5L -> "val", 6L -> "train")                     // straddles
+      .toDF("doc_id", "split")
+    val got = Curate.splitLeakageOf(pairs, assigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == Set((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
+  }
 }
