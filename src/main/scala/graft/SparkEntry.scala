@@ -168,7 +168,9 @@ object SparkEntry {
     "q102_split_report" -> ((s: SparkSession, d: String) =>
       Curate.splitReport(s, d)),
     "q103_split_leakage" -> ((s: SparkSession, d: String) =>
-      Curate.splitLeakage(s, d))
+      Curate.splitLeakage(s, d)),
+    "q104_triangles" -> ((s: SparkSession, d: String) =>
+      graft.ops.Triangles.q104Triangles(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -377,6 +379,7 @@ object SparkEntry {
     "q99_skew_profile" -> graft.ops.Skew.q99Oracle,
     "q100_burst_dedup" -> Analytics.q100Oracle,
     "q102_split_report" -> Curate.splitReportOracle,
-    "q103_split_leakage" -> Curate.splitLeakageOracle
+    "q103_split_leakage" -> Curate.splitLeakageOracle,
+    "q104_triangles" -> graft.ops.Triangles.q104Oracle
   )
 }
