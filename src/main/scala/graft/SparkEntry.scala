@@ -170,7 +170,9 @@ object SparkEntry {
     "q103_split_leakage" -> ((s: SparkSession, d: String) =>
       Curate.splitLeakage(s, d)),
     "q104_triangles" -> ((s: SparkSession, d: String) =>
-      graft.ops.Triangles.q104Triangles(s, d))
+      graft.ops.Triangles.q104Triangles(s, d)),
+    "q105_pagerank" -> ((s: SparkSession, d: String) =>
+      graft.ops.PageRank.q105PageRank(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +382,7 @@ object SparkEntry {
     "q100_burst_dedup" -> Analytics.q100Oracle,
     "q102_split_report" -> Curate.splitReportOracle,
     "q103_split_leakage" -> Curate.splitLeakageOracle,
-    "q104_triangles" -> graft.ops.Triangles.q104Oracle
+    "q104_triangles" -> graft.ops.Triangles.q104Oracle,
+    "q105_pagerank" -> graft.ops.PageRank.q105Oracle
   )
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PageRank over a DataFrame edge list — the iterative-join workload
+  * class (Pregel-shaped) expressed Spark-first: each iteration is one
+  * join (ranks ⋈ edges on the source) plus one map-side-combinable
+  * aggregation (sum of contributions per destination). Catalyst/AQE
+  * re-plan every iteration; nothing driver-side but the loop counter.
+  *
+  * Exactness is the interesting part: floating-point PageRank is not
+  * cross-engine comparable (per-destination summation order differs),
+  * so ranks live in integer MICRO-UNITS (scale 10^12) and each
+  * contribution is `rank div outdeg` — floor division. Integer sums
+  * are associative and order-independent, so a fixed iteration count
+  * is bit-identical on any engine, any parallelism (the floor leaks
+  * ≤ outdeg-1 micro-units of mass per node per iteration — a 10^-12
+  * relative artifact, the price of determinism).
+  *
+  * Scale: ranks and edges both hash-partition on their join key; the
+  * per-iteration shuffle carries (node, long) pairs. A degree-skewed
+  * hub fans out through the partial aggregate, not a single reducer.
+  * Fixed iterations (the production norm for feature generation) keep
+  * the plan a straight pipeline — no driver-side convergence loop over
+  * collected ranks.
+  */
+object PageRank {
+
+  /** `iterations` rounds over an undirected edge list (cols a, b; each
+    * edge walks both ways), damping 0.85 in integer arithmetic:
+    * rank' = SCALE·15/(100·n) + 85·Σ contrib div 100. Returns
+    * (node, rank_micro). */
+  def pageRankOf(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val Scale = 1000000000000L // 10^12 micro-units of total rank mass
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val outdeg = directed.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = outdeg.count()
+    val base = lit(Scale * 15L / (100L * n))
+    var ranks = outdeg.select(col("src").as("node"),
+      lit(Scale / n).as("rank"))
+    (1 to iterations).foreach { _ =>
+      val contribs = directed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("contrib"))
+      ranks = contribs.groupBy(col("node"))
+        .agg((base + expr("85 * sum(contrib) div 100")).as("rank"))
+        .localCheckpoint() // truncate the growing lineage per iteration
+    }
+    ranks.select(col("node"), col("rank").as("rank_micro"))
+  }
+
+  /** q105: 3 PageRank rounds on the q104 part co-purchase graph —
+    * top-20 parts by rank. */
+  def q105PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    pageRankOf(edges, iterations = 3)
+      .select(col("node").as("part"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("part"))
+      .limit(20)
+  }
+
+  val q105Oracle: String =
+    """WITH e0 AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
+         FROM lineitem x JOIN lineitem y
+         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         WHERE x.l_orderkey % 7 = 0),
+       e AS (SELECT a AS src, b AS dst FROM e0
+             UNION ALL SELECT b, a FROM e0),
+       od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM od),
+       r0 AS (SELECT src AS node, 1000000000000 // n.n AS rank
+              FROM od, n),
+       r1 AS (SELECT e.dst AS node,
+                1000000000000 * 15 // (100 * any_value(n.n)) +
+                85 * sum(r0.rank // od.outdeg) // 100 AS rank
+              FROM e JOIN r0 ON r0.node = e.src
+                JOIN od ON od.src = e.src, n
+              GROUP BY 1),
+       r2 AS (SELECT e.dst AS node,
+                1000000000000 * 15 // (100 * any_value(n.n)) +
+                85 * sum(r1.rank // od.outdeg) // 100 AS rank
+              FROM e JOIN r1 ON r1.node = e.src
+                JOIN od ON od.src = e.src, n
+              GROUP BY 1),
+       r3 AS (SELECT e.dst AS node,
+                1000000000000 * 15 // (100 * any_value(n.n)) +
+                85 * sum(r2.rank // od.outdeg) // 100 AS rank
+              FROM e JOIN r2 ON r2.node = e.src
+                JOIN od ON od.src = e.src, n
+              GROUP BY 1)
+       SELECT node AS part, CAST(rank AS BIGINT) AS rank_micro
+       FROM r3 ORDER BY rank_micro DESC, part LIMIT 20"""
+}
