@@ -153,7 +153,15 @@ object ScaleSmoke {
       "q100_burst_dedup" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q100BurstDedup(s, d)),
       "q101_audio_resample" -> ((s: SparkSession, d: String) =>
-        graft.ext.Multimodal.resampleAudioStats(s, d))
+        graft.ext.Multimodal.resampleAudioStats(s, d)),
+      "q102_split_report" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.splitReport(s, d)),
+      "q103_split_leakage" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.splitLeakage(s, d)),
+      "q104_triangles" -> ((s: SparkSession, d: String) =>
+        graft.ops.Triangles.q104Triangles(s, d)),
+      "q105_pagerank" -> ((s: SparkSession, d: String) =>
+        graft.ops.PageRank.q105PageRank(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
