@@ -18,25 +18,33 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String, keyCols: Seq[String], shift: Long): Unit = {
+    def replicate(table: String, keyShifts: Seq[(String, Long)]): Unit = {
       val src = graft.Tables(spark, base, table)
       val reps = (0 until replicas).map { r =>
-        keyCols.foldLeft(src)((d, k) =>
-          d.withColumn(k, col(k) + lit(r * shift)))
+        keyShifts.foldLeft(src) { case (d, (k, shift)) =>
+          d.withColumn(k, col(k) + lit(r * shift))
+        }
       }
       reps.reduce(_ unionAll _).write.mode("overwrite")
         .parquet(s"$big/$table.parquet")
     }
+    def replicate1(table: String, keyCols: Seq[String], shift: Long): Unit =
+      replicate(table, keyCols.map(_ -> shift))
     val t0 = System.nanoTime()
     // shift every key participating in a join consistently per replica,
     // or the "10x" join would fan out 10x-per-side (100x work) and the
-    // ratios would measure the synthesis artifact, not the engine
-    replicate("lineitem", Seq("l_orderkey"), 10000000L)
-    replicate("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
-    replicate("customer", Seq("c_custkey"), 10000000L)
-    replicate("documents", Seq("doc_id"), 10000000L)
-    replicate("embeddings", Seq("vec_id"), 10000000L)
-    replicate("events", Seq("event_id", "user_id"), 10000000L)
+    // ratios would measure the synthesis artifact, not the engine.
+    // l_partkey shifts too — leaving it fixed DENSIFIES the part
+    // co-occurrence graph 10x instead of growing it (q104/q105 would
+    // measure that artifact, not scaling) — but by only 10^5 per
+    // replica so shifted keys stay under 2^20 (q96's version packing)
+    replicate("lineitem",
+      Seq("l_orderkey" -> 10000000L, "l_partkey" -> 100000L))
+    replicate1("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    replicate1("customer", Seq("c_custkey"), 10000000L)
+    replicate1("documents", Seq("doc_id"), 10000000L)
+    replicate1("embeddings", Seq("vec_id"), 10000000L)
+    replicate1("events", Seq("event_id", "user_id"), 10000000L)
     // supplier is a dim: copied once, keys unshifted — replicated fact rows
     // join the same supplier set, so per-row join fanout stays constant
     graft.Tables(spark, base, "supplier").write.mode("overwrite")
