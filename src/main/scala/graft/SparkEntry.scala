@@ -172,7 +172,9 @@ object SparkEntry {
     "q104_triangles" -> ((s: SparkSession, d: String) =>
       graft.ops.Triangles.q104Triangles(s, d)),
     "q105_pagerank" -> ((s: SparkSession, d: String) =>
-      graft.ops.PageRank.q105PageRank(s, d))
+      graft.ops.PageRank.q105PageRank(s, d)),
+    "q106_expectations" -> ((s: SparkSession, d: String) =>
+      graft.ops.Expect.q106Expectations(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -383,6 +385,7 @@ object SparkEntry {
     "q102_split_report" -> Curate.splitReportOracle,
     "q103_split_leakage" -> Curate.splitLeakageOracle,
     "q104_triangles" -> graft.ops.Triangles.q104Oracle,
-    "q105_pagerank" -> graft.ops.PageRank.q105Oracle
+    "q105_pagerank" -> graft.ops.PageRank.q105Oracle,
+    "q106_expectations" -> graft.ops.Expect.q106Oracle
   )
 }

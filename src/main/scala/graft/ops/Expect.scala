@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declarative data expectations (Deequ-style constraint suite) and
+  * the write-audit-publish gate built on it.
+  *
+  * The reference's validation is schema-shaped (required columns,
+  * reference clean_data.py:36-54 — covered by [[Clean]]); what a
+  * production table needs beyond schema is VALUE contracts: ranges,
+  * null rates, uniqueness, referential integrity. [[report]] evaluates
+  * any number of row-level expectations in ONE aggregation pass
+  * (each is a `sum(violation)` — map-side combinable, no per-check
+  * re-scan of the table); uniqueness and referential checks, which
+  * need a shuffle of their own, get dedicated helpers.
+  *
+  * [[writeAuditPublish]] is the integrity gate: data lands in a
+  * staging directory, the suite runs against what was ACTUALLY
+  * written (re-read from disk — auditing the in-memory frame would
+  * miss write-path corruption), and only a fully-green audit swaps
+  * staging into the live path. A red audit leaves the live table
+  * byte-untouched and the staging dir in place for inspection.
+  */
+object Expect {
+
+  /** A named row-level contract; `violation` is the per-row predicate
+    * that flags a BAD row (null-safe: null predicate counts as a
+    * violation unless the expectation is explicitly about nulls). */
+  final case class Expectation(name: String, violation: Column)
+
+  def notNull(name: String, c: String): Expectation =
+    Expectation(name, col(c).isNull)
+
+  def inRange(name: String, c: String, lo: Double, hi: Double): Expectation =
+    Expectation(name,
+      coalesce(col(c) < lo || col(c) > hi, lit(true)))
+
+  def matches(name: String, c: String, regex: String): Expectation =
+    Expectation(name, coalesce(!col(c).rlike(regex), lit(true)))
+
+  /** All row-level expectations in one aggregation job. Output rows:
+    * (expectation, n_rows, n_violations, pass) ordered by name. */
+  def report(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    val aggs = expectations.map(e =>
+      sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    // unpivot via stack: one output row per expectation
+    val stackExpr = expectations.map(e => s"'${e.name}', ${e.name}")
+      .mkString(", ")
+    wide.select(col("_n"),
+        expr(s"stack(${expectations.size}, $stackExpr) " +
+          "as (expectation, n_violations)"))
+      .select(col("expectation"), col("_n").as("n_rows"),
+        col("n_violations"),
+        when(col("n_violations") === 0, lit(1)).otherwise(lit(0))
+          .as("pass"))
+      .orderBy(col("expectation"))
+  }
+
+  /** Rows whose `key` has no match in `dim.dimKey` (nulls count). */
+  def referentialViolations(df: DataFrame, key: String, dim: DataFrame,
+      dimKey: String): Long =
+    df.select(col(key)).join(dim.select(col(dimKey).as(key)).distinct(),
+        Seq(key), "left_anti").count()
+
+  /** Rows sharing their key tuple with another row. */
+  def uniquenessViolations(df: DataFrame, keys: Seq[String]): Long = {
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+    val row = counts.agg(sum(col("_c"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Write-audit-publish: stage → audit the re-read bytes → publish
+    * only if green. Returns the report rows; `published` tells the
+    * caller whether the swap happened. The publish is two renames on
+    * a filesystem with atomic directory rename (HDFS/local); object
+    * stores want their committer — documented, not hidden. */
+  final case class WapResult(published: Boolean,
+      report: Seq[(String, Long, Long, Int)])
+
+  def writeAuditPublish(spark: SparkSession, df: DataFrame,
+      liveDir: String, expectations: Seq[Expectation]): WapResult = {
+    val staging = liveDir.stripSuffix("/") + ".staging"
+    val trash = liveDir.stripSuffix("/") + ".previous"
+    df.write.mode("overwrite").parquet(staging)
+    val audited = spark.read.parquet(staging)
+    val rep = report(audited, expectations).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val green = rep.forall(_._4 == 1)
+    if (green) {
+      val conf = spark.sessionState.newHadoopConf()
+      val live = new org.apache.hadoop.fs.Path(liveDir)
+      val fs = live.getFileSystem(conf)
+      val stagingP = new org.apache.hadoop.fs.Path(staging)
+      val trashP = new org.apache.hadoop.fs.Path(trash)
+      if (fs.exists(trashP)) fs.delete(trashP, true)
+      if (fs.exists(live)) fs.rename(live, trashP)
+      fs.rename(stagingP, live)
+    }
+    WapResult(green, rep)
+  }
+
+  /** q106: the contract suite over lineitem — two passing contracts,
+    * two failing ones (quantities above 30 exist; discounts above 0.06
+    * exist), so both report states are exercised cross-engine. */
+  def q106Expectations(spark: SparkSession, dir: String): DataFrame =
+    report(Tables(spark, dir, "lineitem"), Seq(
+      notNull("shipdate_not_null", "l_shipdate"),
+      inRange("quantity_1_to_50", "l_quantity", 1, 50),
+      inRange("quantity_1_to_30", "l_quantity", 1, 30),
+      inRange("discount_0_to_006", "l_discount", 0, 0.06)))
+
+  val q106Oracle: String =
+    """WITH t AS (SELECT
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS v_null,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+           THEN 1 ELSE 0 END) AS BIGINT) AS v_q50,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 30
+           THEN 1 ELSE 0 END) AS BIGINT) AS v_q30,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.06
+           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+       FROM lineitem)
+       SELECT expectation, n_rows, n_violations,
+         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+       FROM (
+         SELECT 'shipdate_not_null' AS expectation, n_rows,
+           v_null AS n_violations FROM t
+         UNION ALL SELECT 'quantity_1_to_50', n_rows, v_q50 FROM t
+         UNION ALL SELECT 'quantity_1_to_30', n_rows, v_q30 FROM t
+         UNION ALL SELECT 'discount_0_to_006', n_rows, v_disc FROM t)
+       ORDER BY expectation"""
+}

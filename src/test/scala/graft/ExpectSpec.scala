@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Expect
+
+/** Gates for the expectation suite and write-audit-publish
+  * (ops/Expect.scala): one-pass report semantics incl. null handling,
+  * the shuffle-backed helpers, red-audit isolation (live table
+  * untouched), and green-audit atomic swap. */
+class ExpectSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-wap").toString
+
+  test("report: one row per expectation, nulls count as range violations") {
+    val df = Seq(
+      (Some(5.0), Some("a")),
+      (None, Some("b")),       // null value: range violation, null hit
+      (Some(99.0), None)       // out of range; null name
+    ).toDF("v", "name")
+    val got = Expect.report(df, Seq(
+        Expect.notNull("name_not_null", "name"),
+        Expect.inRange("v_0_10", "v", 0, 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toList
+    assert(got == List(
+      ("name_not_null", 3L, 1L, 0),
+      ("v_0_10", 3L, 2L, 0)))
+  }
+
+  test("report runs as ONE aggregation job regardless of expectation count") {
+    val df = Seq((1.0, "x")).toDF("v", "name")
+    val plan = Expect.report(df, Seq(
+        Expect.notNull("a", "name"), Expect.inRange("b", "v", 0, 1),
+        Expect.matches("c", "name", "^x")))
+      .queryExecution.executedPlan.toString
+    // a per-expectation re-scan would show several aggregates
+    assert(plan.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") <= 4, // partial+final, one pair + sort side
+      s"expected a single aggregation pass, got:\n$plan")
+  }
+
+  test("uniqueness and referential helpers count violating ROWS") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"),
+      (3L, "f")).toDF("k", "v")
+    assert(Expect.uniquenessViolations(df, Seq("k")) == 5L) // 2 + 3 rows
+    val dim = Seq(1L, 2L).toDF("id")
+    assert(Expect.referentialViolations(df, "k", dim, "id") == 3L)
+  }
+
+  test("write-audit-publish: red audit leaves live untouched, green swaps atomically") {
+    val live = tmp() + "/table"
+    val good = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v")
+    val r1 = Expect.writeAuditPublish(spark, good, live,
+      Seq(Expect.inRange("v_0_10", "v", 0, 10)))
+    assert(r1.published && spark.read.parquet(live).count() == 2)
+
+    val bad = Seq((3L, 99.0)).toDF("k", "v")
+    val r2 = Expect.writeAuditPublish(spark, bad, live,
+      Seq(Expect.inRange("v_0_10", "v", 0, 10)))
+    assert(!r2.published)
+    assert(r2.report == Seq(("v_0_10", 1L, 1L, 0)))
+    // live still serves the GOOD data; staging kept for inspection
+    assert(spark.read.parquet(live).count() == 2)
+    assert(new java.io.File(live + ".staging").exists())
+
+    val better = Seq((4L, 1.0), (5L, 2.0), (6L, 3.0)).toDF("k", "v")
+    val r3 = Expect.writeAuditPublish(spark, better, live,
+      Seq(Expect.inRange("v_0_10", "v", 0, 10)))
+    assert(r3.published && spark.read.parquet(live).count() == 3)
+    // previous live generation retained as .previous
+    assert(spark.read.parquet(live + ".previous").count() == 2)
+  }
+}
