@@ -74,4 +74,27 @@ class ExpectSpec extends SparkSpecBase {
     // previous live generation retained as .previous
     assert(spark.read.parquet(live + ".previous").count() == 2)
   }
+
+  test("streaming gate routes whole batches: green to live, red to quarantine with report") {
+    import graft.streaming.StreamingExpect
+    val base = tmp()
+    val (live, quar) = (s"$base/live", s"$base/quarantine")
+    val exp = Seq(Expect.inRange("v_0_10", "v", 0, 10))
+    def b(rows: (Long, Double)*) = rows.toDF("k", "v")
+    StreamingExpect.processBatch(b(1L -> 1.0, 2L -> 2.0), 0L, exp, live, quar)
+    StreamingExpect.processBatch(b(3L -> 99.0, 4L -> 3.0), 1L, exp, live, quar)
+    StreamingExpect.processBatch(b(5L -> 5.0), 2L, exp, live, quar)
+    assert(spark.read.parquet(live).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L), "red batch must not dilute live — even its passing rows")
+    assert(spark.read.parquet(quar).select("k").as[Long].collect().toSet ==
+      Set(3L, 4L))
+    val rep = spark.read.parquet(quar + "_reports")
+      .select("expectation", "n_violations", "batch_id").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet // partition col infers as int
+    assert(rep == Set(("v_0_10", 1L, 1L)))
+    // replay of a red batch is idempotent (partition replaced, not doubled)
+    StreamingExpect.processBatch(b(3L -> 99.0, 4L -> 3.0), 1L, exp, live, quar)
+    assert(spark.read.parquet(quar).count() == 2)
+  }
 }
