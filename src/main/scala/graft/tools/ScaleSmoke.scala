@@ -169,7 +169,9 @@ object ScaleSmoke {
       "q104_triangles" -> ((s: SparkSession, d: String) =>
         graft.ops.Triangles.q104Triangles(s, d)),
       "q105_pagerank" -> ((s: SparkSession, d: String) =>
-        graft.ops.PageRank.q105PageRank(s, d))
+        graft.ops.PageRank.q105PageRank(s, d)),
+      "q106_expectations" -> ((s: SparkSession, d: String) =>
+        graft.ops.Expect.q106Expectations(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
