@@ -29,14 +29,21 @@ object Profile {
   }
 
   /** Profile every column of `df`: (column_name, null_count,
-    * distinct_count, min_value, max_value), ordered by column name. */
-  def profile(df: DataFrame): DataFrame = {
+    * distinct_count, min_value, max_value), ordered by column name.
+    * `approxDistinct = true` is the corpus-scale mode the Scale note
+    * describes: `approx_count_distinct` (HLL++, rsd 1%) replaces the
+    * exact count, collapsing the k-way Expand into one stream — the
+    * report schema is identical, the counts are ±rsd (equivalence
+    * gated in ProfileFunnelSpec). */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: fields.toSeq.flatMap {
       f =>
         val c = col(f.name)
+        val nd = if (approxDistinct) approx_count_distinct(c, 0.01)
+          else countDistinct(c)
         Seq(count(c).as(s"nn_${f.name}"),
-          countDistinct(c).as(s"nd_${f.name}"),
+          nd.as(s"nd_${f.name}"),
           fmt(min(c), f.dataType).as(s"mn_${f.name}"),
           fmt(max(c), f.dataType).as(s"mx_${f.name}"))
     }

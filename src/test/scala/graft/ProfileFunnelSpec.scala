@@ -31,6 +31,24 @@ class ProfileFunnelSpec extends SparkSpecBase {
     assert(kept == Set(10L, 12L, 20L))
   }
 
+  test("approx profile: same schema, no Expand, distincts within HLL error") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val exact = graft.ops.Profile.profile(orders)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approxDf = graft.ops.Profile.profile(orders, approxDistinct = true)
+    val approx = approxDf
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"column $c: approx ${approx(c)} vs exact $n")
+    }
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "approx mode must not replay the scan per distinct column")
+  }
+
   test("profile counts nulls/distincts and renders min/max per type") {
     import spark.implicits._
     val df = Seq(
