@@ -174,7 +174,9 @@ object SparkEntry {
     "q105_pagerank" -> ((s: SparkSession, d: String) =>
       graft.ops.PageRank.q105PageRank(s, d)),
     "q106_expectations" -> ((s: SparkSession, d: String) =>
-      graft.ops.Expect.q106Expectations(s, d))
+      graft.ops.Expect.q106Expectations(s, d)),
+    "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramLogprob(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -386,6 +388,7 @@ object SparkEntry {
     "q103_split_leakage" -> Curate.splitLeakageOracle,
     "q104_triangles" -> graft.ops.Triangles.q104Oracle,
     "q105_pagerank" -> graft.ops.PageRank.q105Oracle,
-    "q106_expectations" -> graft.ops.Expect.q106Oracle
+    "q106_expectations" -> graft.ops.Expect.q106Oracle,
+    "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle
   )
 }

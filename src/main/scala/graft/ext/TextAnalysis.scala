@@ -317,6 +317,91 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q107: interpolated BIGRAM quality score — the model upgrade over
+    * q64's unigram bag: mean transition log-probability
+    * `ln(0.7·c₂(prev,w)/c₁(prev) + 0.3·c₁(w)/N)` per document, over
+    * its token TRANSITIONS (docs need ≥ 2 tokens; the first token has
+    * no transition and is deliberately out of scope — this is the
+    * "does this text string words together like the corpus does"
+    * signal, which unigram frequency cannot see). Interpolation with
+    * the unigram term keeps unseen-in-corpus transitions finite, the
+    * standard Jelinek-Mercer backoff shape.
+    *
+    * Skew posture doubles down on q64's: the BIGRAM key is Zipf² —
+    * pre-aggregate per (doc, prev, w), build the bigram model table
+    * once (carrying c₂, c₁(prev), c₁(w)), broadcast the hot head,
+    * shuffle only the de-heavied tail. Same DECIMAL(18,6) exact
+    * summation; k-multiplicity multiply is integer-by-decimal, exact. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(Tables(spark, dir, "documents"))
+
+  def bigramLogprobOf(docs: DataFrame, hotK: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tok
+      .withColumn("prev", lag(col("w"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+    val docBig = big.groupBy(col("doc_id"), col("prev"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = c1.agg(sum(col("c"))).head().getLong(0)
+    val bc = docBig.groupBy(col("prev"), col("w"))
+      .agg(sum(col("k")).as("c2"))
+      .join(c1.select(col("w").as("prev"), col("c").as("cp")), "prev")
+      .join(c1.select(col("w"), col("c").as("cw")), "w")
+      .localCheckpoint()
+    def lpPart(c2: Column, cp: Column, cw: Column): Column =
+      (col("k") * round(log(
+        lit(0.7) * c2.cast("double") / cp +
+          lit(0.3) * cw.cast("double") / n), 6)
+        .cast("decimal(18,6)")).as("lp_part")
+    val hot = bc.orderBy(col("c2").desc, col("prev"), col("w")).limit(hotK)
+      .select(col("prev"), col("w"), col("c2").as("h2"),
+        col("cp").as("hp"), col("cw").as("hw"))
+    val tagged = docBig.join(broadcast(hot), Seq("prev", "w"), "left")
+    val hotPart = tagged.filter(col("h2").isNotNull)
+      .select(col("doc_id"), col("k"),
+        lpPart(col("h2"), col("hp"), col("hw")))
+    val coldPart = tagged.filter(col("h2").isNull)
+      .select(col("doc_id"), col("prev"), col("w"), col("k"))
+      .join(bc, Seq("prev", "w"))
+      .select(col("doc_id"), col("k"),
+        lpPart(col("c2"), col("cp"), col("cw")))
+    hotPart.unionByName(coldPart)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_transitions"),
+        sum(col("lp_part")).as("sum_lp"))
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("sum_lp").cast("double") / col("n_transitions"), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLogprobOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM documents),
+       big AS (SELECT a.doc_id, a.w AS prev, b.w AS w
+         FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       n AS (SELECT sum(c) AS n FROM c1),
+       c2 AS (SELECT prev, w, count(*) AS c2 FROM big GROUP BY 1, 2),
+       parts AS (SELECT big.doc_id,
+           round(ln(CAST(0.7 AS DOUBLE) * c2.c2 / cp.c +
+             CAST(0.3 AS DOUBLE) * cw.c / n.n), 6) AS lp
+         FROM big JOIN c2 USING (prev, w)
+           JOIN c1 cp ON cp.w = big.prev
+           JOIN c1 cw ON cw.w = big.w
+           CROSS JOIN n)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+           4) AS avg_logprob
+       FROM parts GROUP BY 1 ORDER BY doc_id"""
+
   val unigramLogprobOracle: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -171,7 +171,9 @@ object ScaleSmoke {
       "q105_pagerank" -> ((s: SparkSession, d: String) =>
         graft.ops.PageRank.q105PageRank(s, d)),
       "q106_expectations" -> ((s: SparkSession, d: String) =>
-        graft.ops.Expect.q106Expectations(s, d))
+        graft.ops.Expect.q106Expectations(s, d)),
+      "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.bigramLogprob(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

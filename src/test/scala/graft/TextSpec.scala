@@ -222,4 +222,28 @@ class TextSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     w.foreach { case (id, n, _, _) => assert(n == n64(id)) }
   }
+
+  test("bigram logprob sees word order where unigram cannot") {
+    import spark.implicits._
+    // a corpus dominated by one phrase pattern, then two probe docs
+    // with IDENTICAL unigram content: in-order vs reversed word order
+    val phrase = "the quick brown fox jumps"
+    val corpus = (1L to 20L).map(i => (i, phrase)) ++ Seq(
+      (100L, "the quick brown fox jumps"),           // fluent probe
+      (101L, "jumps fox brown quick the"))           // scrambled probe
+    val got = TextAnalysis.bigramLogprobOf(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(100L)._1 == 4L && got(101L)._1 == 4L)
+    assert(got(100L)._2 > got(101L)._2 + 1.0,
+      s"fluent ${got(100L)} must clearly outscore scrambled ${got(101L)}")
+    // unigram is blind to the difference by construction
+    val uni = TextAnalysis.unigramLogprobOf(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(100L) == uni(101L))
+    // single-token docs have no transitions and drop from the output
+    val single = TextAnalysis.bigramLogprobOf(
+      Seq((1L, "hello")).toDF("doc_id", "text"))
+    assert(single.count() == 0)
+  }
 }
