@@ -41,11 +41,26 @@ object Expect {
     Expectation(name, coalesce(!col(c).rlike(regex), lit(true)))
 
   /** All row-level expectations in one aggregation job. Output rows:
-    * (expectation, n_rows, n_violations, pass) ordered by name. */
+    * (expectation, n_rows, n_violations, pass) ordered by name.
+    * Expectation names must be SQL-identifier-safe (they pass through
+    * a generated stack() expression) and not the reserved `_n`; an
+    * empty input reports 0 violations everywhere (vacuously green). */
   def report(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "need at least one expectation")
+    expectations.foreach { e =>
+      require(e.name.matches("[A-Za-z][A-Za-z0-9_]*") && e.name != "_n",
+        s"expectation name '${e.name}' must be a plain identifier " +
+          "(letters, digits, underscores; not '_n') — it is spliced " +
+          "into a generated SQL expression")
+    }
+    require(expectations.map(_.name).distinct.size == expectations.size,
+      "expectation names must be unique")
+    // coalesce: sum() over ZERO rows is null — an empty table must
+    // read as 0 violations, not as null (which would NPE consumers
+    // and render pass undefined)
     val aggs = expectations.map(e =>
-      sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+      coalesce(sum(when(e.violation, 1L).otherwise(0L)), lit(0L))
+        .as(e.name))
     val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
     // unpivot via stack: one output row per expectation
     val stackExpr = expectations.map(e => s"'${e.name}', ${e.name}")
@@ -98,9 +113,25 @@ object Expect {
       val fs = live.getFileSystem(conf)
       val stagingP = new org.apache.hadoop.fs.Path(staging)
       val trashP = new org.apache.hadoop.fs.Path(trash)
-      if (fs.exists(trashP)) fs.delete(trashP, true)
-      if (fs.exists(live)) fs.rename(live, trashP)
-      fs.rename(stagingP, live)
+      // Hadoop rename signals failure by RETURNING FALSE, not throwing
+      // — an unchecked swap could retire the live dir and then fail to
+      // replace it while still reporting success. Check every step;
+      // on a failed swap, restore the previous generation and fail
+      // loud: the gate's promise is "live is old or new, and the
+      // result says which".
+      if (fs.exists(trashP) && !fs.delete(trashP, true))
+        throw new IllegalStateException(s"cannot clear $trash")
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, trashP))
+        throw new IllegalStateException(
+          s"cannot retire $liveDir to $trash; live table unchanged")
+      if (!fs.rename(stagingP, live)) {
+        if (hadLive) fs.rename(trashP, live) // best-effort restore
+        throw new IllegalStateException(
+          s"publish swap failed for $liveDir; previous generation " +
+            (if (hadLive) "restored" else "absent") +
+            s", staged data remains at $staging")
+      }
     }
     WapResult(green, rep)
   }

@@ -56,28 +56,18 @@ object PageRank {
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }
 
-  /** q105: 3 PageRank rounds on the q104 part co-purchase graph —
-    * top-20 parts by rank. */
+  /** q105: 3 PageRank rounds on the q104 part co-purchase graph
+    * ([[Triangles.coPurchaseEdges]] — one shared definition for both
+    * queries and both oracles) — top-20 parts by rank. */
   def q105PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 7 === 0)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    pageRankOf(edges, iterations = 3)
+    pageRankOf(Triangles.coPurchaseEdges(spark, dir), iterations = 3)
       .select(col("node").as("part"), col("rank_micro"))
       .orderBy(col("rank_micro").desc, col("part"))
       .limit(20)
   }
 
   val q105Oracle: String =
-    """WITH e0 AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
-         FROM lineitem x JOIN lineitem y
-         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-         WHERE x.l_orderkey % 7 = 0),
+    s"""WITH ${Triangles.CoPurchaseEdgesSql.replaceFirst("^e AS", "e0 AS")},
        e AS (SELECT a AS src, b AS dst FROM e0
              UNION ALL SELECT b, a FROM e0),
        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),

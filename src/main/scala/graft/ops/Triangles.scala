@@ -57,22 +57,35 @@ object Triangles {
       .select(col("u").as("p"), col("x"), col("y"))
   }
 
-  /** q104: triangle participation in the part co-purchase graph (two
-    * parts are adjacent iff some order in the 1-in-7 order sample
-    * contains both — the sample keeps the bench-scale graph at ~170k
-    * edges instead of the near-complete 1.2M; the ALGORITHM has no such
-    * need) — the top-20 most clustered parts. Each triangle credits
-    * all three corners. */
-  def q104Triangles(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q104/q105 graph: parts are adjacent iff some order in
+    * the 1-in-7 order sample contains both (the sample keeps the
+    * bench-scale graph at ~170k edges instead of the near-complete
+    * 1.2M; the ALGORITHMS have no such need). One definition, used by
+    * both Spark queries AND both oracles ([[CoPurchaseEdgesSql]]) — a
+    * tuning change cannot silently desynchronize them. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_orderkey") % 7 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
         "l_orderkey")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    triangleTriplesOf(edges)
+  }
+
+  /** The same edge set as a DuckDB CTE body (named `e`). */
+  val CoPurchaseEdgesSql: String =
+    """e AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
+         FROM lineitem x JOIN lineitem y
+         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         WHERE x.l_orderkey % 7 = 0)"""
+
+  /** q104: triangle participation in the part co-purchase graph — the
+    * top-20 most clustered parts; each triangle credits all three
+    * corners. */
+  def q104Triangles(spark: SparkSession, dir: String): DataFrame = {
+    triangleTriplesOf(coPurchaseEdges(spark, dir))
       .select(explode(array(col("p"), col("x"), col("y"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))
@@ -80,10 +93,7 @@ object Triangles {
   }
 
   val q104Oracle: String =
-    """WITH e AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
-         FROM lineitem x JOIN lineitem y
-         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-         WHERE x.l_orderkey % 7 = 0),
+    s"""WITH $CoPurchaseEdgesSql,
        deg AS (SELECT n, count(*) d FROM
          (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
        o AS (SELECT

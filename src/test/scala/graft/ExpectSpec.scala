@@ -31,6 +31,32 @@ class ExpectSpec extends SparkSpecBase {
       ("v_0_10", 3L, 2L, 0)))
   }
 
+  test("an empty input is vacuously green: zero violations, not null") {
+    val empty = Seq.empty[(Double, String)].toDF("v", "name")
+    val got = Expect.report(empty, Seq(
+        Expect.inRange("v_0_10", "v", 0, 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toList
+    assert(got == List(("v_0_10", 0L, 0L, 1)))
+    // and the WAP path publishes an empty (but audited) generation
+    val live = tmp() + "/t"
+    val r = Expect.writeAuditPublish(spark, empty, live,
+      Seq(Expect.inRange("v_0_10", "v", 0, 10)))
+    assert(r.published && r.report == Seq(("v_0_10", 0L, 0L, 1)))
+  }
+
+  test("non-identifier or duplicate expectation names are rejected up front") {
+    val df = Seq((1.0, "x")).toDF("v", "name")
+    for (bad <- Seq("ship date", "1st", "a-b", "it's", "_n"))
+      intercept[IllegalArgumentException] {
+        Expect.report(df, Seq(Expect.notNull(bad, "name")))
+      }
+    intercept[IllegalArgumentException] {
+      Expect.report(df, Seq(Expect.notNull("dup", "name"),
+        Expect.inRange("dup", "v", 0, 1)))
+    }
+  }
+
   test("report runs as ONE aggregation job regardless of expectation count") {
     val df = Seq((1.0, "x")).toDF("v", "name")
     val plan = Expect.report(df, Seq(
