@@ -176,7 +176,9 @@ object SparkEntry {
     "q106_expectations" -> ((s: SparkSession, d: String) =>
       graft.ops.Expect.q106Expectations(s, d)),
     "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.bigramLogprob(s, d))
+      TextAnalysis.bigramLogprob(s, d)),
+    "q108_assoc_rules" -> ((s: SparkSession, d: String) =>
+      Analytics.q108AssocRules(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -389,6 +391,7 @@ object SparkEntry {
     "q104_triangles" -> graft.ops.Triangles.q104Oracle,
     "q105_pagerank" -> graft.ops.PageRank.q105Oracle,
     "q106_expectations" -> graft.ops.Expect.q106Oracle,
-    "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle
+    "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle,
+    "q108_assoc_rules" -> Analytics.q108Oracle
   )
 }

@@ -709,4 +709,79 @@ object Analytics {
          CAST(sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
            AS BIGINT) AS n_kept
        FROM g GROUP BY 1, 2 ORDER BY user_id, event_type"""
+
+  /** q108: market-basket association rules over supplier pairs — for
+    * every supplier pair co-occurring in ≥ 25 orders, the A-priori
+    * trio: support count, confidence P(b|a) and lift
+    * P(a,b)/(P(a)·P(b)). Orders are the baskets; the supplier
+    * item-space keeps the pair lattice dense enough for real support
+    * counts at test scale. Both directions of each pair are emitted
+    * (confidence is asymmetric), ranked by lift.
+    *
+    * Exactness: support counts are integers; confidence and lift are
+    * single divisions of longs rounded to 6 dp (no summation of
+    * floats anywhere), so the hash is engine-stable — same recipe as
+    * q64's ln rounding.
+    *
+    * Scale: basket→distinct-item dedup and both count layers are
+    * map-side-combinable aggregates; the pair generation is the q104
+    * co-occurrence self-join (baskets × C(items-per-basket, 2), never
+    * item-space²) and the min-support filter prunes before the rule
+    * join, which then joins pair counts to two broadcast-sized single
+    * counts. The A-priori pruning insight in distributed form. */
+  def q108AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    // item space = the supplier's NATION (25 items at every sf): the
+    // supplier key's own density FALLS as TPC-H scales (more suppliers,
+    // same lines per order), so supplier-level rules vanish at bench
+    // scale; the nation rollup keeps the basket lattice dense at any
+    // sf, and min-support scales with the basket count (0.5%)
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val os = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(sup), "l_suppkey")
+      .select(col("l_orderkey"), col("s_nationkey")).distinct()
+      .localCheckpoint() // feeds three aggregates below
+    val n = os.select(col("l_orderkey")).distinct().count()
+    val minSupport = math.max(1L, n / 200L)
+    val singles = os.groupBy(col("s_nationkey")).agg(count(lit(1)).as("c1"))
+    val pairs = os.select(col("l_orderkey"), col("s_nationkey").as("a"))
+      .join(os.select(col("l_orderkey"), col("s_nationkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support_cnt"))
+      .filter(col("support_cnt") >= minSupport)
+    pairs
+      .join(broadcast(singles.select(col("s_nationkey").as("a"),
+        col("c1").as("ca"))), "a")
+      .join(broadcast(singles.select(col("s_nationkey").as("b"),
+        col("c1").as("cb"))), "b")
+      .select(col("a"), col("b"), col("support_cnt"),
+        round(col("support_cnt").cast("double") / col("ca"), 6)
+          .as("confidence"),
+        round(col("support_cnt").cast("double") * n /
+          (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  val q108Oracle: String =
+    """WITH os AS (SELECT DISTINCT l_orderkey, s_nationkey
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+       n AS (SELECT count(DISTINCT l_orderkey) AS n FROM os),
+       singles AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS c1
+         FROM os GROUP BY 1),
+       pairs AS (SELECT x.s_nationkey a, y.s_nationkey b,
+           CAST(count(*) AS BIGINT) AS support_cnt
+         FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
+           AND x.s_nationkey <> y.s_nationkey, n
+         GROUP BY 1, 2, n.n
+         HAVING count(*) >= greatest(1, n.n // 200))
+       SELECT p.a, p.b, p.support_cnt,
+         round(CAST(p.support_cnt AS DOUBLE) / sa.c1, 6) AS confidence,
+         round(CAST(p.support_cnt AS DOUBLE) * n.n / (sa.c1 * sb.c1), 6)
+           AS lift
+       FROM pairs p JOIN singles sa ON sa.s_nationkey = p.a
+         JOIN singles sb ON sb.s_nationkey = p.b CROSS JOIN n
+       ORDER BY lift DESC, a, b LIMIT 50"""
 }

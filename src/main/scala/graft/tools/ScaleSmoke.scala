@@ -173,7 +173,9 @@ object ScaleSmoke {
       "q106_expectations" -> ((s: SparkSession, d: String) =>
         graft.ops.Expect.q106Expectations(s, d)),
       "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.bigramLogprob(s, d))
+        graft.ext.TextAnalysis.bigramLogprob(s, d)),
+      "q108_assoc_rules" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q108AssocRules(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -16,7 +16,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q95_rolling_window", "q96_cdc_apply", "q97_grouping_sets",
     "q98_overlap_join", "q99_skew_profile", "q100_burst_dedup",
     "q102_split_report", "q103_split_leakage", "q104_triangles",
-    "q105_pagerank", "q106_expectations", "q107_bigram_logprob")
+    "q105_pagerank", "q106_expectations", "q107_bigram_logprob",
+    "q108_assoc_rules")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

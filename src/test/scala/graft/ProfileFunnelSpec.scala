@@ -49,6 +49,37 @@ class ProfileFunnelSpec extends SparkSpecBase {
       "approx mode must not replay the scan per distinct column")
   }
 
+  test("association rules: hand-checked support, confidence and lift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 baskets: x,y together in 6; x alone in 2; y alone in 1; z in 1
+    val baskets =
+      (1 to 6).flatMap(o => Seq((o.toLong, 10L), (o.toLong, 20L))) ++
+        Seq((7L, 10L), (8L, 10L), (9L, 20L), (10L, 30L))
+    val os = baskets.toDF("l_orderkey", "l_suppkey")
+    // same pipeline as q108, min-support 1 for the fixture
+    val n = 10.0
+    val singles = os.groupBy("l_suppkey").agg(count(lit(1)).as("c1"))
+    val pairs = os.select(col("l_orderkey"), col("l_suppkey").as("a"))
+      .join(os.select(col("l_orderkey"), col("l_suppkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s"))
+    val got = pairs
+      .join(singles.select(col("l_suppkey").as("a"), col("c1").as("ca")), "a")
+      .join(singles.select(col("l_suppkey").as("b"), col("c1").as("cb")), "b")
+      .select(col("a"), col("b"), col("s"),
+        round(col("s").cast("double") / col("ca"), 6).as("conf"),
+        round(col("s").cast("double") * n / (col("ca") * col("cb")), 6)
+          .as("lift"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // support(x,y)=6; conf(x->y)=6/8=0.75; lift=6*10/(8*7)=1.071429
+    assert(got((10L, 20L)) == ((6L, 0.75, 1.071429)))
+    // asymmetry: conf(y->x)=6/7
+    assert(got((20L, 10L)) == ((6L, 0.857143, 1.071429)))
+  }
+
   test("profile counts nulls/distincts and renders min/max per type") {
     import spark.implicits._
     val df = Seq(
