@@ -879,19 +879,29 @@ object Curate {
     * document's key; this is the same bounded-heap aggregate as q77 —
     * one pass, map-side partials, k-element buffers on the shuffle.
     * Determinism and engine-parity: uᵢ derives from the md5 draw
-    * ([[sampleHash]], 52-bit prefix, +0.5 to dodge ln 0), the key is
-    * rounded to 10 decimals (keys live in [-36/w_min, 0) so this keeps
-    * ≥6 significant digits while absorbing sub-ulp ln() differences
-    * between engines), and residual ties resolve by doc id. */
+    * ([[sampleHash]], 52-bit prefix, +0.5 to dodge ln 0), and the key's
+    * log is [[graft.functions.DetLn]]'s engine-invariant lnFix —
+    * ln(u) = ln((2·draw+1)/2^53) = lnFix(2·draw+1) − 53·ln 2, every op
+    * IEEE-exact and bit-identical in any engine, so no rounding is
+    * needed at all (the former round(·,10) only shrank, never closed,
+    * the libm knife edge); residual ties resolve by doc id. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     weightedSampleOf(docs(spark, dir), k)
+
+  /** key = lnFix(2·draw+1) − 53·ln2, over the weight (shared Spark /
+    * oracle text; columns `ln_u`, `n_chars`). */
+  private val wsKeySql: String =
+    "(ln_u - 5.3e1 * 6.931471805599453094172321e-1) / " +
+      "CAST(greatest(n_chars, CAST(1 AS BIGINT)) AS DOUBLE)"
 
   def weightedSampleOf(d: DataFrame, k: Int): DataFrame = {
     val draw = conv(substring(sampleHash(col("doc_id")), 1, 13), 16, 10)
       .cast("long")
-    val u = (draw.cast("double") + 0.5) / 4503599627370496.0 // 2^52
-    val key = round(log(u) / greatest(col("n_chars"), lit(1L)), 10)
-    d.select(col("source"), col("doc_id"), key.as("s"))
+    val key = expr(wsKeySql)
+    d.select(col("source"), col("doc_id"), col("n_chars"),
+        (draw * 2L + 1L).as("a"))
+      .transform(df => graft.functions.DetLn.withLnFix(df, "ln_u", "a"))
+      .select(col("source"), col("doc_id"), key.as("s"))
       .groupBy(col("source"))
       .agg(graft.functions.TopK.top_k_by_score(col("s"), col("doc_id"), k)
         .as("sel"))
@@ -901,15 +911,19 @@ object Curate {
       .orderBy(col("source"), col("sample_rank"))
   }
 
-  val weightedSampleOracle: String =
-    """SELECT source, CAST(rk AS INT) AS sample_rank, doc_id FROM (
+  val weightedSampleOracle: String = {
+    val (stages, fin) = graft.functions.DetLn.oracleLnStages("dr", "w",
+      Seq("source", "doc_id", "n_chars"), Seq("ln_u" -> "a"))
+    s"""WITH dr AS (SELECT source, doc_id, n_chars,
+           2 * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             ::UBIGINT AS BIGINT) + 1 AS a
+         FROM documents)$stages
+       SELECT source, CAST(rk AS INT) AS sample_rank, doc_id FROM (
          SELECT source, doc_id, row_number() OVER (PARTITION BY source
-             ORDER BY round(ln((('0x' ||
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
-                   + 0.5) / 4503599627370496.0)
-               / greatest(n_chars, 1), 10) DESC, doc_id) AS rk
-         FROM documents)
+             ORDER BY $wsKeySql DESC, doc_id) AS rk
+         FROM $fin)
        WHERE rk <= 8 ORDER BY source NULLS FIRST, sample_rank"""
+  }
 
   // --- bloom-pruned decontamination ----------------------------------------
 

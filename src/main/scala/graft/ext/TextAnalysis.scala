@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fingerprint64.fingerprint64
+import graft.functions.DetLn
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: token statistics, quality scoring, language ID, and
@@ -254,12 +255,12 @@ object TextAnalysis {
     * vocabulary-sized result), one join keyed on token, one per-doc
     * agg. The corpus token total is a scalar aggregate.
     *
-    * Hash-stability: per-token ln p is rounded to 6 decimals and summed
-    * as DECIMAL(18,6) — decimal addition is exact and
-    * order-independent, so cross-engine float-summation-order drift
-    * (which a double `avg` would expose) cannot flip the rounded
-    * output. The only float op is the per-token ln, same 1-ulp risk
-    * class as [[tfidf]]'s per-row score. */
+    * Hash-stability: per-word ln p is [[graft.functions.DetLn]]'s
+    * deterministic fixed-point log — built only from IEEE-correctly-
+    * rounded ops, bit-identical in every engine — quantized to BIGINT
+    * micro-nats and summed exactly, so neither libm ulp drift nor float
+    * summation order can flip the output anywhere (round 6's q78
+    * failure mode, eliminated rather than made unlikely). */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables(spark, dir, "documents"))
 
@@ -293,27 +294,29 @@ object TextAnalysis {
     val counts = docTok.groupBy(col("w")).agg(sum(col("k")).as("c"))
       .localCheckpoint()
     val total = counts.agg(sum(col("c"))).head().getLong(0)
-    // per-token ln p, rounded then summed exactly as decimal; k copies of
-    // one token contribute k * lp6 — integer-by-decimal multiply is exact,
-    // so the result is bit-identical to the per-occurrence formulation
-    def lpPart(c: Column): Column =
-      (col("k") * round(log(c.cast("double") / total), 6)
-        .cast("decimal(18,6)")).as("lp_part")
-    val hot = counts.orderBy(col("c").desc, col("w")).limit(hotK)
-      .withColumnRenamed("c", "c_hot")
+    // per-WORD deterministic micro-nat score, computed once on the
+    // vocabulary table: lnFix(c) − lnFix(total) quantized to BIGINT
+    // micro-nats (see [[graft.functions.DetLn]]); k occurrences of a
+    // word contribute k · lp_micro — integer multiply/sum are exact and
+    // order-independent, and lnFix is bit-identical in every IEEE
+    // engine, so no rounding boundary can flip cross-engine
+    val scored = DetLn.withLnFix(
+        DetLn.withLnFix(counts, "ln_c", "c"), "ln_t", total.toString)
+      .withColumn("lp_micro", expr(DetLn.microSql("ln_c - ln_t")))
+      .select(col("w"), col("c"), col("lp_micro"))
+    val hot = scored.orderBy(col("c").desc, col("w")).limit(hotK)
+      .select(col("w"), col("lp_micro").as("h_lp"))
     val tagged = docTok.join(broadcast(hot), Seq("w"), "left")
-    val hotPart = tagged.filter(col("c_hot").isNotNull)
-      .select(col("doc_id"), col("k"), lpPart(col("c_hot")))
-    val coldPart = tagged.filter(col("c_hot").isNull).drop("c_hot")
-      .join(counts, Seq("w"))
-      .select(col("doc_id"), col("k"), lpPart(col("c")))
+    val hotPart = tagged.filter(col("h_lp").isNotNull)
+      .select(col("doc_id"), col("k"), (col("k") * col("h_lp")).as("lp"))
+    val coldPart = tagged.filter(col("h_lp").isNull).drop("h_lp")
+      .join(scored.select(col("w"), col("lp_micro")), Seq("w"))
+      .select(col("doc_id"), col("k"), (col("k") * col("lp_micro")).as("lp"))
     hotPart.unionByName(coldPart)
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_tokens"),
-        sum(col("lp_part")).as("sum_lp"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_lp").cast("double") / col("n_tokens"), 4)
-          .as("avg_logprob"))
+        expr(DetLn.avg4Sql("sum_lp", "n_tokens")).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 
@@ -330,8 +333,10 @@ object TextAnalysis {
     * Skew posture doubles down on q64's: the BIGRAM key is Zipf² —
     * pre-aggregate per (doc, prev, w), build the bigram model table
     * once (carrying c₂, c₁(prev), c₁(w)), broadcast the hot head,
-    * shuffle only the de-heavied tail. Same DECIMAL(18,6) exact
-    * summation; k-multiplicity multiply is integer-by-decimal, exact. */
+    * shuffle only the de-heavied tail. The interpolated probability is
+    * an exact integer ratio, scored with [[graft.functions.DetLn]]'s
+    * engine-invariant log in BIGINT micro-nats — exact k-multiplicity
+    * multiply and order-free summation, no libm dependence. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
     bigramLogprobOf(Tables(spark, dir, "documents"))
 
@@ -353,65 +358,74 @@ object TextAnalysis {
       .join(c1.select(col("w").as("prev"), col("c").as("cp")), "prev")
       .join(c1.select(col("w"), col("c").as("cw")), "w")
       .localCheckpoint()
-    def lpPart(c2: Column, cp: Column, cw: Column): Column =
-      (col("k") * round(log(
-        lit(0.7) * c2.cast("double") / cp +
-          lit(0.3) * cw.cast("double") / n), 6)
-        .cast("decimal(18,6)")).as("lp_part")
-    val hot = bc.orderBy(col("c2").desc, col("prev"), col("w")).limit(hotK)
-      .select(col("prev"), col("w"), col("c2").as("h2"),
-        col("cp").as("hp"), col("cw").as("hw"))
+    // the interpolated probability is an exact integer ratio:
+    //   0.7·c2/cp + 0.3·cw/N = (7·c2·N + 3·cw·cp) / (10·cp·N)
+    // so the per-BIGRAM deterministic micro-nat score is
+    // lnFix(numerator) − lnFix(denominator) (see DetLn); products fit
+    // BIGINT through corpora of ~10^8 tokens — the 100 TB form widens
+    // them to DECIMAL(38,0)
+    val scored = DetLn.withLnFix(DetLn.withLnFix(bc,
+        "ln_a", s"7 * c2 * $n + 3 * cw * cp"), "ln_b", s"10 * cp * $n")
+      .withColumn("lp_micro", expr(DetLn.microSql("ln_a - ln_b")))
+      .select(col("prev"), col("w"), col("c2"), col("lp_micro"))
+    val hot = scored.orderBy(col("c2").desc, col("prev"), col("w"))
+      .limit(hotK)
+      .select(col("prev"), col("w"), col("lp_micro").as("h_lp"))
     val tagged = docBig.join(broadcast(hot), Seq("prev", "w"), "left")
-    val hotPart = tagged.filter(col("h2").isNotNull)
-      .select(col("doc_id"), col("k"),
-        lpPart(col("h2"), col("hp"), col("hw")))
-    val coldPart = tagged.filter(col("h2").isNull)
+    val hotPart = tagged.filter(col("h_lp").isNotNull)
+      .select(col("doc_id"), col("k"), (col("k") * col("h_lp")).as("lp"))
+    val coldPart = tagged.filter(col("h_lp").isNull)
       .select(col("doc_id"), col("prev"), col("w"), col("k"))
-      .join(bc, Seq("prev", "w"))
-      .select(col("doc_id"), col("k"),
-        lpPart(col("c2"), col("cp"), col("cw")))
+      .join(scored.select(col("prev"), col("w"), col("lp_micro")),
+        Seq("prev", "w"))
+      .select(col("doc_id"), col("k"), (col("k") * col("lp_micro")).as("lp"))
     hotPart.unionByName(coldPart)
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_transitions"),
-        sum(col("lp_part")).as("sum_lp"))
+      .agg(sum(col("k")).as("n_transitions"), sum(col("lp")).as("sum_lp"))
       .select(col("doc_id"), col("n_transitions"),
-        round(col("sum_lp").cast("double") / col("n_transitions"), 4)
-          .as("avg_logprob"))
+        expr(DetLn.avg4Sql("sum_lp", "n_transitions")).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 
-  val bigramLogprobOracle: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+  val bigramLogprobOracle: String = {
+    val (stages, fin) = DetLn.oracleLnStages("bco", "b",
+      Seq("prev", "w", "c2", "cp", "cw", "n"),
+      Seq("ln_a" -> "7 * c2 * n + 3 * cw * cp", "ln_b" -> "10 * cp * n"))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) AS pos
        FROM documents),
        big AS (SELECT a.doc_id, a.w AS prev, b.w AS w
          FROM tok a JOIN tok b
          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
        c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
-       n AS (SELECT sum(c) AS n FROM c1),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
        c2 AS (SELECT prev, w, count(*) AS c2 FROM big GROUP BY 1, 2),
-       parts AS (SELECT big.doc_id,
-           round(ln(CAST(0.7 AS DOUBLE) * c2.c2 / cp.c +
-             CAST(0.3 AS DOUBLE) * cw.c / n.n), 6) AS lp
-         FROM big JOIN c2 USING (prev, w)
-           JOIN c1 cp ON cp.w = big.prev
-           JOIN c1 cw ON cw.w = big.w
-           CROSS JOIN n)
+       bco AS (SELECT c2.prev, c2.w, c2.c2, cp.c AS cp, cw.c AS cw, n.n
+         FROM c2 JOIN c1 cp ON cp.w = c2.prev
+           JOIN c1 cw ON cw.w = c2.w CROSS JOIN n)$stages,
+       sc AS (SELECT prev, w, ${DetLn.microSql("ln_a - ln_b")} AS lp_micro
+              FROM $fin)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-         round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*),
-           4) AS avg_logprob
-       FROM parts GROUP BY 1 ORDER BY doc_id"""
+         ${DetLn.avg4Sql("sum(lp_micro)", "count(*)")} AS avg_logprob
+       FROM big JOIN sc USING (prev, w)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
 
-  val unigramLogprobOracle: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  val unigramLogprobOracle: String = {
+    val (stages, fin) = DetLn.oracleLnStages("wc", "u",
+      Seq("w", "c", "total"), Seq("ln_c" -> "c", "ln_t" -> "total"))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),
        c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
-       t AS (SELECT sum(c) AS total FROM c)
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+       wc AS (SELECT w, c, total FROM c CROSS JOIN t)$stages,
+       sc AS (SELECT w, ${DetLn.microSql("ln_c - ln_t")} AS lp_micro
+              FROM $fin)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(CAST(sum(CAST(round(ln(c.c * 1.0 / t.total), 6)
-             AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
-       FROM tok JOIN c USING (w) CROSS JOIN t
+         ${DetLn.avg4Sql("sum(lp_micro)", "count(*)")} AS avg_logprob
+       FROM tok JOIN sc USING (w)
        GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   /** q78: DSIR-style importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -435,8 +449,10 @@ object TextAnalysis {
     * joins over q64. The token join reuses q64's full skew posture:
     * per-(doc, token) pre-aggregation, broadcast top-[[hotK]] hot
     * tokens, shuffle only the near-uniform cold tail (see
-    * [[unigramLogprobOf]]). Hash-stability: per-token ln-ratio rounded
-    * to 6 decimals and summed as exact DECIMAL(18,6), as in q64. */
+    * [[unigramLogprobOf]]). Hash-stability: the per-word log-ratio is
+    * [[graft.functions.DetLn]]'s engine-invariant fixed-point log of an
+    * exact integer ratio, quantized to BIGINT micro-nats — bit-identical
+    * in every IEEE-754 engine, immune to libm ulp drift. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsOf(Tables(spark, dir, "documents"), col("lang") === "en")
 
@@ -457,42 +473,54 @@ object TextAnalysis {
       .head()
     val tRaw = t.getLong(0)
     val tTgtV = t.getLong(1) + t.getLong(2) // smoothed target denominator
-    def lrPart(cTgt: Column, cRaw: Column): Column =
-      (col("k") * round(
-        log((cTgt.cast("double") + 1.0) / tTgtV) -
-          log(cRaw.cast("double") / tRaw), 6)
-        .cast("decimal(18,6)")).as("lr_part")
-    val hot = counts.orderBy(col("c_raw").desc, col("w")).limit(hotK)
-      .withColumnRenamed("c_raw", "h_raw").withColumnRenamed("c_tgt", "h_tgt")
+    // the log-ratio of the two unigram models is a log of an exact
+    // integer ratio:
+    //   ln((c_tgt+1)/T') − ln(c_raw/T) = ln((c_tgt+1)·T) − ln(c_raw·T')
+    // scored per VOCABULARY word with DetLn's engine-invariant lnFix and
+    // quantized to BIGINT micro-nats — the round-6 q78 driver-vs-local
+    // divergence (libm ulp drift under round(·,6)) is structurally gone
+    val scored = DetLn.withLnFix(DetLn.withLnFix(counts,
+        "ln_a", s"(c_tgt + 1) * $tRaw"), "ln_b", s"c_raw * $tTgtV")
+      .withColumn("lr_micro", expr(DetLn.microSql("ln_a - ln_b")))
+      .select(col("w"), col("c_raw"), col("lr_micro"))
+    val hot = scored.orderBy(col("c_raw").desc, col("w")).limit(hotK)
+      .select(col("w"), col("lr_micro").as("h_lr"))
     val tagged = docTok.join(broadcast(hot), Seq("w"), "left")
-    val hotPart = tagged.filter(col("h_raw").isNotNull)
-      .select(col("doc_id"), col("k"), lrPart(col("h_tgt"), col("h_raw")))
-    val coldPart = tagged.filter(col("h_raw").isNull).drop("h_raw", "h_tgt")
-      .join(counts, Seq("w"))
-      .select(col("doc_id"), col("k"), lrPart(col("c_tgt"), col("c_raw")))
+    val hotPart = tagged.filter(col("h_lr").isNotNull)
+      .select(col("doc_id"), col("k"), (col("k") * col("h_lr")).as("lr"))
+    val coldPart = tagged.filter(col("h_lr").isNull).drop("h_lr")
+      .join(scored.select(col("w"), col("lr_micro")), Seq("w"))
+      .select(col("doc_id"), col("k"), (col("k") * col("lr_micro")).as("lr"))
     hotPart.unionByName(coldPart)
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_tokens"), sum(col("lr_part")).as("sum_lr"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("lr")).as("sum_lr"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_lr").cast("double") / col("n_tokens"), 4)
-          .as("dsir_logweight"))
+        expr(DetLn.avg4Sql("sum_lr", "n_tokens")).as("dsir_logweight"))
       .orderBy(col("doc_id"))
   }
 
-  val dsirWeightsOracle: String =
-    """WITH tok AS (SELECT doc_id, lang,
+  val dsirWeightsOracle: String = {
+    val (stages, fin) = DetLn.oracleLnStages("wc", "d",
+      Seq("w", "c_raw", "c_tgt", "t_raw", "t_tgt", "v"),
+      Seq("ln_a" -> "(c_tgt + 1) * t_raw", "ln_b" -> "c_raw * (t_tgt + v)"))
+    s"""WITH tok AS (SELECT doc_id, lang,
                       unnest(string_split(text, ' ')) AS w FROM documents),
        c AS (SELECT w, count(*) AS c_raw,
-               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c_tgt
              FROM tok GROUP BY 1),
-       t AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt,
-               count(*) AS v FROM c)
+       t AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+               CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+               count(*) AS v FROM c),
+       wc AS (SELECT w, c_raw, c_tgt, t_raw, t_tgt, v
+              FROM c CROSS JOIN t)$stages,
+       sc AS (SELECT w, ${DetLn.microSql("ln_a - ln_b")} AS lr_micro
+              FROM $fin)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(CAST(sum(CAST(round(ln((c.c_tgt + 1.0) / (t.t_tgt + t.v))
-               - ln(c.c_raw * 1.0 / t.t_raw), 6) AS DECIMAL(18,6)))
-             AS DOUBLE) / count(*), 4) AS dsir_logweight
-       FROM tok JOIN c USING (w) CROSS JOIN t
+         ${DetLn.avg4Sql("sum(lr_micro)", "count(*)")} AS dsir_logweight
+       FROM tok JOIN sc USING (w)
        GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   /** q58: TF-IDF keyword extraction — each document's top-3 terms by
     * tf·idf (raw term count × ln(N/df)), the classic salient-term
@@ -515,25 +543,34 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    terms.join(df_, "term")
-      .withColumn("score",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    // idf = lnFix(N) − lnFix(df): DetLn's engine-invariant log of the
+    // exact integer ratio, staged on the vocabulary-sized df table;
+    // deterministic 4-dp quantization replaces round() (libm-free)
+    val dfScored = DetLn.withLnFix(
+      DetLn.withLnFix(df_, "ln_n", n.toString), "ln_d", "df")
+    terms.join(dfScored, "term")
+      .withColumn("score", expr(DetLn.fix4Sql(
+        "CAST(tf AS DOUBLE) * (ln_n - ln_d)")))
+      .drop("ln_n", "ln_d")
       .withColumn("term_rank", row_number().over(w).cast("int"))
       .filter(col("term_rank") <= topK)
       .select(col("doc_id"), col("term_rank"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("term_rank"))
   }
 
-  val tfidfOracle: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  val tfidfOracle: String = {
+    val (stages, fin) = DetLn.oracleLnStages("dfn", "f", Seq("term", "df", "n"),
+      Seq("ln_n" -> "n", "ln_d" -> "df"))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
        n AS (SELECT count(*) AS n FROM documents),
+       dfn AS (SELECT term, df, n FROM dfq CROSS JOIN n)$stages,
        scored AS (
          SELECT tf.doc_id, tf.term,
-           round(tf.tf * ln(n.n * 1.0 / dfq.df), 4) AS score
-         FROM tf JOIN dfq USING (term) CROSS JOIN n),
+           ${DetLn.fix4Sql("CAST(tf AS DOUBLE) * (ln_n - ln_d)")} AS score
+         FROM tf JOIN $fin USING (term)),
        ranked AS (
          SELECT doc_id, term, score,
            CAST(row_number() OVER (PARTITION BY doc_id
@@ -541,6 +578,7 @@ object TextAnalysis {
          FROM scored)
        SELECT doc_id, term_rank, term, score
        FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""
+  }
 
   val scrubOracle: String = {
     val repl = scrubPatterns.foldLeft("text") {
@@ -636,9 +674,11 @@ object TextAnalysis {
     * aggregates. Nothing vocabulary-sized shuffles, no window, no sort
     * beyond the final top-k.
     *
-    * Hash stability: per-term contributions round to 6dp and sum as
-    * DECIMAL(18,6) (exact, order-independent) before the final 4dp
-    * round — the same discipline as [[dsirWeights]]. */
+    * Hash stability: the idf is [[graft.functions.DetLn]]'s
+    * engine-invariant lnFix of the exact integer ratio (2N+2)/(2df+1);
+    * per-term contributions quantize to BIGINT micro-nats (exact,
+    * order-independent summation) — the same discipline as
+    * [[dsirWeights]]. */
   def bm25(spark: SparkSession, dir: String,
       queryTerms: Seq[String] = Seq("hash", "join", "stream"),
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame =
@@ -665,28 +705,48 @@ object TextAnalysis {
     // two bounded scalars (corpus size, total token count) — not data rows
     val sc = perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = sc.getLong(0)
-    val avgdl = sc.getLong(1).toDouble / n
+    val tot = sc.getLong(1)
     val stackExpr = s"stack(${queryTerms.length}, " +
       queryTerms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (w, tf)"
     val tf = perDoc.select(col("doc_id"), col("dl"), expr(stackExpr))
       .filter(col("tf") > 0)
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val part = round(
-      log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * (k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 6)
-      .cast("decimal(18,6)")
-    tf.join(broadcast(dfT), "w")
-      .withColumn("part", part)
+    // idf = ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)): an exact
+    // integer ratio, scored with DetLn's engine-invariant lnFix; the
+    // per-term contribution quantizes to BIGINT micro-nats (exact,
+    // order-free summation — the round-6dp/round-4dp libm knife edges
+    // are structurally gone)
+    val dfScored = DetLn.withLnFix(DetLn.withLnFix(dfT,
+      "ln_a", (2 * n + 2).toString), "ln_b", "2 * df + 1")
+    tf.join(broadcast(dfScored), "w")
+      .withColumn("part_micro",
+        expr(DetLn.microSql(bm25PartSql(k1, b, n.toString, tot.toString))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
-        round(sum(col("part")).cast("double"), 4).as("bm25"))
+        sum(col("part_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        expr(DetLn.micro4Sql("sum_micro")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
 
-  val bm25Oracle: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  /** Shared Spark/oracle text for the BM25 per-term factor that
+    * multiplies the idf (columns: tf, dl, ln_a, ln_b; `nSql`/`totSql`
+    * are the corpus scalars — literals on the Spark side, columns in
+    * the oracle; identical doubles either way). k1/b round-trip through
+    * a string cast so any double renders portably in both engines. */
+  private def bm25PartSql(k1: Double, b: Double,
+      nSql: String, totSql: String): String = {
+    val (k1s, bs) = (s"CAST('$k1' AS DOUBLE)", s"CAST('$b' AS DOUBLE)")
+    s"(ln_a - ln_b) * (CAST(tf AS DOUBLE) * ($k1s + 1e0)) / " +
+      s"(CAST(tf AS DOUBLE) + $k1s * ((1e0 - $bs) + " +
+      s"$bs * CAST(dl AS DOUBLE) / ($totSql * 1e0 / $nSql)))"
+  }
+
+  val bm25Oracle: String = {
+    val (stages, fin) = DetLn.oracleLnStages("dfn", "m", Seq("w", "df", "n"),
+      Seq("ln_a" -> "2 * n + 2", "ln_b" -> "2 * df + 1"))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),
        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
               FROM tok GROUP BY 1),
@@ -694,13 +754,15 @@ object TextAnalysis {
               WHERE w IN ('hash', 'join', 'stream') GROUP BY 1, 2),
        dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(dl) AS BIGINT) AS tot FROM dl)
+                CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       dfn AS (SELECT w, df, n FROM dfq CROSS JOIN sc)$stages,
+       parts AS (SELECT doc_id,
+           ${DetLn.microSql(bm25PartSql(1.2, 0.75, "sc.n", "sc.tot"))}
+             AS part_micro
+         FROM tf JOIN $fin USING (w) JOIN dl USING (doc_id) CROSS JOIN sc)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-         round(CAST(sum(CAST(round(
-             ln(1.0 + (sc.n * 1.0 - df + 0.5) / (df + 0.5))
-               * (tf * (1.2 + 1.0))
-               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sc.tot * 1.0 / sc.n))),
-             6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
-       FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN sc
+         ${DetLn.micro4Sql("sum(part_micro)")} AS bm25
+       FROM parts
        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
 }

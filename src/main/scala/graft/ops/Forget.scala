@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object Forget {
 
+  /** Directory name Spark/Hive use for a null partition value. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Delete every row of the parquet dataset at `dir` whose `keyCol`
     * appears in `forgetKeys`, rewriting only affected `partitionCol`
     * partitions. Returns the audit DataFrame (partition, n_deleted) —
@@ -41,15 +44,21 @@ object Forget {
     import spark.implicits._
     val keys = forgetKeys.select(col(keyCol)).distinct()
     val target = spark.read.parquet(dir)
+    // null partition values are written by Spark as the Hive default
+    // directory — normalize them to that name so the affected set, the
+    // rewrite filter, and the emptied-directory cleanup all agree (a
+    // REAL string value equal to the sentinel would collide; Hive-style
+    // partitioning cannot distinguish the two on disk either)
+    val partNorm = coalesce(col(partitionCol).cast("string"),
+      lit(HiveDefaultPartition))
     // partitions that actually hold a to-be-forgotten row (bounded:
     // one string per affected partition)
     val affected = target.join(broadcast(keys), Seq(keyCol), "left_semi")
-      .groupBy(col(partitionCol).cast("string").as("partition"))
+      .groupBy(partNorm.as("partition"))
       .agg(count(lit(1)).as("n_deleted"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (affected.nonEmpty) {
-      val inAffected =
-        col(partitionCol).cast("string").isInCollection(affected.keys.toSeq)
+      val inAffected = partNorm.isInCollection(affected.keys.toSeq)
       val kept = target.filter(inAffected)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         // materialize BEFORE the overwrite starts deleting what it reads
@@ -57,7 +66,7 @@ object Forget {
       kept.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol).parquet(dir)
-      val written = kept.select(col(partitionCol).cast("string"))
+      val written = kept.select(partNorm)
         .distinct().collect().map(_.getString(0)).toSet
       (affected.keySet -- written).foreach { v =>
         val p = new org.apache.hadoop.fs.Path(dir, s"$partitionCol=$v")

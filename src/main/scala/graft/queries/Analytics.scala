@@ -710,13 +710,15 @@ object Analytics {
            AS BIGINT) AS n_kept
        FROM g GROUP BY 1, 2 ORDER BY user_id, event_type"""
 
-  /** q108: market-basket association rules over supplier pairs — for
-    * every supplier pair co-occurring in ≥ 25 orders, the A-priori
-    * trio: support count, confidence P(b|a) and lift
-    * P(a,b)/(P(a)·P(b)). Orders are the baskets; the supplier
-    * item-space keeps the pair lattice dense enough for real support
-    * counts at test scale. Both directions of each pair are emitted
-    * (confidence is asymmetric), ranked by lift.
+  /** q108: market-basket association rules over supplier NATIONS — for
+    * every nation pair co-occurring in at least max(1, baskets/200)
+    * orders (0.5% min-support), the A-priori trio: support count,
+    * confidence P(b|a) and lift P(a,b)/(P(a)·P(b)). Orders are the
+    * baskets; items are each line's supplier nation (25 at every sf),
+    * because raw-supplier density FALLS as TPC-H scales and would leave
+    * an empty lattice at bench scale — see the inline comment. Both
+    * directions of each pair are emitted (confidence is asymmetric),
+    * ranked by lift.
     *
     * Exactness: support counts are integers; confidence and lift are
     * single divisions of longs rounded to 6 dp (no summation of

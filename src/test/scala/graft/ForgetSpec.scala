@@ -72,4 +72,27 @@ class ForgetSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir)
       .filter(col("o_orderpriority") === "1-URGENT").count() == 0)
   }
+
+  test("null partition values delete, clean up, and audit via the Hive " +
+      "default directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-forget3")
+      .toString + "/t"
+    Seq((1L, Option("a")), (2L, Option("a")), (3L, None), (4L, None))
+      .toDF("k", "p").write.partitionBy("p").parquet(dir)
+    val hiveDir = s"$dir/p=${Forget.HiveDefaultPartition}"
+    assert(new java.io.File(hiveDir).exists())
+    // delete one of the two null-partition rows: partition rewritten
+    val audit = Forget.forgetFromParquet(spark, dir, "k",
+      Seq(3L).toDF("k"), "p")
+    assert(audit.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq((Forget.HiveDefaultPartition, 1L)))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3 && after.filter(col("k") === 3L).count() == 0)
+    assert(after.filter(col("p").isNull).count() == 1)
+    // delete the last null-partition row: emptied directory removed
+    Forget.forgetFromParquet(spark, dir, "k", Seq(4L).toDF("k"), "p")
+    assert(!new java.io.File(hiveDir).exists())
+    assert(spark.read.parquet(dir).count() == 2)
+  }
 }
