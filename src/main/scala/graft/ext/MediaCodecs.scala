@@ -1,15 +1,16 @@
 package graft.ext
 
-/** Pure-JVM pixel/sample codecs for the UNCOMPRESSED media formats — the
-  * part of content-level decode that needs no codec library, so it is
-  * implemented for real (the container-header-only path in
-  * [[MediaHeaders]] remains for compressed codecs, whose entropy decode
-  * genuinely needs a library this environment doesn't ship):
+/** Pure-JVM pixel/sample codecs — every format whose decode needs no
+  * EXTERNAL library is implemented for real (the container-header-only
+  * path in [[MediaHeaders]] remains for compressed audio, whose entropy
+  * decode genuinely needs a library this environment doesn't ship):
   *
   *   - BMP  (BITMAPINFOHEADER, 24-bpp BI_RGB): bottom-up padded BGR rows
   *   - PPM  (P6 binary): ASCII header + raw top-down RGB rows
   *   - PGM  (P5 binary): ASCII header + raw top-down gray rows
   *   - WAV  (RIFF PCM, 8/16-bit): fmt + data chunk sample decode
+  *   - PNG / JPEG: real entropy decode/encode through the JDK's bundled
+  *     `javax.imageio` plugins (public standard-library API)
   *
   * Both directions are implemented — encode synthesizes
   * standards-compliant files (used by tests and by the media-payload
@@ -54,12 +55,110 @@ object MediaCodecs {
 
   // ---------------------------------------------------------------- images
 
-  /** Decode any supported uncompressed raster; None for other formats. */
+  /** Decode any supported raster — uncompressed (BMP/PNM, pure-JVM
+    * parsers below) or compressed (PNG/JPEG via the JDK's public
+    * `javax.imageio` plugins); None for other formats. */
   def decodeImage(b: Array[Byte]): Option[ImagePixels] =
     if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
       decodePnm(b)
-    else None
+    else decodeImageIO(b)
+
+  // ------------------------------- compressed rasters (JDK javax.imageio)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** REAL entropy decode for PNG and JPEG through the JDK's bundled
+    * ImageIO plugins — a public standard-library API, no external
+    * dependency. Magic-sniffed first so non-raster payloads (WAV, text)
+    * never pay the ImageIO dispatch cost. Gray stays 1-channel; any
+    * color model lands as interleaved RGB. Per-row compute inside the
+    * mapPartitions batch, like every other codec here. */
+  def decodeImageIO(b: Array[Byte]): Option[ImagePixels] = {
+    if (!isPng(b) && !isJpeg(b)) return None
+    val fmt = if (isPng(b)) "png" else "jpeg"
+    val bi =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      catch { case _: java.io.IOException => None }
+    bi.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      if (im.getColorModel.getNumColorComponents == 1) {
+        val out = new Array[Byte](w * h)
+        val raster = im.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1
+          }
+          y += 1
+        }
+        ImagePixels(fmt, w, h, 1, out)
+      } else {
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val d = (y * w + x) * 3
+            out(d) = ((rgb >> 16) & 0xff).toByte
+            out(d + 1) = ((rgb >> 8) & 0xff).toByte
+            out(d + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        ImagePixels(fmt, w, h, 3, out)
+      }
+    }
+  }
+
+  private def toBufferedImage(img: ImagePixels)
+      : java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    val t = if (img.channels == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val bi = new BufferedImage(img.width, img.height, t)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * img.channels
+        if (img.channels == 1)
+          // write the gray sample straight into the raster — setRGB
+          // would route through sRGB→gray color conversion (gamma) and
+          // distort the stored value
+          bi.getRaster.setSample(x, y, 0, img.pixels(s) & 0xff)
+        else
+          bi.setRGB(x, y,
+            ((img.pixels(s) & 0xff) << 16) |
+              ((img.pixels(s + 1) & 0xff) << 8) | (img.pixels(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    bi
+  }
+
+  private def imageIOBytes(img: ImagePixels, ioFormat: String)
+      : Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(img), ioFormat, baos)
+    baos.toByteArray
+  }
+
+  /** Lossless PNG encode (JDK ImageIO). */
+  def encodePng(img: ImagePixels): Array[Byte] = imageIOBytes(img, "png")
+
+  /** JPEG encode at the plugin's default quality (JDK ImageIO); lossy —
+    * round trips preserve dimensions exactly and values approximately. */
+  def encodeJpeg(img: ImagePixels): Array[Byte] = imageIOBytes(img, "jpg")
 
   /** BMP, BITMAPINFOHEADER 24-bpp BI_RGB only (the uncompressed common
     * case); rows are bottom-up and padded to 4 bytes, samples BGR. */
@@ -125,10 +224,13 @@ object MediaCodecs {
     Some(ImagePixels(if (channels == 3) "ppm" else "pgm", w, h, channels, out))
   }
 
-  /** Encode to the raster's native container (bmp / ppm / pgm). */
+  /** Encode to the raster's native container (bmp / ppm / pgm / png /
+    * jpeg). */
   def encodeImage(img: ImagePixels): Array[Byte] = img.format match {
-    case "bmp" => encodeBmp(img)
-    case _     => encodePnm(img)
+    case "bmp"  => encodeBmp(img)
+    case "png"  => encodePng(img)
+    case "jpeg" => encodeJpeg(img)
+    case _      => encodePnm(img)
   }
 
   def encodeBmp(img: ImagePixels): Array[Byte] = {

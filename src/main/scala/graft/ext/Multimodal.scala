@@ -7,8 +7,10 @@ import graft.Tables
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
   * with typed metadata alongside. The Spark-side machinery — schema,
   * batch-oriented per-partition processing, partition sizing — is real and
-  * tested; the actual codec step is STUBBED (deterministic fake decode)
-  * because no image/audio libraries ship in this container.
+  * tested. Decode is REAL for BMP/PPM/PGM/WAV (pure-JVM parsers) and for
+  * PNG/JPEG (the JDK's public `javax.imageio` plugins — no external
+  * library); only compressed AUDIO codecs (FLAC/MP3/...) remain stubbed
+  * with a deterministic fake, since no audio codec ships in the JDK.
   *
   * Scale posture: payload bytes travel inside the row (Parquet binary
   * column), so partition sizing is governed by
@@ -162,11 +164,12 @@ object Multimodal {
 
   /** Deterministically synthesize a standards-compliant media payload
     * from a document row (the corpus ships no real media): BMP / PPM /
-    * PGM rasters whose pixels are the text bytes, or a 16-bit PCM WAV
-    * whose samples are derived from them. Synthesis goes through
-    * [[MediaCodecs]]' ENCODERS only; the decode queries below go through
-    * its DECODERS only — separate code paths, so the round trip is a
-    * genuine codec exercise, not an echo. */
+    * PGM / PNG / JPEG rasters whose pixels are the text bytes, or a
+    * 16-bit PCM WAV whose samples are derived from them. Synthesis goes
+    * through [[MediaCodecs]]' ENCODERS only; the decode queries below go
+    * through its DECODERS only — separate code paths (and for PNG/JPEG
+    * a real entropy codec in between), so the round trip is a genuine
+    * codec exercise, not an echo. */
   def synthesizeMedia(id: Long, text: Array[Byte]): Array[Byte] = {
     val src = if (text.isEmpty) Array[Byte](42) else text
     def raster(format: String, channels: Int): MediaCodecs.ImagePixels = {
@@ -177,10 +180,12 @@ object Multimodal {
       while (i < px.length) { px(i) = src(i % src.length); i += 1 }
       MediaCodecs.ImagePixels(format, w, h, channels, px)
     }
-    math.floorMod(id, 4) match {
+    math.floorMod(id, 6) match {
       case 0 => MediaCodecs.encodeBmp(raster("bmp", 3))
       case 1 => MediaCodecs.encodePnm(raster("ppm", 3))
       case 2 => MediaCodecs.encodePnm(raster("pgm", 1))
+      case 4 => MediaCodecs.encodePng(raster("png", 3))
+      case 5 => MediaCodecs.encodeJpeg(raster("jpeg", 3))
       case _ =>
         val n = math.min(2048, src.length * 4)
         val samples = new Array[Double](n)
@@ -219,7 +224,8 @@ object Multimodal {
   private def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
 
   /** Decode one payload into content stats; None when no real decoder
-    * applies (compressed codecs stay with the header-only stub path). */
+    * applies (compressed audio stays with the header-only stub path;
+    * rasters — including PNG/JPEG via ImageIO — decode for real). */
   def contentStatsOne(id: Long, payload: Array[Byte]): Option[ContentStats] =
     MediaCodecs.decodeImage(payload) match {
       case Some(img) =>

@@ -170,7 +170,9 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   test("compressed or malformed payloads refuse real decode (stub path keeps them)") {
-    assert(MediaCodecs.decodeImage(png(8, 8)).isEmpty) // compressed: header-only path
+    // header-only fixtures carry no entropy-coded data: ImageIO must
+    // refuse them cleanly (None), not throw into the task
+    assert(MediaCodecs.decodeImage(png(8, 8)).isEmpty)
     assert(MediaCodecs.decodeImage(jpeg(8, 8)).isEmpty)
     assert(MediaCodecs.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
     // crafted chunk size near Int.MaxValue must not wrap the offset
@@ -188,10 +190,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MediaCodecs.decodeBmp(bmp8).isEmpty)
   }
 
+  test("PNG round-trips pixels exactly; JPEG preserves geometry and " +
+      "approximate values (real ImageIO entropy codecs)") {
+    val px = Array.tabulate(12 * 5 * 3)(i => (i * 7 % 256).toByte)
+    val img = MediaCodecs.ImagePixels("png", 12, 5, 3, px)
+    val bytes = MediaCodecs.encodePng(img)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') // real PNG file
+    val dec = MediaCodecs.decodeImage(bytes).get
+    assert(dec.format == "png" && dec.width == 12 && dec.height == 5 &&
+      dec.channels == 3)
+    assert(dec.pixels.sameElements(px), "PNG is lossless")
+    // gray PNG stays 1-channel
+    val gpx = Array.tabulate(9 * 4)(i => (i * 11 % 256).toByte)
+    val gdec = MediaCodecs.decodeImage(MediaCodecs.encodePng(
+      MediaCodecs.ImagePixels("png", 9, 4, 1, gpx))).get
+    assert(gdec.channels == 1 && gdec.pixels.sameElements(gpx))
+    // JPEG: lossy — exact geometry, close values on a near-flat image
+    val flat = MediaCodecs.ImagePixels("jpeg", 16, 16, 3,
+      Array.fill(16 * 16 * 3)(120.toByte))
+    val jb = MediaCodecs.encodeJpeg(flat)
+    assert((jb(0) & 0xff) == 0xff && (jb(1) & 0xff) == 0xd8) // real JFIF
+    val jdec = MediaCodecs.decodeImage(jb).get
+    assert(jdec.format == "jpeg" && jdec.width == 16 && jdec.height == 16)
+    val (mean, std) = MediaCodecs.pixelStats(jdec)
+    assert(math.abs(mean - 120.0) < 2.0 && std < 2.0)
+  }
+
   test("synthesized media corpus decodes to content-level stats (q71 path)") {
     import spark.implicits._
     val docs = Seq(
-      (0L, "ab"), (1L, "hello world"), (2L, "xyz"), (3L, "ab"))
+      (0L, "ab"), (1L, "hello world"), (2L, "xyz"), (3L, "ab"),
+      (4L, "ab"), (5L, "ab"))
     val payloads = docs
       .map { case (id, t) => (id, Multimodal.synthesizeMedia(id, t.getBytes("UTF-8"))) }
       .toDF("doc_id", "payload")
@@ -210,6 +239,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(3L).duration_s.contains(0.001))
     // peak = max |(97|98 - 128)/128| quantized to 16-bit
     assert(math.abs(out(3L).peak.get - 31.0 / 128) < 1e-3)
+    // id 4: PNG (lossless) — identical stats to the BMP case
+    assert(out(4L).format == "png" && out(4L).kind == "image")
+    assert(out(4L).width.contains(10) && out(4L).height.contains(8))
+    assert(out(4L).px_mean.contains(97.5) && out(4L).px_std.contains(0.5))
+    // id 5: JPEG (lossy) — exact geometry, near-exact near-flat stats
+    assert(out(5L).format == "jpeg" && out(5L).kind == "image")
+    assert(out(5L).width.contains(10) && out(5L).height.contains(8))
+    assert(math.abs(out(5L).px_mean.get - 97.5) < 2.0)
   }
 
   test("q72 resize path: real box-filter resample, not the byte-fold stub") {
@@ -257,7 +294,7 @@ class MultimodalSpec extends SparkSpecBase {
   test("q101 audio-resample path halves frames at 8000->4000 on the synthesized corpus") {
     val out = Multimodal.resampleAudioStats(spark, sf0001, dstRate = 4000)
       .collect()
-    assert(out.nonEmpty, "corpus must contain WAV payloads (doc_id % 4 == 3)")
+    assert(out.nonEmpty, "corpus must contain WAV payloads (doc_id % 6 == 3)")
     out.foreach { r =>
       val (src, dst) = (r.getAs[Int]("src_rate"), r.getAs[Int]("rate"))
       val (sf, f) = (r.getAs[Int]("src_frames"), r.getAs[Int]("frames"))
