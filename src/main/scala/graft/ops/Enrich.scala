@@ -23,11 +23,35 @@ object Enrich {
     df.agg(coalesce(max(col(keyCol)).cast("long"), lit(0L)))
       .head().getLong(0)
 
+  /** Hard cap for the dim-only global-window paths: a dimension table
+    * (one row per simulation) is orders of magnitude below this; a fact
+    * table is orders of magnitude above. */
+  val DimRowCap: Long = 1000000L
+
+  /** Misuse guard for the single-partition row_number paths: fail fast
+    * when the input is not dimension-sized, BEFORE shipping it into a
+    * global window. Bounded probe — `limit(cap+1).count()` stops reading
+    * once cap+1 rows are found, so the check costs O(cap) even when the
+    * caller mistakenly feeds a 100 TB fact table. */
+  private[graft] def requireDimSized(df: DataFrame, cap: Long,
+      what: String): Unit = {
+    val n = df.limit((cap + 1).toInt).count()
+    require(n <= cap,
+      s"$what is a dim-only operator (global single-partition window) " +
+        s"and its input exceeds $cap rows; number fact-scale data with " +
+        "monotonically_increasing_id or a partitioned window instead")
+  }
+
   /** H4/J3 — dim surrogate numbering: PG-sequence semantics as row_number
     * over (date_run, simulation_id), offset by the existing high-water
     * mark so re-runs continue the sequence. Single-partition window by
-    * design — the dim table is one row per simulation, never fact-scale. */
-  def numberDim(newDim: Dataset[Metadata], startFrom: Long): DataFrame = {
+    * design — the dim table is one row per simulation, never fact-scale —
+    * and [[requireDimSized]] enforces that contract (throws above
+    * `maxDimRows` rather than silently serializing a fact table through
+    * one partition). */
+  def numberDim(newDim: Dataset[Metadata], startFrom: Long,
+      maxDimRows: Long = DimRowCap): DataFrame = {
+    requireDimSized(newDim.toDF(), maxDimRows, "numberDim")
     val w = Window.orderBy(col("date_run"), col("simulation_id"))
     newDim.toDF()
       .withColumn("simulation_num",

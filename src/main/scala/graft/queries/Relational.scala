@@ -108,8 +108,12 @@ object Relational {
   def q06DimNumbering(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-    o.filter(col("o_orderpriority") === "1-URGENT")
+    val dim = o.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
+    // same dim-only contract (and guard) as Enrich.numberDim
+    graft.ops.Enrich.requireDimSized(dim, graft.ops.Enrich.DimRowCap,
+      "q06DimNumbering")
+    dim
       .withColumn("sim_num", row_number().over(w))
       .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"), col("sim_num"))

@@ -17,24 +17,37 @@ import graft.ops.{Merge, Scd}
   *      stored `last_version` for that key lost to an earlier batch
   *      (cross-batch out-of-order delivery — the guard plain MERGE
   *      lacks; within a batch step 1 already ordered by version);
-  *   3. one [[Merge.mergeIntoParquet]]: tombstone winners delete
-  *      (`deleteWhen` on the op column, carried via extraSourceCols),
-  *      everything else upserts. Only partitions holding affected keys
-  *      or receiving rows are rewritten; emptied partition dirs are
-  *      removed.
+  *   3. one [[Merge.mergeIntoParquet]] upsert. Only partitions holding
+  *      affected keys or receiving rows are rewritten; a partition
+  *      emptied by a cross-partition move is removed.
+  *
+  * TOMBSTONES ARE RETAINED, not physically deleted: a delete upserts
+  * the key's row with `_deleted = true` and the tombstone's version as
+  * `last_version`. This is what makes the staleness guard total — if a
+  * delete removed the row (round 6's behavior), a later-arriving batch
+  * carrying an OLDER upsert for that key would see no stored offset and
+  * silently resurrect deleted data. With the watermark row retained,
+  * stale post-delete upserts compare against the tombstone's version
+  * and drop; only a GENUINELY newer version revives the key. The same
+  * mechanism lets tombstones for keys the target never saw insert a
+  * watermark row, closing the same race for never-seen keys.
+  *
+  * Readers consume the live view via [[readTable]] (filters
+  * `_deleted`). Tombstone rows are key-plus-watermark-sized, not
+  * payload-sized, but they do accumulate; [[vacuumTombstones]] prunes
+  * the ones old enough that no out-of-order delivery can still
+  * reference them — the retention horizon is the pipeline's maximum
+  * delivery skew, the standard grace-period contract.
   *
   * The target table's schema is keys ++ payload ++ `last_version` ++
-  * partition column — `last_version` is both the out-of-order guard
-  * and the audit trail of WHICH feed offset a row reflects.
+  * `_deleted` ++ partition column — `last_version` is both the
+  * out-of-order guard and the audit trail of WHICH feed offset a row
+  * reflects.
   *
   * Re-run idempotence: the same batch against the post-merge target is
-  * a no-op — every upsert rewrites equal values (its version equals the
-  * stored one... and equal versions are treated as stale, so the
-  * re-run's winners all drop at step 2), every delete finds no key.
-  * Tombstones for keys the target never saw (or already deleted) merge
-  * as "matched: none, deleteWhen: irrelevant" — they INSERT unless
-  * filtered, so step 3 drops not-matched tombstones explicitly before
-  * merging.
+  * a no-op — every winner's version equals the stored one, equal
+  * versions are stale, so every winner (upsert AND tombstone) drops at
+  * step 2.
   *
   * Scale: state lives entirely in the partitioned parquet table; the
   * per-batch cost is one map-side-combinable compaction of the batch,
@@ -53,41 +66,72 @@ object StreamingCdc {
     val spark = batch.sparkSession
     val winners = Scd.applyChangelogKeepOps(batch, keys, version, op,
       payload :+ partitionCol).localCheckpoint()
-    val targetCols = keys ++ payload ++ Seq("last_version", partitionCol)
-    val source = winners.withColumnRenamed(op, "_cdc_op")
+    val targetCols =
+      keys ++ payload ++ Seq("last_version", "_deleted", partitionCol)
+    val source = winners
+      .withColumn("_deleted", col(op) === "D")
+      .select(targetCols.map(col): _*)
     val existing =
       try Some(spark.read.parquet(targetDir)) catch {
         case _: org.apache.spark.sql.AnalysisException => None
       }
     existing match {
       case None =>
-        // bootstrap: no target yet — surviving rows become the table
+        // bootstrap: no target yet — every winner becomes a row,
+        // tombstones included (they are the keys' version watermarks).
         // overwrite: "no readable table" includes an existing-but-empty
         // directory (fresh checkout, failed first attempt)
-        source.filter(col("_cdc_op") =!= "D")
-          .select(targetCols.map(col): _*)
-          .write.mode("overwrite").partitionBy(partitionCol)
+        source.write.mode("overwrite").partitionBy(partitionCol)
           .parquet(targetDir)
       case Some(target) =>
         // cross-batch out-of-order guard: drop winners at or below the
-        // stored offset for their key (also what makes re-runs no-ops)
+        // stored offset for their key (also what makes re-runs no-ops).
+        // Tombstone rows participate like any other — a delete's
+        // watermark blocks stale post-delete upserts
         val stored = target.select(
           (keys.map(col) :+ col("last_version").as("_stored_v")): _*)
         val fresh = source.join(stored, keys, "left_outer")
           .filter(col("_stored_v").isNull ||
             col("last_version") > col("_stored_v"))
           .drop("_stored_v")
-        // a tombstone for a key the target doesn't hold would INSERT
-        // under merge semantics — drop those before merging
-        val applicable = fresh.join(target.select(keys.map(col): _*),
-            keys, "left_semi")
-          .unionByName(fresh.filter(col("_cdc_op") =!= "D")
-            .join(target.select(keys.map(col): _*), keys, "left_anti"))
         Merge.mergeIntoParquet(spark, targetDir,
-          applicable.localCheckpoint(), keys, partitionCol,
-          deleteWhen = Some(col("s._cdc_op") === "D"),
-          extraSourceCols = Seq("_cdc_op"))
+          fresh.localCheckpoint(), keys, partitionCol)
     }
+  }
+
+  /** Live view of the CDC table: rows whose latest change is a delete
+    * exist only as version watermarks — hidden from consumers. */
+  def readTable(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir)
+      .filter(!col("_deleted")).drop("_deleted")
+
+  /** Physically remove tombstone rows whose version is below
+    * `horizonVersion` — i.e. old enough that, per the pipeline's
+    * delivery-skew contract, no out-of-order change referencing them
+    * can still arrive. Rewrites only partitions holding an expirable
+    * tombstone (copy-on-write, like the merge itself); partitions left
+    * empty are removed. Returns the rewritten partition values. */
+  def vacuumTombstones(spark: SparkSession, targetDir: String,
+      partitionCol: String, horizonVersion: Long): Seq[String] = {
+    val t = spark.read.parquet(targetDir)
+    val expired = col("_deleted") && col("last_version") < horizonVersion
+    val parts = t.filter(expired)
+      .select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (parts.isEmpty) return Nil
+    val inParts = col(partitionCol).cast("string").isInCollection(parts)
+    val kept = t.filter(inParts && !expired).localCheckpoint(true)
+    val written = kept.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(targetDir)
+    parts.filterNot(written).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(targetDir, s"$partitionCol=$v")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    parts
   }
 
   /** Start the stage over a streaming changelog frame. */

@@ -48,4 +48,18 @@ class EnrichSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getInt(1))).toMap
     assert(numbered == Map("a" -> 11, "c" -> 12, "b" -> 13))
   }
+
+  test("numberDim fails fast on fact-sized input instead of feeding a " +
+      "global window") {
+    val meta = (1 to 4).map(i =>
+      Metadata(s"s$i", "r", 1.0, 1, 2, 300, Date.valueOf("2024-03-01"),
+        "ok", 1)).toDS()
+    val e = intercept[IllegalArgumentException] {
+      Enrich.numberDim(meta, startFrom = 0, maxDimRows = 3)
+    }
+    assert(e.getMessage.contains("dim-only"))
+    // at the cap is still fine
+    assert(Enrich.numberDim(meta, startFrom = 0, maxDimRows = 4)
+      .count() == 4)
+  }
 }
