@@ -93,14 +93,55 @@ object Expect {
     * only if green. Returns the report rows; `published` tells the
     * caller whether the swap happened. The publish is two renames on
     * a filesystem with atomic directory rename (HDFS/local); object
-    * stores want their committer — documented, not hidden. */
+    * stores want their committer — documented, not hidden.
+    *
+    * Generations and retention: each publish retires the live dir to
+    * `<live>.previous-<n>` (monotone n) and then prunes to the newest
+    * `retainGenerations` — bounded storage at production cadence, with
+    * [[rollback]] able to restore the most recent retired generation.
+    *
+    * Crash window (documented, inherent to a rename swap without a
+    * pointer indirection): between the retire rename and the publish
+    * rename there is an instant where NO live directory exists — a
+    * crash there, or a concurrent reader listing at that instant,
+    * observes the table missing (never half-written). Manual recovery:
+    * rename the newest `<live>.previous-<n>` back to `<live>` (or call
+    * [[rollback]]); the freshly staged data is still at
+    * `<live>.staging`. A deployment that cannot tolerate the
+    * missing-directory instant should layer a versioned-directory-plus-
+    * pointer scheme on top; this gate keeps the filesystem-only
+    * contract. */
   final case class WapResult(published: Boolean,
       report: Seq[(String, Long, Long, Int)])
 
+  private def genSeq(liveDir: String) = {
+    val name = new org.apache.hadoop.fs.Path(liveDir).getName
+    (s"\\Q$name.previous-\\E(\\d+)").r
+  }
+
+  /** Retired generations of `liveDir`, newest first: (n, path). */
+  def previousGenerations(spark: SparkSession, liveDir: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val live = new org.apache.hadoop.fs.Path(
+      liveDir.stripSuffix("/"))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = live.getParent
+    val re = genSeq(liveDir.stripSuffix("/"))
+    if (!fs.exists(parent)) return Nil
+    fs.listStatus(parent).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case re(n) => Some((n.toInt, st.getPath))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+  }
+
   def writeAuditPublish(spark: SparkSession, df: DataFrame,
-      liveDir: String, expectations: Seq[Expectation]): WapResult = {
-    val staging = liveDir.stripSuffix("/") + ".staging"
-    val trash = liveDir.stripSuffix("/") + ".previous"
+      liveDir: String, expectations: Seq[Expectation],
+      retainGenerations: Int = 2): WapResult = {
+    require(retainGenerations >= 1, "retainGenerations must be >= 1")
+    val base = liveDir.stripSuffix("/")
+    val staging = base + ".staging"
     df.write.mode("overwrite").parquet(staging)
     val audited = spark.read.parquet(staging)
     val rep = report(audited, expectations).collect()
@@ -109,31 +150,62 @@ object Expect {
     val green = rep.forall(_._4 == 1)
     if (green) {
       val conf = spark.sessionState.newHadoopConf()
-      val live = new org.apache.hadoop.fs.Path(liveDir)
+      val live = new org.apache.hadoop.fs.Path(base)
       val fs = live.getFileSystem(conf)
       val stagingP = new org.apache.hadoop.fs.Path(staging)
-      val trashP = new org.apache.hadoop.fs.Path(trash)
+      val gens = previousGenerations(spark, base)
+      val trashP = new org.apache.hadoop.fs.Path(
+        base + ".previous-" + (gens.headOption.map(_._1 + 1).getOrElse(1)))
       // Hadoop rename signals failure by RETURNING FALSE, not throwing
       // — an unchecked swap could retire the live dir and then fail to
       // replace it while still reporting success. Check every step;
       // on a failed swap, restore the previous generation and fail
       // loud: the gate's promise is "live is old or new, and the
       // result says which".
-      if (fs.exists(trashP) && !fs.delete(trashP, true))
-        throw new IllegalStateException(s"cannot clear $trash")
       val hadLive = fs.exists(live)
       if (hadLive && !fs.rename(live, trashP))
         throw new IllegalStateException(
-          s"cannot retire $liveDir to $trash; live table unchanged")
+          s"cannot retire $base to $trashP; live table unchanged")
       if (!fs.rename(stagingP, live)) {
         if (hadLive) fs.rename(trashP, live) // best-effort restore
         throw new IllegalStateException(
-          s"publish swap failed for $liveDir; previous generation " +
+          s"publish swap failed for $base; previous generation " +
             (if (hadLive) "restored" else "absent") +
             s", staged data remains at $staging")
       }
+      // retention: prune beyond the newest retainGenerations AFTER the
+      // confirmed swap — a failed prune never endangers live data
+      previousGenerations(spark, base).drop(retainGenerations)
+        .foreach { case (_, p) => fs.delete(p, true) }
     }
     WapResult(green, rep)
+  }
+
+  /** Restore the newest retired generation as the live table (the
+    * manual-recovery / bad-publish escape hatch). The current live dir,
+    * if any, is retired to the next generation slot first — rollback
+    * twice returns to where you started. False when there is nothing
+    * to roll back to. */
+  def rollback(spark: SparkSession, liveDir: String): Boolean = {
+    val base = liveDir.stripSuffix("/")
+    val live = new org.apache.hadoop.fs.Path(base)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = previousGenerations(spark, base)
+    gens.headOption match {
+      case None => false
+      case Some((n, newest)) =>
+        if (fs.exists(live)) {
+          val slot = new org.apache.hadoop.fs.Path(
+            base + ".previous-" + (n + 1))
+          if (!fs.rename(live, slot))
+            throw new IllegalStateException(
+              s"cannot retire $base for rollback; live table unchanged")
+        }
+        if (!fs.rename(newest, live))
+          throw new IllegalStateException(
+            s"rollback rename failed; previous generation remains at $newest")
+        true
+    }
   }
 
   /** q106: the contract suite over lineitem — two passing contracts,

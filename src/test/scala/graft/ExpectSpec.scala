@@ -97,8 +97,33 @@ class ExpectSpec extends SparkSpecBase {
     val r3 = Expect.writeAuditPublish(spark, better, live,
       Seq(Expect.inRange("v_0_10", "v", 0, 10)))
     assert(r3.published && spark.read.parquet(live).count() == 3)
-    // previous live generation retained as .previous
-    assert(spark.read.parquet(live + ".previous").count() == 2)
+    // previous live generation retained as .previous-1
+    assert(spark.read.parquet(live + ".previous-1").count() == 2)
+  }
+
+  test("write-audit-publish prunes generations beyond the retention " +
+      "knob; rollback restores the newest retired one") {
+    val live = tmp() + "/table"
+    val exp = Seq(Expect.inRange("v_0_10", "v", 0, 10))
+    def pub(vals: Double*) =
+      Expect.writeAuditPublish(spark, vals.toSeq.toDF("v"), live, exp,
+        retainGenerations = 2)
+    pub(1.0)           // gen: live=1
+    pub(2.0)           // previous-1 = [1]
+    pub(3.0)           // previous-1..2
+    pub(4.0)           // previous-2..3, previous-1 pruned
+    val gens = Expect.previousGenerations(spark, live)
+    assert(gens.map(_._1) == Seq(3, 2), s"got $gens")
+    assert(!new java.io.File(live + ".previous-1").exists())
+    assert(spark.read.parquet(live + ".previous-3").head().getDouble(0) == 3.0)
+    // rollback to N-1 (the 3.0 generation) still works after pruning
+    assert(Expect.rollback(spark, live))
+    assert(spark.read.parquet(live).head().getDouble(0) == 3.0)
+    // the displaced live (4.0) was retired, so rollback is reversible
+    assert(Expect.rollback(spark, live))
+    assert(spark.read.parquet(live).head().getDouble(0) == 4.0)
+    // nothing to roll back to on a fresh table
+    assert(!Expect.rollback(spark, tmp() + "/empty"))
   }
 
   test("streaming gate routes whole batches: green to live, red to quarantine with report") {
