@@ -178,7 +178,9 @@ object SparkEntry {
     "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramLogprob(s, d)),
     "q108_assoc_rules" -> ((s: SparkSession, d: String) =>
-      Analytics.q108AssocRules(s, d))
+      Analytics.q108AssocRules(s, d)),
+    "q109_audio_resample_exact" -> ((s: SparkSession, d: String) =>
+      Multimodal.resampleAudioExact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,6 +394,7 @@ object SparkEntry {
     "q105_pagerank" -> graft.ops.PageRank.q105Oracle,
     "q106_expectations" -> graft.ops.Expect.q106Oracle,
     "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle,
-    "q108_assoc_rules" -> Analytics.q108Oracle
+    "q108_assoc_rules" -> Analytics.q108Oracle,
+    "q109_audio_resample_exact" -> Multimodal.resampleAudioExactOracle
   )
 }

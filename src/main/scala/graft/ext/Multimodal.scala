@@ -314,4 +314,64 @@ object Multimodal {
         "n_bytes", "duration_s", "rms", "peak")
       .orderBy(col("doc_id"))
   }
+
+  /** q109: integer-exact ORACLED twin of q101 (the q70-twin pattern) —
+    * the same synthesize → WAV-encode → decode → resample pipeline, but
+    * reporting integer sufficient statistics of the resampled signal:
+    * Σ|s16| and max|s16| of the 16-bit sample values, plus frame
+    * counts. At the 8000→4000 contract rate every output frame is an
+    * EXACT copy of source frame 2j (even frame count, integral step),
+    * the encoder's quantizer round((v−128)·32767/128) is
+    * integer-computable, and decode's /2^15 normalization is exact in
+    * doubles — so a DuckDB oracle recomputes the identical integers
+    * from `documents.text` alone (hex-string byte extraction), turning
+    * the previously rows-only audio path into a hash-gated one. */
+  def resampleAudioExact(spark: SparkSession, dir: String,
+      dstRate: Int = 4000): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeWav(p).map { a =>
+          val r = MediaCodecs.resamplePcm(a, dstRate)
+          // s·2^15 recovers the stored 16-bit int exactly (s = s16/2^15)
+          var sumAbs = 0L
+          var peak = 0L
+          var i = 0
+          while (i < r.samples.length) {
+            val s = math.abs(math.round(r.samples(i) * 32768.0))
+            sumAbs += s
+            if (s > peak) peak = s
+            i += 1
+          }
+          (id, a.nFrames.toLong, r.nFrames.toLong, sumAbs, peak.toInt)
+        }
+      })
+      .toDF("doc_id", "src_frames", "frames", "sum_abs", "peak_i")
+      .orderBy(col("doc_id"))
+  }
+
+  val resampleAudioExactOracle: String =
+    """WITH wavdocs AS (SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN '2A'
+              ELSE hex(encode(text)) END AS hx,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE octet_length(encode(text)) END AS len
+       FROM documents WHERE doc_id % 6 = 3),
+       par AS (SELECT doc_id, hx, len, least(2048, len * 4) AS n
+               FROM wavdocs),
+       idx AS (SELECT doc_id, hx, len, n, unnest(range(0, n, 2)) AS i
+               FROM par),
+       samp AS (SELECT doc_id, n,
+           CAST(('0x' || substr(hx, ((i % len) * 2) + 1, 2))::INTEGER
+             AS BIGINT) AS v
+         FROM idx),
+       s16 AS (SELECT doc_id, n,
+           CAST(floor((v - 128) * 32767 / 128.0 + 0.5) AS BIGINT) AS s
+         FROM samp)
+       SELECT doc_id, CAST(n AS BIGINT) AS src_frames,
+         CAST(n // 2 AS BIGINT) AS frames,
+         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(s)) AS INT) AS peak_i
+       FROM s16 GROUP BY doc_id, n ORDER BY doc_id"""
 }
