@@ -175,7 +175,11 @@ object ScaleSmoke {
       "q107_bigram_logprob" -> ((s: SparkSession, d: String) =>
         graft.ext.TextAnalysis.bigramLogprob(s, d)),
       "q108_assoc_rules" -> ((s: SparkSession, d: String) =>
-        graft.queries.Analytics.q108AssocRules(s, d))
+        graft.queries.Analytics.q108AssocRules(s, d)),
+      "q97_grouping_sets" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q97GroupingSets(s, d)),
+      "q109_audio_exact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.resampleAudioExact(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

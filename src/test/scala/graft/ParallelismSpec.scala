@@ -17,7 +17,11 @@ class ParallelismSpec extends SparkSpecBase {
     "q98_overlap_join", "q99_skew_profile", "q100_burst_dedup",
     "q102_split_report", "q103_split_leakage", "q104_triangles",
     "q105_pagerank", "q106_expectations", "q107_bigram_logprob",
-    "q108_assoc_rules")
+    "q108_assoc_rules", "q109_audio_resample_exact",
+    // round-7 DetLn rewrites: the engine-invariant log must also be
+    // partition-count-invariant (micro-nat sums are exact integers)
+    "q58_tfidf", "q64_unigram_logprob", "q78_dsir_weights",
+    "q80_weighted_sample", "q84_bm25")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
