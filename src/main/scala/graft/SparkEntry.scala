@@ -180,7 +180,9 @@ object SparkEntry {
     "q108_assoc_rules" -> ((s: SparkSession, d: String) =>
       Analytics.q108AssocRules(s, d)),
     "q109_audio_resample_exact" -> ((s: SparkSession, d: String) =>
-      Multimodal.resampleAudioExact(s, d))
+      Multimodal.resampleAudioExact(s, d)),
+    "q110_image_stats_exact" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageStatsExact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +397,7 @@ object SparkEntry {
     "q106_expectations" -> graft.ops.Expect.q106Oracle,
     "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle,
     "q108_assoc_rules" -> Analytics.q108Oracle,
-    "q109_audio_resample_exact" -> Multimodal.resampleAudioExactOracle
+    "q109_audio_resample_exact" -> Multimodal.resampleAudioExactOracle,
+    "q110_image_stats_exact" -> Multimodal.imageStatsExactOracle
   )
 }

@@ -351,6 +351,64 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q110: integer-exact ORACLED twin of q71 for the LOSSLESS raster
+    * formats (bmp/ppm/pgm/png) — decode every synthesized image through
+    * the REAL codecs (including ImageIO's PNG entropy decoder) and
+    * report exact integer pixel statistics: Σ pixel bytes and the pixel
+    * count, plus geometry. Because the synthesis raster tiles the
+    * document's UTF-8 bytes and every decoder on this list is lossless,
+    * a DuckDB oracle recomputes the identical integers from
+    * `documents.text` alone — a cross-engine gate that fails if any
+    * codec (a header field, a stride, a color conversion, PNG's inflate
+    * path) corrupts even one pixel. JPEG is excluded by design: its
+    * decode is codec-approximate, gated by tolerance in MultimodalSpec
+    * instead. Narrow map + per-doc sums — no shuffle until the final
+    * doc-count-sized sort. */
+  def imageStatsExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeImage(p)
+          .filter(_.format != "jpeg")
+          .map { img =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
+            (id, img.format, img.width, img.height, img.channels, s,
+              img.pixels.length.toLong)
+          }
+      })
+      .toDF("doc_id", "format", "width", "height", "channels", "px_sum",
+        "n_px")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageStatsExactOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
+         CASE WHEN octet_length(encode(text)) = 0 THEN '2A'
+              ELSE hex(encode(text)) END AS hx,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE octet_length(encode(text)) END AS len
+       FROM documents WHERE doc_id % 6 IN (0, 1, 2, 4)),
+       geo AS (SELECT doc_id, hx, len,
+           8 + len % 9 AS w, 6 + len % 7 AS h,
+           CASE WHEN m = 2 THEN 1 ELSE 3 END AS ch,
+           CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+             ELSE 'png' END AS format
+         FROM d),
+       px AS (SELECT doc_id, format, w, h, ch, len, hx,
+           unnest(range(0, w * h * ch)) AS i
+         FROM geo),
+       b AS (SELECT doc_id, format, w, h, ch,
+           CAST(('0x' || substr(hx, ((i % len) * 2) + 1, 2))::INTEGER
+             AS BIGINT) AS v
+         FROM px)
+       SELECT doc_id, format, CAST(w AS INT) AS width,
+         CAST(h AS INT) AS height, CAST(ch AS INT) AS channels,
+         CAST(sum(v) AS BIGINT) AS px_sum, CAST(count(*) AS BIGINT) AS n_px
+       FROM b GROUP BY doc_id, format, w, h, ch ORDER BY doc_id"""
+
   val resampleAudioExactOracle: String =
     """WITH wavdocs AS (SELECT doc_id,
          CASE WHEN octet_length(encode(text)) = 0 THEN '2A'
