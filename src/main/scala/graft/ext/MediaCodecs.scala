@@ -82,9 +82,13 @@ object MediaCodecs {
   def decodeImageIO(b: Array[Byte]): Option[ImagePixels] = {
     if (!isPng(b) && !isJpeg(b)) return None
     val fmt = if (isPng(b)) "png" else "jpeg"
+    // NonFatal, not just IOException: ImageIO plugins throw
+    // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds, CMM
+    // errors) on malformed-but-magic'd payloads, and this runs inside
+    // executor tasks over untrusted corpus bytes — refuse, never crash
     val bi =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     bi.map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       if (im.getColorModel.getNumColorComponents == 1) {
