@@ -72,16 +72,21 @@ object MediaCodecs {
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  /** REAL entropy decode for PNG and JPEG through the JDK's bundled
-    * ImageIO plugins — a public standard-library API, no external
-    * dependency. Magic-sniffed first so non-raster payloads (WAV, text)
-    * never pay the ImageIO dispatch cost. Gray stays 1-channel; any
-    * color model lands as interleaved RGB. Per-row compute inside the
-    * mapPartitions batch, like every other codec here. */
+  /** REAL entropy decode for PNG, JPEG and GIF through the JDK's
+    * bundled ImageIO plugins — a public standard-library API, no
+    * external dependency. Magic-sniffed first so non-raster payloads
+    * (WAV, text) never pay the ImageIO dispatch cost. Gray stays
+    * 1-channel; palette/color models land as interleaved RGB (GIF's
+    * palette is decode-only here: the 256-color write path would
+    * quantize, so [[encodeImage]] has no GIF arm). Per-row compute
+    * inside the mapPartitions batch, like every other codec here. */
   def decodeImageIO(b: Array[Byte]): Option[ImagePixels] = {
-    if (!isPng(b) && !isJpeg(b)) return None
-    val fmt = if (isPng(b)) "png" else "jpeg"
+    if (!isPng(b) && !isJpeg(b) && !isGif(b)) return None
+    val fmt = if (isPng(b)) "png" else if (isGif(b)) "gif" else "jpeg"
     // NonFatal, not just IOException: ImageIO plugins throw
     // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds, CMM
     // errors) on malformed-but-magic'd payloads, and this runs inside

@@ -214,6 +214,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(jdec.format == "jpeg" && jdec.width == 16 && jdec.height == 16)
     val (mean, std) = MediaCodecs.pixelStats(jdec)
     assert(math.abs(mean - 120.0) < 2.0 && std < 2.0)
+    // GIF is decode-only (palette write would quantize): an ImageIO-
+    // written gray ramp fits one palette, so decode must be exact
+    val ramp = MediaCodecs.ImagePixels("png", 16, 16, 1,
+      Array.tabulate(256)(i => i.toByte))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      {
+        val bi = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 16; x <- 0 until 16)
+          bi.getRaster.setSample(x, y, 0, ramp.pixels(y * 16 + x) & 0xff)
+        bi
+      }, "gif", baos)
+    val gif = baos.toByteArray
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    val gdec2 = MediaCodecs.decodeImage(gif).get
+    assert(gdec2.format == "gif" && gdec2.width == 16 && gdec2.height == 16)
+    // GIF palettes are RGB: the gray ramp comes back 3-channel with
+    // r=g=b equal to the source sample
+    val ok = (0 until 256).forall { i =>
+      val base = i * gdec2.channels
+      val v = gdec2.pixels(base) & 0xff
+      v == (ramp.pixels(i) & 0xff) &&
+        (gdec2.channels == 1 || ((gdec2.pixels(base + 1) & 0xff) == v &&
+          (gdec2.pixels(base + 2) & 0xff) == v))
+    }
+    assert(ok, "GIF gray-ramp decode must be lossless")
   }
 
   test("synthesized media corpus decodes to content-level stats (q71 path)") {
