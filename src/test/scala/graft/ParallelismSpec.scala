@@ -18,6 +18,7 @@ class ParallelismSpec extends SparkSpecBase {
     "q102_split_report", "q103_split_leakage", "q104_triangles",
     "q105_pagerank", "q106_expectations", "q107_bigram_logprob",
     "q108_assoc_rules", "q109_audio_resample_exact",
+    "q110_image_stats_exact",
     // round-7 DetLn rewrites: the engine-invariant log must also be
     // partition-count-invariant (micro-nat sums are exact integers)
     "q58_tfidf", "q64_unigram_logprob", "q78_dsir_weights",
