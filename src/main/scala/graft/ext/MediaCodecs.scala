@@ -96,7 +96,12 @@ object MediaCodecs {
       catch { case scala.util.control.NonFatal(_) => None }
     bi.map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
-      if (im.getColorModel.getNumColorComponents == 1) {
+      val cm = im.getColorModel
+      // 8-bit gray reads straight off the raster; ANY other depth or
+      // color model (16-bit gray, palette, RGB[A]) goes through the
+      // bulk getRGB conversion, which scales samples to 8-bit sRGB —
+      // a 16-bit gray PNG must not be low-byte-truncated
+      if (cm.getNumColorComponents == 1 && cm.getComponentSize(0) == 8) {
         val out = new Array[Byte](w * h)
         val raster = im.getRaster
         var y = 0
@@ -109,19 +114,18 @@ object MediaCodecs {
         }
         ImagePixels(fmt, w, h, 1, out)
       } else {
+        // one bulk conversion pass — per-pixel getRGB re-dispatches
+        // through the color model and is ~10x slower on the corpus-wide
+        // decode path
+        val argb = im.getRGB(0, 0, w, h, null, 0, w)
         val out = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = im.getRGB(x, y)
-            val d = (y * w + x) * 3
-            out(d) = ((rgb >> 16) & 0xff).toByte
-            out(d + 1) = ((rgb >> 8) & 0xff).toByte
-            out(d + 2) = (rgb & 0xff).toByte
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < argb.length) {
+          val rgb = argb(i)
+          out(i * 3) = ((rgb >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (rgb & 0xff).toByte
+          i += 1
         }
         ImagePixels(fmt, w, h, 3, out)
       }

@@ -35,7 +35,10 @@ object Enrich {
     * caller mistakenly feeds a 100 TB fact table. */
   private[graft] def requireDimSized(df: DataFrame, cap: Long,
       what: String): Unit = {
-    val n = df.limit((cap + 1).toInt).count()
+    // Long-safe probe bound: a cap at/above Int.MaxValue clamps (limit
+    // takes an Int) — the guard then only fires past ~2^31 rows, which
+    // is already far beyond any dim contract
+    val n = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
     require(n <= cap,
       s"$what is a dim-only operator (global single-partition window) " +
         s"and its input exceeds $cap rows; number fact-scale data with " +

@@ -105,19 +105,23 @@ object Merge {
       deleteWhen: Option[Column] = None,
       extraSourceCols: Seq[String] = Nil): Seq[String] = {
     val target = spark.read.parquet(dir)
+    // null partition values are written by Spark as the Hive default
+    // directory — normalize (as in ops/Forget) so the affected set, the
+    // slice filter, and the emptied-dir cleanup all agree
+    val partNorm = coalesce(col(partitionCol).cast("string"),
+      lit(Forget.HiveDefaultPartition))
     def partsOf(df: DataFrame): Array[String] =
-      df.select(col(partitionCol).cast("string")).distinct()
+      df.select(partNorm).distinct()
         .collect().map(_.getString(0))
     val tParts = partsOf(
       target.join(source.select(keys.map(col): _*), keys, "left_semi"))
     val affected = (tParts ++ partsOf(source)).distinct.toSeq
     if (affected.isEmpty) return Nil
-    def slice(df: DataFrame): DataFrame =
-      df.filter(col(partitionCol).cast("string").isInCollection(affected))
+    def slice(df: DataFrame): DataFrame = df.filter(partNorm.isInCollection(affected))
     val merged = mergeView(slice(target), slice(source), keys, deleteWhen,
         extraSourceCols)
       .localCheckpoint(true)
-    val written = merged.select(col(partitionCol).cast("string"))
+    val written = merged.select(partNorm)
       .distinct().collect().map(_.getString(0)).toSet
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -110,7 +110,11 @@ object Relational {
     val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
     val dim = o.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    // same dim-only contract (and guard) as Enrich.numberDim
+    // same dim-only contract (and guard) as Enrich.numberDim. The
+    // urgent-orders slice is a stand-in dim that GROWS with sf; past
+    // the cap (~sf 3.5) the guard throws BY DESIGN — that is the point
+    // where global row numbering stops being the right tool and the
+    // fact-side monotonically_increasing_id path takes over
     graft.ops.Enrich.requireDimSized(dim, graft.ops.Enrich.DimRowCap,
       "q06DimNumbering")
     dim

@@ -83,7 +83,20 @@ object StreamingCdc {
         // directory (fresh checkout, failed first attempt)
         source.write.mode("overwrite").partitionBy(partitionCol)
           .parquet(targetDir)
-      case Some(target) =>
+      case Some(target0) =>
+        // one-time upgrade of a table written before tombstone
+        // retention existed (no `_deleted` column): every stored row is
+        // live, so rewrite once with `_deleted = false` rather than
+        // failing the merge's schema union
+        val target =
+          if (target0.columns.contains("_deleted")) target0
+          else {
+            val up = target0.withColumn("_deleted", lit(false))
+              .localCheckpoint(true)
+            up.write.mode("overwrite").partitionBy(partitionCol)
+              .parquet(targetDir)
+            spark.read.parquet(targetDir)
+          }
         // cross-batch out-of-order guard: drop winners at or below the
         // stored offset for their key (also what makes re-runs no-ops).
         // Tombstone rows participate like any other — a delete's
@@ -100,10 +113,14 @@ object StreamingCdc {
   }
 
   /** Live view of the CDC table: rows whose latest change is a delete
-    * exist only as version watermarks — hidden from consumers. */
-  def readTable(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir)
-      .filter(!col("_deleted")).drop("_deleted")
+    * exist only as version watermarks — hidden from consumers. A
+    * pre-retention table (no `_deleted` column yet) is all-live. */
+  def readTable(spark: SparkSession, targetDir: String): DataFrame = {
+    val t = spark.read.parquet(targetDir)
+    if (t.columns.contains("_deleted"))
+      t.filter(!col("_deleted")).drop("_deleted")
+    else t
+  }
 
   /** Physically remove tombstone rows whose version is below
     * `horizonVersion` — i.e. old enough that, per the pipeline's
@@ -115,13 +132,18 @@ object StreamingCdc {
       partitionCol: String, horizonVersion: Long): Seq[String] = {
     val t = spark.read.parquet(targetDir)
     val expired = col("_deleted") && col("last_version") < horizonVersion
+    // null partition values live on disk as the Hive default directory —
+    // normalize like ops/Forget so the affected set, the rewrite filter,
+    // and the directory cleanup agree
+    val partNorm = coalesce(col(partitionCol).cast("string"),
+      lit(graft.ops.Forget.HiveDefaultPartition))
     val parts = t.filter(expired)
-      .select(col(partitionCol).cast("string"))
+      .select(partNorm)
       .distinct().collect().map(_.getString(0)).toSeq
     if (parts.isEmpty) return Nil
-    val inParts = col(partitionCol).cast("string").isInCollection(parts)
+    val inParts = partNorm.isInCollection(parts)
     val kept = t.filter(inParts && !expired).localCheckpoint(true)
-    val written = kept.select(col(partitionCol).cast("string"))
+    val written = kept.select(partNorm)
       .distinct().collect().map(_.getString(0)).toSet
     kept.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -241,6 +241,23 @@ class MultimodalSpec extends SparkSpecBase {
           (gdec2.pixels(base + 2) & 0xff) == v))
     }
     assert(ok, "GIF gray-ramp decode must be lossless")
+    // 16-bit gray PNG: must NOT be low-byte-truncated — it routes
+    // through the bulk sRGB conversion (black stays black, white stays
+    // white, midtones monotone)
+    val b16 = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val samples16 = Seq(0, 0x0100, 0x8000, 0xffff)
+    samples16.zipWithIndex.foreach { case (s, x) =>
+      b16.getRaster.setSample(x, 0, 0, s)
+    }
+    val baos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(b16, "png", baos16)
+    val d16 = MediaCodecs.decodeImage(baos16.toByteArray).get
+    val vals = (0 until 4).map(x => d16.pixels(x * d16.channels) & 0xff)
+    assert(vals.head == 0 && vals.last == 255, s"got $vals")
+    // naive truncation would map 0x0100 -> 0 and 0x8000 -> 0; the
+    // scaled conversion keeps order and keeps 0x8000 far from black
+    assert(vals == vals.sorted && vals(2) > 64, s"got $vals")
   }
 
   test("synthesized media corpus decodes to content-level stats (q71 path)") {

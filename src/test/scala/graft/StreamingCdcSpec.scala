@@ -145,6 +145,52 @@ class StreamingCdcSpec extends SparkSpecBase {
     assert(StreamingCdc.vacuumTombstones(spark, dir, "part", 5L).isEmpty)
   }
 
+  test("null partition values flow through merge and vacuum via the " +
+      "Hive default directory") {
+    val dir = tmp()
+    val withNull = Seq((1L, 1L, "I", "a", Option("p1")),
+      (2L, 2L, "D", "b", Option.empty[String]))
+      .toDF("k", "v", "op", "x", "part")
+    StreamingCdc.processBatch(withNull, Seq("k"), "v", "op", Seq("x"),
+      "part", dir)
+    val hive = s"$dir/part=__HIVE_DEFAULT_PARTITION__"
+    assert(new java.io.File(hive).exists())
+    // merge an update into the null partition (exercises Merge's
+    // normalized affected-set path)
+    StreamingCdc.processBatch(
+      Seq((3L, 5L, "I", "c", Option.empty[String]))
+        .toDF("k", "v", "op", "x", "part"),
+      Seq("k"), "v", "op", Seq("x"), "part", dir)
+    assert(StreamingCdc.readTable(spark, dir)
+      .filter(col("part").isNull).count() == 1)
+    // vacuum the expired null-partition tombstone; key 3 keeps the dir
+    assert(StreamingCdc.vacuumTombstones(spark, dir, "part", 5L)
+      == Seq("__HIVE_DEFAULT_PARTITION__"))
+    assert(rawState(dir).keySet == Set(1L, 3L))
+    assert(new java.io.File(hive).exists())
+    // vacuuming the last null-partition row removes the directory
+    StreamingCdc.processBatch(
+      Seq((3L, 6L, "D", "c", Option.empty[String]))
+        .toDF("k", "v", "op", "x", "part"),
+      Seq("k"), "v", "op", Seq("x"), "part", dir)
+    StreamingCdc.vacuumTombstones(spark, dir, "part", 10L)
+    assert(!new java.io.File(hive).exists())
+  }
+
+  test("a pre-retention table (no _deleted column) upgrades in place on " +
+      "the first post-upgrade batch and reads as all-live") {
+    val dir = tmp()
+    // simulate the old layout: keys ++ payload ++ last_version ++ part
+    Seq((1L, "a", 3L, "p1"), (2L, "b", 1L, "p2"))
+      .toDF("k", "x", "last_version", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    assert(state(dir) == Map(1L -> ((3L, "a", "p1")), 2L -> ((1L, "b", "p2"))))
+    apply(dir, batch((2L, 2L, "U", "b2", "p2"), (1L, 2L, "U", "stale", "p1")))
+    // upgraded schema, stale guard still works against migrated offsets
+    assert(state(dir) == Map(1L -> ((3L, "a", "p1")), 2L -> ((2L, "b2", "p2"))))
+    assert(rawState(dir).values.forall(!_._2))
+  }
+
   test("processBatch runs end-to-end under a real MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
