@@ -182,7 +182,9 @@ object SparkEntry {
     "q109_audio_resample_exact" -> ((s: SparkSession, d: String) =>
       Multimodal.resampleAudioExact(s, d)),
     "q110_image_stats_exact" -> ((s: SparkSession, d: String) =>
-      Multimodal.imageStatsExact(s, d))
+      Multimodal.imageStatsExact(s, d)),
+    "q111_profile_drift" -> ((s: SparkSession, d: String) =>
+      graft.ops.Profile.q111ProfileDrift(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +400,7 @@ object SparkEntry {
     "q107_bigram_logprob" -> TextAnalysis.bigramLogprobOracle,
     "q108_assoc_rules" -> Analytics.q108Oracle,
     "q109_audio_resample_exact" -> Multimodal.resampleAudioExactOracle,
-    "q110_image_stats_exact" -> Multimodal.imageStatsExactOracle
+    "q110_image_stats_exact" -> Multimodal.imageStatsExactOracle,
+    "q111_profile_drift" -> graft.ops.Profile.q111Oracle
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, TimestampType}
 
@@ -61,14 +61,14 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
-  /** DuckDB oracle for profiling the `orders` table — one UNION ALL arm
-    * per column, mirroring [[fmt]]'s type-specific rendering. */
-  val ordersProfileOracle: String = {
+  /** One UNION ALL profile arm per `orders` column over an arbitrary
+    * FROM clause, mirroring [[fmt]]'s type-specific rendering. */
+  private def ordersProfileSql(from: String): String = {
     def arm(name: String, mn: String, mx: String) =
       s"""SELECT '$name' AS column_name,
           CAST(count(*) - count($name) AS BIGINT) AS null_count,
           CAST(count(DISTINCT $name) AS BIGINT) AS distinct_count,
-          $mn AS min_value, $mx AS max_value FROM orders"""
+          $mn AS min_value, $mx AS max_value FROM $from"""
     def plain(name: String) =
       arm(name, s"CAST(min($name) AS VARCHAR)", s"CAST(max($name) AS VARCHAR)")
     def dbl(name: String) =
@@ -79,6 +79,63 @@ object Profile {
         s"strftime(max($name), '%Y-%m-%d %H:%M:%S')")
     Seq(plain("o_orderkey"), plain("o_custkey"), plain("o_orderstatus"),
       dbl("o_totalprice"), ts("o_orderdate"), plain("o_orderpriority"))
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      .mkString("", "\nUNION ALL\n", "")
   }
+
+  /** DuckDB oracle for profiling the `orders` table. */
+  val ordersProfileOracle: String =
+    ordersProfileSql("orders") + "\nORDER BY column_name"
+
+  /** Profile DRIFT between two versions of a table — the data-quality
+    * report a pipeline runs when a source is re-delivered: per column,
+    * both profiles side by side plus exact change flags (null-count
+    * delta, distinct-count delta, did min/max move). All values are
+    * integers or rendered strings, so the report is hash-exact
+    * cross-engine. Composes [[profile]]: two single-aggregate passes
+    * (one per version) and a column-name join of two column-count-sized
+    * frames — at 100 TB this is two table scans and a tiny join, and
+    * each pass can independently use `approxDistinct`. */
+  def drift(before: DataFrame, after: DataFrame,
+      approxDistinct: Boolean = false): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, approxDistinct).select(
+        col("column_name"),
+        col("null_count").as(s"null_$tag"),
+        col("distinct_count").as(s"distinct_$tag"),
+        col("min_value").as(s"min_$tag"),
+        col("max_value").as(s"max_$tag"))
+    side(before, "before").join(side(after, "after"), Seq("column_name"),
+        "full_outer")
+      .select(col("column_name"),
+        col("null_before"), col("null_after"),
+        (col("null_after") - col("null_before")).as("null_delta"),
+        col("distinct_before"), col("distinct_after"),
+        (col("distinct_after") - col("distinct_before"))
+          .as("distinct_delta"),
+        (!(col("min_after") <=> col("min_before"))).as("min_changed"),
+        (!(col("max_after") <=> col("max_before"))).as("max_changed"))
+      .orderBy(col("column_name"))
+  }
+
+  /** q111: drift between `orders` and its re-delivered subset (orders
+    * above 10k total price — simulating a filtered reload). */
+  def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders")
+    drift(o, o.filter(col("o_totalprice") > 10000.0))
+  }
+
+  val q111Oracle: String =
+    s"""WITH b AS (${ordersProfileSql("orders")}),
+       a AS (${ordersProfileSql(
+      "(SELECT * FROM orders WHERE o_totalprice > 10000.0)")})
+       SELECT b.column_name,
+         b.null_count AS null_before, a.null_count AS null_after,
+         a.null_count - b.null_count AS null_delta,
+         b.distinct_count AS distinct_before,
+         a.distinct_count AS distinct_after,
+         a.distinct_count - b.distinct_count AS distinct_delta,
+         a.min_value IS DISTINCT FROM b.min_value AS min_changed,
+         a.max_value IS DISTINCT FROM b.max_value AS max_changed
+       FROM b JOIN a ON a.column_name = b.column_name
+       ORDER BY b.column_name"""
 }

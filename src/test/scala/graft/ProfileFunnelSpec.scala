@@ -146,4 +146,20 @@ class ProfileFunnelSpec extends SparkSpecBase {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("profile drift reports exact deltas and min/max change flags") {
+    import spark.implicits._
+    val before = Seq((1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String])).toDF("k", "v")
+    // re-delivery: row 3 dropped (one fewer null), new max key appears
+    val after = Seq((1L, Option("a")), (2L, Option("b")),
+      (9L, Option("b"))).toDF("k", "v")
+    val got = Profile.drift(before, after).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("null_delta"), r.getAs[Long]("distinct_delta"),
+          r.getAs[Boolean]("min_changed"), r.getAs[Boolean]("max_changed"))))
+      .toMap
+    assert(got("k") == ((0L, 0L, false, true)))  // max 3 -> 9
+    assert(got("v") == ((-1L, 0L, false, false))) // null dropped
+  }
 }
