@@ -117,12 +117,63 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
-  /** q111: drift between `orders` and its re-delivered subset (orders
-    * above 10k total price — simulating a filtered reload). */
-  def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
-    val o = graft.Tables(spark, dir, "orders")
-    drift(o, o.filter(col("o_totalprice") > 10000.0))
+  /** Fused single-scan drift for the common case where "after" is a
+    * predicate over the same frame (a filtered re-delivery, a partition
+    * subset, a quality gate): both profiles come out of ONE aggregate —
+    * the after side's aggregates are the conditional forms
+    * (`count(when(pred, c))`, `countDistinct(when(pred, c))`,
+    * `min/max(when(pred, c))`), so the table scans once instead of
+    * twice. Result is row-for-row identical to
+    * `drift(df, df.filter(pred))` (gated in ProfileFunnelSpec). */
+  def driftWhere(df: DataFrame, pred: Column): DataFrame = {
+    val fields = df.schema.fields
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_nb"),
+        sum(when(pred, 1L).otherwise(0L)).as("_na")) ++
+      fields.toSeq.flatMap { f =>
+        val c = col(f.name)
+        val ca = when(pred, c)
+        Seq(count(c).as(s"nnb_${f.name}"),
+          countDistinct(c).as(s"ndb_${f.name}"),
+          fmt(min(c), f.dataType).as(s"mnb_${f.name}"),
+          fmt(max(c), f.dataType).as(s"mxb_${f.name}"),
+          count(ca).as(s"nna_${f.name}"),
+          countDistinct(ca).as(s"nda_${f.name}"),
+          fmt(min(ca), f.dataType).as(s"mna_${f.name}"),
+          fmt(max(ca), f.dataType).as(s"mxa_${f.name}"))
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        (col("_nb") - col(s"nnb_${f.name}")).as("null_before"),
+        (col("_na") - col(s"nna_${f.name}")).as("null_after"),
+        col(s"ndb_${f.name}").as("distinct_before"),
+        col(s"nda_${f.name}").as("distinct_after"),
+        col(s"mnb_${f.name}").as("min_before"),
+        col(s"mna_${f.name}").as("min_after"),
+        col(s"mxb_${f.name}").as("max_before"),
+        col(s"mxa_${f.name}").as("max_after"))
+    }
+    row.select(explode(array(entries.toSeq: _*)).as("e"))
+      .select(col("e.*"))
+      .select(col("column_name"),
+        col("null_before"), col("null_after"),
+        (col("null_after") - col("null_before")).as("null_delta"),
+        col("distinct_before"), col("distinct_after"),
+        (col("distinct_after") - col("distinct_before"))
+          .as("distinct_delta"),
+        (!(col("min_after") <=> col("min_before"))).as("min_changed"),
+        (!(col("max_after") <=> col("max_before"))).as("max_changed"))
+      .orderBy(col("column_name"))
   }
+
+  /** q111: drift between `orders` and its re-delivered subset (orders
+    * above 10k total price — simulating a filtered reload), via the
+    * fused single-scan form. */
+  def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame =
+    driftWhere(graft.Tables(spark, dir, "orders"),
+      col("o_totalprice") > 10000.0)
 
   val q111Oracle: String =
     s"""WITH b AS (${ordersProfileSql("orders")}),

@@ -162,4 +162,16 @@ class ProfileFunnelSpec extends SparkSpecBase {
     assert(got("k") == ((0L, 0L, false, true)))  // max 3 -> 9
     assert(got("v") == ((-1L, 0L, false, false))) // null dropped
   }
+
+  test("driftWhere equals drift(df, df.filter(pred)) in one scan") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), 5.0), (2L, Option("b"), 50.0),
+      (3L, Option.empty[String], 500.0), (4L, Option("a"), 5000.0))
+      .toDF("k", "v", "x")
+    val pred = col("x") > 100.0
+    val fused = Profile.driftWhere(df, pred).collect().map(_.toString)
+    val twoPass = Profile.drift(df, df.filter(pred)).collect()
+      .map(_.toString)
+    assert(fused.toSeq == twoPass.toSeq)
+  }
 }
