@@ -117,14 +117,21 @@ object Profile {
       .orderBy(col("column_name"))
   }
 
-  /** Fused single-scan drift for the common case where "after" is a
-    * predicate over the same frame (a filtered re-delivery, a partition
-    * subset, a quality gate): both profiles come out of ONE aggregate —
-    * the after side's aggregates are the conditional forms
-    * (`count(when(pred, c))`, `countDistinct(when(pred, c))`,
-    * `min/max(when(pred, c))`), so the table scans once instead of
-    * twice. Result is row-for-row identical to
-    * `drift(df, df.filter(pred))` (gated in ProfileFunnelSpec). */
+  /** Fused single-scan drift for the case where "after" is a predicate
+    * over the same frame (a filtered re-delivery, a partition subset, a
+    * quality gate): both profiles come out of ONE aggregate — the after
+    * side's aggregates are the conditional forms (`count(when(pred,
+    * c))`, `countDistinct(when(pred, c))`, `min/max(when(pred, c))`).
+    * Result is row-for-row identical to `drift(df, df.filter(pred))`
+    * (gated in ProfileFunnelSpec).
+    *
+    * Honest cost model (measured, noop-materialized, sf0.1 orders):
+    * the fused form DOUBLES the exact-distinct Expand width (2k
+    * streams), and that CPU dominates small/CPU-bound inputs — 5.1 s
+    * fused vs 2.3 s for the two-pass [[drift]]. Choose this form only
+    * when the SCAN dominates: a 100 TB cold read amortizes the Expand,
+    * and one pass halves the I/O. q111 registers the two-pass form for
+    * exactly this reason. */
   def driftWhere(df: DataFrame, pred: Column): DataFrame = {
     val fields = df.schema.fields
     val aggs: Seq[Column] =
@@ -169,11 +176,13 @@ object Profile {
   }
 
   /** q111: drift between `orders` and its re-delivered subset (orders
-    * above 10k total price — simulating a filtered reload), via the
-    * fused single-scan form. */
-  def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame =
-    driftWhere(graft.Tables(spark, dir, "orders"),
-      col("o_totalprice") > 10000.0)
+    * above 10k total price — simulating a filtered reload). Two-pass
+    * [[drift]]: faster than [[driftWhere]] whenever the input is
+    * cached/CPU-bound (see the cost model there). */
+  def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders")
+    drift(o, o.filter(col("o_totalprice") > 10000.0))
+  }
 
   val q111Oracle: String =
     s"""WITH b AS (${ordersProfileSql("orders")}),

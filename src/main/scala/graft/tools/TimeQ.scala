@@ -17,9 +17,17 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TIMEQ_NOOP=1 materializes through the noop sink like
+    // Bench does — count() lets Catalyst prune the output expressions
+    // (an aggregate-and-explode query can measure near-zero under
+    // count while its full evaluation costs seconds)
+    val noop = sys.env.get("SPARK_GRAFT_TIMEQ_NOOP").contains("1")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val n = if (noop) {
+        df.write.mode("overwrite").format("noop").save(); -1L
+      } else df.count()
       println(f"[timeq] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
     spark.stop()
