@@ -11,14 +11,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, TimestampType}
   * reference's schema set-difference checks (F1/F2, cf. reference
   * verify_schema) from "are the columns there" to "what is in them".
   *
-  * Scale: a single groupBy().agg() over the table — partial aggregation
-  * everywhere, output is column-count-sized. The exact distinct counts
-  * make Spark plan one Expand (one stream per distinct column), so the
-  * scan is replayed k ways; at 100 TB swap `countDistinct` for
-  * `approx_count_distinct` (HLL++, one stream, mergeable) — the report
-  * shape is unchanged. Min/max export as strings so heterogeneous column
-  * types fit one report schema; doubles go through DECIMAL(18,2) and
-  * timestamps through a fixed format so the rendering is engine-portable.
+  * Scale: two parallel global aggregates over the table — the Expand
+  * pass (counts, exact distincts, fixed-width min/max), kept
+  * hash-aggregated by excluding string buffers, plus a plain streaming
+  * pass for string min/max (see the inline note in [[profile]] for the
+  * measured why) — partial aggregation everywhere, output is
+  * column-count-sized. The exact distinct counts make Spark plan one
+  * Expand (one stream per distinct column), so the scan is replayed k
+  * ways; at 100 TB swap `countDistinct` for `approx_count_distinct`
+  * (HLL++, one stream, mergeable) — the report shape is unchanged.
+  * Min/max export as strings so heterogeneous column types fit one
+  * report schema; doubles go through DECIMAL(18,2) and timestamps
+  * through a fixed format so the rendering is engine-portable.
   */
 object Profile {
 
@@ -36,18 +40,39 @@ object Profile {
     * report schema is identical, the counts are ±rsd (equivalence
     * gated in ProfileFunnelSpec). */
   def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     val fields = df.schema.fields
+    // STRING min/max buffers are variable-width, which disqualifies the
+    // hash aggregate — and under the exact-distinct Expand that demotes
+    // the whole plan to SortAggregate, i.e. a SORT of the k-fold
+    // expanded rows (measured: 2.2 s vs 0.9 s on sf0.1 orders; at
+    // 100 TB, sorting 13× the table spills where rescanning it would
+    // not). Split them out: counts/distincts and fixed-width min/max
+    // stay in the Expand pass (hash-aggregated end to end), string
+    // min/max run as a second plain streaming aggregate — grouping-free
+    // SortAggregate with nothing to sort — and the two one-row results
+    // cross-join before the explode.
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: fields.toSeq.flatMap {
       f =>
         val c = col(f.name)
         val nd = if (approxDistinct) approx_count_distinct(c, 0.01)
           else countDistinct(c)
-        Seq(count(c).as(s"nn_${f.name}"),
-          nd.as(s"nd_${f.name}"),
-          fmt(min(c), f.dataType).as(s"mn_${f.name}"),
-          fmt(max(c), f.dataType).as(s"mx_${f.name}"))
+        Seq(count(c).as(s"nn_${f.name}"), nd.as(s"nd_${f.name}")) ++
+          (if (f.dataType == StringType) Nil
+           else Seq(fmt(min(c), f.dataType).as(s"mn_${f.name}"),
+             fmt(max(c), f.dataType).as(s"mx_${f.name}")))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val strFields = fields.filter(_.dataType == StringType)
+    val row0 = df.agg(aggs.head, aggs.tail: _*)
+    val row =
+      if (strFields.isEmpty) row0
+      else {
+        val strAggs = strFields.toSeq.flatMap { f =>
+          Seq(min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+            max(col(f.name)).cast("string").as(s"mx_${f.name}"))
+        }
+        row0.crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
+      }
     val entries = fields.map { f =>
       struct(
         lit(f.name).as("column_name"),
