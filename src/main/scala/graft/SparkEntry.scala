@@ -184,7 +184,11 @@ object SparkEntry {
     "q110_image_stats_exact" -> ((s: SparkSession, d: String) =>
       Multimodal.imageStatsExact(s, d)),
     "q111_profile_drift" -> ((s: SparkSession, d: String) =>
-      graft.ops.Profile.q111ProfileDrift(s, d))
+      graft.ops.Profile.q111ProfileDrift(s, d)),
+    "q112_epoch_shuffle" -> ((s: SparkSession, d: String) =>
+      Curate.epochShuffle(s, d)),
+    "q113_length_batching" -> ((s: SparkSession, d: String) =>
+      Curate.lengthBatching(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -401,6 +405,8 @@ object SparkEntry {
     "q108_assoc_rules" -> Analytics.q108Oracle,
     "q109_audio_resample_exact" -> Multimodal.resampleAudioExactOracle,
     "q110_image_stats_exact" -> Multimodal.imageStatsExactOracle,
-    "q111_profile_drift" -> graft.ops.Profile.q111Oracle
+    "q111_profile_drift" -> graft.ops.Profile.q111Oracle,
+    "q112_epoch_shuffle" -> Curate.epochShuffleOracle(),
+    "q113_length_batching" -> Curate.lengthBatchingOracle()
   )
 }

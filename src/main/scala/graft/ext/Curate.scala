@@ -1182,4 +1182,147 @@ object Curate {
        SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b
        FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b
        WHERE sa.split <> sb.split ORDER BY a, b"""
+
+  // --- deterministic epoch shuffle (q112) ----------------------------------
+
+  /** q112: seeded training-order shuffle — the "global shuffle" step every
+    * pre-training data loader needs: a deterministic, seed-reproducible
+    * permutation of the corpus, sharded for parallel readers. Each doc's
+    * sort key is [[graft.functions.DetMix]] of (doc_id, epoch seed); shard
+    * = key mod `shards`; within-shard order = (key, doc_id). Changing the
+    * seed re-deals both shard membership and order (a new epoch);
+    * re-running with the same seed reproduces the permutation bit-for-bit
+    * on ANY engine, which is what makes training runs resumable and
+    * auditable.
+    *
+    * The oracled output proves the exact ORDER, not just membership: per
+    * shard it emits the count, the first document in shard order, and an
+    * order-sensitive fingerprint xor-folded from (position × doc_id) mod
+    * p — any transposition of two docs changes it.
+    *
+    * Scale: the mix and shard columns are a narrow map; the real 100 TB op
+    * is `repartition(shards, key)` + `sortWithinPartitions(key, doc_id)` —
+    * one shuffle whose writer performs exactly the sort the window here
+    * makes explicit. The per-shard window below is that same sort keyed by
+    * shard (thousands of shards at scale, so partitions stay bounded);
+    * positions never leave their shard and the output is `shards` rows. */
+  def epochShuffle(spark: SparkSession, dir: String, seed: Long = 7,
+      shards: Int = 32): DataFrame = {
+    import graft.functions.DetMix
+    val d = docs(spark, dir).select(col("doc_id"))
+      .withColumn("h", expr(DetMix.mixSql("doc_id", seed)))
+      .withColumn("shard", col("h") % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos") === 1, col("doc_id"))).as("head_doc"),
+        expr("bit_xor((pos * doc_id) % 1000000007)").as("order_sig"))
+      .orderBy(col("shard"))
+  }
+
+  def epochShuffleOracle(seed: Long = 7, shards: Int = 32): String = {
+    val mix = graft.functions.DetMix.mixSql("doc_id", seed)
+    s"""WITH h AS (SELECT doc_id, $mix AS h FROM documents),
+       s AS (SELECT doc_id, h, h % $shards AS shard FROM h),
+       p AS (SELECT shard, doc_id,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY h, doc_id) AS BIGINT) AS pos FROM s)
+       SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+         bit_xor((pos * doc_id) % 1000000007) AS order_sig
+       FROM p GROUP BY shard ORDER BY shard"""
+  }
+
+  // --- length-bucketed batching (q113) -------------------------------------
+
+  /** q113: padding-aware batch construction — the OTHER sequence-packing
+    * regime from q55's concat-and-chunk: models that cannot split
+    * documents (encoders, contrastive pairs, SFT) pad every sequence in a
+    * batch to the batch max, so batching similar lengths together is a
+    * direct FLOP saving. Docs are bucketed by token count (power-of-two
+    * caps), ordered within each bucket by the q112 shuffle mix (random
+    * order WITHIN a bucket keeps batches i.i.d.), and grouped into
+    * fixed-size batches; per bucket the padded-token cost `Σ n·max(len)`
+    * is compared against an `arrival` baseline that batches in doc_id
+    * order with no bucketing (its batch id is `doc_id div B` — no sort,
+    * the true arrival-order cost). `waste_ppm` is the padding overhead.
+    *
+    * Exactness: token counts are pure string arithmetic (spaces + 1);
+    * everything else is integer; waste_ppm is a single floor-quantized
+    * double division (identical op DAG both engines).
+    *
+    * Scale: bucket caps are a fixed CASE ladder (narrow map); the
+    * per-bucket window is the q112 posture — at 100 TB the bucket key
+    * would be (cap, shard) so each window partition stays bounded, and
+    * the final output is one row per bucket. */
+  def lengthBatching(spark: SparkSession, dir: String, batch: Int = 16,
+      seed: Long = 11): DataFrame = {
+    import graft.functions.DetMix
+    val toks = docs(spark, dir).select(col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .cast("long").+(1L).as("toks"))
+    val capped = toks.withColumn("bucket_cap",
+      when(col("toks") <= 16, 16L).when(col("toks") <= 32, 32L)
+        .when(col("toks") <= 64, 64L).when(col("toks") <= 128, 128L)
+        .otherwise(256L))
+    val wB = Window.partitionBy(col("bucket_cap"))
+      .orderBy(col("h"), col("doc_id"))
+    val bucketed = capped
+      .withColumn("h", expr(DetMix.mixSql("doc_id", seed)))
+      .withColumn("rn", row_number().over(wB).cast("long"))
+      .withColumn("batch_id", expr(s"(rn - 1) DIV $batch"))
+    val arrival = capped
+      .withColumn("bucket_cap", lit(0L))
+      .withColumn("batch_id", expr(s"doc_id DIV $batch"))
+    def stats(df: DataFrame, strategy: String): DataFrame =
+      df.groupBy(col("bucket_cap"), col("batch_id"))
+        .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"),
+          sum(col("toks")).as("s"))
+        .groupBy(col("bucket_cap"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("n") * col("mx")).as("padded_tokens"),
+          sum(col("s")).as("real_tokens"))
+        .withColumn("strategy", lit(strategy))
+    stats(bucketed, "bucketed").unionByName(stats(arrival, "arrival"))
+      .withColumn("waste_ppm", expr(
+        "CAST(floor(CAST(padded_tokens - real_tokens AS DOUBLE) * 1e6" +
+          " / CAST(padded_tokens AS DOUBLE)) AS BIGINT)"))
+      .orderBy(col("strategy"), col("bucket_cap"))
+  }
+
+  def lengthBatchingOracle(batch: Int = 16, seed: Long = 11): String = {
+    val mix = graft.functions.DetMix.mixSql("doc_id", seed)
+    s"""WITH t AS (SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1
+             AS BIGINT) AS toks FROM documents),
+       c AS (SELECT doc_id, toks,
+           CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
+                WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+                ELSE 256 END AS bucket_cap FROM t),
+       b AS (SELECT bucket_cap, toks,
+           (CAST(row_number() OVER (PARTITION BY bucket_cap
+              ORDER BY $mix, doc_id) AS BIGINT) - 1) // $batch AS batch_id
+         FROM c),
+       a AS (SELECT CAST(0 AS BIGINT) AS bucket_cap, toks,
+           doc_id // $batch AS batch_id FROM c),
+       u AS (SELECT 'bucketed' AS strategy, * FROM b
+             UNION ALL SELECT 'arrival', * FROM a),
+       g AS (SELECT strategy, bucket_cap, batch_id,
+           CAST(count(*) AS BIGINT) AS n, max(toks) AS mx,
+           CAST(sum(toks) AS BIGINT) AS s
+         FROM u GROUP BY 1, 2, 3),
+       f AS (SELECT strategy, CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(s) AS BIGINT) AS real_tokens
+         FROM g GROUP BY 1, 2)
+       SELECT strategy, bucket_cap, n_docs, n_batches, padded_tokens,
+         real_tokens,
+         CAST(floor(CAST(padded_tokens - real_tokens AS DOUBLE) * 1e6
+           / CAST(padded_tokens AS DOUBLE)) AS BIGINT) AS waste_ppm
+       FROM f ORDER BY strategy, bucket_cap"""
+  }
 }
