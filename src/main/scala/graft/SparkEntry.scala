@@ -188,7 +188,13 @@ object SparkEntry {
     "q112_epoch_shuffle" -> ((s: SparkSession, d: String) =>
       Curate.epochShuffle(s, d)),
     "q113_length_batching" -> ((s: SparkSession, d: String) =>
-      Curate.lengthBatching(s, d))
+      Curate.lengthBatching(s, d)),
+    "q114_sequence_assembly" -> ((s: SparkSession, d: String) =>
+      Analytics.q114SequenceAssembly(s, d)),
+    "q115_srp_codes" -> ((s: SparkSession, d: String) =>
+      Similarity.srpCodes(s, d)),
+    "q116_hll_distinct" -> ((s: SparkSession, d: String) =>
+      Analytics.q116HllDistinct(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,6 +413,9 @@ object SparkEntry {
     "q110_image_stats_exact" -> Multimodal.imageStatsExactOracle,
     "q111_profile_drift" -> graft.ops.Profile.q111Oracle,
     "q112_epoch_shuffle" -> Curate.epochShuffleOracle(),
-    "q113_length_batching" -> Curate.lengthBatchingOracle()
+    "q113_length_batching" -> Curate.lengthBatchingOracle(),
+    "q114_sequence_assembly" -> Analytics.q114Oracle,
+    "q115_srp_codes" -> Similarity.srpCodesOracle(),
+    "q116_hll_distinct" -> Analytics.q116Oracle
   )
 }

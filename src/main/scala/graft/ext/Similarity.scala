@@ -444,4 +444,72 @@ object Similarity {
         .localCheckpoint(true) // materialize so the cache can be released
     } finally ds.unpersist()
   }
+
+  // --- signed random projection codes (q115) -------------------------------
+
+  /** q115: signed-random-projection (SRP) codes — the ORACLED exact twin
+    * of the hyperplane-hashing layer inside [[annLsh]] (Charikar, STOC
+    * 2002: sign(r·v) bits preserve cosine similarity in expectation).
+    * Where q27's bands use JVM-seeded Gaussian planes (rows-only gate),
+    * this derives every projection sign from [[graft.functions.DetMix]]
+    * of the (projection, dimension) ordinal and quantizes each embedding
+    * coordinate to integer micro-units, so the 16-bit code is pure 64-bit
+    * integer arithmetic — bit-identical in any engine, and a DuckDB
+    * oracle verifies every code. Rademacher ±1 planes are a standard SRP
+    * choice (Achlioptas, JCSS 2003 — sparse/sign random projections).
+    *
+    * |dot| ≤ 64 dims · ~6·10⁶ µ-units · 1 ≪ 2⁶³: no overflow at any
+    * corpus size (the bound is per-vector, not per-corpus).
+    *
+    * Scale: one narrow codegen'd map over the embeddings — 16 aggregate
+    * expressions per row, zero shuffle, zero UDF; the output is the
+    * (vec_id, code) pair list a bucketed ANN join would consume.
+    * Dimension ordinals are 1-based on both sides (Spark's `transform`
+    * index is 0-based, DuckDB's `generate_subscripts` 1-based). */
+  def srpCodes(spark: SparkSession, dir: String, nBits: Int = 16,
+      seed: Long = 5): DataFrame =
+    srpCodesOf(Tables(spark, dir, "embeddings"), nBits, seed)
+
+  /** SRP codes over any (vec_id, embedding: array<float>) frame. */
+  def srpCodesOf(vecs: DataFrame, nBits: Int = 16,
+      seed: Long = 5): DataFrame = {
+    import graft.functions.DetMix
+    val qExpr = "CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)"
+    val dotCols = (0 until nBits).map { j =>
+      val mix = DetMix.mixSql(s"($j * 64 + i + 1)", seed)
+      expr(s"aggregate(transform(embedding, (x, i) -> $qExpr * " +
+        s"(CASE WHEN $mix % 2 = 0 THEN 1 ELSE -1 END)), " +
+        s"CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dot$j")
+    }
+    val withDots = vecs.select(col("vec_id") +: dotCols: _*)
+    val code = (0 until nBits).map { j =>
+      when(col(s"dot$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withDots.select(col("vec_id"), code.as("srp_code"))
+      .withColumn("srp_bits", bit_count(col("srp_code")).cast("long"))
+      .orderBy(col("vec_id"))
+  }
+
+  def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {
+    val mix = graft.functions.DetMix.mixSql("(j * 64 + i)", seed)
+    s"""WITH dims AS (SELECT vec_id,
+           unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       proj AS (SELECT vec_id, x, i, range AS j
+         FROM dims, range($nBits)),
+       dots AS (SELECT vec_id, j,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)
+             * (CASE WHEN $mix % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+             AS dot
+         FROM proj GROUP BY 1, 2),
+       codes AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dot >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+             AS BIGINT) AS srp_code
+         FROM dots GROUP BY 1)
+       SELECT vec_id, srp_code,
+         CAST(bit_count(srp_code) AS BIGINT) AS srp_bits
+       FROM codes ORDER BY vec_id"""
+  }
 }

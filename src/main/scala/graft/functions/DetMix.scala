@@ -6,19 +6,22 @@ package graft.functions
   * batching (q113), random-sign projections (q115) and sketch hashing
   * (q116).
   *
-  * Three multiplicative-congruential rounds with DISTINCT prime moduli
-  * near 2³¹ (the modulus switch is what breaks affinity — a chain of
-  * LCG rounds over ONE modulus composes to a single affine map, which
-  * would leave consecutive ids on a lattice; changing the modulus
-  * between rounds makes the composite non-affine, the same idea as
-  * L'Ecuyer's combined MLCGs, CACM 31(6) 1988). Every operation is
-  * 64-bit integer `*`, `+`, `%` on operands provably < 2⁶³ (multiplier
-  * < 2¹⁷ᐧ⁵, state < 2³¹ ⇒ product < 2⁴⁹), so Spark and DuckDB — and any
-  * engine with 64-bit integer arithmetic — produce the identical value;
-  * there is no float anywhere. The SQL text is shared between the Spark
-  * side (`expr(...)`) and the oracle CTEs, and [[mixLong]] is the JVM
-  * twin for custom aggregates, pinned equal to the SQL form by
-  * DetMixSpec.
+  * Three LCG rounds over DISTINCT prime moduli near 2³¹, interleaved
+  * with two mid-square rounds (von Neumann's classic, here `h² mod p`).
+  * Both interleavings are load-bearing: a chain of LCG rounds over one
+  * modulus composes to a single affine map (consecutive ids stay on a
+  * lattice), switching moduli only makes it PIECEWISE affine — its high
+  * bits still carry enough structure to bias HyperLogLog's
+  * leading-zero statistic by ~50% on arithmetic-progression ids
+  * (measured, see DetMixSpec) — while squaring mod a prime is genuinely
+  * nonlinear and breaks the lattice at the cost of ~1 bit of entropy
+  * (quadratic residues are 2-to-1). Every operation is 64-bit integer
+  * `*`, `+`, `%` on operands provably < 2⁶³ (state < 2³¹ ⇒ square
+  * < 2⁶²), so Spark and DuckDB — and any engine with 64-bit integer
+  * arithmetic — produce the identical value; there is no float
+  * anywhere. The SQL text is shared between the Spark side
+  * (`expr(...)`) and the oracle CTEs, and [[mixLong]] is the JVM twin
+  * for custom aggregates, pinned equal to the SQL form by DetMixSpec.
   *
   * Inputs must be non-negative (ids, ordinals); output ∈ [0, 2147483587).
   */
@@ -31,13 +34,15 @@ object DetMix {
   private val A2 = 16807L      // 7^5, original MINSTD
   private val A3 = 69621L      // L'Ecuyer's recommended MLCG multiplier
 
-  /** SQL text of the 3-round mix of non-negative integer expression `x`
-    * with seed `seed` — identical in Spark and DuckDB dialects. */
+  /** SQL text of the mix of non-negative integer expression `x` with
+    * seed `seed` — identical in Spark and DuckDB dialects. */
   def mixSql(x: String, seed: Long): String = {
-    val s0 = s"(($x) % $M1 + $seed + 1)"
+    val s0 = s"(CAST($x AS BIGINT) % $M1 + $seed + 1)"
     val r1 = s"(($A1 * $s0 + 12345) % $M1)"
-    val r2 = s"(($A2 * $r1 + 9999) % $M2)"
-    s"(($A3 * $r2 + 12345) % $M3)"
+    val q1 = s"(($r1 * $r1) % $M2)"
+    val r2 = s"(($A2 * $q1 + 9999) % $M1)"
+    val q2 = s"(($r2 * $r2) % $M3)"
+    s"(($A3 * $q2 + 12345) % $M2)"
   }
 
   /** JVM twin of [[mixSql]] — bit-identical by construction (same
@@ -46,7 +51,9 @@ object DetMix {
     require(x >= 0, s"DetMix input must be non-negative, got $x")
     val s0 = x % M1 + seed + 1
     val r1 = (A1 * s0 + 12345) % M1
-    val r2 = (A2 * r1 + 9999) % M2
-    (A3 * r2 + 12345) % M3
+    val q1 = (r1 * r1) % M2
+    val r2 = (A2 * q1 + 9999) % M1
+    val q2 = (r2 * r2) % M3
+    (A3 * q2 + 12345) % M2
   }
 }

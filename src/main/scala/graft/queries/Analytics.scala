@@ -786,4 +786,105 @@ object Analytics {
        FROM pairs p JOIN singles sa ON sa.s_nationkey = p.a
          JOIN singles sb ON sb.s_nationkey = p.b CROSS JOIN n
        ORDER BY lift DESC, a, b LIMIT 50"""
+
+  /** q114: training-sequence assembly — turn an event log into one
+    * ordered interaction sequence per user, the construction step behind
+    * behavioral-LM / recommendation training examples (and the
+    * "conversation assembly" step of chat-log pipelines). Events are
+    * ordered by (epoch µs, event_id) — a total order, so the sequence is
+    * unique — and concatenated; the oracled output carries the exact
+    * count, the first 40 chars, and an md5 of the FULL sequence, so any
+    * reordering or dropped event flips the hash.
+    *
+    * Spark-first shape: `collect_list(struct(us, event_id, type))` then a
+    * per-row `array_sort` + `transform` + `array_join` — one shuffle on
+    * user_id, no window, the sort is local to each assembled row. At
+    * 100 TB per-user sequences are bounded (and a pathological user would
+    * be capped upstream), so the collected array never approaches
+    * executor memory; this is the standard sessionize-then-sort posture.
+    *
+    * Timestamps follow the q100 rule: epoch µs derived by integer
+    * division of the stored nanos on both engines, never a raw ts. */
+  def q114SequenceAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          " ").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        substring(col("seq"), 1, 40).as("seq_head"),
+        md5(col("seq").cast("binary")).as("seq_md5"))
+      .orderBy(col("user_id"))
+  }
+
+  val q114Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         FROM events),
+       g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY us, event_id) AS seq
+         FROM e GROUP BY 1)
+       SELECT user_id, n_events, substring(seq, 1, 40) AS seq_head,
+         md5(seq) AS seq_md5
+       FROM g ORDER BY user_id"""
+
+  /** q116: HyperLogLog distinct users per event type — the mergeable
+    * fixed-size sketch next to q67's KMV and q40's builtin, with its
+    * ESTIMATE oracled: input hashes are [[graft.functions.DetMix]] SQL,
+    * the register file is [[graft.functions.HllAgg]] (2⁹ = 512 bytes per
+    * group, elementwise-max mergeable, so map-side partials ship 512
+    * bytes per group per partition no matter the corpus), and a DuckDB
+    * CTE rebuilds the identical registers from the same integer ops —
+    * `reg_sum` pins every register value, `est_micro` the shared-text
+    * floor-quantized estimate, `n_exact` makes the ~4.6% (1.04/√512)
+    * error auditable. See [[graft.functions.Hll]] for why no linear-
+    * counting correction is applied (it would need ln). */
+  def q116HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DetMix, Hll}
+    val p = 9
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr(DetMix.mixSql("user_id", 13)).as("h"))
+    e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        Hll.hll_registers(col("h"), p).as("regs"))
+      .select(col("event_type"), col("n_exact"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> " +
+          "acc + shiftleft(CAST(1 AS BIGINT), 23 - CAST(r AS INT)))")
+          .as("reg_sum"),
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)")
+          .as("zero_regs"))
+      .withColumn("est_micro", expr(Hll.estMicroSql("reg_sum", p)))
+      .orderBy(col("event_type"))
+  }
+
+  val q116Oracle: String = {
+    import graft.functions.{DetMix, Hll}
+    val mix = DetMix.mixSql("user_id", 13)
+    val rho = Hll.rhoCaseSql("(h // 512)", 9)
+    s"""WITH h AS (SELECT event_type, user_id, $mix AS h FROM events),
+       b AS (SELECT event_type, h % 512 AS bucket,
+           CAST(max($rho) AS BIGINT) AS m_j
+         FROM h GROUP BY 1, 2),
+       a AS (SELECT event_type,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(23 - m_j AS INT))
+             AS BIGINT) AS present_sum,
+           CAST(count(*) AS BIGINT) AS present
+         FROM b GROUP BY 1),
+       d AS (SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         FROM h GROUP BY 1),
+       f AS (SELECT d.event_type, d.n_exact,
+           a.present_sum + (512 - a.present) * 8388608 AS reg_sum,
+           512 - a.present AS zero_regs
+         FROM d JOIN a ON a.event_type = d.event_type)
+       SELECT event_type, n_exact, reg_sum, zero_regs,
+         ${Hll.estMicroSql("reg_sum", 9)} AS est_micro
+       FROM f ORDER BY event_type"""
+  }
 }

@@ -415,4 +415,32 @@ class CurateSpec extends SparkSpecBase {
         r.getString(2), r.getString(3))).toSet
     assert(got == Set((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
   }
+
+  test("epochShuffle partitions the corpus and a new seed re-deals it") {
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    def shards(seed: Long) = Curate.epochShuffle(spark, sf0001, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val s7 = shards(7)
+    assert(s7.map(_._2).sum == n) // every doc in exactly one shard
+    assert(s7.length == 32)
+    // same seed reproduces the permutation, a new seed changes the
+    // order fingerprints (the whole point of an epoch reshuffle)
+    assert(shards(7).toSeq == s7.toSeq)
+    val sigs7 = s7.map(x => x._1 -> x._3).toMap
+    val moved = shards(8).count(x => sigs7(x._1) != x._3)
+    // tiny shards (~16 docs at sf0.001) can coincide by chance
+    assert(moved >= 30, s"seed change left ${32 - moved}/32 orders intact")
+  }
+
+  test("length bucketing strictly cuts padding vs arrival-order batching") {
+    val rows = Curate.lengthBatching(spark, sf0001)
+      .collect().map(r => (r.getString(5), r.getLong(3), r.getLong(4)))
+    val waste = rows.groupBy(_._1).view
+      .mapValues(g => g.map(_._2).sum - g.map(_._3).sum)
+    // identical real tokens either way; padding must shrink
+    assert(rows.filter(_._1 == "bucketed").map(_._3).sum ==
+      rows.filter(_._1 == "arrival").map(_._3).sum)
+    assert(waste("bucketed") < waste("arrival"),
+      s"bucketed=${waste("bucketed")} arrival=${waste("arrival")}")
+  }
 }

@@ -22,7 +22,10 @@ class ParallelismSpec extends SparkSpecBase {
     // round-7 DetLn rewrites: the engine-invariant log must also be
     // partition-count-invariant (micro-nat sums are exact integers)
     "q58_tfidf", "q64_unigram_logprob", "q78_dsir_weights",
-    "q80_weighted_sample", "q84_bm25")
+    "q80_weighted_sample", "q84_bm25",
+    // round-7 widening: DetMix-ordered and sketch-based operators
+    "q112_epoch_shuffle", "q113_length_batching",
+    "q114_sequence_assembly", "q115_srp_codes", "q116_hll_distinct")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -188,4 +188,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.filter(_._2 == "drop").keySet == wantDropped)
     assert(wantDropped.nonEmpty, "corpus should contain semantic dups")
   }
+
+  test("srpCodes: Hamming distance tracks cosine (Charikar property)") {
+    // planted structure (the sf fixtures are near-orthogonal): 40 base
+    // directions, each with a jittered twin at cos ~ 0.97
+    val rnd = new scala.util.Random(99)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // per-component jitter 0.03 -> noise NORM 0.03*sqrt(64) = 0.24 ->
+    // cos ~ 1/sqrt(1+0.24^2) ~ 0.972 (e.g. 0.15 would already be cos .65)
+    val bases = Array.fill(40)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val twins = bases.map(b => unit(b.map(x =>
+      x + 0.03f * rnd.nextGaussian().toFloat)))
+    val rows = (bases ++ twins).zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i.toLong, v.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+    val codes = Similarity.srpCodesOf(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val twinDist = (0 until 40).map(i => ham(codes(i), codes(i + 40L)).toDouble)
+    val crossDist = for (i <- 0 until 40; j <- 0 until 40 if i != j)
+      yield ham(codes(i), codes(j + 40L)).toDouble
+    val (mt, mx) = (twinDist.sum / twinDist.size,
+      crossDist.sum / crossDist.size)
+    // E[hamming]/16 = acos(cos)/pi: ~0.08 for twins, ~0.5 for random
+    assert(mt < 3.0 && mx > 5.5, s"twin=$mt cross=$mx")
+  }
 }
