@@ -194,7 +194,11 @@ object SparkEntry {
     "q115_srp_codes" -> ((s: SparkSession, d: String) =>
       Similarity.srpCodes(s, d)),
     "q116_hll_distinct" -> ((s: SparkSession, d: String) =>
-      Analytics.q116HllDistinct(s, d))
+      Analytics.q116HllDistinct(s, d)),
+    "q117_cms_frequency" -> ((s: SparkSession, d: String) =>
+      Analytics.q117CmsFrequency(s, d)),
+    "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
+      Curate.mixtureSchedule(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +420,8 @@ object SparkEntry {
     "q113_length_batching" -> Curate.lengthBatchingOracle(),
     "q114_sequence_assembly" -> Analytics.q114Oracle,
     "q115_srp_codes" -> Similarity.srpCodesOracle(),
-    "q116_hll_distinct" -> Analytics.q116Oracle
+    "q116_hll_distinct" -> Analytics.q116Oracle,
+    "q117_cms_frequency" -> Analytics.q117Oracle,
+    "q118_mixture_schedule" -> Curate.mixtureScheduleOracle()
   )
 }

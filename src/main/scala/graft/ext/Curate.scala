@@ -1292,6 +1292,60 @@ object Curate {
       .orderBy(col("strategy"), col("bucket_cap"))
   }
 
+  // --- mixture schedule (q118) ---------------------------------------------
+
+  /** q118: temperature-mixture SCHEDULE — the planning table next to
+    * q59's document-level temperature sampler: given per-source natural
+    * token counts N_s, a temperature-0.5 target share w_s = √N_s / Σ√N_t
+    * (flattening the source skew, the standard multi-corpus mixing rule)
+    * and a token budget, emit per source the target token allocation and
+    * the repeat factor `epochs_ppm` (>1e6 ⇒ the source is repeated /
+    * upsampled, <1e6 ⇒ subsampled) — the table a training-data loader
+    * executes and a data card publishes.
+    *
+    * Exactness: √ is IEEE-correctly-rounded (the one float op allowed in
+    * oracled outputs, see [[graft.functions.DetLn]]), immediately
+    * floor-quantized to micro units; shares and epochs are then pure
+    * BIGINT multiply/divide. At this scale `budget·sqrt_micro` ≤ ~1e15;
+    * the 100 TB form (token counts ~1e13, budgets ~1e12) would widen
+    * that product to DECIMAL(38,0) — same shape.
+    *
+    * Scale: one map-side-combinable aggregate over documents, a
+    * broadcast single-row total, a narrow projection. */
+  def mixtureSchedule(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    val perSource = docs(spark, dir)
+      .select(col("source"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .+(1L).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("sqrt_micro", expr(
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val total = perSource.agg(sum(col("sqrt_micro")).as("tot"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("target_tokens", expr(s"($budget * sqrt_micro) DIV tot"))
+      .withColumn("epochs_ppm",
+        expr("(target_tokens * 1000000) DIV n_tokens"))
+      .drop("tot")
+      .orderBy(col("source"))
+  }
+
+  def mixtureScheduleOracle(budget: Long = 1000000L): String =
+    s"""WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+             AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       s AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+           AS BIGINT) AS sqrt_micro FROM t),
+       tot AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS tot FROM s),
+       a AS (SELECT s.*, ($budget * sqrt_micro) // tot AS target_tokens
+         FROM s CROSS JOIN tot)
+       SELECT source, n_docs, n_tokens, sqrt_micro, target_tokens,
+         (target_tokens * 1000000) // n_tokens AS epochs_ppm
+       FROM a ORDER BY source"""
+
   def lengthBatchingOracle(batch: Int = 16, seed: Long = 11): String = {
     val mix = graft.functions.DetMix.mixSql("doc_id", seed)
     s"""WITH t AS (SELECT doc_id,

@@ -887,4 +887,55 @@ object Analytics {
          ${Hll.estMicroSql("reg_sum", 9)} AS est_micro
        FROM f ORDER BY event_type"""
   }
+
+  /** q117: Count–Min frequency estimates vs exact counts for the top-20
+    * heaviest users — [[graft.functions.Cms]] (4×1024 sum-mergeable
+    * counters; ~32 KB shipped per partition however large the corpus)
+    * next to q76's Misra–Gries: MG yields the candidate set, CMS the
+    * frequencies. Being all-integer the sketch is EXACTLY oracled — a
+    * DuckDB CTE rebuilds every counter from the same DetMix row hashes,
+    * so `cms_cnt` (always ≥ `exact_cnt`, over by ≤ eN/1024 w.h.p.) must
+    * match to the cell. The exact top-20 is a deterministic
+    * (count desc, user_id) order both engines share.
+    *
+    * Scale: the exact side is one map-side-combinable count + top-k; the
+    * sketch side is one global aggregate; the point queries join the
+    * 20-row top set against the one-row sketch by broadcast. */
+  def q117CmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Cms
+    val (d, w, sb) = (4, 1024, 100L)
+    val e = Tables(spark, dir, "events").select(col("user_id"))
+    val cms = e.agg(Cms.cms_counters(col("user_id"), d, w, sb).as("cms"))
+    val top = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    val cells = (0 until d).map { r =>
+      expr(s"element_at(cms, CAST(${Cms.cellSql("user_id", r, w, sb)}" +
+        " + 1 AS INT))")
+    }
+    top.crossJoin(broadcast(cms))
+      .select(col("user_id"), col("exact_cnt"),
+        least(cells: _*).as("cms_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  val q117Oracle: String = {
+    import graft.functions.Cms
+    val (w, sb) = (1024, 100L)
+    def cell(r: Int) = Cms.cellSql("user_id", r, w, sb)
+    val unions = (0 until 4).map(r =>
+      s"SELECT ${cell(r)} AS cell FROM events").mkString(" UNION ALL ")
+    val joins = (0 until 4).map(r =>
+      s"JOIN cnt c$r ON c$r.cell = ${cell(r).replace("user_id", "t.user_id")}")
+      .mkString(" ")
+    s"""WITH top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+         FROM events GROUP BY 1
+         ORDER BY exact_cnt DESC, user_id LIMIT 20),
+       cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS c
+         FROM ($unions) u GROUP BY 1)
+       SELECT t.user_id, t.exact_cnt,
+         least(c0.c, c1.c, c2.c, c3.c) AS cms_cnt
+       FROM top t $joins
+       ORDER BY exact_cnt DESC, user_id"""
+  }
 }

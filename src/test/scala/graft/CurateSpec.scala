@@ -432,6 +432,19 @@ class CurateSpec extends SparkSpecBase {
     assert(moved >= 30, s"seed change left ${32 - moved}/32 orders intact")
   }
 
+  test("mixtureSchedule conserves the budget and flattens source skew") {
+    val rows = Curate.mixtureSchedule(spark, sf0001, budget = 500000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    // floor-allocated shares never exceed the budget, and land close
+    val alloc = rows.map(_._3).sum
+    assert(alloc <= 500000L && alloc > 490000L, s"alloc=$alloc")
+    // temperature 0.5: smaller sources get MORE epochs than larger ones
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.head._4 > bySize.last._4,
+      s"smallest ${bySize.head} should out-epoch largest ${bySize.last}")
+  }
+
   test("length bucketing strictly cuts padding vs arrival-order batching") {
     val rows = Curate.lengthBatching(spark, sf0001)
       .collect().map(r => (r.getString(5), r.getLong(3), r.getLong(4)))

@@ -25,7 +25,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q80_weighted_sample", "q84_bm25",
     // round-7 widening: DetMix-ordered and sketch-based operators
     "q112_epoch_shuffle", "q113_length_batching",
-    "q114_sequence_assembly", "q115_srp_codes", "q116_hll_distinct")
+    "q114_sequence_assembly", "q115_srp_codes", "q116_hll_distinct",
+    "q117_cms_frequency", "q118_mixture_schedule")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

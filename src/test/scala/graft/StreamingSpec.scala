@@ -213,6 +213,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(!rows.exists(_._3 == 100.0))
   }
 
+  test("streaming windowed HLL: closed-window registers equal the batch " +
+      "sketch and small-n linear counting is accurate") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = graft.streaming.StreamingDistinct.windowedDistinct(
+      input.toDF().toDF("ts", "user_id"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    // window 10:00-11:00: users 0..199, each seen twice across batches
+    val users = (0L until 200L)
+    input.addData(users.map(u =>
+      (Timestamp.valueOf("2024-03-01 10:05:00"), u)))
+    q.processAllAvailable()
+    input.addData(users.map(u =>
+      (Timestamp.valueOf("2024-03-01 10:40:00"), u)))
+    q.processAllAvailable()
+    // advance the watermark so the first window closes
+    input.addData(Seq((Timestamp.valueOf("2024-03-01 12:00:00"), 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val w10 = Timestamp.valueOf("2024-03-01 10:00:00").getTime / 1000
+    val row = spark.table("hll_out")
+      .filter(col("window_start_epoch") === w10).collect()
+    assert(row.length == 1, "first window should have closed exactly once")
+    // streaming registers == batch sketch of the same users (merge path
+    // across two batches must be lossless)
+    val batchRegs = users.toDF("x")
+      .agg(graft.functions.Hll.hll_registers(
+        expr(graft.functions.DetMix.mixSql("x", 13)), 9))
+      .collect()(0).getSeq[Byte](0)
+    assert(row(0).getSeq[Byte](1) == batchRegs)
+    // n=200 << m=512: linear counting over zero_regs lands within 10%
+    val zeros = row(0).getLong(3)
+    val lc = 512.0 * math.log(512.0 / zeros)
+    assert(math.abs(lc - 200.0) < 20.0, s"lc=$lc zeros=$zeros")
+  }
+
   test("streaming trending tokens: per-window MG summary emits on " +
       "window close with exact counts below k") {
     import java.sql.Timestamp
