@@ -36,32 +36,44 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
     try exec(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must not masquerade as a fast median (round 8:
+    // q114 crashed at plan time, and its 0.076 s time-to-crash was
+    // counted in the 118-query total). Record the wall time AND whether
+    // any run failed; failed queries are flagged in the detail artifact
+    // and excluded from the headline total.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = Seq.fill(runs)(timeOnce(fn)).sorted
+      val rs = Seq.fill(runs)(timeOnce(fn))
+      val ts = rs.map(_._1).sorted
       val median = ts(ts.length / 2)
-      (name, median, ts.head, ts.last)
+      (name, median, ts.head, ts.last, rs.forall(_._2))
     }
+    val failed = results.filterNot(_._5).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.length} queries FAILED " +
+        s"(excluded from total): ${failed.mkString(", ")}")
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi) =>
+    val spread = results.map { case (k, _, lo, hi, _) =>
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._5).map(_._2).sum
     // The driver records only the LAST ~2000 chars of output (r5 proved
     // it: a headline printed FIRST was cut, "parsed" came back null), so
     // ordering is: the full line with spreads first (humans, full
     // captures), then LAST a line guaranteed to survive a tail capture
     // and parse — per-query medians if that fits the tail budget,
     // otherwise just the headline total.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_failed":${failed.length},"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs2 = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt2(med) }
+    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt2(med) }
       .mkString("{", ",", "}")
     val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs2,"sf":"$sfDir"}"""
     // tail budget: 2000-char capture minus sbt's trailing "[success]
@@ -76,8 +88,9 @@ object Bench {
     // alone instead of re-running the whole bench.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    val detail = results.map { case (k, med, lo, hi) =>
-      s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(lo)}, "max": ${fmt(hi)}}"""
+    val detail = results.map { case (k, med, lo, hi, ok) =>
+      val failTag = if (ok) "" else """, "failed": true"""
+      s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(lo)}, "max": ${fmt(hi)}$failTag}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{
@@ -85,6 +98,7 @@ object Bench {
   "runs": $runs,
   "cpus": $cpus,
   "total_sec": ${fmt(total)},
+  "n_failed": ${failed.length},
   "queries": {
 $detail
   }

@@ -15,10 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave an explicit, machine-readable trace:
+    // round 8 proved a silent row omission (q114 crashed → no parquet dir
+    // → the correctness artifact simply had one fewer row and read as
+    // 100% pass on its own). Collect failures and dump them to
+    // errors.json so no registered query can ever vanish from the
+    // artifacts without a recorded cause.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +45,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: {${q("err")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Exit 0 even on per-query failure: the driver must still run the
+    // DuckDB compare over the queries that DID produce results (a
+    // nonzero exit could zero the whole round). errors.json + the stderr
+    // banner are the explicit record.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: "
+          + errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -468,9 +468,15 @@ object Similarity {
     * index is 0-based, DuckDB's `generate_subscripts` 1-based). */
   def srpCodes(spark: SparkSession, dir: String, nBits: Int = 16,
       seed: Long = 5): DataFrame =
+    // The global sort exists ONLY for oracle hash determinism in the
+    // registered query; the reusable srpCodesOf stays sort-free (a
+    // corpus-wide orderBy of the embeddings table is exactly the plan
+    // shape that amplifies one slow executor into a stage stall).
     srpCodesOf(Tables(spark, dir, "embeddings"), nBits, seed)
+      .orderBy(col("vec_id"))
 
-  /** SRP codes over any (vec_id, embedding: array<float>) frame. */
+  /** SRP codes over any (vec_id, embedding: array<float>) frame.
+    * Sort-free: consumers that need an order (the oracle entry) add it. */
   def srpCodesOf(vecs: DataFrame, nBits: Int = 16,
       seed: Long = 5): DataFrame = {
     import graft.functions.DetMix
@@ -487,7 +493,6 @@ object Similarity {
     }.reduce(_ + _)
     withDots.select(col("vec_id"), code.as("srp_code"))
       .withColumn("srp_bits", bit_count(col("srp_code")).cast("long"))
-      .orderBy(col("vec_id"))
   }
 
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {

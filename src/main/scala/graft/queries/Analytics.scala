@@ -804,10 +804,16 @@ object Analytics {
     * executor memory; this is the standard sessionize-then-sort posture.
     *
     * Timestamps follow the q100 rule: epoch µs derived by integer
-    * division of the stored nanos on both engines, never a raw ts. */
+    * division of the stored nanos on both engines, never a raw ts. The
+    * stored `ts` is timestamp-without-timezone (Spark 4 reads parquet
+    * `timestamp[us]` with no tz as TIMESTAMP_NTZ) and `unix_micros` is
+    * the one epoch function restricted to TIMESTAMP — cast first; with
+    * the session pinned to UTC the NTZ→LTZ cast is a bit-identical
+    * relabel and matches DuckDB's `epoch_us(ts)`. */
   def q114SequenceAssembly(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
         col("event_id"), col("event_type"))
     e.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),

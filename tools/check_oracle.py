@@ -39,7 +39,19 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_fail = 0
+    # Verify.scala records throwing queries in errors.json; surface them
+    # here so a crashed query can never read as "just absent" (round 8:
+    # q114 crashed and silently vanished from the correctness artifact).
+    try:
+        errors = json.load(open(f"{outdir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
+    for name, e in sorted(errors.items()):
+        print(f"ERR  {name}: {e['err'][:200]}")
+        n_fail += 1
     for name in sorted(oracle):
+        if name in errors:
+            continue  # already counted as ERR above
         try:
             duck = norm(con.execute(oracle[name]).df())
             files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
