@@ -197,6 +197,8 @@ object SparkEntry {
       Analytics.q116HllDistinct(s, d)),
     "q117_cms_frequency" -> ((s: SparkSession, d: String) =>
       Analytics.q117CmsFrequency(s, d)),
+    "q119_adpcm_roundtrip" -> ((s: SparkSession, d: String) =>
+      Multimodal.adpcmRoundtripExact(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -343,11 +345,14 @@ object SparkEntry {
          WHERE k IS NOT NULL AND k % 10 = 0
          GROUP BY event_type ORDER BY event_type""",
     "q21_dedup_exact" -> Dedup.exactOracle,
+    "q22_minhash_pairs" -> Dedup.minhashPairsOracle,
     "q23_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "q24_simhash_pairs" -> Dedup.simhashPairsOracle,
     "q25_embedding_neardup" -> Similarity.neardupOracle,
     "q26_knn_bruteforce" -> Similarity.knnOracle(),
     "q28_text_quality" -> TextAnalysis.qualityOracle,
     "q29_token_counts" -> TextAnalysis.tokenCountsOracle,
+    "q30_lang_id" -> TextAnalysis.langIdOracle,
     "q32_multimodal_digest" -> Multimodal.payloadDigestOracle,
     "q34_cube" -> Analytics.q34Oracle,
     "q35_percentile" -> Analytics.q35Oracle,
@@ -379,6 +384,8 @@ object SparkEntry {
     "q64_unigram_logprob" -> TextAnalysis.unigramLogprobOracle,
     "q65_group_topk" -> Analytics.q65Oracle,
     "q66_salted_join" -> Relational.q66Oracle,
+    "q67_kmv_distinct" -> TextAnalysis.distinctEstimateOracle(),
+    "q68_incr_neardup" -> Dedup.incrementalNearDupOracle,
     "q70_fingerprint_md5" -> TextAnalysis.fingerprintsMd5Oracle,
     "q73_merge_upsert" -> graft.ops.Merge.mergeUpsertOracle,
     "q74_resample" -> Analytics.q74Oracle,
@@ -422,6 +429,7 @@ object SparkEntry {
     "q115_srp_codes" -> Similarity.srpCodesOracle(),
     "q116_hll_distinct" -> Analytics.q116Oracle,
     "q117_cms_frequency" -> Analytics.q117Oracle,
-    "q118_mixture_schedule" -> Curate.mixtureScheduleOracle()
+    "q118_mixture_schedule" -> Curate.mixtureScheduleOracle(),
+    "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle
   )
 }

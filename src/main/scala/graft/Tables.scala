@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the driver's test tables (TESTDATA.md).
   *
@@ -21,13 +21,20 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // `ts div 1000` (integer division) — a double divide would round
         // the ~1.7e18 ns value (ulp 256 ns) and mis-truncate ~1.6% of
         // rows by 1 µs, flipping epoch seconds at boundaries
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        // parquet timestamp[us] WITHOUT timezone reads as TIMESTAMP_NTZ
+        // in Spark 4 — normalize to TIMESTAMP here so every consumer
+        // (unix_micros, streaming watermarks) sees one type; under the
+        // UTC session the cast is a bit-identical relabel that matches
+        // DuckDB's epoch functions
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 }

@@ -3,7 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.ShingleHashes.shingle_hashes
+import graft.functions.DetMix
+import graft.functions.MinHashAgg
+import graft.functions.ShingleHashes.shingle_hashes_md5
 import graft.functions.Sketches.{minhash_sketch, simhash_sketch}
 
 /** Deduplication operators over the `documents` table: exact
@@ -39,16 +41,35 @@ object Dedup {
     shinglesOfTokens(split(text, " "), k)
 
   /** (doc_id, hs) — sorted distinct shingle-hash sets via the custom
-    * single-pass [[graft.functions.ShingleHashes]] expression. Every
+    * single-pass [[graft.functions.ShingleHashesMd5]] expression. Every
     * dedup operator consumes this, so the corpus is byte-scanned exactly
-    * once per query with no token/shingle string materialization. */
+    * once per query with no token/shingle string materialization. The
+    * md5-60bit portable hash (rather than the faster splitmix form)
+    * because every sketch downstream — MinHash signatures, SimHash
+    * bits, KMV minima — inherits engine-portability from its feature
+    * hash, which is what lets the whole family sit under the DuckDB
+    * oracle instead of rows-only checks. */
   private def shingleHashDf(spark: SparkSession, dir: String): DataFrame =
     shingleHashDfOf(Tables(spark, dir, "documents"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def shingleHashDfOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingle_hashes(col("text")).as("hs"))
+    docs.select(col("doc_id"), shingle_hashes_md5(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
+
+  /** DuckDB SQL fragment: distinct (doc_id, h) portable shingle hashes
+    * of `documents` — the oracle-side twin of [[shingleHashDfOf]]
+    * exploded. Shared prefix of every sketch-family oracle. */
+  private val shingleHashCte: String =
+    """w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+             generate_subscripts(string_split(text,' '),1) AS pos
+           FROM documents),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+             FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                      JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       hh AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(sh),1,15)) AS BIGINT) AS h
+             FROM t)"""
 
   // --- exact dedup ---------------------------------------------------------
 
@@ -134,12 +155,22 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(minhash_sketch(col("h"), MinhashK).as("sig"))
 
-  /** (doc_id, band_idx, band_hash) — one row per signature band. */
+  /** (doc_id, band_idx, band_hash, band) — one row per signature band.
+    * `band_hash` (32-bit) is the SHUFFLE key — buckets and BucketCap
+    * group on it so the exchange ships an int, not an array — while
+    * `band` (the LshRows signature values themselves) rides along so
+    * candidate joins can require true band equality: a band_hash
+    * collision can then never fabricate a candidate pair, making the
+    * pair set exactly "some band identical" — the portable semantics
+    * the DuckDB oracles reproduce. */
   private def bandedSigs(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(
-      array((0 until LshBands).map(b =>
-        hash(slice(col("sig"), b * LshRows + 1, LshRows))): _*)))
-      .toDF("doc_id", "band_idx", "band_hash")
+      array((0 until LshBands).map { b =>
+        val sl = slice(col("sig"), b * LshRows + 1, LshRows)
+        struct(hash(sl).as("band_hash"), sl.as("band"))
+      }: _*)))
+      .select(col("doc_id"), col("pos").as("band_idx"),
+        col("col.band_hash").as("band_hash"), col("col.band").as("band"))
 
   /** LSH candidate pairs from a signature table: band the signature, hash
     * each band, shuffle on (band_idx, band_hash), emit pairs within a
@@ -153,6 +184,7 @@ object Dedup {
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
+          col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
@@ -187,6 +219,65 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** DuckDB CTE chain reproducing [[minhashSignaturesOf]] exactly:
+    * portable shingle hashes → min over the group of DetMix(h, 7000+j)
+    * for j in [0, 64) — the same integers [[graft.functions.MinHashAgg]]
+    * computes, so signature-derived queries hash-match cross-engine. */
+  private def minhashSigCtes: String = {
+    val mix = DetMix.mixSqlSeedExpr("h", s"${MinHashAgg.SeedBase} + j")
+    s"""$shingleHashCte,
+       js AS (SELECT unnest(range(0, $MinhashK)) AS j),
+       sig AS (SELECT doc_id, j, min($mix) AS m
+               FROM hh CROSS JOIN js GROUP BY 1, 2),
+       band AS (SELECT doc_id, j // $LshRows AS band_idx,
+                  string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bv
+                FROM sig GROUP BY 1, 2)"""
+  }
+
+  /** Oracle for q22 [[minhashPairs]]: banded candidates (true band
+    * equality — the Spark side requires the band VALUES equal too, so
+    * band_hash collisions cannot widen the pair set) + signature
+    * agreement ≥ 32/64. Brute-force band self-join is oracle-side only.
+    * BucketCap cannot fire at oracle scale (500 docs < the 1024 cap). */
+  val minhashPairsOracle: String =
+    s"""WITH $minhashSigCtes,
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                FROM band x JOIN band y
+                  ON x.band_idx = y.band_idx AND x.bv = y.bv
+                     AND x.doc_id < y.doc_id),
+       est AS (SELECT da, db,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+               FROM cand
+                 JOIN sig sa ON sa.doc_id = da
+                 JOIN sig sb ON sb.doc_id = db AND sb.j = sa.j
+               GROUP BY 1, 2)
+       SELECT da AS a, db AS b,
+         round(matches / $MinhashK.0, 4) AS est_jaccard
+       FROM est WHERE matches * 2 >= $MinhashK ORDER BY a, b"""
+
+  /** Oracle for q68 [[incrementalNearDup]]: odd-id batch vs even-id
+    * seen corpus, banded candidates, best (highest-agreement, ties →
+    * highest seen id) match per batch doc at ≥ 32/64. */
+  val incrementalNearDupOracle: String =
+    s"""WITH $minhashSigCtes,
+       cand AS (SELECT DISTINCT x.doc_id AS d, y.doc_id AS s
+                FROM band x JOIN band y
+                  ON x.band_idx = y.band_idx AND x.bv = y.bv
+                WHERE x.doc_id % 2 <> 0 AND y.doc_id % 2 = 0),
+       est AS (SELECT d, s,
+                 sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+               FROM cand
+                 JOIN sig sa ON sa.doc_id = d
+                 JOIN sig sb ON sb.doc_id = s AND sb.j = sa.j
+               GROUP BY 1, 2),
+       best AS (SELECT d, s, matches,
+                  row_number() OVER (PARTITION BY d
+                    ORDER BY matches DESC, s DESC) AS rn
+                FROM est WHERE matches * 2 >= $MinhashK)
+       SELECT d AS doc_id, s AS near_dup_of,
+         round(matches / $MinhashK.0, 4) AS est_jaccard
+       FROM best WHERE rn = 1 ORDER BY doc_id"""
+
   /** Incremental NEAR-dup admission — the LSH twin of [[incrementalNew]]:
     * flag batch documents whose MinHash signature band-collides with an
     * already-ingested document and whose signature-agreement estimate
@@ -219,7 +310,8 @@ object Dedup {
       Seq("band_idx", "band_hash"), maxBucket, "incr-neardup-seen")
     val cand = bb.as("x").join(sb.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash"))
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.band") === col("y.band"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("seen_id"))
       .distinct()
     bestSeenMatch(cand, bs, ss, tau)
@@ -240,6 +332,7 @@ object Dedup {
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
+          col("x.band") === col("y.band") &&
           col("y.doc_id") < col("x.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("seen_id"))
       .distinct()
@@ -479,8 +572,12 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  val SimhashBits = 64
-  val SimhashBands = 4   // 16-bit bands: hamming ≤ 3 ⇒ ≥1 identical band
+  /** 60, not 64: the portable md5-60bit feature hash leaves bits 60–63
+    * identically zero (their vote sum is always −n), so only 60 sketch
+    * bits carry signal — banding over the zero bits would put every
+    * document in one bucket for that band. */
+  val SimhashBits = 60
+  val SimhashBands = 4   // 15-bit bands: hamming ≤ 3 ⇒ ≥1 identical band
 
   /** 64-bit SimHash over word-3-gram shingles (unigram features collapse
     * when the corpus shares a small vocabulary — shingles keep the bit
@@ -529,4 +626,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a"), col("b"))
   }
+
+  /** Oracle for q24 [[simhashPairs]]: recompute the 60-bit SimHash from
+    * the portable shingle hashes (per-bit ±1 vote sums — the exact
+    * [[graft.functions.SimHashAgg]] semantics), band into 4×15 bits,
+    * pair within buckets, verify hamming ≤ 3. Band values here ARE bit
+    * slices (no engine hash anywhere), so the oracle is exact. */
+  val simhashPairsOracle: String =
+    s"""WITH $shingleHashCte,
+       js AS (SELECT unnest(range(0, $SimhashBits)) AS j),
+       bits AS (SELECT doc_id, j,
+           CASE WHEN sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1
+                    THEN 1 ELSE -1 END) > 0
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+             ELSE CAST(0 AS BIGINT) END AS bit
+         FROM hh CROSS JOIN js GROUP BY doc_id, j),
+       sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+               FROM bits GROUP BY 1),
+       bnum AS (SELECT unnest(range(0, $SimhashBands)) AS bi),
+       band AS (SELECT doc_id, simhash, bi,
+                  (simhash >> CAST(bi * ${SimhashBits / SimhashBands} AS INT))
+                    & ${(1L << (SimhashBits / SimhashBands)) - 1} AS bv
+                FROM sim CROSS JOIN bnum),
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                  x.simhash AS sa, y.simhash AS sb
+                FROM band x JOIN band y
+                  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       SELECT da AS a, db AS b,
+         CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b"""
 }

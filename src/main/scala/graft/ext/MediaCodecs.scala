@@ -461,4 +461,153 @@ object MediaCodecs {
     }
     (math.sqrt(sumSq / a.samples.length), peak)
   }
+
+  // -------------------------------------------- IMA ADPCM (format 0x11)
+  // A genuinely COMPRESSED audio codec in pure integer table arithmetic
+  // (IMA "DVI4" ADPCM: 4 bits/sample 4:1 compression; step/index tables
+  // and the bit-serial quantizer are the published IMA algorithm, same
+  // tables as RFC 3551 §4.5.1 / the multimedia literature). Replaces
+  // the last remaining "compressed audio" stub: encode and decode are
+  // separate real paths, and because every operation is 32-bit integer
+  // compare/add/shift, a SQL oracle replays the identical state machine
+  // (recursive CTE over the sample index).
+
+  /** IMA ADPCM step-size table (89 entries). */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment per 3-bit nibble magnitude. */
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One quantize+reconstruct step shared verbatim by encoder and
+    * decoder paths: given (predictor, stepIndex) and the 4-bit nibble,
+    * return the updated (predictor, stepIndex). Encoder-side callers
+    * first derive the nibble from the input sample with
+    * [[adpcmQuantize]]. */
+  private def adpcmReconstruct(pred: Int, sidx: Int, nibble: Int): (Int, Int) = {
+    val step = AdpcmStepTable(sidx)
+    val delta = nibble & 7
+    var diffq = step >> 3
+    if ((delta & 4) != 0) diffq += step
+    if ((delta & 2) != 0) diffq += step >> 1
+    if ((delta & 1) != 0) diffq += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diffq else pred + diffq
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, sidx + AdpcmIndexTable(delta)))
+    (p, i)
+  }
+
+  /** Bit-serial IMA quantizer: nibble for sample `s` given state. */
+  private def adpcmQuantize(pred: Int, sidx: Int, s: Int): Int = {
+    val step = AdpcmStepTable(sidx)
+    val diff = s - pred
+    val sign = if (diff < 0) 8 else 0
+    var ad = if (diff < 0) -diff else diff
+    var delta = 0
+    if (ad >= step) { delta = 4; ad -= step }
+    if (ad >= (step >> 1)) { delta |= 2; ad -= step >> 1 }
+    if (ad >= (step >> 2)) delta |= 1
+    sign | delta
+  }
+
+  /** Encode mono 16-bit samples as a single-block IMA-ADPCM WAV
+    * (format tag 0x11): fmt chunk with cbSize+samplesPerBlock, a fact
+    * chunk carrying the true sample count, and a data chunk whose
+    * 4-byte block header stores (predictor₀ = s16(0), stepIndex₀ = 0);
+    * the remaining samples are low-nibble-first packed 4-bit codes. */
+  def encodeWavAdpcm(rate: Int, s16: Array[Int]): Array[Byte] = {
+    require(s16.nonEmpty, "ADPCM block needs at least one sample")
+    val n = s16.length
+    val nNib = n - 1
+    val dataLen = 4 + (nNib + 1) / 2
+    val o = new Array[Byte](12 + 28 + 12 + 8 + dataLen)
+    o(0) = 'R'; o(1) = 'I'; o(2) = 'F'; o(3) = 'F'
+    wle32(o, 4, o.length - 8)
+    o(8) = 'W'; o(9) = 'A'; o(10) = 'V'; o(11) = 'E'
+    o(12) = 'f'; o(13) = 'm'; o(14) = 't'; o(15) = ' '
+    wle32(o, 16, 20); wle16(o, 20, 0x11); wle16(o, 22, 1)
+    wle32(o, 24, rate); wle32(o, 28, rate * dataLen / math.max(n, 1))
+    wle16(o, 32, dataLen); wle16(o, 34, 4)
+    wle16(o, 36, 2) // cbSize
+    wle16(o, 38, n) // samplesPerBlock
+    o(40) = 'f'; o(41) = 'a'; o(42) = 'c'; o(43) = 't'
+    wle32(o, 44, 4); wle32(o, 48, n)
+    o(52) = 'd'; o(53) = 'a'; o(54) = 't'; o(55) = 'a'
+    wle32(o, 56, dataLen)
+    val base = 60
+    var pred = s16(0)
+    var sidx = 0
+    wle16(o, base, pred & 0xffff)
+    o(base + 2) = 0 // initial step index
+    o(base + 3) = 0 // reserved
+    var k = 0
+    while (k < nNib) {
+      val nib = adpcmQuantize(pred, sidx, s16(k + 1))
+      val st = adpcmReconstruct(pred, sidx, nib)
+      pred = st._1; sidx = st._2
+      val pos = base + 4 + k / 2
+      if (k % 2 == 0) o(pos) = (nib & 0xf).toByte
+      else o(pos) = (o(pos) | ((nib & 0xf) << 4)).toByte
+      k += 1
+    }
+    o
+  }
+
+  /** Decode a [[encodeWavAdpcm]]-shaped IMA-ADPCM WAV back to mono
+    * 16-bit samples (sample rate, reconstructed s16 array). Returns
+    * None for anything that is not a well-formed single-block mono
+    * format-0x11 WAV with a fact chunk. */
+  def decodeWavAdpcm(b: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12
+    var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
+    var nSamples = -1; var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val sz = le32(b, i + 4)
+      if (sz < 0) return None
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        i + 8 + 16 <= b.length) {
+        fmtTag = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'c' &&
+        b(i + 3) == 't' && i + 12 <= b.length) {
+        nSamples = le32(b, i + 8)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
+      }
+      val next = i.toLong + 8L + sz.toLong + (sz & 1)
+      if (next > b.length.toLong) i = b.length else i = next.toInt
+    }
+    if (fmtTag != 0x11 || channels != 1 || rate <= 0 || bits != 4 ||
+      nSamples < 1 || dataOff < 0 || dataLen < 4) return None
+    val nNib = math.min(nSamples - 1, (dataLen - 4) * 2)
+    val out = new Array[Int](1 + nNib)
+    var pred = le16(b, dataOff).toShort.toInt
+    var sidx = math.min(88, math.max(0, b(dataOff + 2) & 0xff))
+    out(0) = pred
+    var k = 0
+    while (k < nNib) {
+      val byte = b(dataOff + 4 + k / 2) & 0xff
+      val nib = if (k % 2 == 0) byte & 0xf else (byte >> 4) & 0xf
+      val st = adpcmReconstruct(pred, sidx, nib)
+      pred = st._1; sidx = st._2
+      out(k + 1) = pred
+      k += 1
+    }
+    Some((rate, out))
+  }
 }

@@ -7,10 +7,12 @@ import graft.Tables
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
   * with typed metadata alongside. The Spark-side machinery — schema,
   * batch-oriented per-partition processing, partition sizing — is real and
-  * tested. Decode is REAL for BMP/PPM/PGM/WAV (pure-JVM parsers) and for
+  * tested. Decode is REAL for BMP/PPM/PGM/WAV (pure-JVM parsers), for
   * PNG/JPEG (the JDK's public `javax.imageio` plugins — no external
-  * library); only compressed AUDIO codecs (FLAC/MP3/...) remain stubbed
-  * with a deterministic fake, since no audio codec ships in the JDK.
+  * library), and for IMA-ADPCM compressed audio (pure integer table
+  * arithmetic, [[MediaCodecs.decodeWavAdpcm]], oracled end to end in
+  * q119); only the entropy-coded audio formats the JDK ships no codec
+  * for (FLAC/MP3/...) remain stubbed with a deterministic fake.
   *
   * Scale posture: payload bytes travel inside the row (Parquet binary
   * column), so partition sizing is governed by
@@ -408,6 +410,140 @@ object Multimodal {
          CAST(h AS INT) AS height, CAST(ch AS INT) AS channels,
          CAST(sum(v) AS BIGINT) AS px_sum, CAST(count(*) AS BIGINT) AS n_px
        FROM b GROUP BY doc_id, format, w, h, ch ORDER BY doc_id"""
+
+  /** q119: IMA-ADPCM round trip, integer-exact and ORACLED — the
+    * compressed-audio path that replaces the last codec stub. Each WAV
+    * document's decoded 16-bit PCM is encoded through the real
+    * [[MediaCodecs.encodeWavAdpcm]] 4-bit quantizer (4:1 compression)
+    * and decoded back by the separate [[MediaCodecs.decodeWavAdpcm]]
+    * path; the output reports integer sufficient statistics of the
+    * RECONSTRUCTED signal (Σ|ŝ|, max|ŝ|, final predictor) plus the
+    * compressed byte size. Because the IMA quantizer is pure integer
+    * table arithmetic, a DuckDB oracle replays the identical
+    * encoder/decoder state machine with a recursive CTE over the
+    * sample index — any drift in either path (a table entry, a clamp,
+    * a nibble order) flips Σ|ŝ| with overwhelming probability.
+    *
+    * Scale: narrow mapPartitions batch decode, no shuffle before the
+    * doc-count-sized final sort — same posture as q109/q110. */
+  def adpcmRoundtripExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeWav(p).flatMap { a =>
+          // s·2^15 recovers the stored 16-bit int exactly (q109 rule)
+          val s16 = new Array[Int](a.samples.length)
+          var i = 0
+          while (i < s16.length) {
+            s16(i) = math.round(a.samples(i) * 32768.0).toInt
+            i += 1
+          }
+          val enc = MediaCodecs.encodeWavAdpcm(a.sampleRate, s16)
+          MediaCodecs.decodeWavAdpcm(enc).map { case (_, dec) =>
+            var sumAbs = 0L
+            var peak = 0
+            var j = 0
+            while (j < dec.length) {
+              val v = math.abs(dec(j))
+              sumAbs += v
+              if (v > peak) peak = v
+              j += 1
+            }
+            (id, dec.length.toLong, enc.length.toLong, sumAbs, peak,
+              dec(dec.length - 1))
+          }
+        }
+      })
+      .toDF("doc_id", "n_samples", "n_bytes", "sum_abs", "peak_i",
+        "end_pred")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q119 [[adpcmRoundtripExact]]: source s16 from hex-string
+    * byte extraction (q109's recipe), then the IMA encoder+decoder state
+    * machine — whose reconstruction states ARE the decoded samples —
+    * replayed by a recursive CTE with the step/index tables inlined as
+    * VALUES. */
+  def adpcmRoundtripOracle: String = {
+    val steps = MediaCodecs.AdpcmStepTable.zipWithIndex
+      .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+    val itab = MediaCodecs.AdpcmIndexTable.zipWithIndex
+      .map { case (inc, d) => s"($d, $inc)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       wavdocs AS (SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) = 0 THEN '2A'
+                ELSE hex(encode(text)) END AS hx,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 1
+                ELSE octet_length(encode(text)) END AS len
+         FROM documents WHERE doc_id % 6 = 3),
+       par AS (SELECT doc_id, hx, len, least(2048, len * 4) AS n
+               FROM wavdocs),
+       pos AS (SELECT doc_id, hx, len, n, unnest(range(0, n)) AS i
+               FROM par),
+       smp AS (SELECT doc_id, n, CAST(i + 1 AS BIGINT) AS i,
+           CAST(floor((CAST(('0x' || substr(hx, ((i % len) * 2) + 1, 2))::INTEGER
+             AS BIGINT) - 128) * 32767 / 128.0 + 0.5) AS BIGINT) AS s
+         FROM pos),
+       steps(si, step) AS (VALUES $steps),
+       itab(dd, inc) AS (VALUES $itab),
+       rec AS (
+         SELECT doc_id, n, CAST(1 AS BIGINT) AS i, CAST(s AS INT) AS pred,
+                CAST(0 AS INT) AS sidx, CAST(abs(s) AS BIGINT) AS sum_abs,
+                CAST(abs(s) AS INT) AS peak
+         FROM smp WHERE i = 1
+         UNION ALL
+         SELECT z.doc_id, z.n, z.i + 1,
+           CAST(z.predn AS INT),
+           CAST(greatest(0, least(88, z.sidx + it.inc)) AS INT),
+           z.sum_abs + abs(z.predn),
+           CAST(greatest(z.peak, abs(z.predn)) AS INT)
+         FROM (
+           SELECT y.*,
+             CASE WHEN y.sgn = 1
+               THEN greatest(-32768, least(32767, y.pred - y.diffq))
+               ELSE greatest(-32768, least(32767, y.pred + y.diffq))
+             END AS predn,
+             y.b2 * 4 + y.b1 * 2 + y.b0 AS dd
+           FROM (
+             SELECT x.*, (x.step // 8) + x.b2 * x.step
+               + x.b1 * (x.step // 2) + x.b0 * (x.step // 4) AS diffq
+             FROM (
+               SELECT w.*,
+                 CASE WHEN w.ad2 - CASE WHEN w.b1 = 1 THEN w.step // 2
+                          ELSE 0 END >= w.step // 4
+                      THEN 1 ELSE 0 END AS b0
+               FROM (
+                 SELECT v.*,
+                   CASE WHEN v.ad2 >= v.step // 2 THEN 1 ELSE 0 END AS b1
+                 FROM (
+                   SELECT u.*,
+                     u.ad - CASE WHEN u.b2 = 1 THEN u.step ELSE 0 END AS ad2
+                   FROM (
+                     SELECT r.doc_id, r.n, r.i, r.pred, r.sidx, r.sum_abs,
+                       r.peak, st.step, m.s,
+                       CASE WHEN m.s < r.pred THEN 1 ELSE 0 END AS sgn,
+                       abs(m.s - r.pred) AS ad,
+                       CASE WHEN abs(m.s - r.pred) >= st.step
+                            THEN 1 ELSE 0 END AS b2
+                     FROM rec r
+                       JOIN smp m ON m.doc_id = r.doc_id AND m.i = r.i + 1
+                       JOIN steps st ON st.si = r.sidx
+                     WHERE r.i < r.n
+                   ) u
+                 ) v
+               ) w
+             ) x
+           ) y
+         ) z JOIN itab it ON it.dd = z.dd
+       ),
+       fin AS (SELECT doc_id, n, sum_abs, peak, pred
+               FROM rec WHERE i = n)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         CAST(64 + n // 2 AS BIGINT) AS n_bytes,
+         sum_abs, peak AS peak_i, CAST(pred AS INT) AS end_pred
+       FROM fin ORDER BY doc_id"""
+  }
 
   val resampleAudioExactOracle: String =
     """WITH wavdocs AS (SELECT doc_id,

@@ -76,30 +76,97 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables(spark, dir, "documents"))
 
+  /** q30: n-gram language ID (Cavnar-Trenkle ranked trigram profiles),
+    * ORACLED — every decision is integer arithmetic. Per language l the
+    * score is the rational Σweights_l / (k_l · total) in micro-units
+    * (`div`, never a float divide); the winner is the micro-max over
+    * the langs (ties → first in sorted lang order), gated at
+    * > 20000 µ (= the 0.02 floor); the CJK override fires on
+    * 5·n_cjk > n_chars (= ratio > 0.2 exactly). DuckDB recomputes the
+    * same integers with the profiles inlined as a VALUES CTE
+    * ([[graft.functions.LangProfiles.profilesSqlValues]]).
+    *
+    * Scale: one custom-expression pass per document (codegen'd HashMap
+    * lookup per trigram), a handful of narrow integer columns, zero
+    * shuffle before the final sort. */
   def langIdOf(d: DataFrame): DataFrame = {
     import graft.functions.LangProfiles
-    import graft.functions.LangProfiles.trigram_lang_scores
+    import graft.functions.LangProfiles.trigram_lang_score_sums
     val langs = LangProfiles.langs
-    val n = col("text")
-    val cjkRatio = (length(n) - length(regexp_replace(n, "[\\u4e00-\\u9fff]", "")))
-      .cast("double") / greatest(length(n), lit(1))
-    val scored = d.withColumn("_scores", trigram_lang_scores(n)).select(
-      (col("doc_id") +: col("lang").as("labeled_lang") +:
-        cjkRatio.as("_cjk") +:
-        langs.zipWithIndex.map { case (l, i) =>
-          element_at(col("_scores"), i + 1).as(s"score_$l") }): _*)
-    val best = langs.foldLeft((lit("und"), lit(0.02))) {
-      case ((bestLang, bestScore), l) =>
-        val s = col(s"score_$l")
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
+    val nL = langs.length
+    val ks = langs.map(l => LangProfiles.profilesInt(l).size)
+    val withSums = d
+      .select(col("doc_id"), col("lang").as("labeled_lang"), col("text"),
+        trigram_lang_score_sums(col("text")).as("_sums"))
+      .withColumn("_total",
+        greatest(element_at(col("_sums"), nL + 1), lit(1L)))
+      .withColumn("_ncjk",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\u4e00-\\u9fff]", "")))
+          .cast("long"))
+      .withColumn("_nchars", greatest(length(col("text")), lit(1)).cast("long"))
+    val micros = langs.zipWithIndex.foldLeft(withSums) { case (df, (l, i)) =>
+      df.withColumn(s"_m_$l",
+        expr(s"CAST((element_at(_sums, ${i + 1}) * 1000000) div " +
+          s"(${ks(i)} * _total) AS BIGINT)"))
     }
-    scored
+    val (predC, confC) = langs.foldLeft((lit("und"), lit(20000L))) {
+      case ((bestLang, bestScore), l) =>
+        val m = col(s"_m_$l")
+        (when(m > bestScore, lit(l)).otherwise(bestLang),
+          when(m > bestScore, m).otherwise(bestScore))
+    }
+    val isCjk = col("_ncjk") * 5 > col("_nchars")
+    micros
       .select(col("doc_id"), col("labeled_lang"),
-        when(col("_cjk") > 0.2, lit("zh")).otherwise(best._1).as("pred_lang"),
-        round(when(col("_cjk") > 0.2, col("_cjk"))
-          .otherwise(least(best._2, lit(1.0))), 4).as("confidence"))
+        when(isCjk, lit("zh")).otherwise(predC).as("pred_lang"),
+        when(isCjk, expr("CAST((_ncjk * 1000000) div _nchars AS BIGINT)"))
+          .otherwise(least(confC, lit(1000000L))).as("conf_micro"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q30 [[langId]]: the ranked profiles inlined as a VALUES
+    * CTE, the same normalize → trigram → integer-score pipeline in SQL. */
+  def langIdOracle: String = {
+    import graft.functions.LangProfiles
+    s"""WITH prof(plang, tg, w) AS (VALUES
+         ${LangProfiles.profilesSqlValues}),
+       klang(plang, k) AS (VALUES ${LangProfiles.profileSizesSqlValues}),
+       d AS (SELECT doc_id, lang AS labeled_lang, text,
+               ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))
+                 || ' ' AS norm
+             FROM documents),
+       dt AS (SELECT doc_id, norm,
+                greatest(length(norm) - 2, 1) AS total,
+                length(text) -
+                  length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
+                  AS ncjk,
+                greatest(length(text), 1) AS nchars
+              FROM d),
+       g AS (SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tg
+             FROM dt, unnest(range(1, greatest(length(norm) - 1, 1))) AS u(i)),
+       s AS (SELECT g.doc_id, p.plang, sum(p.w) AS sw
+             FROM g JOIN prof p ON p.tg = g.tg GROUP BY 1, 2),
+       m AS (SELECT dt.doc_id, k.plang,
+               CAST((coalesce(s.sw, 0) * 1000000) // (k.k * dt.total) AS BIGINT)
+                 AS micro
+             FROM dt CROSS JOIN klang k
+               LEFT JOIN s ON s.doc_id = dt.doc_id AND s.plang = k.plang),
+       best AS (SELECT doc_id, plang, micro,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY micro DESC, plang ASC) AS rn
+                FROM m)
+       SELECT dt.doc_id, d.labeled_lang,
+         CASE WHEN dt.ncjk * 5 > dt.nchars THEN 'zh'
+              WHEN b.micro > 20000 THEN b.plang
+              ELSE 'und' END AS pred_lang,
+         CAST(CASE WHEN dt.ncjk * 5 > dt.nchars
+              THEN (dt.ncjk * 1000000) // dt.nchars
+              WHEN b.micro > 20000 THEN least(b.micro, 1000000)
+              ELSE 20000 END AS BIGINT) AS conf_micro
+       FROM dt JOIN d ON d.doc_id = dt.doc_id
+         JOIN best b ON b.doc_id = dt.doc_id AND b.rn = 1
+       ORDER BY dt.doc_id"""
   }
 
   /** Document fingerprints via the custom codegen'd rolling-hash
@@ -646,20 +713,72 @@ object TextAnalysis {
       k: Int = 256): DataFrame =
     distinctEstimateOf(Tables(spark, dir, "documents"), k)
 
-  /** Same over any (lang, text) DataFrame (injectable for tests). */
+  /** Same over any (lang, text) DataFrame (injectable for tests).
+    *
+    * Fully ORACLED since the feature hash moved to the portable
+    * md5-60bit shingle hash: the sketch CONTENT (k smallest distinct
+    * hashes, pinned by an md5 over the joined values), the k-th minimum
+    * u₍k₎, and the estimate are all reproducible in any engine. The
+    * estimate is integer-exact on both sides — est_micro =
+    * ⌊(k−1)·2⁶⁰·10⁶ / u₍k₎⌋ via DECIMAL(38)/HUGEINT floor division
+    * (never a float divide, whose rounding could differ) — and equals
+    * the sketch's distinct-count estimate in micro-units over the
+    * [0, 2⁶⁰) draw space. Below k the sketch IS the distinct set and
+    * est_micro = n_sk·10⁶ exactly.
+    *
+    * [[graft.functions.KmvAgg]] stores sign-flipped values; the single
+    * `transform` XOR un-flips (a no-op reordering — flips are monotone
+    * over the non-negative portable hashes). */
   def distinctEstimateOf(docs: DataFrame, k: Int = 256): DataFrame = {
     import graft.functions.Kmv
-    import graft.functions.ShingleHashes.shingle_hashes
-    val est = Kmv.kmv_estimate(col("sk"), k)
+    import graft.functions.ShingleHashes.shingle_hashes_md5
+    val numer = (BigInt(k - 1) * (BigInt(1) << 60) * BigInt(1000000)).toString
     docs
-      .select(col("lang"), explode(shingle_hashes(col("text"))).as("h"))
+      .select(col("lang"), explode(shingle_hashes_md5(col("text"))).as("h"))
       .groupBy(col("lang"))
-      .agg(Kmv.kmv_sketch(col("h"), k).as("sk"),
+      .agg(Kmv.kmv_sketch(col("h"), k).as("skf"),
         count_distinct(col("h")).as("n_exact"))
       .select(col("lang"), col("n_exact"),
-        round(est, 2).as("n_est"),
-        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        expr("transform(skf, v -> v ^ (-9223372036854775807 - 1))").as("sk"))
+      .select(col("lang"), col("n_exact"),
+        size(col("sk")).cast("long").as("n_sk"),
+        element_at(col("sk"), size(col("sk"))).as("u_k"),
+        md5(expr("CAST(array_join(transform(sk, v -> CAST(v AS STRING)), ',') AS BINARY)"))
+          .as("sk_md5"))
+      .withColumn("est_micro",
+        when(col("n_sk") < k, col("n_sk") * 1000000L)
+          .otherwise(expr(s"CAST(CAST('$numer' AS DECIMAL(38,0)) div u_k AS BIGINT)")))
       .orderBy(col("lang"))
+  }
+
+  /** Oracle for q67 [[distinctEstimate]] — the KMV sketch recomputed as
+    * "k smallest distinct portable hashes per group", one window-free
+    * aggregate + list slice. */
+  def distinctEstimateOracle(k: Int = 256): String = {
+    val numer = (BigInt(k - 1) * (BigInt(1) << 60) * BigInt(1000000)).toString
+    s"""WITH w AS (SELECT doc_id, lang,
+             unnest(string_split(text,' ')) AS word,
+             generate_subscripts(string_split(text,' '),1) AS pos
+           FROM documents),
+       t AS (SELECT a.lang, a.word||' '||b.word||' '||c.word AS sh
+             FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                      JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       hh AS (SELECT DISTINCT lang,
+               CAST(('0x' || substr(md5(sh),1,15)) AS BIGINT) AS h
+             FROM t),
+       g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact,
+               (list_sort(list(h)))[1:$k] AS sk
+             FROM hh GROUP BY 1),
+       s AS (SELECT lang, n_exact, CAST(len(sk) AS BIGINT) AS n_sk,
+               sk[len(sk)] AS u_k,
+               md5(array_to_string(
+                 list_transform(sk, x -> CAST(x AS VARCHAR)), ',')) AS sk_md5
+             FROM g)
+       SELECT lang, n_exact, n_sk, u_k, sk_md5,
+         CASE WHEN n_sk < $k THEN n_sk * 1000000
+              ELSE CAST(CAST('$numer' AS HUGEINT) // u_k AS BIGINT)
+         END AS est_micro
+       FROM s ORDER BY lang"""
   }
 
   /** q84: BM25 relevance scoring — the standard retrieval ranking

@@ -36,8 +36,15 @@ object DetMix {
 
   /** SQL text of the mix of non-negative integer expression `x` with
     * seed `seed` — identical in Spark and DuckDB dialects. */
-  def mixSql(x: String, seed: Long): String = {
-    val s0 = s"(CAST($x AS BIGINT) % $M1 + $seed + 1)"
+  def mixSql(x: String, seed: Long): String =
+    mixSqlSeedExpr(x, seed.toString)
+
+  /** [[mixSql]] with the seed itself a SQL expression (e.g. a lateral
+    * `j` for per-permutation MinHash seeds). The seed expression must
+    * evaluate to a non-negative BIGINT ≲ 10¹⁴ so the first LCG round
+    * `A1·(x % M1 + seed + 1)` stays below 2⁶³. */
+  def mixSqlSeedExpr(x: String, seed: String): String = {
+    val s0 = s"(CAST($x AS BIGINT) % $M1 + ($seed) + 1)"
     val r1 = s"(($A1 * $s0 + 12345) % $M1)"
     val q1 = s"(($r1 * $r1) % $M2)"
     val r2 = s"(($A2 * $q1 + 9999) % $M1)"

@@ -46,20 +46,23 @@ object Sketches {
         .toAggregateExpression())
 }
 
-/** MinHash: buffer holds the running minimum of π_i(h) for k independent
-  * permutations π_i(h) = A_i·h + B_i (odd multiplier ⇒ bijection on
-  * Z/2^64). Result: array<long> signature. */
+/** MinHash: buffer holds the running minimum of π_i(h) over the group
+  * for k seeded hash functions π_i(h) = [[DetMix.mixLong]](h, S + i)
+  * (S = [[MinHashAgg.SeedBase]]). DetMix rather than the classic
+  * odd-multiplier `A_i·h + B_i mod 2⁶⁴` permutation because wraparound
+  * multiplication is NOT portable SQL (DuckDB errors on BIGINT
+  * overflow); with DetMix the identical signature is one
+  * `min(mixSqlSeedExpr("h", "S + j"))` per j in any engine, which is
+  * what puts the MinHash/LSH family under the DuckDB oracle. Negative
+  * inputs are masked to non-negative (`h & Long.MaxValue`) — a no-op
+  * for the md5-60bit feature hashes the dedup pipeline feeds.
+  * Result: array<long> signature. */
 case class MinHashAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
-
-  private lazy val as: Array[Long] =
-    Array.tabulate(k)(i => Sketches.splitmix(i.toLong * 2) | 1L)
-  private lazy val bs: Array[Long] =
-    Array.tabulate(k)(i => Sketches.splitmix(i.toLong * 2 + 1))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -76,10 +79,10 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val h = v.asInstanceOf[Long] & Long.MaxValue
       var i = 0
       while (i < k) {
-        val p = as(i) * h + bs(i)
+        val p = DetMix.mixLong(h, MinHashAgg.SeedBase + i)
         if (p < buf(i)) buf(i) = p
         i += 1
       }
@@ -112,6 +115,13 @@ case class MinHashAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
     copy(child = newChild)
+}
+
+object MinHashAgg {
+  /** Seed offset for the k permutation streams: π_i uses DetMix seed
+    * `SeedBase + i`. Shared verbatim by the oracle SQL
+    * (`mixSqlSeedExpr("h", "7000 + j")`). */
+  val SeedBase = 7000L
 }
 
 /** SimHash: buffer holds 64 signed bit counts; each feature hash votes ±1

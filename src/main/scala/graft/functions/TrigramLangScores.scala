@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-language char-trigram scores as one custom Catalyst expression:
@@ -98,17 +98,76 @@ object LangProfiles {
 
   private val profileK = 300
 
-  /** Per-language ranked profiles: top-K trigrams of the seed corpus,
-    * rank mapped to a linear weight in (0,1]. Exposed for tests. */
-  val profiles: Map[String, Map[String, Double]] =
+  private val rankedByLang: Map[String, Seq[(String, Int)]] =
     seedTexts.toMap.map { case (lang, txt) =>
       val ranked = trigramsOf(txt)
         .groupBy(identity).view.mapValues(_.size).toSeq
         .sortBy { case (t, c) => (-c, t) }.take(profileK)
       val k = ranked.size
-      lang -> ranked.zipWithIndex.map { case ((t, _), i) =>
-        t -> (k - i).toDouble / k }.toMap
+      lang -> ranked.zipWithIndex.map { case ((t, _), i) => t -> (k - i) }
     }
+
+  /** Integer rank weights (Cavnar-Trenkle rank k−i, no division): the
+    * engine-portable form — scores derived from these by integer
+    * arithmetic are bit-identical in any engine, which is what lets
+    * q30 sit under a SQL oracle with the profiles as a VALUES CTE. */
+  val profilesInt: Map[String, Map[String, Int]] =
+    rankedByLang.map { case (l, s) => l -> s.toMap }
+
+  /** Per-language ranked profiles: top-K trigrams of the seed corpus,
+    * rank mapped to a linear weight in (0,1]. Exposed for tests. */
+  val profiles: Map[String, Map[String, Double]] =
+    rankedByLang.map { case (l, s) =>
+      val k = s.size
+      l -> s.map { case (t, w) => t -> w.toDouble / k }.toMap
+    }
+
+  /** DuckDB VALUES rows `('lang', 'trigram', weight)` over every
+    * profile entry — the oracle-side twin of [[profilesInt]]. */
+  def profilesSqlValues: String =
+    rankedByLang.toSeq.sortBy(_._1).flatMap { case (lang, entries) =>
+      entries.map { case (tg, w) =>
+        s"('$lang', '${tg.replace("'", "''")}', $w)"
+      }
+    }.mkString(",\n         ")
+
+  /** DuckDB VALUES rows `('lang', k)` — per-language profile sizes. */
+  def profileSizesSqlValues: String =
+    langs.map(l => s"('$l', ${profilesInt(l).size})").mkString(", ")
+
+  /** Integer twin of [[lookup]]: trigram → rank-weight vector. */
+  private val lookupInt: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    for ((lang, prof) <- profilesInt; (tg, w) <- prof) {
+      val arr = m.computeIfAbsent(tg, _ => new Array[Long](langs.length))
+      arr(langs.indexOf(lang)) = w.toLong
+    }
+    m
+  }
+
+  /** Integer weight sums per language over the text's trigrams, plus
+    * the trigram position count as the LAST element — the sufficient
+    * statistics q30 derives its integer scores from; called from
+    * generated code. */
+  def computeSums(text: UTF8String): ArrayData = {
+    val s = normalize(text.toString)
+    val nL = langs.length
+    val out = new Array[Long](nL + 1)
+    var total = 0L
+    var i = 0
+    val last = s.length - 3
+    while (i <= last) {
+      val w = lookupInt.get(s.substring(i, i + 3))
+      if (w != null) {
+        var j = 0
+        while (j < nL) { out(j) += w(j); j += 1 }
+      }
+      total += 1
+      i += 1
+    }
+    out(nL) = total
+    new GenericArrayData(out)
+  }
 
   /** One lookup table over all languages: trigram → weight vector in
     * [[langs]] order (0.0 where the trigram is not in that profile). */
@@ -149,4 +208,34 @@ object LangProfiles {
   /** Column API: `trigram_lang_scores($"text")`. */
   def trigram_lang_scores(c: Column): Column =
     ColumnBridge.column(TrigramLangScores(ColumnBridge.expression(c)))
+
+  /** Column API: `trigram_lang_score_sums($"text")` — integer sums +
+    * trigram count (see [[computeSums]]). */
+  def trigram_lang_score_sums(c: Column): Column =
+    ColumnBridge.column(TrigramLangScoreSums(ColumnBridge.expression(c)))
+}
+
+/** Integer-sum twin of [[TrigramLangScores]]: array<long> of per-language
+  * rank-weight sums in [[LangProfiles.langs]] order, with the trigram
+  * position count appended — no division anywhere, so downstream scoring
+  * is exact integer arithmetic an oracle engine reproduces. */
+case class TrigramLangScoreSums(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"trigram_lang_score_sums requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_lang_score_sums"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangProfiles.computeSums(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangProfiles.computeSums($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TrigramLangScoreSums = copy(child = newChild)
 }

@@ -179,7 +179,26 @@ object ScaleSmoke {
       "q97_grouping_sets" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q97GroupingSets(s, d)),
       "q109_audio_exact" -> ((s: SparkSession, d: String) =>
-        graft.ext.Multimodal.resampleAudioExact(s, d))
+        graft.ext.Multimodal.resampleAudioExact(s, d)),
+      // round-7/9 operators
+      "q110_image_exact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.imageStatsExact(s, d)),
+      "q111_profile_drift" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profile.q111ProfileDrift(s, d)),
+      "q112_epoch_shuffle" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.epochShuffle(s, d)),
+      "q113_length_batching" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.lengthBatching(s, d)),
+      "q114_seq_assembly" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q114SequenceAssembly(s, d)),
+      "q115_srp_codes" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.srpCodes(s, d)),
+      "q116_hll_distinct" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q116HllDistinct(s, d)),
+      "q117_cms_frequency" -> ((s: SparkSession, d: String) =>
+        graft.queries.Analytics.q117CmsFrequency(s, d)),
+      "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.mixtureSchedule(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -366,4 +366,34 @@ class MultimodalSpec extends SparkSpecBase {
       .map(f => f.doc_id -> f).toMap
     assert(out == again)
   }
+
+  test("IMA ADPCM: first sample verbatim, ramp tracked closely, " +
+      "round trip deterministic, non-ADPCM refused") {
+    import graft.ext.MediaCodecs
+    // gentle ramp: quantizer step starts at 7, increments of 3 stay
+    // inside the first table entries, so reconstruction stays within
+    // one coarse step of the source everywhere
+    val ramp = Array.tabulate(200)(i => -300 + i * 3)
+    val enc = MediaCodecs.encodeWavAdpcm(8000, ramp)
+    val Some((rate, dec)) = MediaCodecs.decodeWavAdpcm(enc)
+    assert(rate == 8000 && dec.length == ramp.length)
+    assert(dec(0) == ramp(0)) // block header carries sample 0 verbatim
+    val maxErr = ramp.zip(dec).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 16, s"ADPCM ramp error $maxErr")
+    // 4:1 compression: 200 samples -> ~100 nibble bytes + fixed headers
+    assert(enc.length == 64 + 200 / 2)
+    // deterministic
+    assert(MediaCodecs.decodeWavAdpcm(enc).get._2.sameElements(dec))
+    // extremes clamp instead of wrapping
+    val extremes = Array(32767, -32768, 32767, -32768, 0)
+    val dec2 = MediaCodecs.decodeWavAdpcm(
+      MediaCodecs.encodeWavAdpcm(8000, extremes)).get._2
+    assert(dec2.forall(v => v >= -32768 && v <= 32767))
+    // a PCM wav (format 1) and garbage are both refused
+    val pcm = MediaCodecs.encodeWav16(8000, 1, Array(0.1, -0.2, 0.3))
+    assert(MediaCodecs.decodeWavAdpcm(pcm).isEmpty)
+    assert(MediaCodecs.decodeWavAdpcm("not a wav".getBytes).isEmpty)
+    // and the ADPCM container is refused by the PCM decoder
+    assert(MediaCodecs.decodeWav(enc).isEmpty)
+  }
 }

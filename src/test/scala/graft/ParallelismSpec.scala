@@ -18,7 +18,7 @@ class ParallelismSpec extends SparkSpecBase {
     "q102_split_report", "q103_split_leakage", "q104_triangles",
     "q105_pagerank", "q106_expectations", "q107_bigram_logprob",
     "q108_assoc_rules", "q109_audio_resample_exact",
-    "q110_image_stats_exact",
+    "q110_image_stats_exact", "q111_profile_drift",
     // round-7 DetLn rewrites: the engine-invariant log must also be
     // partition-count-invariant (micro-nat sums are exact integers)
     "q58_tfidf", "q64_unigram_logprob", "q78_dsir_weights",
@@ -26,7 +26,12 @@ class ParallelismSpec extends SparkSpecBase {
     // round-7 widening: DetMix-ordered and sketch-based operators
     "q112_epoch_shuffle", "q113_length_batching",
     "q114_sequence_assembly", "q115_srp_codes", "q116_hll_distinct",
-    "q117_cms_frequency", "q118_mixture_schedule")
+    "q117_cms_frequency", "q118_mixture_schedule",
+    // round-9 portable-hash sketch family: signature/sketch merges are
+    // associative, so banded pairs and KMV/lang-ID outputs must not
+    // move with partition count
+    "q22_minhash_pairs", "q24_simhash_pairs", "q30_lang_id",
+    "q67_kmv_distinct", "q68_incr_neardup")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

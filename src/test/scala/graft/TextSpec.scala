@@ -45,7 +45,8 @@ class TextSpec extends SparkSpecBase {
   test("langId emits a prediction and bounded confidence for every doc") {
     val l = TextAnalysis.langId(spark, sf0001)
     assert(l.count() == 500)
-    assert(l.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    assert(l.filter(col("conf_micro") < 0 ||
+      col("conf_micro") > 1000000).count() == 0)
     assert(l.filter(col("pred_lang").isNull).count() == 0)
   }
 
@@ -158,18 +159,20 @@ class TextSpec extends SparkSpecBase {
   test("KMV sketch is exact below k and within theory error when full") {
     import spark.implicits._
     // below k: "x y z x y z" has 3 distinct 3-gram shingles
-    // (x y z / y z x / z x y), k=16 -> estimate IS the exact count
+    // (x y z / y z x / z x y), k=16 -> est_micro IS the exact count
     val tiny = Seq((1L, "aa", "x y z x y z")).toDF("doc_id", "lang", "text")
     val exact = TextAnalysis.distinctEstimateOf(tiny, k = 16).head()
-    assert(exact.getLong(1) == 3L && exact.getDouble(2) == 3.0 &&
-      exact.getDouble(3) == 0.0)
+    // columns: lang, n_exact, n_sk, u_k, sk_md5, est_micro
+    assert(exact.getLong(1) == 3L && exact.getLong(2) == 3L &&
+      exact.getLong(5) == 3000000L)
     // full sketch at sf0.001: KMV std error is ~1/sqrt(k-2) = 6.3% at
     // k=256; gate each stratum at 4 sigma
     val rows = TextAnalysis.distinctEstimate(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getDouble(3) < 0.25,
-        s"lang ${r.getString(0)}: rel_err ${r.getDouble(3)}")
+      val relErr =
+        math.abs(r.getLong(5) / 1e6 - r.getLong(1)) / r.getLong(1).toDouble
+      assert(relErr < 0.25, s"lang ${r.getString(0)}: rel_err $relErr")
     }
     // at least one stratum must actually exercise the full-sketch path
     assert(rows.exists(_.getLong(1) > 256), rows.map(_.getLong(1)).toSeq)
