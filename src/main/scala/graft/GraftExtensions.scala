@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBuildAgg, BloomMightContain, CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, SimHashAgg, TrigramLangScores}
+import graft.functions.{BloomBuildAgg, BloomMightContain, CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, ShingleHashesMd5, SimHashAgg, TrigramLangScores, TrigramLangScoreSums}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -18,7 +18,9 @@ import graft.plans.AsOfJoinStrategy
   * without the imperative `extraStrategies` registration the Scala API
   * also performs), registers the codegen'd expressions as SQL
   * functions — `fingerprint64(text)`, `shingle_hashes(text[, k])`,
-  * `nfc_normalize(text)`, `trigram_lang_scores(text)`,
+  * `shingle_hashes_md5(text[, k])` (the engine-portable md5-60bit
+  * variant), `nfc_normalize(text)`, `trigram_lang_scores(text)`,
+  * `trigram_lang_score_sums(text)` (integer sums + trigram count),
   * `cosine_similarity(a, b)` — and the sketch
   * AGGREGATES — `minhash_sketch(hash[, k])`, `simhash_sketch(hash)`,
   * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])`,
@@ -52,6 +54,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("shingle_hashes_md5"),
+      new ExpressionInfo(
+        classOf[ShingleHashesMd5].getName, "shingle_hashes_md5"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ShingleHashesMd5(c, 3)
+        case Seq(c, Literal(k: Int, _)) => ShingleHashesMd5(c, k)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes_md5(text[, k: int literal])")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => args match {
@@ -68,6 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => TrigramLangScores(c)
         case _ => throw new IllegalArgumentException(
           "trigram_lang_scores(text) takes exactly one argument")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("trigram_lang_score_sums"),
+      new ExpressionInfo(
+        classOf[TrigramLangScoreSums].getName, "trigram_lang_score_sums"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TrigramLangScoreSums(c)
+        case _ => throw new IllegalArgumentException(
+          "trigram_lang_score_sums(text) takes exactly one argument")
       }))
 
     ext.injectFunction((

@@ -68,8 +68,10 @@ object SparkEntry {
     "q44_pivot" -> Analytics.q44Pivot,
     "q45_range_join" -> Analytics.q45RangeJoin,
     "q46_asof_exec" -> AsOfJoin.q46AsofExec,
+    // fixed nBits=8 so the SRP keyspace (and with it the oracle SQL) is
+    // static; the library default derives bits from corpus size
     "q47_neardup_lsh" -> ((s: SparkSession, d: String) =>
-      Similarity.neardupPairsLsh(s, d)),
+      Similarity.neardupPairsLsh(s, d, nBits = 8)),
     "q48_dedup_clusters" -> (Curate.dedupClusters(_, _)),
     "q49_stratified_sample" -> ((s: SparkSession, d: String) =>
       Curate.stratifiedSample(s, d)),
@@ -365,6 +367,7 @@ object SparkEntry {
     "q44_pivot" -> Analytics.q44Oracle,
     "q45_range_join" -> Analytics.q45Oracle,
     "q46_asof_exec" -> AsOfJoin.q41Oracle,
+    "q47_neardup_lsh" -> Similarity.neardupLshOracle(),
     "q48_dedup_clusters" -> Curate.dedupClustersOracle,
     "q49_stratified_sample" -> Curate.stratifiedSampleOracle,
     "q50_repetition" -> Curate.repetitionOracle,

@@ -323,25 +323,39 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components from a splitmix-style hash —
     * no RNG state, reproducible across executors and runs. */
-  private def planeSign(bit: Int, dim: Int): Double = {
-    var z = bit.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
+  /** Cached DetMix Rademacher plane signs for [[bucketKey]]: the JVM
+    * twin of [[srpCodesOf]]'s SQL planes (`mix(j·64 + i + 1, seed)`),
+    * so LSH bucket keys are reproducible by the oracle engine. 64
+    * dims per plane — the fixed embedding width of the corpus (plane
+    * ordinals would alias beyond it, enforced in [[bucketKey]]). */
+  private val srpSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Array[Int]]]()
+  private[ext] def srpSigns(bits: Int, seed: Long): Array[Array[Int]] =
+    srpSignCache.computeIfAbsent((bits, seed), _ =>
+      Array.tabulate(bits, 64) { (j, i) =>
+        if (graft.functions.DetMix.mixLong(j * 64L + i + 1, seed) % 2 == 0) 1
+        else -1
+      })
 
   /** nBits-bit bucket key for one hash table: sign of dot with
     * deterministic ±1 hyperplanes; table t draws planes t·nBits …
     * t·nBits+nBits-1 so tables are independent. */
   private def bucketKey(emb: Array[Float], nBits: Int, table: Int = 0): Long = {
+    // integer-exact SRP (the q115 recipe): micro-quantized coordinates
+    // against DetMix ±1 planes, table t = plane seed 5 + t — identical
+    // in any engine, which is what lets q47's candidate generation sit
+    // under the DuckDB oracle ([[srpCodesOf]] with the same seed is the
+    // column-level twin)
+    require(emb.length <= 64, s"SRP planes cover 64 dims, got ${emb.length}")
+    val signs = srpSigns(nBits, 5L + table)
     var key = 0L
     var b = 0
     while (b < nBits) {
-      var s = 0.0
+      val row = signs(b)
+      var s = 0L
       var i = 0
       while (i < emb.length) {
-        s += emb(i).toDouble * planeSign(table * nBits + b, i); i += 1
+        s += math.floor(emb(i).toDouble * 1e6 + 0.5).toLong * row(i); i += 1
       }
       if (s >= 0) key |= (1L << b)
       b += 1
@@ -493,6 +507,45 @@ object Similarity {
     }.reduce(_ + _)
     withDots.select(col("vec_id"), code.as("srp_code"))
       .withColumn("srp_bits", bit_count(col("srp_code")).cast("long"))
+  }
+
+  /** Oracle for q47 [[neardupPairsLsh]] (registered with a FIXED
+    * nBits so the SQL is static): SRP codes per hash table t with
+    * plane seed 5 + t — the [[srpCodesOf]]/[[bucketKey]] integer
+    * recipe — candidates where some table's codes lie within Hamming
+    * distance 1 (home bucket ∪ 1-bit multiprobe), then the exact
+    * cosine filter (q25's proven cross-engine arithmetic). BucketCap
+    * cannot fire at oracle scale (500 vectors < the 1024 cap). */
+  def neardupLshOracle(tau: Double = 0.4, nBits: Int = 8,
+      tables: Int = 4): String = {
+    val mix = graft.functions.DetMix.mixSqlSeedExpr("(j * 64 + i)", "5 + t")
+    s"""WITH dims AS (SELECT vec_id,
+           unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+               CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+             FROM dims),
+       proj AS (SELECT vec_id, qx, i, tt.range AS t, jj.range AS j
+                FROM q, range($tables) tt, range($nBits) jj),
+       dots AS (SELECT vec_id, t, j,
+           CAST(sum(qx * (CASE WHEN $mix % 2 = 0 THEN 1 ELSE -1 END))
+             AS BIGINT) AS dot
+         FROM proj GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, t,
+           CAST(sum(CASE WHEN dot >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+             AS BIGINT) AS code
+         FROM dots GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                FROM codes x JOIN codes y
+                  ON x.t = y.t AND x.vec_id < y.vec_id
+                     AND bit_count(xor(x.code, y.code)) <= 1),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+       FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+       WHERE list_cosine_similarity(ea.v, eb.v) >= $tau
+       ORDER BY a, b"""
   }
 
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {

@@ -181,6 +181,152 @@ object Expect {
     WapResult(green, rep)
   }
 
+  // ---------------------------------------- versioned-dir + pointer WAP
+
+  /** The no-crash-window variant of [[writeAuditPublish]]: generation
+    * data is immutable at `<table>/gen-N/`, and the only mutable object
+    * is a one-line `POINTER` file flipped by an ATOMIC rename
+    * (`FileContext.rename(..., Rename.OVERWRITE)` — POSIX-atomic on
+    * local filesystems, atomic on HDFS). A reader resolving the pointer
+    * therefore always lists a COMPLETE generation directory: the gen dir
+    * is renamed into place (itself atomic) strictly before the pointer
+    * can name it, and retired generations are pruned strictly after the
+    * flip. There is no instant with no live data — the documented crash
+    * window of the rename-swap gate ([[writeAuditPublish]]) closes at
+    * the cost of one pointer-resolution hop on the read path.
+    *
+    * The three mutations are exposed (package-private) as separate
+    * steps so ExpectSpec can simulate a writer crash between every
+    * pair of steps and assert a reader never observes a missing or
+    * partial table. */
+  def writeAuditPublishVersioned(spark: SparkSession, df: DataFrame,
+      tableDir: String, expectations: Seq[Expectation],
+      retainGenerations: Int = 2): WapResult = {
+    require(retainGenerations >= 1, "retainGenerations must be >= 1")
+    val base = tableDir.stripSuffix("/")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val next = (generationsOf(spark, base).map(_._1) ++
+      currentGeneration(spark, base)).foldLeft(0)(math.max) + 1
+    val staging = stageGeneration(spark, df, base, next)
+    val audited = spark.read.parquet(staging.toString)
+    val rep = report(audited, expectations).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val green = rep.forall(_._4 == 1)
+    if (green) {
+      commitGeneration(spark, base, next)
+      flipPointer(spark, base, next)
+      pruneGenerations(spark, base, retainGenerations)
+    }
+    // a red audit leaves the staging dir in place for inspection and
+    // the pointer (and every committed generation) untouched
+    WapResult(green, rep)
+  }
+
+  /** Committed generations of `tableDir`, newest first: (n, path). */
+  def generationsOf(spark: SparkSession, tableDir: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir.stripSuffix("/"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    val re = "gen-(\\d+)".r
+    fs.listStatus(base).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case re(n) => Some((n.toInt, st.getPath))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+  }
+
+  /** The generation the pointer names, if a pointer exists. */
+  def currentGeneration(spark: SparkSession, tableDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(
+      tableDir.stripSuffix("/") + "/POINTER")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val line = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+    "gen-(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+  }
+
+  /** Resolve the pointer and read the live generation (None before the
+    * first publish). */
+  def readLive(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentGeneration(spark, tableDir).map { n =>
+      spark.read.parquet(s"${tableDir.stripSuffix("/")}/gen-$n")
+    }
+
+  /** Step 1: write the candidate data to `gen-N.staging`. */
+  private[graft] def stageGeneration(spark: SparkSession, df: DataFrame,
+      base: String, n: Int): org.apache.hadoop.fs.Path = {
+    val staging = new org.apache.hadoop.fs.Path(s"$base/gen-$n.staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    staging
+  }
+
+  /** Step 2: atomically rename `gen-N.staging` → `gen-N` (the dir
+    * becomes visible to listings complete or not at all). */
+  private[graft] def commitGeneration(spark: SparkSession, base: String,
+      n: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$base/gen-$n.staging"),
+      new org.apache.hadoop.fs.Path(s"$base/gen-$n")))
+      throw new IllegalStateException(
+        s"cannot commit generation $n under $base; pointer unchanged")
+  }
+
+  /** Step 3: atomically flip the pointer to generation `n` (write a
+    * temp file, rename-with-overwrite over `POINTER`). */
+  private[graft] def flipPointer(spark: SparkSession, base: String,
+      n: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val pointer = new org.apache.hadoop.fs.Path(s"$base/POINTER")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/POINTER.tmp-$n")
+    val fs = pointer.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(s"gen-$n\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      pointer.toUri, conf)
+    fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Step 4 (post-flip): delete generations older than the pointed one
+    * beyond `retain`, never the pointed generation itself. A crash
+    * before or during pruning only leaves extra immutable dirs. */
+  private[graft] def pruneGenerations(spark: SparkSession, base: String,
+      retain: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val current = currentGeneration(spark, base)
+    generationsOf(spark, base)
+      .filter { case (n, _) => current.forall(n < _) }
+      .drop(retain)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Flip the pointer back to the newest committed generation below the
+    * current one (bad-publish escape hatch; the retired generation must
+    * still be retained). False when there is nothing to roll back to. */
+  def rollbackVersioned(spark: SparkSession, tableDir: String): Boolean = {
+    val base = tableDir.stripSuffix("/")
+    currentGeneration(spark, base) match {
+      case None => false
+      case Some(cur) =>
+        generationsOf(spark, base).map(_._1).filter(_ < cur)
+          .sorted(Ordering[Int].reverse).headOption match {
+          case None => false
+          case Some(prev) => flipPointer(spark, base, prev); true
+        }
+    }
+  }
+
   /** Restore the newest retired generation as the live table (the
     * manual-recovery / bad-publish escape hatch). The current live dir,
     * if any, is retired to the next generation slot first — rollback

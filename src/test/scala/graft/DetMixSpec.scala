@@ -27,6 +27,20 @@ class DetMixSpec extends SparkSpecBase {
       assert(got(x) == DetMix.mixLong(x, 42), s"x=$x")
   }
 
+  test("mixSqlSeedExpr with a column seed equals mixLong per seed " +
+      "(the MinHash permutation contract)") {
+    // π_j(h) = mix(h, 7000 + j) is what MinHashAgg computes in the JVM
+    // and what the q22/q68 oracles compute in SQL — pin the equality
+    // for every permutation index over a dense input block
+    val df = longsDf((0L to 200L))
+      .withColumn("j", expr("CAST(x % 64 AS BIGINT)"))
+      .withColumn("h", expr(
+        graft.functions.DetMix.mixSqlSeedExpr("x", "7000 + j")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (x <- 0L to 200L)
+      assert(df(x) == DetMix.mixLong(x, 7000 + x % 64), s"x=$x")
+  }
+
   test("composite map is not affine (mid-square breaks the LCG lattice)") {
     // an affine map f has ONE second difference f(x+2)-2f(x+1)+f(x);
     // a pure modulus-switched LCG chain measured only ~9 distinct (the

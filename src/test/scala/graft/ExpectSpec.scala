@@ -126,6 +126,56 @@ class ExpectSpec extends SparkSpecBase {
     assert(!Expect.rollback(spark, tmp() + "/empty"))
   }
 
+  test("versioned WAP: a reader between every pair of publish steps " +
+      "always sees a complete generation (no crash window)") {
+    val table = tmp() + "/vtable"
+    val exp = Seq(Expect.inRange("v_0_10", "v", 0, 10))
+    def liveVals(): Option[Set[Double]] =
+      Expect.readLive(spark, table)
+        .map(_.collect().map(_.getDouble(0)).toSet)
+
+    // first publish end-to-end
+    val r1 = Expect.writeAuditPublishVersioned(spark,
+      Seq(1.0, 2.0).toDF("v"), table, exp)
+    assert(r1.published && liveVals().contains(Set(1.0, 2.0)))
+
+    // second publish, executed step by step; after EVERY step a reader
+    // must see a complete generation (old until the flip, new after) —
+    // stopping anywhere simulates a writer killed at that point
+    val next = 2
+    Expect.stageGeneration(spark, Seq(3.0, 4.0).toDF("v"), table, next)
+    assert(liveVals().contains(Set(1.0, 2.0))) // crash after stage
+    Expect.commitGeneration(spark, table, next)
+    assert(liveVals().contains(Set(1.0, 2.0))) // crash after commit
+    Expect.flipPointer(spark, table, next)
+    assert(liveVals().contains(Set(3.0, 4.0))) // crash after flip
+    Expect.pruneGenerations(spark, table, retain = 2)
+    assert(liveVals().contains(Set(3.0, 4.0)))
+
+    // a red audit flips nothing and retires nothing
+    val r2 = Expect.writeAuditPublishVersioned(spark,
+      Seq(99.0).toDF("v"), table, exp)
+    assert(!r2.published && liveVals().contains(Set(3.0, 4.0)))
+
+    // retention prunes old generations but never the pointed one;
+    // rollback flips within the retained window and is itself atomic
+    (5 to 7).foreach { v =>
+      assert(Expect.writeAuditPublishVersioned(spark,
+        Seq(v.toDouble).toDF("v"), table, exp, retainGenerations = 2)
+        .published)
+    }
+    val gens = Expect.generationsOf(spark, table).map(_._1)
+    assert(gens.length == 3, s"got $gens") // pointed + 2 retained
+    assert(Expect.rollbackVersioned(spark, table))
+    assert(liveVals().contains(Set(6.0)))
+    assert(Expect.rollbackVersioned(spark, table))
+    assert(liveVals().contains(Set(5.0)))
+    assert(!Expect.rollbackVersioned(spark, table)) // window exhausted
+    // fresh table: nothing live, nothing to roll back
+    assert(Expect.readLive(spark, tmp() + "/none").isEmpty)
+    assert(!Expect.rollbackVersioned(spark, tmp() + "/none"))
+  }
+
   test("streaming gate routes whole batches: green to live, red to quarantine with report") {
     import graft.streaming.StreamingExpect
     val base = tmp()

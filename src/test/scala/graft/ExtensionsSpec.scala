@@ -47,6 +47,19 @@ class ExtensionsSpec extends SparkSpecBase {
         .collect()(0).getSeq[Double](0)
       assert(scores.length == 5)
       assert(scores.exists(_ > 0.0))
+      // portable md5-60bit shingle hash: value equals the SQL-expressible
+      // hex-parse of md5 over the joined shingle string
+      val hm = s2.sql("SELECT shingle_hashes_md5('a b c', 3)")
+        .collect()(0).getSeq[Long](0)
+      val want = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("a b c".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+      assert(hm == Seq(want))
+      // integer sums twin: langs sums + trigram count appended
+      val sums = s2.sql("SELECT trigram_lang_score_sums('the of and to in')")
+        .collect()(0).getSeq[Long](0)
+      assert(sums.length == 6 && sums.last > 0 && sums.exists(_ > 0))
       // identical vectors -> cosine 1.0 (within float->double exactness)
       val cos = s2.sql(
         """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
