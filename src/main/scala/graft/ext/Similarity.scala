@@ -323,45 +323,17 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components from a splitmix-style hash —
     * no RNG state, reproducible across executors and runs. */
-  /** Cached DetMix Rademacher plane signs for [[bucketKey]]: the JVM
-    * twin of [[srpCodesOf]]'s SQL planes (`mix(j·64 + i + 1, seed)`),
-    * so LSH bucket keys are reproducible by the oracle engine. 64
-    * dims per plane — the fixed embedding width of the corpus (plane
-    * ordinals would alias beyond it, enforced in [[bucketKey]]). */
-  private val srpSignCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Array[Int]]]()
-  private[ext] def srpSigns(bits: Int, seed: Long): Array[Array[Int]] =
-    srpSignCache.computeIfAbsent((bits, seed), _ =>
-      Array.tabulate(bits, 64) { (j, i) =>
-        if (graft.functions.DetMix.mixLong(j * 64L + i + 1, seed) % 2 == 0) 1
-        else -1
-      })
 
   /** nBits-bit bucket key for one hash table: sign of dot with
     * deterministic ±1 hyperplanes; table t draws planes t·nBits …
     * t·nBits+nBits-1 so tables are independent. */
-  private def bucketKey(emb: Array[Float], nBits: Int, table: Int = 0): Long = {
+  private def bucketKey(emb: Array[Float], nBits: Int, table: Int = 0): Long =
     // integer-exact SRP (the q115 recipe): micro-quantized coordinates
     // against DetMix ±1 planes, table t = plane seed 5 + t — identical
     // in any engine, which is what lets q47's candidate generation sit
     // under the DuckDB oracle ([[srpCodesOf]] with the same seed is the
     // column-level twin)
-    require(emb.length <= 64, s"SRP planes cover 64 dims, got ${emb.length}")
-    val signs = srpSigns(nBits, 5L + table)
-    var key = 0L
-    var b = 0
-    while (b < nBits) {
-      val row = signs(b)
-      var s = 0L
-      var i = 0
-      while (i < emb.length) {
-        s += math.floor(emb(i).toDouble * 1e6 + 0.5).toLong * row(i); i += 1
-      }
-      if (s >= 0) key |= (1L << b)
-      b += 1
-    }
-    key
-  }
+    graft.functions.SrpCode.computeFloats(emb, nBits, 5L + table)
 
   /** ANN via multi-table sign-random-projection LSH with multiprobe: per
     * table an nBits-bit bucket key per vector; the query side probes the
@@ -490,22 +462,17 @@ object Similarity {
       .orderBy(col("vec_id"))
 
   /** SRP codes over any (vec_id, embedding: array<float>) frame.
-    * Sort-free: consumers that need an order (the oracle entry) add it. */
+    * Sort-free: consumers that need an order (the oracle entry) add it.
+    * One fused codegen'd pass per row ([[graft.functions.SrpCode]]) —
+    * the compositional nBits-aggregate SQL form it replaced computed
+    * the same integers through 16 interpreted higher-order-function
+    * lambdas per row; the oracle still uses that SQL shape, so the
+    * q115 correctness row pins the two implementations equal. */
   def srpCodesOf(vecs: DataFrame, nBits: Int = 16,
       seed: Long = 5): DataFrame = {
-    import graft.functions.DetMix
-    val qExpr = "CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT)"
-    val dotCols = (0 until nBits).map { j =>
-      val mix = DetMix.mixSql(s"($j * 64 + i + 1)", seed)
-      expr(s"aggregate(transform(embedding, (x, i) -> $qExpr * " +
-        s"(CASE WHEN $mix % 2 = 0 THEN 1 ELSE -1 END)), " +
-        s"CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"dot$j")
-    }
-    val withDots = vecs.select(col("vec_id") +: dotCols: _*)
-    val code = (0 until nBits).map { j =>
-      when(col(s"dot$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withDots.select(col("vec_id"), code.as("srp_code"))
+    import graft.functions.SrpCode.srp_code
+    vecs.select(col("vec_id"),
+        srp_code(col("embedding"), nBits, seed).as("srp_code"))
       .withColumn("srp_bits", bit_count(col("srp_code")).cast("long"))
   }
 
