@@ -48,7 +48,9 @@ object SparkEntry {
     "q24_simhash_pairs" -> (Dedup.simhashPairs(_, _)),
     "q25_embedding_neardup" -> (Similarity.neardupPairs(_, _)),
     "q26_knn_bruteforce" -> (Similarity.knnBruteForce(_, _)),
-    "q27_ann_lsh" -> (Similarity.annLsh(_, _)),
+    // fixed nBits=8 for a static oracle keyspace (same as q47)
+    "q27_ann_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.annLsh(s, d, nBits = 8)),
     "q28_text_quality" -> (TextAnalysis.quality(_, _)),
     "q29_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
     "q30_lang_id" -> (TextAnalysis.langId(_, _)),
@@ -352,6 +354,7 @@ object SparkEntry {
     "q24_simhash_pairs" -> Dedup.simhashPairsOracle,
     "q25_embedding_neardup" -> Similarity.neardupOracle,
     "q26_knn_bruteforce" -> Similarity.knnOracle(),
+    "q27_ann_lsh" -> Similarity.annLshOracle(),
     "q28_text_quality" -> TextAnalysis.qualityOracle,
     "q29_token_counts" -> TextAnalysis.tokenCountsOracle,
     "q30_lang_id" -> TextAnalysis.langIdOracle,

@@ -483,10 +483,11 @@ object Similarity {
     * distance 1 (home bucket ∪ 1-bit multiprobe), then the exact
     * cosine filter (q25's proven cross-engine arithmetic). BucketCap
     * cannot fire at oracle scale (500 vectors < the 1024 cap). */
-  def neardupLshOracle(tau: Double = 0.4, nBits: Int = 8,
-      tables: Int = 4): String = {
+  /** Shared oracle CTE chain: per-table SRP codes (the
+    * [[bucketKey]]/[[srpCodesOf]] integer recipe, table t = seed 5+t). */
+  private def srpTableCodesCtes(nBits: Int, tables: Int): String = {
     val mix = graft.functions.DetMix.mixSqlSeedExpr("(j * 64 + i)", "5 + t")
-    s"""WITH dims AS (SELECT vec_id,
+    s"""dims AS (SELECT vec_id,
            unnest(embedding) AS x,
            generate_subscripts(embedding, 1) AS i
          FROM embeddings),
@@ -504,16 +505,40 @@ object Similarity {
              THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
              AS BIGINT) AS code
          FROM dots GROUP BY 1, 2),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)"""
+  }
+
+  def neardupLshOracle(tau: Double = 0.4, nBits: Int = 8,
+      tables: Int = 4): String =
+    s"""WITH ${srpTableCodesCtes(nBits, tables)},
        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
                 FROM codes x JOIN codes y
                   ON x.t = y.t AND x.vec_id < y.vec_id
-                     AND bit_count(xor(x.code, y.code)) <= 1),
-       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+                     AND bit_count(xor(x.code, y.code)) <= 1)
        SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
        FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
        WHERE list_cosine_similarity(ea.v, eb.v) >= $tau
        ORDER BY a, b"""
-  }
+
+  /** Oracle for q27 [[annLsh]] (registered with FIXED nBits): the same
+    * SRP multiprobe candidates, directional (every vector is a query),
+    * ranked per query by unrounded cosine with neighbor-id tie-break —
+    * exactly the Spark window. */
+  def annLshOracle(k: Int = 5, nBits: Int = 8, tables: Int = 4): String =
+    s"""WITH ${srpTableCodesCtes(nBits, tables)},
+       cand AS (SELECT DISTINCT x.vec_id AS qv, y.vec_id AS nv
+                FROM codes x JOIN codes y
+                  ON x.t = y.t AND x.vec_id <> y.vec_id
+                     AND bit_count(xor(x.code, y.code)) <= 1),
+       scored AS (SELECT qv, nv, list_cosine_similarity(eq.v, en.v) AS c
+                  FROM cand JOIN e eq ON eq.vec_id = qv
+                            JOIN e en ON en.vec_id = nv),
+       r AS (SELECT qv, nv, c, row_number() OVER (PARTITION BY qv
+               ORDER BY c DESC, nv) AS rank
+             FROM scored)
+       SELECT qv AS q_id, CAST(rank AS INT) AS rank, nv AS neighbor_id,
+         round(c, 4) AS cosine
+       FROM r WHERE rank <= $k ORDER BY q_id, rank"""
 
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {
     val mix = graft.functions.DetMix.mixSql("(j * 64 + i)", seed)
