@@ -408,13 +408,23 @@ object TextAnalysis {
     bigramLogprobOf(Tables(spark, dir, "documents"))
 
   def bigramLogprobOf(docs: DataFrame, hotK: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = tok
-      .withColumn("prev", lag(col("w"), 1).over(byDoc))
-      .filter(col("prev").isNotNull)
+      explode(tokens(col("text"))).as("w"))
+    // transitions derived NARROWLY: zip the token array against itself
+    // shifted by one (slices bound to their own projection first — HOF
+    // lambdas re-evaluate outer exprs per element). The obvious
+    // lag-over-(doc_id, pos) window form shuffles and sorts the entire
+    // exploded token stream just to pair neighbours that were already
+    // adjacent in the array — a full-corpus sort this form never pays.
+    val arr = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
+    val big = arr.select(col("doc_id"),
+        explode(zip_with(col("pv"), col("nx"),
+          (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
     val docBig = big.groupBy(col("doc_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
     val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))

@@ -198,7 +198,9 @@ object ScaleSmoke {
       "q117_cms_frequency" -> ((s: SparkSession, d: String) =>
         graft.queries.Analytics.q117CmsFrequency(s, d)),
       "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
-        graft.ext.Curate.mixtureSchedule(s, d))
+        graft.ext.Curate.mixtureSchedule(s, d)),
+      "q119_adpcm_roundtrip" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.adpcmRoundtripExact(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
