@@ -48,9 +48,14 @@ object Curate {
     * join primitive; the fixture graphs here never need it.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // checkpointed ALREADY hash-partitioned on the join key: every
+    // label-propagation round joins edges on "a", so materializing the
+    // partitioning once lets each round reuse it instead of re-shuffling
+    // the (static) edge list per iteration
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("a"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))

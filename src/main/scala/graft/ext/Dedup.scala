@@ -449,14 +449,25 @@ object Dedup {
       .localCheckpoint()
     // global df per shingle hash, then each set re-sorted rare-first —
     // array_intersect and |A∩B| are order-independent, so verification
-    // runs on the df-ordered sets directly
+    // runs on the df-ordered sets directly. PPJoin's exactness needs any
+    // CONSISTENT global total order, not the true df for every shingle:
+    // a df=1 shingle can never collide across documents, so all df=1
+    // shingles (the vast majority of any real corpus) can share one
+    // order bucket and sort among themselves by hash. Joining the
+    // exploded stream against ONLY the df>1 shingles (left join,
+    // coalesce to 1) shrinks the join's build side from |distinct
+    // shingles| to |repeated shingles| — small enough to broadcast at
+    // this SF, and proportional to duplicated content (not corpus size)
+    // at any SF.
     val freq = sh.select(explode(col("hs")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
     val ordered = sh
       .select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      .join(freq, "h")
+      .join(freq, Seq("h"), "left")
       .groupBy(col("doc_id"), col("n"))
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("h")))),
+      .agg(transform(array_sort(collect_list(
+        struct(coalesce(col("df"), lit(1L)).as("df"), col("h")))),
         x => x.getField("h")).as("hs"))
       .localCheckpoint()
     val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")

@@ -425,8 +425,12 @@ object TextAnalysis {
         explode(zip_with(col("pv"), col("nx"),
           (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
       .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
+    // materialized once: read again by the corpus-level model build AND
+    // the per-doc scoring join — without this the explode+shuffle runs
+    // twice
     val docBig = big.groupBy(col("doc_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val n = c1.agg(sum(col("c"))).head().getLong(0)
