@@ -35,8 +35,14 @@ object PageRank {
   def pageRankOf(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val Scale = 1000000000000L // 10^12 micro-units of total rank mass
+    // materialized once, hash-partitioned on the per-iteration join key:
+    // without the checkpoint every iteration re-derives the edge list
+    // from scratch (for q105 that is a lineitem self-join, paid 3x), and
+    // without the repartition every iteration re-shuffles it
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
     val outdeg = directed.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = outdeg.count()
