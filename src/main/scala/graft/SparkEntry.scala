@@ -203,6 +203,8 @@ object SparkEntry {
       Analytics.q117CmsFrequency(s, d)),
     "q119_adpcm_roundtrip" -> ((s: SparkSession, d: String) =>
       Multimodal.adpcmRoundtripExact(s, d)),
+    "q120_repeat_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.repeatSpans(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -436,6 +438,7 @@ object SparkEntry {
     "q116_hll_distinct" -> Analytics.q116Oracle,
     "q117_cms_frequency" -> Analytics.q117Oracle,
     "q118_mixture_schedule" -> Curate.mixtureScheduleOracle(),
-    "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle
+    "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle,
+    "q120_repeat_spans" -> Dedup.repeatSpansOracle
   )
 }

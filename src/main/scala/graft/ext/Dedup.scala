@@ -581,6 +581,95 @@ object Dedup {
        WHERE c*1.0/(sa.n+sb.n-c) >= 0.8
        ORDER BY a, b"""
 
+  // --- exact-substring repeat spans (ExactSubstr-style) --------------------
+
+  /** q120: exact-substring repeat spans — the OVERLAPPING-window sibling
+    * of [[spanDedup]], after Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): q63's fixed
+    * k-word grid misses any duplicate that straddles a grid boundary,
+    * while the ExactSubstr pass marks EVERY maximal token range whose
+    * every k-window recurs elsewhere in the corpus. Their suffix-array
+    * formulation is inherently single-machine; the distributed
+    * re-expression is: hash all n−k+1 overlapping k-token windows
+    * ([[graft.functions.ShingleHashesPos]] — position order preserved),
+    * keep the corpus-wide first occurrence of each distinct window (min
+    * (doc_id, pos) — "leave one copy"), and merge every OTHER
+    * occurrence's [p, p+k−1] token interval into maximal spans per
+    * document (gaps-and-islands: running max of interval end, new span
+    * when the next window starts past it +1, so overlapping and
+    * back-to-back repeats fuse). One row per span: where repeated
+    * content sits and how many tokens a removal pass would cut.
+    *
+    * Scale: the window shuffle carries (hash, doc_id, pos) longs only —
+    * the positional expression never materializes a window string — and
+    * the islands window partitions per doc_id (bounded by document
+    * length, never corpus-wide). Matching is on the 64-bit chain hash
+    * (~n²/2⁶⁴ corpus-wide collision odds) — same accepted tradeoff as
+    * [[spanDedup]]; the oracle compares window STRINGS. */
+  def repeatSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    repeatSpansOf(Tables(spark, dir, "documents"), k)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def repeatSpansOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashes
+          .shingle_hashes_pos(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    // corpus-wide first occurrence per window content: one long-keyed
+    // shuffle, map-side-combinable min
+    val keeper = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+    val repeated = wins.join(keeper, "h")
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("p") =!= col("first.p"))
+      .select(col("doc_id"), col("p"), (col("p") + (k - 1)).as("e"))
+    // gaps-and-islands per document: a window extends the current span
+    // iff it starts at or before (running max end) + 1
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val marked = repeated
+      .withColumn("pme", max(col("e"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("pme").isNull || col("p") > col("pme") + 1, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(byDoc))
+    marked.groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("p")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle keys on the window STRING (list-slice build, the q60-oracle
+    * idiom) and replays the same first-occurrence + islands logic with
+    * window functions. */
+  val repeatSpansOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+           FROM documents),
+       win AS (SELECT doc_id, i AS p, array_to_string(ws[i:i+9], ' ') AS s
+               FROM w, unnest(generate_series(1, len(ws)-9)) AS t(i)),
+       occ AS (SELECT doc_id, p, s,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY doc_id, p) AS rn
+               FROM win),
+       rep AS (SELECT doc_id, p, p + 9 AS e FROM occ WHERE rn > 1),
+       m AS (SELECT doc_id, p, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM rep),
+       g AS (SELECT doc_id, p, e,
+               CASE WHEN pme IS NULL OR p > pme + 1 THEN 1 ELSE 0 END AS ns
+             FROM m),
+       sp AS (SELECT doc_id, p, e,
+                sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+              FROM g)
+       SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+              CAST(max(e) AS BIGINT) AS span_end,
+              CAST(max(e) - min(p) + 1 AS BIGINT) AS n_tokens
+       FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start"""
+
   // --- SimHash -------------------------------------------------------------
 
   /** 60, not 64: the portable md5-60bit feature hash leaves bits 60–63

@@ -82,11 +82,45 @@ case class ShingleHashesMd5(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Positional variant of [[ShingleHashes]]: hash of EVERY overlapping
+  * k-gram window in token order — index i (0-based) is the window
+  * starting at token i+1 — no sort, no dedupe. The input to
+  * position-aware dedup (q120's exact-substring repeat spans), where
+  * "where does this window sit in the document" is the payload and the
+  * set-shaped output of [[ShingleHashes]] would destroy it. Same single
+  * byte-scan, same order-sensitive chain hash, same codegen shape. */
+case class ShingleHashesPos(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_pos requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.computePos(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.computePos($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
 
   /** Column API: `shingle_hashes($"text", 3)`. */
   def shingle_hashes(c: Column, k: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
+
+  /** Column API: `shingle_hashes_pos($"text", 10)` — position-ordered
+    * window hashes (see [[ShingleHashesPos]]). */
+  def shingle_hashes_pos(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashesPos(ColumnBridge.expression(c), k))
 
   /** Column API: `shingle_hashes_md5($"text", 3)` — portable md5-60bit
     * shingle hashes (see [[ShingleHashesMd5]]). */
@@ -96,8 +130,30 @@ object ShingleHashes {
   private final val TokenSeed = 0x27d4eb2f165667c5L
   private final val TokenPrime = 1000003L
 
+  /** Position-ordered window hashes (no sort/dedupe); called from
+    * generated code (see [[ShingleHashesPos]]). */
+  def computePos(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(rawHashes(text, k))
+
   /** Single-pass shingle hashing; called from generated code. */
   def compute(text: UTF8String, k: Int): ArrayData = {
+    val out = rawHashes(text, k)
+    val nSh = out.length
+    if (nSh == 0) return new GenericArrayData(out)
+    // sort + dedupe (deterministic sorted set)
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < nSh) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Steps 1-2 shared by [[compute]] and [[computePos]]: token hashes,
+    * then the order-sensitive k-window chain hash, in position order. */
+  private def rawHashes(text: UTF8String, k: Int): Array[Long] = {
     val bytes = text.getBytes
     val n = bytes.length
     // 1. hash each whitespace-delimited token
@@ -124,7 +180,7 @@ object ShingleHashes {
       }
       i += 1
     }
-    if (nTok < k) return new GenericArrayData(Array.empty[Long])
+    if (nTok < k) return Array.empty[Long]
     // 2. combine k consecutive token hashes, order-sensitively
     val nSh = nTok - k + 1
     val out = new Array[Long](nSh)
@@ -139,15 +195,7 @@ object ShingleHashes {
       out(s) = c
       s += 1
     }
-    // 3. sort + dedupe (deterministic sorted set)
-    java.util.Arrays.sort(out)
-    var w = 1
-    var r = 1
-    while (r < nSh) {
-      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
-      r += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    out
   }
 
   private val md5Local =

@@ -200,7 +200,9 @@ object ScaleSmoke {
       "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
         graft.ext.Curate.mixtureSchedule(s, d)),
       "q119_adpcm_roundtrip" -> ((s: SparkSession, d: String) =>
-        graft.ext.Multimodal.adpcmRoundtripExact(s, d))
+        graft.ext.Multimodal.adpcmRoundtripExact(s, d)),
+      "q120_repeat_spans" -> ((s: SparkSession, d: String) =>
+        graft.ext.Dedup.repeatSpans(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

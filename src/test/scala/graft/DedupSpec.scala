@@ -160,6 +160,57 @@ class DedupSpec extends SparkSpecBase {
     assert(got.getLong(1) == 3L && got.getString(2) == "p q r s t")
   }
 
+  test("repeat spans: overlapping repeats merge, gaps split, " +
+      "within-doc repeats keep the first copy") {
+    import spark.implicits._
+    // k=3 windows. doc 1 holds the corpus-first copies; doc 2 repeats a
+    // 4-token substring mid-document (overlapping windows @2,@3 merge);
+    // doc 3 is a full-document repeat; doc 4 repeats its own opening
+    // window at the end; doc 5 has two repeats split by fresh material
+    // (gap > 1 -> two spans)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b c d e"),
+      (4L, "g h i g h i"),
+      (5L, "a b c Z c d e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatSpansOf(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      (2L, 2L, 5L, 4L),  // [a b c]@2 + [b c d]@3 merge to tokens 2..5
+      (3L, 1L, 5L, 5L),  // every window repeats doc 1 -> whole doc
+      (4L, 4L, 6L, 3L),  // within-doc repeat of the opening window
+      (5L, 1L, 3L, 3L),  // [a b c]@1 ...
+      (5L, 5L, 7L, 3L))) // ... gap at Z, then [c d e]@5 separately
+  }
+
+  test("repeat spans: back-to-back repeats fuse into one span") {
+    import spark.implicits._
+    // doc 2's windows @1..@3 all repeat doc 1 content; the marked
+    // intervals [1,3],[2,4],[3,5] chain into a single 5-token span
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatSpansOf(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List((2L, 1L, 5L, 5L)))
+  }
+
+  test("shingle_hashes_pos preserves positions and equates equal windows") {
+    import spark.implicits._
+    val hs = Seq("a b c a b c").toDF("text")
+      .select(graft.functions.ShingleHashes
+        .shingle_hashes_pos(col("text"), 3).as("hs"))
+      .head().getSeq[Long](0)
+    assert(hs.length == 4)            // n-k+1 windows, position order
+    assert(hs(0) == hs(3))            // "a b c" == "a b c"
+    assert(Set(hs(0), hs(1), hs(2)).size == 3) // distinct windows differ
+  }
+
   test("shingles: short docs yield empty array, k-grams are distinct") {
     import spark.implicits._
     val df = Seq("a b", "a b c d", "a b a b a b c d").toDF("text")
