@@ -205,6 +205,8 @@ object SparkEntry {
       Multimodal.adpcmRoundtripExact(s, d)),
     "q120_repeat_spans" -> ((s: SparkSession, d: String) =>
       Dedup.repeatSpans(s, d)),
+    "q121_repeat_span_removal" -> ((s: SparkSession, d: String) =>
+      Dedup.repeatSpanRemoval(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -439,6 +441,7 @@ object SparkEntry {
     "q117_cms_frequency" -> Analytics.q117Oracle,
     "q118_mixture_schedule" -> Curate.mixtureScheduleOracle(),
     "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle,
-    "q120_repeat_spans" -> Dedup.repeatSpansOracle
+    "q120_repeat_spans" -> Dedup.repeatSpansOracle,
+    "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle
   )
 }

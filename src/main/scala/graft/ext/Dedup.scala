@@ -642,6 +642,61 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q121: the REMOVAL pass composing [[repeatSpans]] — reconstruct every
+    * document with its repeat spans cut (what a training pipeline
+    * actually applies; q120 is the audit view). Documents whose whole
+    * token range is covered disappear, mirroring [[spanDedup]]'s
+    * erased-boilerplate behavior.
+    *
+    * Scale: spans explode to at most span-length (doc_id, pos) pairs —
+    * bounded by the repeated content volume, not the corpus — and the
+    * cut is a (doc_id, pos) anti-join against the token stream followed
+    * by the same single reconstruction groupBy as q63. */
+  def repeatSpanRemoval(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    repeatSpanRemovalOf(Tables(spark, dir, "documents"), k)
+
+  /** Same over any (doc_id, text) DataFrame (injectable for tests). */
+  def repeatSpanRemovalOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spans = repeatSpansOf(docs, k)
+    val removedPos = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("w"))
+    toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("text_cut"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q120's span CTE chain, then cut and re-join by position. */
+  val repeatSpanRemovalOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+           FROM documents),
+       win AS (SELECT doc_id, i AS p, array_to_string(ws[i:i+9], ' ') AS s
+               FROM w, unnest(generate_series(1, len(ws)-9)) AS t(i)),
+       occ AS (SELECT doc_id, p, s,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY doc_id, p) AS rn
+               FROM win),
+       rep AS (SELECT doc_id, p, p + 9 AS e FROM occ WHERE rn > 1),
+       cut AS (SELECT DISTINCT doc_id, p + u.i AS pos
+               FROM rep, unnest(generate_series(0, 9)) AS u(i)),
+       tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd,
+                 generate_subscripts(string_split(text,' '),1) AS pos
+               FROM documents)
+       SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+              string_agg(wd, ' ' ORDER BY tok.pos) AS text_cut
+       FROM tok LEFT JOIN cut
+         ON cut.doc_id = tok.doc_id AND cut.pos = tok.pos
+       WHERE cut.pos IS NULL
+       GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+
   /** Oracle keys on the window STRING (list-slice build, the q60-oracle
     * idiom) and replays the same first-occurrence + islands logic with
     * window functions. */

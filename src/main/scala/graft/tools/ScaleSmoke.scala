@@ -202,7 +202,9 @@ object ScaleSmoke {
       "q119_adpcm_roundtrip" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.adpcmRoundtripExact(s, d)),
       "q120_repeat_spans" -> ((s: SparkSession, d: String) =>
-        graft.ext.Dedup.repeatSpans(s, d))
+        graft.ext.Dedup.repeatSpans(s, d)),
+      "q121_repeat_span_removal" -> ((s: SparkSession, d: String) =>
+        graft.ext.Dedup.repeatSpanRemoval(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

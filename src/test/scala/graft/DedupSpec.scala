@@ -200,6 +200,28 @@ class DedupSpec extends SparkSpecBase {
     assert(got == List((2L, 1L, 5L, 5L)))
   }
 
+  test("repeat span removal cuts marked ranges, erases fully-covered docs") {
+    import spark.implicits._
+    // same corpus as the spans test (k=3): doc 2 loses tokens 2..5,
+    // doc 3 disappears (whole doc covered), doc 4 loses its tail repeat,
+    // doc 5 keeps only the fresh middle token
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b c d e"),
+      (4L, "g h i g h i"),
+      (5L, "a b c Z c d e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatSpanRemovalOf(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toList
+    assert(got == List(
+      (1L, 5L, "a b c d e"),  // corpus-first copies untouched
+      (2L, 2L, "x y"),
+      (4L, 3L, "g h i"),
+      (5L, 1L, "Z")))         // doc 3 fully covered -> gone
+  }
+
   test("shingle_hashes_pos preserves positions and equates equal windows") {
     import spark.implicits._
     val hs = Seq("a b c a b c").toDF("text")
