@@ -611,12 +611,7 @@ object Dedup {
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def repeatSpansOf(docs: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = docs.select(col("doc_id"),
-        posexplode(graft.functions.ShingleHashes
-          .shingle_hashes_pos(col("text"), k)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-        col("col").as("h"))
+    val wins = windowHashes(docs, k)
     // corpus-wide first occurrence per window content: one long-keyed
     // shuffle, map-side-combinable min
     val keeper = wins.groupBy(col("h"))
@@ -624,11 +619,29 @@ object Dedup {
     val repeated = wins.join(keeper, "h")
       .filter(col("doc_id") =!= col("first.doc_id") ||
         col("p") =!= col("first.p"))
-      .select(col("doc_id"), col("p"), (col("p") + (k - 1)).as("e"))
-    // gaps-and-islands per document: a window extends the current span
-    // iff it starts at or before (running max end) + 1
+      .select(col("doc_id"), col("p"))
+    mergeRepeatSpans(repeated, k)
+  }
+
+  /** Position-preserving window hashes of every overlapping k-token
+    * window: (doc_id, p, h) with p 1-based. Shared by the batch q120
+    * path and [[graft.streaming.StreamingRepeatSpans]]. */
+  def windowHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashes
+          .shingle_hashes_pos(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+
+  /** Merge marked (doc_id, p) windows into maximal spans — per-doc
+    * gaps-and-islands: a window extends the current span iff it starts
+    * at or before (running max end) + 1. Window partitions are per
+    * doc_id, bounded by document length at any corpus size. */
+  def mergeRepeatSpans(repeated: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val marked = repeated
+      .select(col("doc_id"), col("p"), (col("p") + (k - 1)).as("e"))
       .withColumn("pme", max(col("e"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ns",

@@ -222,6 +222,39 @@ class DedupSpec extends SparkSpecBase {
       (5L, 1L, "Z")))         // doc 3 fully covered -> gone
   }
 
+  test("repeat spans reconcile with removal: spans are disjoint and " +
+      "token counts add up per document") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val spans = Dedup.repeatSpansOf(docs, k = 10).collect()
+    // spans never overlap or touch within a document (maximal islands)
+    spans.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      ss.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) > a.getLong(2) + 1,
+            s"spans [$a] and [$b] should have merged")
+        case _ =>
+      }
+    }
+    // q121 removes exactly the span-covered tokens: for every doc,
+    // tokens_total - sum(span n_tokens) == n_tokens_kept (docs fully
+    // covered are absent from q121's output)
+    val total = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = spans.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val kept = Dedup.repeatSpanRemovalOf(docs, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    total.foreach { case (doc, n) =>
+      val expectKept = n - cut.getOrElse(doc, 0L)
+      assert(kept.getOrElse(doc, 0L) == expectKept,
+        s"doc $doc: $n total, ${cut.getOrElse(doc, 0L)} in spans, " +
+          s"kept ${kept.getOrElse(doc, 0L)}")
+    }
+  }
+
   test("shingle_hashes_pos preserves positions and equates equal windows") {
     import spark.implicits._
     val hs = Seq("a b c a b c").toDF("text")
