@@ -207,6 +207,8 @@ object SparkEntry {
       Dedup.repeatSpans(s, d)),
     "q121_repeat_span_removal" -> ((s: SparkSession, d: String) =>
       Dedup.repeatSpanRemoval(s, d)),
+    "q122_hashed_classifier" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hashedClassifier(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -442,6 +444,7 @@ object SparkEntry {
     "q118_mixture_schedule" -> Curate.mixtureScheduleOracle(),
     "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle,
     "q120_repeat_spans" -> Dedup.repeatSpansOracle,
-    "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle
+    "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle,
+    "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle
   )
 }

@@ -898,4 +898,83 @@ object TextAnalysis {
        FROM parts
        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
   }
+
+  // --- hashed linear classifier (model-based quality filter) ---------------
+
+  /** Score every document with a hashed linear model — the fastText /
+    * Joulin et al. 2016 (arXiv:1607.01759) inference shape that
+    * model-based quality filters (e.g. the CCNet/LLaMA "looks like
+    * Wikipedia" filter) run at corpus scale: each document's distinct
+    * hashed n-gram features look their weights up in a weight table and
+    * the document's margin is the weight sum. `weights` is any (h, wt)
+    * DataFrame — a trained model exported as a table; features absent
+    * from it contribute 0 (the hashing-trick OOV convention).
+    *
+    * Scale: features are the portable md5-60bit shingle hashes (one
+    * byte-scan per document, set semantics per doc — never a feature
+    * string); the join ships (doc_id, h) longs and the weight side is
+    * vocabulary-sized (broadcastable for any real model — fastText
+    * buckets are ≤ 2M rows). Integer weights → BIGINT margins: no float
+    * summation, any engine agrees bit-for-bit. */
+  def hashedLinearScoreOf(docs: DataFrame, weights: DataFrame,
+      k: Int = 3): DataFrame = {
+    import graft.functions.ShingleHashes.shingle_hashes_md5
+    scoreHashedFeatures(docs.select(col("doc_id"),
+      explode(shingle_hashes_md5(col("text"), k)).as("h")), weights)
+  }
+
+  /** Weight-lookup + margin aggregation over a (doc_id, h) feature
+    * stream — shared by [[hashedLinearScoreOf]] and the q122 entry. */
+  private def scoreHashedFeatures(feats: DataFrame,
+      weights: DataFrame): DataFrame =
+    feats.join(weights, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("wt"), lit(0L))).as("margin"))
+      .select(col("doc_id"), col("n_features"), col("margin"),
+        (col("margin") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** q122: [[hashedLinearScoreOf]] with a deterministic stand-in weight
+    * table so the whole inference path sits under the DuckDB oracle:
+    * vocabulary = the corpus's word-3-gram features appearing in ≥ 2
+    * documents (the df>1 pruning every hashed model applies to its
+    * bucket table), weight = DetMix(h) mapped to [-1000, 1000]. The
+    * OPERATOR is the general weights-table join above — swapping in
+    * trained weights is swapping the DataFrame. */
+  def hashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleHashes.shingle_hashes_md5
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val feats = docs.select(col("doc_id"),
+        explode(shingle_hashes_md5(col("text"), 3)).as("h"))
+      .localCheckpoint() // feeds the vocabulary build AND the scoring join
+    val vocab = feats.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"),
+        (expr(graft.functions.DetMix.mixSql("h", 122)) % 2001 - 1000)
+          .as("wt"))
+    scoreHashedFeatures(feats, vocab)
+  }
+
+  val hashedClassifierOracle: String = {
+    val mix = graft.functions.DetMix.mixSql("h", 122)
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+             generate_subscripts(string_split(text,' '),1) AS pos
+           FROM documents),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+             FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                      JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+       d AS (SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(sh),1,15)) AS BIGINT) AS h
+             FROM t),
+       df AS (SELECT h, count(*) AS c FROM d GROUP BY 1),
+       vocab AS (SELECT h, $mix % 2001 - 1000 AS wt
+                 FROM df WHERE c >= 2)
+       SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(coalesce(wt, 0)) AS BIGINT) AS margin,
+         (CAST(sum(coalesce(wt, 0)) AS BIGINT) >= 0) AS keep
+       FROM d LEFT JOIN vocab USING (h)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+  }
 }

@@ -204,7 +204,9 @@ object ScaleSmoke {
       "q120_repeat_spans" -> ((s: SparkSession, d: String) =>
         graft.ext.Dedup.repeatSpans(s, d)),
       "q121_repeat_span_removal" -> ((s: SparkSession, d: String) =>
-        graft.ext.Dedup.repeatSpanRemoval(s, d))
+        graft.ext.Dedup.repeatSpanRemoval(s, d)),
+      "q122_hashed_classifier" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.hashedClassifier(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -249,4 +249,30 @@ class TextSpec extends SparkSpecBase {
       Seq((1L, "hello")).toDF("doc_id", "text"))
     assert(single.count() == 0)
   }
+
+  test("hashed linear classifier: margins are exact weight sums, OOV " +
+      "features score zero, and the weights table is swappable") {
+    import spark.implicits._
+    import graft.functions.ShingleHashes.shingle_hashes_md5
+    val docs = Seq(
+      (1L, "a b c d"),   // features [a b c], [b c d]
+      (2L, "a b c e"),   // shares [a b c] with doc 1
+      (3L, "x y z w")    // all features unique to doc 3
+    ).toDF("doc_id", "text")
+    // hand-built weights: +7 for the shared feature, everything else OOV
+    val shared = Seq("a b c").toDF("s")
+      .select(explode(shingle_hashes_md5(col("s"), 3)).as("h"),
+        lit(7L).as("wt"))
+    val got = TextAnalysis.hashedLinearScoreOf(docs, shared)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2L, 7L, true)))   // one in-vocab + one OOV
+    assert(got(2L) == ((2L, 7L, true)))
+    assert(got(3L) == ((2L, 0L, true)))   // all OOV -> margin 0
+    // a different weights table flips the verdict without touching docs
+    val negative = shared.select(col("h"), lit(-7L).as("wt"))
+    val neg = TextAnalysis.hashedLinearScoreOf(docs, negative)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!neg(1L) && !neg(2L) && neg(3L))
+  }
 }
