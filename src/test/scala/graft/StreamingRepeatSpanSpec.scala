@@ -75,6 +75,27 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
     assert(spans(out).isEmpty)
   }
 
+  test("end-to-end through writeStream: spans accumulate across real " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (idx, out) = (tmp(), tmp())
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingRepeatSpans.start(
+      input.toDF().toDF("doc_id", "text"), idx, out,
+      checkpointDir = tmp(), k = 3)
+    input.addData(1L -> "a b c d e")
+    q.processAllAvailable()
+    input.addData(21L -> "z a b c d")
+    q.processAllAvailable()
+    q.stop()
+    // doc 21's windows @2 [a b c], @3 [b c d] repeat batch 0 -> one span
+    assert(spans(out) == Set((21L, 2L, 5L, 4L)))
+    // index: doc 1's three windows + doc 21's fresh [z a b]
+    assert(spark.read.parquet(idx).count() == 4)
+  }
+
   test("streaming marks equal the batch q120 pass over the union of " +
       "all batches (same corpus, same spans)") {
     val (idx, out) = (tmp(), tmp())
