@@ -174,7 +174,9 @@ object Bpe {
     * fertility statistic tokenizer evaluations report). */
   def encodeCorpus(spark: SparkSession, dir: String,
       merges: Int = 16): DataFrame =
+    // sort = driver-output determinism only; the Of form is sort-free
     encodeCorpusOf(Tables(spark, dir, "documents"), merges)
+      .orderBy(col("doc_id"))
 
   def encodeCorpusOf(docs: DataFrame, merges: Int): DataFrame = {
     val ranks = train(docs, merges).map { case (l, r, _) => (l, r) }
@@ -184,6 +186,5 @@ object Bpe {
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_words"),
         size(col("toks")).cast("long").as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
   }
 }

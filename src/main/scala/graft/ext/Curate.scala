@@ -95,13 +95,18 @@ object Curate {
     * edge union reads the pairs plan twice, and the Jaccard derivation is
     * the dominant cost — pay it once. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     dedupClustersOf(neardupPairs(spark, dir))
+      .orderBy(col("doc_id"))
 
-  /** The shared near-dup pair derivation (q23's exact n-gram Jaccard),
-    * materialized once so every consumer in a composition reads the
-    * cached pair set instead of re-running the set-similarity join. */
+  /** The shared near-dup pair derivation (q23's exact n-gram Jaccard,
+    * via the SORT-FREE Of form — the registered q23 entry's global
+    * ORDER BY is oracle determinism, not something a composition should
+    * pay), materialized once so every consumer reads the cached pair
+    * set instead of re-running the set-similarity join. */
   private def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(spark, dir, 0.8)
+    Dedup.ngramJaccardPairsOf(
+        Dedup.shingleHashDfOf(Tables(spark, dir, "documents")), 0.8)
       .select(col("a"), col("b")).localCheckpoint()
 
   /** Pure form over a precomputed pair list — pass a `localCheckpoint`'ed
@@ -113,7 +118,6 @@ object Curate {
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
     cc.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("n_members"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle: same pair derivation as q23's oracle, then transitive closure
@@ -166,7 +170,9 @@ object Curate {
     */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20,
       oversample: Int = 4): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     stratifiedSampleOf(docs(spark, dir), k, oversample)
+      .orderBy(col("lang"), col("sample_rank"))
 
   def stratifiedSampleOf(d0: DataFrame, k: Int, oversample: Int = 4): DataFrame = {
     // null-safe stratum key: NULL lang is its own stratum (matching window
@@ -210,7 +216,6 @@ object Curate {
       .withColumn("sample_rank", row_number().over(win).cast("int"))
       .filter(col("sample_rank") <= k)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
-      .orderBy(col("lang"), col("sample_rank"))
   }
 
   val stratifiedSampleOracle: String =
@@ -291,7 +296,9 @@ object Curate {
     * frequent bigram. Pure narrow map — sorted-array run-length folds,
     * zero shuffles at any corpus size. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     repetitionOf(docs(spark, dir))
+      .orderBy(col("doc_id"))
 
   def repetitionOf(d0: DataFrame): DataFrame = {
     val tok = d0.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -307,7 +314,6 @@ object Curate {
         round(coalesce(
           maxRunLength(array_sort(col("bg"))).cast("double") / size(col("bg")),
           lit(0.0)), 4).as("top_bigram_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   val repetitionOracle: String =
@@ -335,8 +341,15 @@ object Curate {
     * shape as [[repetition]]. Weights: 0.3 length (saturates at 200
     * tokens), 0.3 token diversity, 0.2 bigram diversity, 0.2 average
     * token length scaled from the [2,6]-char band. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
+    qualityScoreOf(docs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Same over any (doc_id, text) DataFrame — the sort-free form a
+    * composed pipeline (q60) consumes. */
+  def qualityScoreOf(d0: DataFrame): DataFrame = {
+    val tok = d0
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
     val arr = tok.select(col("doc_id"), col("text"), col("w"),
       bigramsOf(col("w")).as("bg"))
@@ -355,7 +368,6 @@ object Curate {
         when(round(score, 4) >= 0.6, "high")
           .when(round(score, 4) >= 0.5, "medium")
           .otherwise("low").as("quality_band"))
-      .orderBy(col("doc_id"))
   }
 
   val qualityScoreOracle: String =
@@ -399,8 +411,10 @@ object Curate {
     * partitions stay tiny at any corpus size. The near-dup pair set is
     * derived once (localCheckpoint) and shared into clustering. */
   def dedupResolution(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; composes the sort-free Of forms
     dedupResolutionOf(dedupClustersOf(neardupPairs(spark, dir)),
-      qualityScore(spark, dir))
+      qualityScoreOf(docs(spark, dir)))
+      .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Pure form over precomputed clusters (q48 shape) and quality scores
     * (q52 shape) — reuse both across a pipeline instead of re-deriving. */
@@ -411,7 +425,6 @@ object Curate {
       .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
       .withColumn("is_kept", row_number().over(win) === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("is_kept"))
-      .orderBy(col("cluster_id"), col("doc_id"))
   }
 
   /** Oracle: q48's transitive closure + q52's score joined, argmax per
@@ -485,8 +498,15 @@ object Curate {
     * 5-gram strings themselves (~2⁻⁶⁴ per-pair collision risk, which
     * could flag a clean document or inflate n_shared by one) — accepted
     * so the corpus-side scan never materializes n-gram strings. */
-  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val grams = docs(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
+    decontaminateOf(docs(spark, dir), k)
+      .orderBy(col("doc_id"))
+
+  /** Same over any (doc_id, text) DataFrame — the sort-free form a
+    * composed pipeline (q60) consumes. */
+  def decontaminateOf(d0: DataFrame, k: Int = 5): DataFrame = {
+    val grams = d0
       .select(col("doc_id"), explode(shingle_hashes(col("text"), k)).as("gh"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("gh")).distinct()
@@ -494,7 +514,6 @@ object Curate {
       .join(broadcast(bench), "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("doc_id"))
   }
 
   val decontaminateOracle: String =
@@ -679,10 +698,13 @@ object Curate {
     * each exactly once (CurateSpec proves the composition equals the
     * standalone operators row-for-row). */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val quality = qualityScore(spark, dir).localCheckpoint()
+    // every stage composes SORT-FREE Of forms; the single ORDER BY below
+    // exists only for the registered entry's oracle hash determinism
+    val quality = qualityScoreOf(docs(spark, dir)).localCheckpoint()
     val resolution = dedupResolutionOf(
       dedupClustersOf(neardupPairs(spark, dir)), quality)
-    curationPipelineOf(quality, resolution, decontaminate(spark, dir))
+    curationPipelineOf(quality, resolution, decontaminateOf(docs(spark, dir)))
+      .orderBy(col("doc_id"))
   }
 
   /** Pure form over precomputed q52/q53/q54 outputs. A pipeline that
@@ -707,7 +729,6 @@ object Curate {
         (coalesce(col("dd"), lit(false)) === false &&
           coalesce(col("ct"), lit(false)) === false &&
           !col("low_q")).as("is_kept"))
-      .orderBy(col("doc_id"))
   }
 
   val curationPipelineOracle: String =
@@ -808,7 +829,9 @@ object Curate {
     * reproducible across runs, partitionings, and engines; ties on the
     * 52-bit draw prefix resolve by doc id in both engines. */
   def uniformSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     uniformSampleOf(docs(spark, dir), k)
+      .orderBy(col("lang"), col("sample_rank"))
 
   def uniformSampleOf(d: DataFrame, k: Int): DataFrame = {
     // first 13 hex chars = 52 bits: exactly representable as a Double,
@@ -822,7 +845,6 @@ object Curate {
       .select(col("lang"), explode(col("sel")).as("e"))
       .select(col("lang"), col("e.rank").as("sample_rank"),
         col("e.id").as("doc_id"))
-      .orderBy(col("lang"), col("sample_rank"))
   }
 
   val uniformSampleOracle: String =
@@ -891,7 +913,9 @@ object Curate {
     * needed at all (the former round(·,10) only shrank, never closed,
     * the libm knife edge); residual ties resolve by doc id. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     weightedSampleOf(docs(spark, dir), k)
+      .orderBy(col("source"), col("sample_rank"))
 
   /** key = lnFix(2·draw+1) − 53·ln2, over the weight (shared Spark /
     * oracle text; columns `ln_u`, `n_chars`). */
@@ -913,7 +937,6 @@ object Curate {
       .select(col("source"), explode(col("sel")).as("e"))
       .select(col("source"), col("e.rank").as("sample_rank"),
         col("e.id").as("doc_id"))
-      .orderBy(col("source"), col("sample_rank"))
   }
 
   val weightedSampleOracle: String = {
@@ -1038,7 +1061,9 @@ object Curate {
     * by construction (documented cost of overlap, here 1/3). */
   def chunkOverlap(spark: SparkSession, dir: String, chunkTokens: Int = 64,
       stride: Int = 48): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     chunkOverlapOf(docs(spark, dir), chunkTokens, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def chunkOverlapOf(d: DataFrame, chunkTokens: Int = 64,
@@ -1056,7 +1081,6 @@ object Curate {
         len.as("n_chunk_tokens"),
         array_join(slice(col("ws"), (base + 1).cast("int"),
           len.cast("int")), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   val chunkOverlapOracle: String =
@@ -1154,8 +1178,9 @@ object Curate {
   /** q103: leakage audit over the documents corpus at τ = 0.8 with the
     * q102 split. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    // composes the SORT-FREE pair derivation; sort = oracle determinism
     splitLeakageOf(
-        graft.ext.Dedup.ngramJaccardPairs(spark, dir, 0.8),
+        neardupPairs(spark, dir),
         splitAssign(Tables(spark, dir, "documents"), "doc_id", "graft",
           SplitFractions))
       .orderBy(col("a"), col("b"))

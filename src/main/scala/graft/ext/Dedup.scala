@@ -106,15 +106,17 @@ object Dedup {
       .join(seenDigests.select(col("digest")).distinct(), Seq("digest"),
         "left_anti")
       .select(col("doc_id"), col("digest"))
-      .orderBy(col("doc_id"))
 
   /** q61: [[incrementalNew]] over the documents table with the even ids
-    * standing in for the already-ingested corpus. */
+    * standing in for the already-ingested corpus. The ORDER BY exists
+    * only here, for oracle hash determinism — the reusable
+    * [[incrementalNew]] (the per-batch ingestion path) stays sort-free. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
     incrementalNew(d.filter(col("doc_id") % 2 =!= 0),
       d.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("doc_id"))
   }
 
   val incrementalOracle: String =
@@ -200,7 +202,9 @@ object Dedup {
     * RNG) but engine-specific hash values → rows-only driver check;
     * ScalaTest checks recall against the exact [[ngramJaccardPairs]]. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     minhashPairsOf(Tables(spark, dir, "documents"))
+      .orderBy(col("a"), col("b"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def minhashPairsOf(docs: DataFrame,
@@ -216,7 +220,6 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / MinhashK, 4)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("a"), col("b"))
   }
 
   /** DuckDB CTE chain reproducing [[minhashSignaturesOf]] exactly:
@@ -359,7 +362,6 @@ object Dedup {
       .agg(max(struct(col("est_jaccard"), col("seen_id"))).as("best"))
       .select(col("doc_id"), col("best.seen_id").as("near_dup_of"),
         col("best.est_jaccard").as("est_jaccard"))
-      .orderBy(col("doc_id"))
 
   /** Recovery path for capped hot buckets — the route the [[BucketCap]]
     * WARN log points at, as an operator: members of every dropped bucket
@@ -405,8 +407,11 @@ object Dedup {
     * (mirrors q61's split). */
   def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // sort = oracle determinism only; the reusable Of/Sigs forms (the
+    // per-micro-batch path StreamingNearDup pays) stay sort-free
     incrementalNearDupOf(d.filter(col("doc_id") % 2 =!= 0),
       d.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("doc_id"))
   }
 
   // --- exact n-gram Jaccard ------------------------------------------------
@@ -424,7 +429,10 @@ object Dedup {
     * (hash collisions across a pair: ~|shingles|²/2^64, immaterial). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       tau: Double = 0.8): DataFrame =
+    // sort = oracle determinism only; the reusable Of form (the one
+    // Curate's clustering/leakage pipelines compose) stays sort-free
     ngramJaccardPairsOf(shingleHashDf(spark, dir), tau)
+      .orderBy(col("a"), col("b"))
 
   /** Prefix-filter join over any (doc_id, hs) shingle-hash DataFrame.
     *
@@ -486,7 +494,6 @@ object Dedup {
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= tau)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
   // --- span-level dedup (C4/RefinedWeb-style) ------------------------------
@@ -510,7 +517,9 @@ object Dedup {
     * same tradeoff as [[Curate.decontaminate]] (the oracle compares the
     * span strings themselves). */
   def spanDedup(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     spanDedupOf(Tables(spark, dir, "documents"), k)
+      .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def spanDedupOf(docs: DataFrame, k: Int = 10): DataFrame = {
@@ -540,7 +549,6 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("span_pos"), col("span")))),
           x => x.getField("span")), " ").as("text_dedup"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle keys on the span STRING (DuckDB side never hashes). */
@@ -607,7 +615,10 @@ object Dedup {
     * (~n²/2⁶⁴ corpus-wide collision odds) — same accepted tradeoff as
     * [[spanDedup]]; the oracle compares window STRINGS. */
   def repeatSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    // sort = oracle determinism only; the reusable Of form (whose span
+    // merge StreamingRepeatSpans pays per micro-batch) stays sort-free
     repeatSpansOf(Tables(spark, dir, "documents"), k)
+      .orderBy(col("doc_id"), col("span_start"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def repeatSpansOf(docs: DataFrame, k: Int = 10): DataFrame = {
@@ -652,7 +663,6 @@ object Dedup {
       .agg(min(col("p")).as("span_start"), max(col("e")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** q121: the REMOVAL pass composing [[repeatSpans]] — reconstruct every
@@ -667,7 +677,9 @@ object Dedup {
     * by the same single reconstruction groupBy as q63. */
   def repeatSpanRemoval(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     repeatSpanRemovalOf(Tables(spark, dir, "documents"), k)
+      .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def repeatSpanRemovalOf(docs: DataFrame, k: Int = 10): DataFrame = {
@@ -684,7 +696,6 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("text_cut"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle: q120's span CTE chain, then cut and re-join by position. */
@@ -769,7 +780,9 @@ object Dedup {
     * driver check; recall vs exact Jaccard in ScalaTest. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     simhashPairsOf(Tables(spark, dir, "documents"), maxHamming)
+      .orderBy(col("a"), col("b"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3,
@@ -792,7 +805,6 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("a"), col("b"))
   }
 
   /** Oracle for q24 [[simhashPairs]]: recompute the 60-bit SimHash from

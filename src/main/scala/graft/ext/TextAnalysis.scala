@@ -74,7 +74,9 @@ object TextAnalysis {
     * per trigram covering all languages at once) — a pure narrow map,
     * no shuffle, no UDF. */
   def langId(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     langIdOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** q30: n-gram language ID (Cavnar-Trenkle ranked trigram profiles),
     * ORACLED — every decision is integer arithmetic. Per language l the
@@ -122,7 +124,6 @@ object TextAnalysis {
         when(isCjk, lit("zh")).otherwise(predC).as("pred_lang"),
         when(isCjk, expr("CAST((_ncjk * 1000000) div _nchars AS BIGINT)"))
           .otherwise(least(confC, lit(1000000L))).as("conf_micro"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle for q30 [[langId]]: the ranked profiles inlined as a VALUES
@@ -250,7 +251,9 @@ object TextAnalysis {
     * pattern (the oracle counts identically). Pure narrow map (three
     * codegen'd regexp passes), shuffle-free at any corpus size. */
   def scrub(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     scrubOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   def scrubOf(d: DataFrame): DataFrame = {
     val counts = scrubPatterns.map { case (name, pat, _) =>
@@ -262,7 +265,6 @@ object TextAnalysis {
     }
     d.select(
         (col("doc_id") +: scrubbed.as("scrubbed_text") +: counts): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** q62: Unicode NFC normalization pass — composed-form text plus a
@@ -329,7 +331,9 @@ object TextAnalysis {
     * summation order can flip the output anywhere (round 6's q78
     * failure mode, eliminated rather than made unlikely). */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     unigramLogprobOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests).
     *
@@ -384,7 +388,6 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_tokens"), sum(col("lp")).as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
         expr(DetLn.avg4Sql("sum_lp", "n_tokens")).as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   /** q107: interpolated BIGRAM quality score — the model upgrade over
@@ -405,7 +408,9 @@ object TextAnalysis {
     * engine-invariant log in BIGINT micro-nats — exact k-multiplicity
     * multiply and order-free summation, no libm dependence. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     bigramLogprobOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   def bigramLogprobOf(docs: DataFrame, hotK: Int = 4096): DataFrame = {
     val tok = docs.select(col("doc_id"),
@@ -465,7 +470,6 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_transitions"), sum(col("lp")).as("sum_lp"))
       .select(col("doc_id"), col("n_transitions"),
         expr(DetLn.avg4Sql("sum_lp", "n_transitions")).as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   val bigramLogprobOracle: String = {
@@ -535,7 +539,9 @@ object TextAnalysis {
     * exact integer ratio, quantized to BIGINT micro-nats — bit-identical
     * in every IEEE-754 engine, immune to libm ulp drift. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     dsirWeightsOf(Tables(spark, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame with an arbitrary
     * target-membership predicate (evaluated per document). */
@@ -577,7 +583,6 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_tokens"), sum(col("lr")).as("sum_lr"))
       .select(col("doc_id"), col("n_tokens"),
         expr(DetLn.avg4Sql("sum_lr", "n_tokens")).as("dsir_logweight"))
-      .orderBy(col("doc_id"))
   }
 
   val dsirWeightsOracle: String = {
@@ -725,7 +730,9 @@ object TextAnalysis {
     * check; the relative error is gated in ScalaTest. */
   def distinctEstimate(spark: SparkSession, dir: String,
       k: Int = 256): DataFrame =
+    // sort = oracle determinism only; the reusable Of form is sort-free
     distinctEstimateOf(Tables(spark, dir, "documents"), k)
+      .orderBy(col("lang"))
 
   /** Same over any (lang, text) DataFrame (injectable for tests).
     *
@@ -762,7 +769,6 @@ object TextAnalysis {
       .withColumn("est_micro",
         when(col("n_sk") < k, col("n_sk") * 1000000L)
           .otherwise(expr(s"CAST(CAST('$numer' AS DECIMAL(38,0)) div u_k AS BIGINT)")))
-      .orderBy(col("lang"))
   }
 
   /** Oracle for q67 [[distinctEstimate]] — the KMV sketch recomputed as
@@ -933,7 +939,6 @@ object TextAnalysis {
         sum(coalesce(col("wt"), lit(0L))).as("margin"))
       .select(col("doc_id"), col("n_features"), col("margin"),
         (col("margin") >= 0).as("keep"))
-      .orderBy(col("doc_id"))
 
   /** q122: [[hashedLinearScoreOf]] with a deterministic stand-in weight
     * table so the whole inference path sits under the DuckDB oracle:
@@ -954,7 +959,10 @@ object TextAnalysis {
       .select(col("h"),
         (expr(graft.functions.DetMix.mixSql("h", 122)) % 2001 - 1000)
           .as("wt"))
+    // sort = oracle determinism only; the reusable scoring path (what a
+    // model-filter pipeline composes) stays sort-free
     scoreHashedFeatures(feats, vocab)
+      .orderBy(col("doc_id"))
   }
 
   val hashedClassifierOracle: String = {

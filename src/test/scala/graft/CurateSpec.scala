@@ -456,4 +456,38 @@ class CurateSpec extends SparkSpecBase {
     assert(waste("bucketed") < waste("arrival"),
       s"bucketed=${waste("bucketed")} arrival=${waste("arrival")}")
   }
+
+  test("reusable Of forms plan no global range sort (r10 sweep): the " +
+      "composed q60 pipeline pays ONE sort total, at the registered entry") {
+    val d = Tables(spark, sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairsOf(Dedup.shingleHashDfOf(d), 0.8)
+      .select(col("a"), col("b")).localCheckpoint()
+    val quality = Curate.qualityScoreOf(d).localCheckpoint()
+    val cases = Seq(
+      "qualityScoreOf" -> Curate.qualityScoreOf(d),
+      "decontaminateOf" -> Curate.decontaminateOf(d),
+      "repetitionOf" -> Curate.repetitionOf(d),
+      "dedupClustersOf" -> Curate.dedupClustersOf(pairs),
+      "dedupResolutionOf" ->
+        Curate.dedupResolutionOf(Curate.dedupClustersOf(pairs), quality),
+      "curationPipelineOf" -> Curate.curationPipelineOf(quality,
+        Curate.dedupResolutionOf(Curate.dedupClustersOf(pairs), quality),
+        Curate.decontaminateOf(d)),
+      "uniformSampleOf" -> Curate.uniformSampleOf(d, 8),
+      "weightedSampleOf" -> Curate.weightedSampleOf(d, 8),
+      "chunkOverlapOf" -> Curate.chunkOverlapOf(d),
+      "splitLeakageOf" -> Curate.splitLeakageOf(pairs,
+        Curate.splitAssign(d, "doc_id", "graft",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
+    for ((name, df) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name plans a global range sort:\n${p.take(900)}")
+    }
+    // and the registered q60 entry holds exactly one global sort — the
+    // deterministic output ORDER BY, nothing mid-pipeline
+    val p60 = Curate.curationPipeline(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(p60).length == 1, p60.take(900))
+  }
 }

@@ -130,7 +130,7 @@ class DedupSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
     val got = Dedup.incrementalNew(batch, seen)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq.sorted
     assert(got == Seq(11L, 13L))
   }
 
@@ -145,7 +145,7 @@ class DedupSpec extends SparkSpecBase {
       (3L, "a b c d"),
       (4L, "g h g h")
     ).toDF("doc_id", "text")
-    val got = Dedup.spanDedupOf(docs, k = 2)
+    val got = Dedup.spanDedupOf(docs, k = 2).orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
     assert(got == List(
       (1L, 2L, "a b c d"),   // first occurrences of both spans
@@ -176,6 +176,7 @@ class DedupSpec extends SparkSpecBase {
       (5L, "a b c Z c d e")
     ).toDF("doc_id", "text")
     val got = Dedup.repeatSpansOf(docs, k = 3)
+      .orderBy(col("doc_id"), col("span_start"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toList
     assert(got == List(
@@ -195,6 +196,7 @@ class DedupSpec extends SparkSpecBase {
       (2L, "a b c d e f")
     ).toDF("doc_id", "text")
     val got = Dedup.repeatSpansOf(docs, k = 3)
+      .orderBy(col("doc_id"), col("span_start"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toList
     assert(got == List((2L, 1L, 5L, 5L)))
@@ -212,7 +214,7 @@ class DedupSpec extends SparkSpecBase {
       (4L, "g h i g h i"),
       (5L, "a b c Z c d e")
     ).toDF("doc_id", "text")
-    val got = Dedup.repeatSpanRemovalOf(docs, k = 3)
+    val got = Dedup.repeatSpanRemovalOf(docs, k = 3).orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toList
     assert(got == List(
@@ -253,6 +255,44 @@ class DedupSpec extends SparkSpecBase {
         s"doc $doc: $n total, ${cut.getOrElse(doc, 0L)} in spans, " +
           s"kept ${kept.getOrElse(doc, 0L)}")
     }
+  }
+
+  test("reusable Of forms plan no global range sort (q115 recipe, swept " +
+      "codebase-wide in r10 — the streaming-consumed paths especially)") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSignaturesOf(docs).localCheckpoint()
+    val cases = Seq(
+      // StreamingRepeatSpans pays this one per micro-batch
+      "repeatSpansOf" -> Dedup.repeatSpansOf(docs, k = 10),
+      "repeatSpanRemovalOf" -> Dedup.repeatSpanRemovalOf(docs, k = 10),
+      // StreamingNearDup pays these two per micro-batch
+      "selfNearDupSigs" -> Dedup.selfNearDupSigs(sigs),
+      "incrementalNearDupSigs" -> Dedup.incrementalNearDupSigs(sigs, sigs),
+      "minhashPairsOf" -> Dedup.minhashPairsOf(docs),
+      "simhashPairsOf" -> Dedup.simhashPairsOf(docs),
+      "ngramJaccardPairsOf" ->
+        Dedup.ngramJaccardPairsOf(Dedup.shingleHashDfOf(docs), 0.8),
+      "spanDedupOf" -> Dedup.spanDedupOf(docs),
+      "incrementalNew" -> Dedup.incrementalNew(
+        docs.select(col("doc_id"), md5(col("text")).as("digest")),
+        docs.select(md5(col("text")).as("digest"))))
+    for ((name, df) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      // rangepartitioning = a global sort exchange; the per-doc islands
+      // window sorts WITHIN hash partitions (SortExec over
+      // hashpartitioning), which is the allowed, bounded shape
+      assert(!p.contains("rangepartitioning"),
+        s"$name plans a global range sort:\n${p.take(900)}")
+    }
+  }
+
+  test("q120 keeper join broadcasts (executable form of the r9 manual " +
+      "ExplainAudit check — a threshold drift must fail here, not drift)") {
+    val df = Dedup.repeatSpans(spark, sf0001)
+    df.collect() // let AQE finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
   }
 
   test("shingle_hashes_pos preserves positions and equates equal windows") {

@@ -275,4 +275,34 @@ class TextSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(!neg(1L) && !neg(2L) && neg(3L))
   }
+
+  test("reusable Of forms plan no global range sort (r10 sweep)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val weights = docs.limit(1).select(
+      explode(graft.functions.ShingleHashes.shingle_hashes_md5(
+        col("text"), 3)).as("h"), lit(1L).as("wt"))
+    val cases = Seq(
+      "langIdOf" -> TextAnalysis.langIdOf(docs),
+      "scrubOf" -> TextAnalysis.scrubOf(docs),
+      "unigramLogprobOf" -> TextAnalysis.unigramLogprobOf(docs),
+      "bigramLogprobOf" -> TextAnalysis.bigramLogprobOf(docs),
+      "dsirWeightsOf" ->
+        TextAnalysis.dsirWeightsOf(docs, col("lang") === "en"),
+      "distinctEstimateOf" -> TextAnalysis.distinctEstimateOf(docs),
+      "hashedLinearScoreOf" ->
+        TextAnalysis.hashedLinearScoreOf(docs, weights))
+    for ((name, df) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name plans a global range sort:\n${p.take(900)}")
+    }
+  }
+
+  test("q122 vocabulary join broadcasts (executable form of the r9 " +
+      "manual ExplainAudit check)") {
+    val df = TextAnalysis.hashedClassifier(spark, sf0001)
+    df.collect() // let AQE finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+  }
 }
