@@ -209,6 +209,8 @@ object SparkEntry {
       Dedup.repeatSpanRemoval(s, d)),
     "q122_hashed_classifier" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hashedClassifier(s, d)),
+    "q123_boilerplate" -> ((s: SparkSession, d: String) =>
+      graft.ext.Boilerplate.boilerplateExtract(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -445,6 +447,7 @@ object SparkEntry {
     "q119_adpcm_roundtrip" -> Multimodal.adpcmRoundtripOracle,
     "q120_repeat_spans" -> Dedup.repeatSpansOracle,
     "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle,
-    "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle
+    "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
+    "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle
   )
 }

@@ -206,7 +206,9 @@ object ScaleSmoke {
       "q121_repeat_span_removal" -> ((s: SparkSession, d: String) =>
         graft.ext.Dedup.repeatSpanRemoval(s, d)),
       "q122_hashed_classifier" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.hashedClassifier(s, d))
+        graft.ext.TextAnalysis.hashedClassifier(s, d)),
+      "q123_boilerplate" -> ((s: SparkSession, d: String) =>
+        graft.ext.Boilerplate.boilerplateExtract(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

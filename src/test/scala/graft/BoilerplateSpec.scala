@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Boilerplate
+import graft.functions.HtmlBlocks
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class BoilerplateSpec extends SparkSpecBase {
+
+  import HtmlBlocks.html_blocks
+
+  private def blocksOf(html: String): Seq[(String, String, Int, Int, Int)] = {
+    import spark.implicits._
+    Seq(html).toDF("html").select(explode(html_blocks(col("html"))).as("b"))
+      .select(col("b.tag"), col("b.text"), col("b.n_chars"),
+        col("b.link_chars"), col("b.n_words"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+  }
+
+  test("block segmentation on a realistic page: order, nesting, inline " +
+      "stripping, whitespace normalization") {
+    val html =
+      """<!DOCTYPE html><html><head><title> My   Page </title>
+        |<style>p { color: red }</style></head><body>
+        |<nav><a href="/">Home</a> | <a href="/x">X</a></nav>
+        |<article><h1>A <b>bold</b> headline</h1>
+        |<p>First   paragraph with <i>inline</i> <a href="/l">a link</a>
+        |here.</p>
+        |<p>Second one.</p></article>
+        |<script>var x = "<p>not a block</p>";</script>
+        |<footer>(c) 2024</footer></body></html>""".stripMargin
+    val got = blocksOf(html)
+    // article closes AFTER its children; its own text is just whitespace
+    assert(got.map(_._1) ==
+      Seq("title", "nav", "h1", "p", "p", "article", "footer"))
+    assert(got(0)._2 == "My Page")
+    assert(got(1) == (("nav", "Home | X", 6, 5, 3)))
+    assert(got(2)._2 == "A bold headline")
+    assert(got(3)._2 == "First paragraph with inline a link here.")
+    assert(got(3)._4 == "alink".length) // link_chars: non-ws inside <a>
+    assert(got(4) == (("p", "Second one.", 10, 0, 2)))
+    assert(got(5)._2 == "") // article's own (non-child) text
+    assert(got(6)._2 == "(c) 2024")
+  }
+
+  test("tag soup never throws and follows the documented rules") {
+    // unclosed blocks close at EOF innermost-first; stray closes are
+    // ignored; a bare '<' is literal text; unterminated tags drop the
+    // tail; void/self-closing tags never open blocks
+    assert(blocksOf("<p>open forever") == Seq(("p", "open forever", 11, 0, 2)))
+    assert(blocksOf("</p>stray<p>ok</p>") == Seq(("p", "ok", 2, 0, 1)))
+    assert(blocksOf("<p>a < b and c</p>") ==
+      Seq(("p", "a < b and c", 7, 0, 5)))
+    assert(blocksOf("<p>kept<div") == Seq(("p", "kept", 4, 0, 1)))
+    assert(blocksOf("<p>x<br>y<hr/>z</p>") == Seq(("p", "xyz", 3, 0, 1)))
+    assert(blocksOf("<div><p>inner</div>more") ==
+      Seq(("p", "inner", 5, 0, 1), ("div", "", 0, 0, 0)))
+    assert(blocksOf("<!-- <p>comment</p> --><p>real</p>") ==
+      Seq(("p", "real", 4, 0, 1)))
+    assert(blocksOf("") == Seq())
+    assert(blocksOf("no tags at all") == Seq())
+  }
+
+  test("html_blocks never throws on arbitrary input (tag-soup fuzz)") {
+    val soup = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+        "<script>", "</script>", "<br>", "<", ">", "<!--", "-->", "<x/>",
+        "</nav>", "<footer>"),
+      Gen.alphaStr.map(_.take(8)))).map(_.mkString(" "))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(soup) { h =>
+        HtmlBlocks.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(h)) != null
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("classification gates: chrome by tag, link density 0.3 boundary, " +
+      "short-block gate at 5 words") {
+    import spark.implicits._
+    val cases = Seq(
+      // chrome beats everything, even long fluent text
+      (1L, "<nav>a perfectly fluent sentence of many words here</nav>"),
+      // exactly AT the 0.3 boundary is NOT link-dense: 3 of 10 chars
+      (2L, "<p><a href='x'>abc</a> d ef gh ij</p>"),
+      // just over the boundary: 4 of 10 non-ws chars linked
+      (3L, "<p><a href='x'>abcd</a> d ef gh i</p>"),
+      // 4 words -> short; 5 words -> content
+      (4L, "<p>one two three four</p>"),
+      (5L, "<p>one two three four five</p>"))
+      .toDF("doc_id", "html")
+    val got = Boilerplate.extractContentOf(cases).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap // (chrome, link_dense, short, content)
+    assert(got(1L) == ((1L, 0L, 0L, 0L)))
+    assert(got(2L) == ((0L, 0L, 0L, 1L)), "density == 0.3 must pass")
+    assert(got(3L) == ((0L, 1L, 0L, 0L)), "density > 0.3 must drop")
+    assert(got(4L) == ((0L, 0L, 1L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 1L)))
+  }
+
+  test("extraction golden on a real page shape: main text is exactly the " +
+      "content paragraphs in document order") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>Widget Review</title></head><body>
+        |<nav><a href="/">Home</a> <a href="/r">Reviews</a></nav>
+        |<div><a href="/a">Ad one here</a> <a href="/b">Ad two here</a></div>
+        |<p>The widget arrived quickly and works exactly as described.</p>
+        |<p>Battery life is outstanding for the price point offered.</p>
+        |<p>Read more</p>
+        |<footer>Copyright</footer></body></html>""".stripMargin
+    val got = Boilerplate.extractContentOf(
+      Seq((9L, html)).toDF("doc_id", "html")).head()
+    assert(got.getLong(1) == 7L) // title, nav, div, 3×p, footer
+    assert(got.getString(6) ==
+      "The widget arrived quickly and works exactly as described. " +
+      "Battery life is outstanding for the price point offered.")
+  }
+
+  test("q123 composition: synthesized farms/short tails classified as " +
+      "derived analytically, and the whole plan is one narrow map") {
+    import spark.implicits._
+    // 47 tokens -> paragraphs of 20/20/7; doc_id 3: farm at i where
+    // (3 + i) % 5 == 0 -> i = 2; tail (7 tokens) is content
+    val text = (1 to 47).map(i => s"w$i").mkString(" ")
+    val out = Boilerplate.extractContentOf(Boilerplate.synthesizeHtmlOf(
+      Seq((3L, text)).toDF("doc_id", "text"))).head()
+    assert(out.getLong(1) == 7L)       // 3 paragraphs + 4 chrome/div blocks
+    assert(out.getLong(2) == 3L)       // title, nav, footer
+    assert(out.getLong(3) == 2L)       // subscribe div + farm paragraph 2
+    assert(out.getLong(4) == 0L)
+    assert(out.getLong(5) == 2L)       // paragraphs 1 and 3
+    assert(out.getString(6) ==
+      ((1 to 20) ++ (41 to 47)).map(i => s"w$i").mkString(" "))
+    // 4-token doc, non-farm -> single short paragraph, empty main text
+    val tiny = Boilerplate.extractContentOf(Boilerplate.synthesizeHtmlOf(
+      Seq((2L, "a b c d")).toDF("doc_id", "text"))).head()
+    assert(tiny.getLong(4) == 1L && tiny.getLong(5) == 0L)
+    assert(tiny.getString(6) == "")
+    // plan shape: the sort-free composition plans ZERO exchanges
+    val p = Boilerplate.extractContentOf(Boilerplate.synthesizeHtmlOf(
+        Tables(spark, sf0001, "documents").select(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    // registered entry: exactly the one deterministic output sort
+    val pReg = Boilerplate.boilerplateExtract(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(pReg).length == 1, pReg.take(800))
+  }
+}

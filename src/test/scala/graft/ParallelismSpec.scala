@@ -33,7 +33,10 @@ class ParallelismSpec extends SparkSpecBase {
     "q22_minhash_pairs", "q24_simhash_pairs", "q30_lang_id",
     "q67_kmv_distinct", "q68_incr_neardup", "q47_neardup_lsh",
     "q27_ann_lsh", "q119_adpcm_roundtrip", "q120_repeat_spans",
-    "q121_repeat_span_removal", "q122_hashed_classifier")
+    "q121_repeat_span_removal", "q122_hashed_classifier",
+    // round-10: the HTML extractor is a narrow map — partition-count
+    // invariance is near-structural, pinned anyway
+    "q123_boilerplate")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
