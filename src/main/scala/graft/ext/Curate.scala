@@ -32,22 +32,101 @@ object Curate {
 
   // --- duplicate clustering (connected components) -------------------------
 
-  /** Connected components over an undirected pair list `(a, b)` by
-    * iterative min-label propagation: every node starts as its own
-    * component and repeatedly adopts the minimum label among itself and
-    * its neighbors until a fixpoint.
+  /** Connected components over an undirected pair list `(a, b)` by the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * each round rewires every node's larger neighbors to its
+    * neighborhood minimum (large-star), then its smaller-or-equal
+    * neighbors (small-star), contracting every component to a star on
+    * its minimum id in O(log n) rounds — vs the graph DIAMETER for
+    * plain min-label propagation, the difference between 2 and 30
+    * rounds on an adversarial duplication chain.
     *
-    * Scale: each iteration is one shuffle join keyed on node id plus a
-    * min-aggregate; iteration count is the cluster graph's diameter, and
-    * near-dup clusters are overwhelmingly stars/cliques (diameter ≤ 2-3).
-    * Labels are localCheckpoint'ed per round so lineage stays flat. The
-    * convergence check aggregates a single count — no driver-side data.
-    * For adversarial long-path graphs the alternating large-star/
-    * small-star algorithm (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") converges in O(log n) rounds with the same
-    * join primitive; the fixture graphs here never need it.
-    */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    * Scale: each half-round is one groupBy(node) min + one re-keyed
+    * self-join — the same long-keyed shuffle primitives as propagation,
+    * with the edge list checkpointed per round to keep lineage flat.
+    * Convergence = the edge multiset fixpoint, detected by a
+    * (count, hash-sum, seeded-hash-sum) signature — two independent
+    * 64-bit sums make a missed change ~2⁻¹²⁸; the refuse-don't-mislabel
+    * guard below still backstops a pathological non-convergence.
+    *
+    * [[connectedComponentsPropagation]] keeps the min-label form;
+    * CurateSpec pins star ≡ propagation on chains, cliques, and the
+    * real near-dup fixture graph. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // large-star(u): every neighbor v > u re-points to
+    // m = min(N(u) ∪ {u}); keeps components connected while halving
+    // long-path distances (Kiveris et al., Lemma 1)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star(u): orient every edge toward the smaller endpoint,
+    // then re-point each node's smaller neighbors (and itself) to the
+    // neighborhood minimum — flattens the stars large-star built
+    def smallStar(e: DataFrame): DataFrame = {
+      val can = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = can.groupBy(col("u")).agg(min(col("v")).as("m"))
+      can.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      // xor folds, not sums: ANSI mode makes a Σ of 64-bit hashes
+      // overflow; xor is closed over longs and order-free, and the edge
+      // list is distinct() so set equality is what's being fingerprinted
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u, 17))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val allNodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters star rounds — " +
+        "far beyond O(log n) for any real pair graph; refusing to " +
+        "return possibly-partial labels")
+    // fixpoint edges are stars onto component minima: every non-root
+    // points only at its root, roots have no out-edge -> own label
+    val pointers = edges.groupBy(col("u")).agg(min(col("v")).as("comp"))
+    allNodes.join(pointers.withColumnsRenamed(Map("u" -> "node")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
+
+  /** The min-label-propagation form [[connectedComponents]] replaced:
+    * every node repeatedly adopts the minimum label in its neighborhood
+    * until fixpoint — one join + min-aggregate per round, but the round
+    * count is the graph DIAMETER. Kept as the independent witness for
+    * the star ≡ propagation equality gate in CurateSpec. */
+  def connectedComponentsPropagation(pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
     // checkpointed ALREADY hash-partitioned on the join key: every
     // label-propagation round joins edges on "a", so materializing the
     // partitioning once lets each round reuse it instead of re-shuffling
@@ -79,10 +158,9 @@ object Curate {
     // a silent partial propagation would be WRONG labels, not slow ones —
     // refuse to answer rather than mislabel
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds; the " +
-        "pair graph has a path longer than expected for near-dup " +
-        "clusters — raise maxIters or switch to the O(log n)-round " +
-        "large-star/small-star algorithm (Kiveris et al.)")
+      s"label propagation did not converge in $maxIters rounds; the " +
+        "pair graph has a path longer than its round budget — use " +
+        "connectedComponents (large-star/small-star, O(log n) rounds)")
     labels
   }
 

@@ -457,6 +457,34 @@ class CurateSpec extends SparkSpecBase {
       s"bucketed=${waste("bucketed")} arrival=${waste("arrival")}")
   }
 
+  test("star CC equals min-label propagation on chains, cliques, random " +
+      "graphs, and the real near-dup fixture pairs") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(10)
+    val graphs = Seq(
+      // the adversarial case for propagation: a 24-node path
+      (0L until 23L).map(i => (i, i + 1)),
+      // clique + isolated pair + second chain
+      (for (i <- 30L to 34L; j <- (i + 1) to 34L) yield (i, j)) ++
+        Seq((50L, 51L)) ++ (60L until 65L).map(i => (i, i + 1)),
+      // random edges over a sparse id space (dup pairs included)
+      Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter(p => p._1 != p._2))
+    for (g <- graphs) {
+      val pairs = g.toDF("a", "b")
+      assert(labels(Curate.connectedComponents(pairs)) ==
+        labels(Curate.connectedComponentsPropagation(pairs)),
+        s"star CC diverged from propagation on ${g.take(8)}...")
+    }
+    val fixture = Dedup.ngramJaccardPairsOf(
+      Dedup.shingleHashDfOf(Tables(spark, sf0001, "documents")), 0.8)
+      .select(col("a"), col("b")).localCheckpoint()
+    assert(labels(Curate.connectedComponents(fixture)) ==
+      labels(Curate.connectedComponentsPropagation(fixture)))
+  }
+
   test("reusable Of forms plan no global range sort (r10 sweep): the " +
       "composed q60 pipeline pays ONE sort total, at the registered entry") {
     val d = Tables(spark, sf0001, "documents")
