@@ -682,8 +682,14 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
-  def repeatSpanRemovalOf(docs: DataFrame, k: Int = 10): DataFrame = {
-    val spans = repeatSpansOf(docs, k)
+  def repeatSpanRemovalOf(docs: DataFrame, k: Int = 10): DataFrame =
+    cutSpansOf(docs, repeatSpansOf(docs, k))
+
+  /** The cut applied to precomputed spans (q120 shape) — shared by the
+    * batch q121 path above and [[graft.streaming.StreamingRepeatSpans]]'
+    * per-micro-batch removal, so stream and batch cuts are the same
+    * code by construction. Sort-free. */
+  def cutSpansOf(docs: DataFrame, spans: DataFrame): DataFrame = {
     val removedPos = spans.select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = docs.select(col("doc_id"),

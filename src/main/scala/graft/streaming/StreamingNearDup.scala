@@ -39,13 +39,16 @@ object StreamingNearDup {
     StructField("batch_id", LongType)))
 
   /** Read the signature index, tolerating its absence (first batch). */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    try spark.read.schema(sigSchema).parquet(indexDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], sigSchema)
-    }
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    // probe the path explicitly: ONLY a genuinely-missing index (first
+    // batch) reads as empty — a corrupt or schema-broken index must fail
+    // loudly, not silently under-flag a batch (a blanket AnalysisException
+    // catch here used to swallow both cases)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sigSchema)
+    else spark.read.schema(sigSchema).parquet(indexDir)
+  }
 
   /** One micro-batch: flag near-dups of the index AND of lower-id docs
     * within the batch itself (without the self pass, two copies arriving

@@ -43,26 +43,33 @@ object StreamingRepeatSpans {
     StructField("p", LongType),
     StructField("batch_id", LongType)))
 
-  /** Read the window index, tolerating its absence (first batch). */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    try spark.read.schema(indexSchema).parquet(indexDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], indexSchema)
-    }
+  /** Read the window index, tolerating ONLY its absence (first batch):
+    * the path is probed explicitly, so a corrupt or schema-broken index
+    * fails loudly instead of silently reading as empty and under-marking
+    * the batch (a blanket AnalysisException catch used to swallow both). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+    else spark.read.schema(indexSchema).parquet(indexDir)
+  }
 
   /** One micro-batch: mark occurrences repeating the index OR a
     * lower-(doc_id, p) occurrence within the batch, merge to spans,
-    * index the fresh window contents. Package-visible for direct
-    * testing without a streaming harness. */
+    * index the fresh window contents; when `cutDir` is set, ALSO ship
+    * the removal pass — the batch's documents reconstructed with their
+    * marked ranges cut ([[Dedup.cutSpansOf]], the exact q121 cut) —
+    * so the stream emits what a training pipeline ingests, not just
+    * the audit view. Package-visible for direct testing without a
+    * streaming harness. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      indexDir: String, spansDir: String, k: Int): Unit = {
+      indexDir: String, spansDir: String, k: Int,
+      cutDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // clear this attempt's partitions up front — dynamic overwrite only
     // replaces partitions PRESENT in the new data, so a re-run that
     // computes an empty span set would otherwise keep stale rows
-    Seq(spansDir, indexDir).foreach { dir =>
+    (Seq(spansDir, indexDir) ++ cutDir).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
@@ -84,7 +91,11 @@ object StreamingRepeatSpans {
         col("doc_id") =!= col("first.doc_id") ||
         col("p") =!= col("first.p"))
       .select(col("doc_id"), col("p"))
-    val spans = Dedup.mergeRepeatSpans(repeated, k)
+    // spans feed the spansDir sink AND (optionally) the removal cut —
+    // checkpoint so the islands window runs once, not per consumer
+    val spans =
+      if (cutDir.isDefined) Dedup.mergeRepeatSpans(repeated, k).localCheckpoint()
+      else Dedup.mergeRepeatSpans(repeated, k)
     // index only window contents NEW to the corpus, one row each (the
     // batch-first occurrence), so the index stays one row per distinct
     // window at any stream length
@@ -100,15 +111,61 @@ object StreamingRepeatSpans {
         .partitionBy("batch_id").parquet(dir)
     writeBatch(spans, spansDir)
     writeBatch(fresh, indexDir)
+    cutDir.foreach(dir => writeBatch(Dedup.cutSpansOf(batch, spans), dir))
   }
 
-  /** Start the stage over a streaming (doc_id, text) frame. */
+  /** Start the stage over a streaming (doc_id, text) frame. Pass
+    * `cutDir` to also emit the per-batch removal output (streaming
+    * q121 — documents with their repeat spans cut). */
   def start(docs: DataFrame, indexDir: String, spansDir: String,
-      checkpointDir: String, k: Int = 10): StreamingQuery =
+      checkpointDir: String, k: Int = 10,
+      cutDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, indexDir, spansDir, k)
+        processBatch(batch.toDF(), batchId, indexDir, spansDir, k, cutDir)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Compact the window-hash index: without compaction the parquet
+    * index accrues one `batch_id=N` partition per micro-batch forever —
+    * a small-files problem, not a size problem (the index stays one
+    * 24-byte row per distinct window content regardless). Rewrites the
+    * whole index into the single reserved `batch_id=-1` partition,
+    * defensively deduplicating by h with the min (doc_id, p) occurrence
+    * kept (the same first-copy rule the batch q120 keeper uses).
+    *
+    * Safe against the streaming stage: -1 never equals a real batchId,
+    * so the idempotent-re-run filter and the clear-own-partition delete
+    * can't touch compacted rows. Crash-ordering: rows are materialized
+    * (localCheckpoint) BEFORE any write, the -1 partition commit is the
+    * parquet job commit, and source partitions are deleted only after
+    * it — a crash in between leaves duplicate h rows, which under-mark
+    * nothing (seen = existence) and vanish on the next compaction.
+    *
+    * Cadence is the caller's knob: every N batches from inside
+    * `foreachBatch`, or a daily maintenance job — marks are identical
+    * either way (spec-pinned in StreamingRepeatSpanSpec). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val old = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        p.getName != "batch_id=-1")
+    val compacted = readIndex(spark, indexDir)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("doc_id"),
+        col("first.p").as("p"))
+      // one batch_id=-1 DIRECTORY, not one file: files follow the
+      // shuffle parallelism, so a billion-window index still compacts
+      // through every executor
+      .localCheckpoint() // materialize BEFORE overwriting what was read
+    compacted.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
+    old.foreach(p => fs.delete(p, true))
+  }
 }

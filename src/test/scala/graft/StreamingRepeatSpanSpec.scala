@@ -97,7 +97,8 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
   }
 
   test("streaming marks equal the batch q120 pass over the union of " +
-      "all batches (same corpus, same spans)") {
+      "all batches — SCOPED to monotone ingest (doc ids increase with " +
+      "batch order), the production append-only case") {
     val (idx, out) = (tmp(), tmp())
     val b0 = Seq(1L -> "a b c d e", 2L -> "p q r s t")
     val b1 = Seq(11L -> "x a b c d y", 12L -> "p q r s w")
@@ -107,5 +108,95 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(spans(out) == batchSpans)
+  }
+
+  test("non-monotone ingest DIVERGES from batch by design: across " +
+      "batches the first-ARRIVED copy wins, not the min doc_id") {
+    val (idx, out) = (tmp(), tmp())
+    // the HIGH id arrives first; the low-id copy lands a batch later
+    StreamingRepeatSpans.processBatch(df(30L -> "a b c d"), 0L, idx, out, 3)
+    StreamingRepeatSpans.processBatch(df(4L -> "a b c d"), 1L, idx, out, 3)
+    // stream: doc 30 holds the index entries, so the LATER-arriving
+    // doc 4 is the marked copy...
+    assert(spans(out) == Set((4L, 1L, 4L, 4L)))
+    // ...while batch q120 over the union marks doc 30 (min doc_id wins).
+    // Arrival order IS the stream's first-copy order — re-running q120
+    // over the accumulated corpus is the reconciliation if min-id
+    // semantics are required after out-of-order backfills.
+    val batchSpans = Dedup.repeatSpansOf(
+        df(30L -> "a b c d", 4L -> "a b c d"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batchSpans == Set((30L, 1L, 4L, 4L)))
+  }
+
+  test("streaming removal (cutDir) equals the batch q121 cut over the " +
+      "union of batches, and replaying a batch is idempotent") {
+    val (idx, out, cut) = (tmp(), tmp(), tmp())
+    val b0 = Seq(1L -> "a b c d e", 2L -> "p q r s t")
+    val b1 = Seq(11L -> "x a b c d y", 12L -> "p q r s w", 13L -> "a b c d e")
+    def run(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingRepeatSpans.processBatch(df(b: _*), id, idx, out, 3, Some(cut))
+    run(b0, 0L); run(b1, 1L)
+    def cutRows(): Set[(Long, Long, String)] =
+      spark.read.parquet(cut).select("doc_id", "n_tokens_kept", "text_cut")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    val got = cutRows()
+    val want = Dedup.repeatSpanRemovalOf(df((b0 ++ b1): _*), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == want)
+    // doc 13 is a whole-document repeat: erased from the cut output
+    assert(!got.exists(_._1 == 13L))
+    run(b1, 1L) // failure-recovery replay: identical rows, no dupes
+    assert(cutRows() == got)
+  }
+
+  test("index compaction: marks are identical before and after, the " +
+      "index collapses to the batch_id=-1 partition, h set preserved") {
+    val (idxA, outA) = (tmp(), tmp()) // compacted arm
+    val (idxB, outB) = (tmp(), tmp()) // uncompacted twin
+    val b0 = Seq(1L -> "a b c d e", 2L -> "p q r s t")
+    val b1 = Seq(11L -> "x a b c d y", 12L -> "f g h i j")
+    val b2 = Seq(21L -> "a b c d z", 22L -> "f g h i w")
+    for ((dirs, _) <- Seq(((idxA, outA), 0), ((idxB, outB), 1))) {
+      StreamingRepeatSpans.processBatch(df(b0: _*), 0L, dirs._1, dirs._2, 3)
+      StreamingRepeatSpans.processBatch(df(b1: _*), 1L, dirs._1, dirs._2, 3)
+    }
+    val hBefore = spark.read.parquet(idxA).select("h").collect()
+      .map(_.getLong(0)).toSet
+    StreamingRepeatSpans.compactIndex(spark, idxA)
+    // single batch_id=-1 partition on disk, same distinct window set
+    val parts = new java.io.File(idxA).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts == Set("batch_id=-1"))
+    assert(spark.read.parquet(idxA).select("h").collect()
+      .map(_.getLong(0)).toSet == hBefore)
+    // batch 2 marks identically against compacted and uncompacted index
+    StreamingRepeatSpans.processBatch(df(b2: _*), 2L, idxA, outA, 3)
+    StreamingRepeatSpans.processBatch(df(b2: _*), 2L, idxB, outB, 3)
+    assert(spans(outA) == spans(outB))
+    // re-compacting (now including batch 2's fresh windows) and
+    // compacting a missing index are both harmless
+    val hAfterB2 = spark.read.parquet(idxA).select("h").collect()
+      .map(_.getLong(0)).toSet
+    StreamingRepeatSpans.compactIndex(spark, idxA)
+    StreamingRepeatSpans.compactIndex(spark, tmp() + "/absent")
+    assert(spark.read.parquet(idxA).select("h").collect()
+      .map(_.getLong(0)).toSet == hAfterB2)
+    assert(hBefore.subsetOf(hAfterB2))
+  }
+
+  test("readIndex: missing path reads empty (first batch); a corrupt " +
+      "index fails loudly instead of silently under-marking") {
+    val missing = tmp() + "/never-written"
+    assert(StreamingRepeatSpans.readIndex(spark, missing).count() == 0)
+    val corrupt = tmp()
+    Files.write(java.nio.file.Paths.get(corrupt, "part-00000.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Exception] {
+      StreamingRepeatSpans.readIndex(spark, corrupt).collect()
+    }
   }
 }
