@@ -211,6 +211,8 @@ object SparkEntry {
       TextAnalysis.hashedClassifier(s, d)),
     "q123_boilerplate" -> ((s: SparkSession, d: String) =>
       graft.ext.Boilerplate.boilerplateExtract(s, d)),
+    "q124_link_graph" -> ((s: SparkSession, d: String) =>
+      graft.ext.Boilerplate.linkGraph(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -448,6 +450,7 @@ object SparkEntry {
     "q120_repeat_spans" -> Dedup.repeatSpansOracle,
     "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle,
     "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
-    "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle
+    "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle,
+    "q124_link_graph" -> graft.ext.Boilerplate.linkGraphOracle
   )
 }

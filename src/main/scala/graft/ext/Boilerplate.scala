@@ -151,4 +151,112 @@ object Boilerplate {
          coalesce(string_agg(ptext, ' ' ORDER BY i)
            FILTER (WHERE k = 'content'), '') AS main_text
        FROM cls GROUP BY doc_id ORDER BY doc_id"""
+
+  // --- link-graph construction (q124) --------------------------------------
+
+  /** Deterministic inter-document link synthesis for q124: the q123
+    * markup ([[synthesizeHtmlOf]]) plus a "related" list of three
+    * `/doc/N` anchors per document, N = (doc_id·131 + j·97) mod 1000
+    * for j ∈ {1,2,3} — the 0..999 target space over a 0..499 corpus
+    * gives a realistic ~half-dangling link graph (crawl frontiers
+    * always reference pages not in the snapshot). */
+  def synthesizeLinkedHtmlOf(docs: DataFrame): DataFrame = {
+    val related = (1 to 3).map { j =>
+      concat(lit("<li><a href=\"/doc/"),
+        ((col("doc_id") * 131 + j * 97) % 1000).cast("string"),
+        lit("\">related item link</a></li>"))
+    }
+    synthesizeHtmlOf(docs).select(col("doc_id"),
+      concat(col("html"),
+        concat(lit("<ul>"), concat(related: _*), lit("</ul>"))).as("html"))
+  }
+
+  /** Link-graph construction over any (doc_id, html) DataFrame — the
+    * crawl-pipeline step between extraction and ranking: hrefs come
+    * out of the markup via the single-scan [[graft.functions.HtmlLinks]]
+    * expression, `/doc/N` anchors resolve to internal edges, everything
+    * else counts as an external link. Per document: distinct resolved
+    * out-links, distinct dangling out-links (target not in the corpus —
+    * the frontier), external links, and incoming edge count. The edge
+    * list this derives is exactly what [[graft.ops.PageRank]] consumes.
+    *
+    * Scale: extraction is a narrow map; the edge list ships (src, dst)
+    * longs only and is materialized once (it feeds the out-stats, the
+    * in-degree aggregate, and any downstream rank); resolution is a
+    * long-keyed join against the corpus id set. Sort-free. */
+  def linkGraphOf(html: DataFrame): DataFrame = {
+    import graft.functions.HtmlLinks.html_links
+    val links = html
+      .select(col("doc_id"), explode(html_links(col("html"))).as("href"))
+      .withColumn("dst",
+        when(col("href").rlike("^/doc/[0-9]+$"),
+          substring(col("href"), 6, 18).cast("long")))
+      .localCheckpoint() // parsed once; feeds out-stats AND in-degree
+    val ids = html.select(col("doc_id").as("dst")).distinct()
+    val edges = links.filter(col("dst").isNotNull)
+      .select(col("doc_id").as("src"), col("dst"))
+      .join(ids.withColumn("_ex", lit(true)), Seq("dst"), "left")
+    val outStats = links.groupBy(col("doc_id")).agg(
+        sum(when(col("dst").isNull, 1L).otherwise(0L)).as("n_ext_links"))
+    val outDeg = edges.groupBy(col("src").as("doc_id")).agg(
+      count_distinct(when(col("_ex"), col("dst"))).as("out_degree"),
+      count_distinct(when(col("_ex").isNull, col("dst")))
+        .as("n_dangling_out"))
+    val inDeg = edges.filter(col("_ex"))
+      .groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    html.select(col("doc_id"))
+      .join(outStats, Seq("doc_id"), "left")
+      .join(outDeg, Seq("doc_id"), "left")
+      .join(inDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("n_dangling_out"), lit(0L)).as("n_dangling_out"),
+        coalesce(col("n_ext_links"), lit(0L)).as("n_ext_links"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** q124: synthesize linked markup + build the link graph. ORDER BY =
+    * oracle determinism only. */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame =
+    linkGraphOf(synthesizeLinkedHtmlOf(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the link formula replayed analytically — candidates from
+    * the (doc_id, j) cross join, resolved against the corpus id set;
+    * external links = the 6 chrome anchors plus one per link-farm
+    * token (the q123 synthesis contract, re-derived here so a missed
+    * or double-counted farm anchor fails the hash). */
+  val linkGraphOracle: String =
+    s"""WITH j AS (SELECT unnest(generate_series(1, 3)) AS j),
+       cand AS (SELECT d.doc_id AS src,
+                  (d.doc_id * 131 + j.j * 97) % 1000 AS dst
+                FROM documents d CROSS JOIN j),
+       ex AS (SELECT src, dst,
+                dst IN (SELECT doc_id FROM documents) AS ok FROM cand),
+       outd AS (SELECT src,
+                  CAST(count(DISTINCT dst) FILTER (WHERE ok) AS BIGINT)
+                    AS out_degree,
+                  CAST(count(DISTINCT dst) FILTER (WHERE NOT ok) AS BIGINT)
+                    AS n_dangling_out
+                FROM ex GROUP BY src),
+       ind AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_degree
+               FROM ex WHERE ok GROUP BY dst),
+       w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       farm AS (SELECT doc_id,
+                  coalesce(sum(least(i*$ParaTokens, len(ws))
+                      - (i-1)*$ParaTokens)
+                    FILTER (WHERE (doc_id + i) % 5 = 0), 0) AS farm_toks
+                FROM w, unnest(generate_series(1,
+                  CAST(ceil(len(ws)/$ParaTokens.0) AS BIGINT))) AS t(i)
+                GROUP BY doc_id)
+       SELECT d.doc_id, outd.out_degree, outd.n_dangling_out,
+         CAST(6 + farm.farm_toks AS BIGINT) AS n_ext_links,
+         CAST(coalesce(ind.in_degree, 0) AS BIGINT) AS in_degree
+       FROM documents d
+         JOIN outd ON outd.src = d.doc_id
+         JOIN farm ON farm.doc_id = d.doc_id
+         LEFT JOIN ind ON ind.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
 }

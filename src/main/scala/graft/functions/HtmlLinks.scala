@@ -1,0 +1,139 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Outlink (href) extraction — the second markup primitive next to
+  * [[HtmlBlocks]]: one linear scan collecting every `<a>` element's
+  * href attribute value, in document order, duplicates preserved (the
+  * caller decides whether a repeated link counts once or twice). The
+  * link-graph build step of a crawl pipeline: extract → resolve →
+  * edge list → degree/rank ([[graft.ext.Boilerplate.linkGraphOf]],
+  * [[graft.ops.PageRank]]).
+  *
+  * Attribute parsing rules (never throws; same soup posture as
+  * HtmlBlocks): attribute name matched case-insensitively and only
+  * inside `<a ...>` open tags; `href="v"`, `href='v'`, and unquoted
+  * `href=v` (terminated by whitespace or `>`) all accepted; a missing
+  * or empty href contributes nothing; `<a>` inside script/style or
+  * comments is NOT scanned (those regions are skipped whole); entities
+  * are not decoded (same contract as HtmlBlocks).
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_links requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlLinks.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlLinks.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlLinks = copy(child = newChild)
+}
+
+object HtmlLinks {
+
+  /** Extract the href value from the inside of an `<a ...>` tag body
+    * (the text between `<` and `>`, leading "a" included). Returns null
+    * when absent/empty. */
+  private def hrefOf(tagBody: String): String = {
+    val lower = tagBody.toLowerCase
+    var from = 0
+    while (from >= 0) {
+      val at = lower.indexOf("href", from)
+      if (at < 0) return null
+      // must be a standalone attribute name: preceded by whitespace
+      val pre = at == 0 || Character.isWhitespace(tagBody.charAt(at - 1))
+      var j = at + 4
+      while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j)))
+        j += 1
+      if (pre && j < tagBody.length && tagBody.charAt(j) == '=') {
+        j += 1
+        while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j)))
+          j += 1
+        if (j >= tagBody.length) return null
+        val q = tagBody.charAt(j)
+        val (start, endIdx) =
+          if (q == '"' || q == '\'') {
+            val e = tagBody.indexOf(q, j + 1)
+            (j + 1, if (e < 0) tagBody.length else e)
+          } else {
+            var e = j
+            while (e < tagBody.length &&
+              !Character.isWhitespace(tagBody.charAt(e))) e += 1
+            (j, e)
+          }
+        val v = tagBody.substring(start, endIdx)
+        return if (v.isEmpty) null else v
+      }
+      from = at + 4
+    }
+    null
+  }
+
+  /** Called from generated code. */
+  def compute(html: UTF8String): ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = ArrayBuffer.empty[Any]
+    var skipUntil: String = null
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<') i += 1
+      else if (skipUntil == null && s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        i = if (e < 0) n else e + 3
+      } else if (skipUntil == null && i + 1 < n && s.charAt(i + 1) == '!') {
+        val e = s.indexOf('>', i)
+        i = if (e < 0) n else e + 1
+      } else {
+        val e = s.indexOf('>', i)
+        if (e < 0) i = n
+        else {
+          val inner = s.substring(i + 1, e)
+          val closing = inner.startsWith("/")
+          val body = if (closing) inner.substring(1) else inner
+          var k = 0
+          while (k < body.length && Character.isLetterOrDigit(body.charAt(k)))
+            k += 1
+          val tag = body.substring(0, k).toLowerCase
+          if (tag.isEmpty) i += 1 // literal '<', same rule as HtmlBlocks
+          else {
+            if (skipUntil != null) {
+              if (closing && tag == skipUntil) skipUntil = null
+            } else if (tag == "script" || tag == "style") {
+              if (!closing && !inner.trim.endsWith("/")) skipUntil = tag
+            } else if (tag == "a" && !closing) {
+              val href = hrefOf(inner)
+              if (href != null) out += UTF8String.fromString(href)
+            }
+            i = e + 1
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column API: `html_links($"html")`. */
+  def html_links(c: Column): Column =
+    ColumnBridge.column(HtmlLinks(ColumnBridge.expression(c)))
+}

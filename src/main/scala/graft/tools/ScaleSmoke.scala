@@ -208,7 +208,9 @@ object ScaleSmoke {
       "q122_hashed_classifier" -> ((s: SparkSession, d: String) =>
         graft.ext.TextAnalysis.hashedClassifier(s, d)),
       "q123_boilerplate" -> ((s: SparkSession, d: String) =>
-        graft.ext.Boilerplate.boilerplateExtract(s, d))
+        graft.ext.Boilerplate.boilerplateExtract(s, d)),
+      "q124_link_graph" -> ((s: SparkSession, d: String) =>
+        graft.ext.Boilerplate.linkGraph(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -151,4 +151,64 @@ class BoilerplateSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert("rangepartitioning".r.findAllIn(pReg).length == 1, pReg.take(800))
   }
+
+  // ---- q124 link graph ----------------------------------------------------
+
+  test("html_links: attribute forms, order, duplicates, script/comment " +
+      "exclusion, soup safety") {
+    import spark.implicits._
+    def links(h: String): Seq[String] =
+      Seq(h).toDF("html")
+        .select(explode(graft.functions.HtmlLinks.html_links(col("html")))
+          .as("l"))
+        .collect().map(_.getString(0)).toSeq
+    assert(links("""<a href="/x">a</a><a href='/y'>b</a><a href=/z>c</a>""")
+      == Seq("/x", "/y", "/z"))
+    assert(links("""<a HREF="/up">u</a> <a data-href="/no" href="/yes">v</a>""")
+      == Seq("/up", "/yes"))
+    assert(links("""<a href="/dup">1</a><a href="/dup">2</a>""")
+      == Seq("/dup", "/dup")) // duplicates preserved, caller decides
+    assert(links("""<a class="btn">no href</a><a href="">empty</a>""")
+      == Seq())
+    assert(links("""<script>var a='<a href="/ghost">';</script>
+        <!-- <a href="/gone">x</a> --><a href="/real">r</a>""")
+      == Seq("/real"))
+    assert(links("""<a href="/open""") == Seq()) // unterminated tag
+  }
+
+  test("linkGraphOf degrees on a hand-built graph, dangling and " +
+      "external links counted apart") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<p><a href="/doc/2">x</a> <a href="/doc/2">x</a>
+              <a href="/doc/99">gone</a> <a href="/about">ext</a></p>"""),
+      (2L, """<p><a href="/doc/1">back</a></p>"""),
+      (3L, """<p>no links at all</p>""")).toDF("doc_id", "html")
+    val got = graft.ext.Boilerplate.linkGraphOf(pages).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // doc 1: /doc/2 twice counts ONCE for out_degree; /doc/99 dangles;
+    // /about is external; in_degree from doc 2's backlink
+    assert(got(1L) == ((1L, 1L, 1L, 1L)))
+    // doc 2: one resolved out-link; in_degree 2 (doc 1 linked twice —
+    // edges, not distinct sources)
+    assert(got(2L) == ((1L, 0L, 0L, 2L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("q124 synthesis contract: three /doc/ anchors per document and " +
+      "the analytic external-link count") {
+    import spark.implicits._
+    // 47 tokens, doc_id 3 -> farm at paragraph 2 (20 tokens): ext links
+    // = 6 chrome + 20 farm anchors
+    val text = (1 to 47).map(i => s"w$i").mkString(" ")
+    val row = graft.ext.Boilerplate.linkGraphOf(
+      graft.ext.Boilerplate.synthesizeLinkedHtmlOf(
+        Seq((3L, text)).toDF("doc_id", "text"))).head()
+    // dst = (3*131 + 97j) % 1000 = {490, 587, 684}; none is doc 3 ->
+    // out candidates all dangle (single-doc corpus), in_degree 0
+    assert(row.getLong(1) == 0L && row.getLong(2) == 3L)
+    assert(row.getLong(3) == 26L)
+    assert(row.getLong(4) == 0L)
+  }
 }

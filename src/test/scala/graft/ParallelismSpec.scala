@@ -35,8 +35,9 @@ class ParallelismSpec extends SparkSpecBase {
     "q27_ann_lsh", "q119_adpcm_roundtrip", "q120_repeat_spans",
     "q121_repeat_span_removal", "q122_hashed_classifier",
     // round-10: the HTML extractor is a narrow map — partition-count
-    // invariance is near-structural, pinned anyway
-    "q123_boilerplate")
+    // invariance is near-structural, pinned anyway; the link graph
+    // adds real shuffles (in-degree, id-resolution joins)
+    "q123_boilerplate", "q124_link_graph")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
