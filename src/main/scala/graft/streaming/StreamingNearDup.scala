@@ -109,4 +109,34 @@ object StreamingNearDup {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Compact the signature index into the single reserved
+    * `batch_id=-1` partition — the [[StreamingRepeatSpans.compactIndex]]
+    * recipe applied to the signatures: one partition directory per
+    * micro-batch otherwise accumulates forever (small-files, not size —
+    * the index stays 8×64 bytes per admitted doc). Dedup by doc_id
+    * keeping the min-batch copy is defensive only (admission writes each
+    * doc once). Same crash ordering: materialize → commit −1 → delete
+    * sources; duplicates from an in-between crash admit/flag identically
+    * (the banded join is set-shaped) and vanish next compaction.
+    * Cadence is the caller's knob (every N batches or a maintenance
+    * job); flag equality is spec-pinned. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val old = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch_id=") &&
+        p.getName != "batch_id=-1")
+    val compacted = readIndex(spark, indexDir)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("batch_id"), col("sig"))).as("first"))
+      .select(col("doc_id"), col("first.sig").as("sig"))
+      .localCheckpoint() // materialize BEFORE overwriting what was read
+    compacted.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
+    old.foreach(p => fs.delete(p, true))
+  }
 }

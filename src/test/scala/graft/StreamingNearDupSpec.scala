@@ -123,4 +123,32 @@ class StreamingNearDupSpec extends SparkSpecBase {
     assert(!got.contains(3L) && !got.contains(20L))
     assert(got.keySet == Set(8L, 12L) && got(12L) == 3L)
   }
+
+  test("signature-index compaction: flags identical against compacted " +
+      "vs uncompacted twins, index collapses to batch_id=-1") {
+    val (idxA, admA, flgA) = (tmp(), tmp(), tmp())
+    val (idxB, admB, flgB) = (tmp(), tmp(), tmp())
+    for ((idx, adm, flg) <- Seq((idxA, admA, flgA), (idxB, admB, flgB))) {
+      StreamingNearDup.processBatch(df(1L -> docA, 2L -> docB), 0L,
+        idx, adm, flg, 0.5)
+      StreamingNearDup.processBatch(df(13L -> docC), 1L, idx, adm, flg, 0.5)
+    }
+    StreamingNearDup.compactIndex(spark, idxA)
+    val parts = new java.io.File(idxA).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts == Set("batch_id=-1"))
+    assert(readIds(idxA) == readIds(idxB))
+    // batch 2 flags identically against both index forms
+    StreamingNearDup.processBatch(df(21L -> docA2, 22L -> docC), 2L,
+      idxA, admA, flgA, 0.5)
+    StreamingNearDup.processBatch(df(21L -> docA2, 22L -> docC), 2L,
+      idxB, admB, flgB, 0.5)
+    assert(readIds(flgA) == readIds(flgB))
+    assert(readIds(flgA).contains(21L) && readIds(flgA).contains(22L))
+    assert(readIds(admA) == readIds(admB))
+    // compacting again (and a missing dir) is harmless
+    StreamingNearDup.compactIndex(spark, idxA)
+    StreamingNearDup.compactIndex(spark, tmp() + "/absent")
+    assert(readIds(idxA) == readIds(idxB))
+  }
 }
