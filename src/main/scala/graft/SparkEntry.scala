@@ -213,6 +213,8 @@ object SparkEntry {
       graft.ext.Boilerplate.boilerplateExtract(s, d)),
     "q124_link_graph" -> ((s: SparkSession, d: String) =>
       graft.ext.Boilerplate.linkGraph(s, d)),
+    "q125_pii_scan" -> ((s: SparkSession, d: String) =>
+      graft.ext.Pii.piiScan(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -451,6 +453,7 @@ object SparkEntry {
     "q121_repeat_span_removal" -> Dedup.repeatSpanRemovalOracle,
     "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
     "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle,
-    "q124_link_graph" -> graft.ext.Boilerplate.linkGraphOracle
+    "q124_link_graph" -> graft.ext.Boilerplate.linkGraphOracle,
+    "q125_pii_scan" -> graft.ext.Pii.piiOracle
   )
 }

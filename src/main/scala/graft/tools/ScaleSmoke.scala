@@ -210,7 +210,9 @@ object ScaleSmoke {
       "q123_boilerplate" -> ((s: SparkSession, d: String) =>
         graft.ext.Boilerplate.boilerplateExtract(s, d)),
       "q124_link_graph" -> ((s: SparkSession, d: String) =>
-        graft.ext.Boilerplate.linkGraph(s, d))
+        graft.ext.Boilerplate.linkGraph(s, d)),
+      "q125_pii_scan" -> ((s: SparkSession, d: String) =>
+        graft.ext.Pii.piiScan(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>
