@@ -215,6 +215,8 @@ object SparkEntry {
       graft.ext.Boilerplate.linkGraph(s, d)),
     "q125_pii_scan" -> ((s: SparkSession, d: String) =>
       graft.ext.Pii.piiScan(s, d)),
+    "q126_token_entropy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenEntropy(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -454,6 +456,7 @@ object SparkEntry {
     "q122_hashed_classifier" -> TextAnalysis.hashedClassifierOracle,
     "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle,
     "q124_link_graph" -> graft.ext.Boilerplate.linkGraphOracle,
-    "q125_pii_scan" -> graft.ext.Pii.piiOracle
+    "q125_pii_scan" -> graft.ext.Pii.piiOracle,
+    "q126_token_entropy" -> TextAnalysis.tokenEntropyOracle
   )
 }

@@ -965,6 +965,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- per-document token entropy (q126) -----------------------------------
+
+  /** q126: Shannon entropy of each document's token distribution, in
+    * exact arithmetic — the information-theoretic quality signal next
+    * to q50's ratio heuristics (low entropy = repetitive/boilerplate
+    * text; the signal family used by Gopher/RefinedWeb-style filters):
+    * H = ln n − (Σ c·ln c)/n over per-document token counts c.
+    *
+    * Engine parity: every log is [[graft.functions.DetLn]]'s
+    * IEEE-exact lnFix quantized to BIGINT micro-nats, the weighted sum
+    * Σ c·micro(ln c) is exact integer arithmetic, and the final value
+    * is the shared avg4 quantization of (micro(ln n)·n − Σ)/n — the
+    * q64 idiom, so the whole signal sits under the DuckDB oracle.
+    * |micro(ln n)·n| ≤ 1.4e7·n: no overflow for any document under
+    * ~6·10¹¹ tokens (a bound on ONE document, not the corpus).
+    *
+    * Scale: one (doc_id, token) composite-key count (skew-free — the
+    * Zipf-hot tokens are spread across documents) and one per-doc
+    * aggregate; no vocabulary join at all, unlike q64/q78, because
+    * entropy is a within-document statistic. Sort-free. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val scored = DetLn.withLnFix(counts, "ln_c", "c")
+      .withColumn("clm", expr(DetLn.microSql("ln_c")))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("clm")).as("s_micro"))
+    DetLn.withLnFix(agg, "ln_n", "n_tokens")
+      .withColumn("h_scaled",
+        expr(DetLn.microSql("ln_n")) * col("n_tokens") - col("s_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(DetLn.avg4Sql("h_scaled", "n_tokens")).as("token_entropy"))
+      .withColumn("entropy_band",
+        when(col("token_entropy") < 2.5, "low")
+          .when(col("token_entropy") < 3.2, "medium")
+          .otherwise("high"))
+  }
+
+  /** Oracle: the identical integer pipeline — per-(doc, token) counts,
+    * lnFix stages, micro quantization, exact weighted sum, avg4. The
+    * band thresholds compare the already-quantized 4-decimal double,
+    * identical in both engines. */
+  val tokenEntropyOracle: String = {
+    val (s1, f1) = DetLn.oracleLnStages("tc", "e",
+      Seq("doc_id", "c"), Seq("ln_c" -> "c"))
+    val (s2, f2) = DetLn.oracleLnStages("ag", "g",
+      Seq("doc_id", "n_tokens", "s_micro"), Seq("ln_n" -> "n_tokens"))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+       tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2)$s1,
+       sc AS (SELECT doc_id, c, ${DetLn.microSql("ln_c")} AS clm
+              FROM $f1),
+       ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(c * clm) AS BIGINT) AS s_micro
+              FROM sc GROUP BY 1)$s2,
+       res AS (SELECT doc_id, n_tokens,
+                 ${DetLn.avg4Sql(
+                   s"${DetLn.microSql("ln_n")} * n_tokens - s_micro",
+                   "n_tokens")} AS token_entropy
+               FROM $f2)
+       SELECT doc_id, n_tokens, token_entropy,
+         CASE WHEN token_entropy < 2.5 THEN 'low'
+              WHEN token_entropy < 3.2 THEN 'medium'
+              ELSE 'high' END AS entropy_band
+       FROM res ORDER BY doc_id"""
+  }
+
   val hashedClassifierOracle: String = {
     val mix = graft.functions.DetMix.mixSql("h", 122)
     s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,

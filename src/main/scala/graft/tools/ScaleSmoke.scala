@@ -212,7 +212,9 @@ object ScaleSmoke {
       "q124_link_graph" -> ((s: SparkSession, d: String) =>
         graft.ext.Boilerplate.linkGraph(s, d)),
       "q125_pii_scan" -> ((s: SparkSession, d: String) =>
-        graft.ext.Pii.piiScan(s, d))
+        graft.ext.Pii.piiScan(s, d)),
+      "q126_token_entropy" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.tokenEntropy(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -37,7 +37,8 @@ class ParallelismSpec extends SparkSpecBase {
     // round-10: the HTML extractor is a narrow map — partition-count
     // invariance is near-structural, pinned anyway; the link graph
     // adds real shuffles (in-degree, id-resolution joins)
-    "q123_boilerplate", "q124_link_graph", "q125_pii_scan")
+    "q123_boilerplate", "q124_link_graph", "q125_pii_scan",
+    "q126_token_entropy")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

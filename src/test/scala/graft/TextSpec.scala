@@ -276,6 +276,40 @@ class TextSpec extends SparkSpecBase {
     assert(!neg(1L) && !neg(2L) && neg(3L))
   }
 
+  test("token entropy: exact values on crafted docs, monotone in " +
+      "diversity, and a driver-side recompute agrees on real data") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a a a a a"),          // one token -> H = 0
+      (2L, "a b c d"),              // uniform over 4 -> H = ln 4
+      (3L, "a a a b"),              // skewed -> between 0 and ln 4
+      (4L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyOf(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 0.0 && got(1L)._2 == "low")
+    assert(got(2L)._1 == BigDecimal(math.log(4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(3L)._1 > 0.0 && got(3L)._1 < got(2L)._1)
+    assert(got(4L)._1 == 0.0)
+    // real data: independent high-precision recompute within the micro
+    // quantization error (each c·ln c term quantizes to ±5e-7 nat, so
+    // the per-doc average stays within ~1e-4 after the 4dp round)
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap
+    val entropies = TextAnalysis.tokenEntropyOf(
+        Tables(spark, sf0001, "documents")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((id, text) <- docs.take(50)) {
+      val toks = text.split(" ")
+      val n = toks.length.toDouble
+      val h = math.log(n) - toks.groupBy(identity).values
+        .map(g => g.size * math.log(g.size)).sum / n
+      assert(math.abs(entropies(id) - h) < 2e-4,
+        s"doc $id: got ${entropies(id)}, want ~$h")
+    }
+  }
+
   test("reusable Of forms plan no global range sort (r10 sweep)") {
     val docs = Tables(spark, sf0001, "documents")
     val weights = docs.limit(1).select(
@@ -289,6 +323,7 @@ class TextSpec extends SparkSpecBase {
       "dsirWeightsOf" ->
         TextAnalysis.dsirWeightsOf(docs, col("lang") === "en"),
       "distinctEstimateOf" -> TextAnalysis.distinctEstimateOf(docs),
+      "tokenEntropyOf" -> TextAnalysis.tokenEntropyOf(docs),
       "hashedLinearScoreOf" ->
         TextAnalysis.hashedLinearScoreOf(docs, weights))
     for ((name, df) <- cases) {
