@@ -216,6 +216,24 @@ object Boilerplate {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
+  /** The resolved internal edge list (a = source doc, b = target doc)
+    * as a standalone frame — the shape [[graft.ops.PageRank.pageRankOf]]
+    * and [[Curate.connectedComponents]] consume directly, so
+    * extract → resolve → rank/cluster composes by plain DataFrames
+    * (BoilerplateSpec runs the extracted graph through PageRank).
+    * Dangling and external links are excluded here; q124 reports them. */
+  def linkEdgesOf(html: DataFrame): DataFrame = {
+    import graft.functions.HtmlLinks.html_links
+    val cand = html
+      .select(col("doc_id").as("a"),
+        explode(html_links(col("html"))).as("href"))
+      .withColumn("b", when(col("href").rlike("^/doc/[0-9]+$"),
+        substring(col("href"), 6, 18).cast("long")))
+      .filter(col("b").isNotNull)
+    cand.join(html.select(col("doc_id").as("b")).distinct(), Seq("b"))
+      .select(col("a"), col("b"))
+  }
+
   /** q124: synthesize linked markup + build the link graph. ORDER BY =
     * oracle determinism only. */
   def linkGraph(spark: SparkSession, dir: String): DataFrame =

@@ -196,6 +196,32 @@ class BoilerplateSpec extends SparkSpecBase {
     assert(got(3L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("extracted link edges compose into PageRank: the all-backlinked " +
+      "hub outranks everyone; q124's plan keeps one sort, no cartesian") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<p><a href="/doc/2">x</a></p>"""),
+      (2L, """<p><a href="/doc/1">x</a></p>"""),
+      (3L, """<p><a href="/doc/1">x</a> <a href="/doc/9">dangle</a></p>"""),
+      (4L, """<p><a href="/doc/1">x</a></p>""")).toDF("doc_id", "html")
+    val edges = graft.ext.Boilerplate.linkEdgesOf(pages)
+    assert(edges.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L))) // /doc/9 dangles out
+    val ranks = graft.ops.PageRank.pageRankOf(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L, 4L))
+    assert(ranks.values.forall(_ > 0))
+    assert(ranks(1L) > ranks(2L) && ranks(1L) > ranks(3L) &&
+      ranks(1L) > ranks(4L), s"hub must outrank leaves: $ranks")
+    // q124 registered plan: exactly one global sort (the output ORDER
+    // BY), and never a cartesian product
+    val p = graft.ext.Boilerplate.linkGraph(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("Cartesian"), p.take(800))
+  }
+
   test("q124 synthesis contract: three /doc/ anchors per document and " +
       "the analytic external-link count") {
     import spark.implicits._
