@@ -64,7 +64,7 @@ object StreamingRepeatSpans {
     * streaming harness. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, spansDir: String, k: Int,
-      cutDir: Option[String] = None): Unit = {
+      cutDir: Option[String] = None, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     // clear this attempt's partitions up front — dynamic overwrite only
     // replaces partitions PRESENT in the new data, so a re-run that
@@ -112,17 +112,28 @@ object StreamingRepeatSpans {
     writeBatch(spans, spansDir)
     writeBatch(fresh, indexDir)
     cutDir.foreach(dir => writeBatch(Dedup.cutSpansOf(batch, spans), dir))
+    // the cadence knob made concrete: fold the index every Nth batch,
+    // AFTER this batch's own partition committed. Safe under replay: a
+    // re-run of batch N re-compacts, which is a no-op on marks
+    // (spec-pinned); the -1 partition is excluded from nothing (it is
+    // never a real batchId).
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactIndex(spark, indexDir)
   }
 
   /** Start the stage over a streaming (doc_id, text) frame. Pass
     * `cutDir` to also emit the per-batch removal output (streaming
-    * q121 — documents with their repeat spans cut). */
+    * q121 — documents with their repeat spans cut); `compactEvery` > 0
+    * folds the window index into its compacted form every Nth batch
+    * ([[compactIndex]] — marks are identical either way). */
   def start(docs: DataFrame, indexDir: String, spansDir: String,
       checkpointDir: String, k: Int = 10,
-      cutDir: Option[String] = None): StreamingQuery =
+      cutDir: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, indexDir, spansDir, k, cutDir)
+        processBatch(batch.toDF(), batchId, indexDir, spansDir, k, cutDir,
+          compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

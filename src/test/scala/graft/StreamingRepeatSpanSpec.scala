@@ -188,6 +188,32 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
     assert(hBefore.subsetOf(hAfterB2))
   }
 
+  test("compactEvery knob: auto-compaction mid-stream changes no marks " +
+      "and keeps the index folded") {
+    val (idxA, outA) = (tmp(), tmp()) // compactEvery = 2
+    val (idxB, outB) = (tmp(), tmp()) // never compacted
+    val batches = Seq(
+      Seq(1L -> "a b c d e", 2L -> "p q r s t"),
+      Seq(11L -> "x a b c d y"),
+      Seq(21L -> "a b c d z", 22L -> "p q r s w"),
+      Seq(31L -> "x a b c d y"))
+    for ((b, i) <- batches.zipWithIndex) {
+      StreamingRepeatSpans.processBatch(df(b: _*), i.toLong, idxA, outA,
+        3, None, compactEvery = 2)
+      StreamingRepeatSpans.processBatch(df(b: _*), i.toLong, idxB, outB, 3)
+    }
+    assert(spans(outA) == spans(outB))
+    // batches 0..3 with compactEvery=2: compactions after batch 1 and 3
+    // -> only the -1 partition remains
+    val parts = new java.io.File(idxA).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts == Set("batch_id=-1"))
+    // same distinct window set both arms
+    def hs(d: String) = spark.read.parquet(d).select("h").collect()
+      .map(_.getLong(0)).toSet
+    assert(hs(idxA) == hs(idxB))
+  }
+
   test("readIndex: missing path reads empty (first batch); a corrupt " +
       "index fails loudly instead of silently under-marking") {
     val missing = tmp() + "/never-written"
