@@ -28,14 +28,26 @@ import graft.ext.Dedup
   * its own batch_id partition from all three sinks (dynamic partition
   * overwrite alone would leave a failed attempt's rows behind when the
   * re-run computes an empty set), and the index read also excludes the
-  * current batchId so a half-written prior attempt cannot flag a batch
-  * as a dup of itself.
+  * current batch's rows so a half-written prior attempt cannot flag a
+  * batch as a dup of itself.
+  *
+  * Replay vs compaction: foreachBatch is at-least-once, so batch N may
+  * replay AFTER [[compactIndex]] folded N's admitted signatures into
+  * the reserved `batch_id=-1` partition — the partition column then no
+  * longer says which batch contributed a row. Every index row therefore
+  * carries its ORIGIN batch as a data column (`src_batch`), preserved
+  * verbatim through compaction, and the idempotent-replay filter
+  * excludes on `src_batch`, never on the partition column. Without
+  * this, a replayed batch would match every doc against its own
+  * compacted signature (est_jaccard 1.0) and the whole batch would
+  * silently vanish from the admitted sink.
   */
 object StreamingNearDup {
 
   private val sigSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType)),
+    StructField("src_batch", LongType),
     StructField("batch_id", LongType)))
 
   /** Read the signature index, tolerating its absence (first batch). */
@@ -43,11 +55,33 @@ object StreamingNearDup {
     // probe the path explicitly: ONLY a genuinely-missing index (first
     // batch) reads as empty — a corrupt or schema-broken index must fail
     // loudly, not silently under-flag a batch (a blanket AnalysisException
-    // catch here used to swallow both cases)
+    // catch here used to swallow both cases). Verify the on-disk columns
+    // too: a forced-schema read would fill a missing src_batch with
+    // nulls, and the =!= filter over nulls drops every row silently.
     val p = new org.apache.hadoop.fs.Path(indexDir)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName) else Array.empty[String]
+    val hasParts = entries.exists(_.startsWith("batch_id="))
+    if (!hasParts) {
+      // legitimately empty only when missing, bare, or holding nothing
+      // beyond write-job metadata (_SUCCESS etc.); anything else is not
+      // our index and must not silently read as empty
+      val stray = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
+      require(stray.isEmpty,
+        s"signature index at $indexDir has no batch_id= partitions but " +
+          s"contains ${stray.mkString(", ")} — not a StreamingNearDup " +
+          "index; refusing to read it as empty")
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sigSchema)
-    else spark.read.schema(sigSchema).parquet(indexDir)
+    } else {
+      val onDisk = spark.read.parquet(indexDir).schema.fieldNames.toSet
+      val missing = sigSchema.fieldNames.filterNot(onDisk)
+      require(missing.isEmpty,
+        s"signature index at $indexDir is missing column(s) " +
+          s"${missing.mkString(", ")} — not a StreamingNearDup index " +
+          "(or pre-provenance format); rebuild it")
+      spark.read.schema(sigSchema).parquet(indexDir)
+    }
   }
 
   /** One micro-batch: flag near-dups of the index AND of lower-id docs
@@ -71,8 +105,11 @@ object StreamingNearDup {
     }
     if (batch.isEmpty) return
     val sigs = Dedup.minhashSignaturesOf(batch).localCheckpoint()
+    // idempotent re-run: exclude THIS batch's prior contribution by its
+    // provenance column, not the partition — compaction may have moved
+    // the rows into batch_id=-1, where only src_batch still knows
     val seen = readIndex(spark, indexDir)
-      .filter(col("batch_id") =!= batchId) // idempotent re-run
+      .filter(col("src_batch") =!= batchId)
       .select(col("doc_id"), col("sig")).localCheckpoint()
     // union of the index pass and the intra-batch self pass, best match
     // per doc (the self pass never flags a group's lowest id, so one
@@ -95,7 +132,8 @@ object StreamingNearDup {
     writeBatch(batch.join(flagged.select(col("doc_id")),
       Seq("doc_id"), "left_anti"), admittedDir)
     writeBatch(sigs.join(flagged.select(col("doc_id")),
-      Seq("doc_id"), "left_anti"), indexDir)
+      Seq("doc_id"), "left_anti")
+      .withColumn("src_batch", lit(batchId)), indexDir)
   }
 
   /** Start the stage over a streaming (doc_id, text) frame. */
@@ -115,12 +153,14 @@ object StreamingNearDup {
     * recipe applied to the signatures: one partition directory per
     * micro-batch otherwise accumulates forever (small-files, not size —
     * the index stays 8×64 bytes per admitted doc). Dedup by doc_id
-    * keeping the min-batch copy is defensive only (admission writes each
-    * doc once). Same crash ordering: materialize → commit −1 → delete
-    * sources; duplicates from an in-between crash admit/flag identically
-    * (the banded join is set-shaped) and vanish next compaction.
-    * Cadence is the caller's knob (every N batches or a maintenance
-    * job); flag equality is spec-pinned. */
+    * keeping the min-src_batch copy is defensive only (admission writes
+    * each doc once). Each kept row's `src_batch` provenance is preserved
+    * so a later replay of any batch can still exclude its own rows (see
+    * the class doc). Same crash ordering: materialize → commit −1 →
+    * delete sources; duplicates from an in-between crash admit/flag
+    * identically (the banded join is set-shaped) and vanish next
+    * compaction. Cadence is the caller's knob (every N batches or a
+    * maintenance job); flag equality is spec-pinned. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -130,8 +170,9 @@ object StreamingNearDup {
         p.getName != "batch_id=-1")
     val compacted = readIndex(spark, indexDir)
       .groupBy(col("doc_id"))
-      .agg(min(struct(col("batch_id"), col("sig"))).as("first"))
-      .select(col("doc_id"), col("first.sig").as("sig"))
+      .agg(min(struct(col("src_batch"), col("sig"))).as("first"))
+      .select(col("doc_id"), col("first.sig").as("sig"),
+        col("first.src_batch").as("src_batch"))
       .localCheckpoint() // materialize BEFORE overwriting what was read
     compacted.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")

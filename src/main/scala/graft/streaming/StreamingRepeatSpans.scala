@@ -32,8 +32,20 @@ import graft.ext.Dedup
   * is compactable, inspectable, and shared with the batch path.
   * Exactly-once: outputs are partitioned by batch_id; a re-run first
   * deletes its own batch_id partition from both sinks and the index
-  * read excludes the current batchId, so a half-written prior attempt
-  * can neither duplicate spans nor flag a batch against itself.
+  * read excludes the current batch's rows, so a half-written prior
+  * attempt can neither duplicate spans nor flag a batch against itself.
+  *
+  * Replay vs compaction: foreachBatch is at-least-once, so batch N may
+  * replay AFTER [[compactIndex]] has already folded N's fresh windows
+  * into the reserved `batch_id=-1` partition — at which point the
+  * partition column no longer says which batch contributed a row. Every
+  * index row therefore carries its ORIGIN batch as a data column
+  * (`src_batch`), preserved verbatim through compaction, and the
+  * idempotent-replay filter excludes on `src_batch`, never on the
+  * partition column. Without this, a replayed batch would see its own
+  * compacted windows as "seen", mark every occurrence as repeating, and
+  * (with `cutDir` set) silently cut every document in the batch to
+  * nothing.
   */
 object StreamingRepeatSpans {
 
@@ -41,17 +53,42 @@ object StreamingRepeatSpans {
     StructField("h", LongType),
     StructField("doc_id", LongType),
     StructField("p", LongType),
+    StructField("src_batch", LongType),
     StructField("batch_id", LongType)))
 
   /** Read the window index, tolerating ONLY its absence (first batch):
     * the path is probed explicitly, so a corrupt or schema-broken index
     * fails loudly instead of silently reading as empty and under-marking
-    * the batch (a blanket AnalysisException catch used to swallow both). */
+    * the batch (a blanket AnalysisException catch used to swallow both).
+    * The on-disk columns are verified against the expected schema first:
+    * a forced-schema read would fill a missing `src_batch` with nulls,
+    * and `src_batch =!= batchId` over nulls silently drops every row —
+    * the exact under-marking this method exists to prevent. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName) else Array.empty[String]
+    val hasParts = entries.exists(_.startsWith("batch_id="))
+    if (!hasParts) {
+      // legitimately empty only when missing, bare, or holding nothing
+      // beyond write-job metadata (_SUCCESS etc.) — e.g. every batch so
+      // far produced zero index rows; any OTHER content is not ours
+      val stray = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
+      require(stray.isEmpty,
+        s"window index at $indexDir has no batch_id= partitions but " +
+          s"contains ${stray.mkString(", ")} — not a StreamingRepeatSpans " +
+          "index; refusing to read it as empty")
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
-    else spark.read.schema(indexSchema).parquet(indexDir)
+    } else {
+      val onDisk = spark.read.parquet(indexDir).schema.fieldNames.toSet
+      val missing = indexSchema.fieldNames.filterNot(onDisk)
+      require(missing.isEmpty,
+        s"window index at $indexDir is missing column(s) " +
+          s"${missing.mkString(", ")} — not a StreamingRepeatSpans " +
+          "index (or pre-provenance format); rebuild it")
+      spark.read.schema(indexSchema).parquet(indexDir)
+    }
   }
 
   /** One micro-batch: mark occurrences repeating the index OR a
@@ -76,8 +113,11 @@ object StreamingRepeatSpans {
     }
     if (batch.isEmpty) return
     val wins = Dedup.windowHashes(batch, k).localCheckpoint()
+    // idempotent re-run: exclude THIS batch's prior contribution by its
+    // provenance column, not the partition — compaction may have moved
+    // the rows into batch_id=-1, where only src_batch still knows
     val seen = readIndex(spark, indexDir)
-      .filter(col("batch_id") =!= batchId) // idempotent re-run
+      .filter(col("src_batch") =!= batchId)
       .select(col("h"), lit(true).as("_seen"))
     // batch-internal first occurrence per hash (the self pass)
     val batchFirst = wins.groupBy(col("h"))
@@ -110,13 +150,16 @@ object StreamingRepeatSpans {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(dir)
     writeBatch(spans, spansDir)
-    writeBatch(fresh, indexDir)
+    writeBatch(fresh.withColumn("src_batch", lit(batchId)), indexDir)
     cutDir.foreach(dir => writeBatch(Dedup.cutSpansOf(batch, spans), dir))
     // the cadence knob made concrete: fold the index every Nth batch,
-    // AFTER this batch's own partition committed. Safe under replay: a
-    // re-run of batch N re-compacts, which is a no-op on marks
-    // (spec-pinned); the -1 partition is excluded from nothing (it is
-    // never a real batchId).
+    // AFTER this batch's own partition committed. Safe under replay
+    // because compaction preserves src_batch: if the driver dies after
+    // this fold but before the streaming checkpoint commits, the replay
+    // of batch N still excludes its own (now batch_id=-1) rows via the
+    // src_batch filter above — marks are identical, and the replay's
+    // re-appended batch_id=N rows merely duplicate h values until the
+    // next compaction dedups them (seen = existence, so no over-mark).
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       compactIndex(spark, indexDir)
   }
@@ -145,10 +188,10 @@ object StreamingRepeatSpans {
     * whole index into the single reserved `batch_id=-1` partition,
     * defensively deduplicating by h with the min (doc_id, p) occurrence
     * kept (the same first-copy rule the batch q120 keeper uses).
-    *
-    * Safe against the streaming stage: -1 never equals a real batchId,
-    * so the idempotent-re-run filter and the clear-own-partition delete
-    * can't touch compacted rows. Crash-ordering: rows are materialized
+    * Each row's `src_batch` provenance travels with the kept occurrence,
+    * so a later replay of any batch can still exclude its own rows (see
+    * the class doc — this is what makes compaction safe under
+    * at-least-once foreachBatch replay). Crash-ordering: rows are materialized
     * (localCheckpoint) BEFORE any write, the -1 partition commit is the
     * parquet job commit, and source partitions are deleted only after
     * it — a crash in between leaves duplicate h rows, which under-mark
@@ -166,9 +209,10 @@ object StreamingRepeatSpans {
         p.getName != "batch_id=-1")
     val compacted = readIndex(spark, indexDir)
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+      .agg(min(struct(col("doc_id"), col("p"), col("src_batch")))
+        .as("first"))
       .select(col("h"), col("first.doc_id").as("doc_id"),
-        col("first.p").as("p"))
+        col("first.p").as("p"), col("first.src_batch").as("src_batch"))
       // one batch_id=-1 DIRECTORY, not one file: files follow the
       // shuffle parallelism, so a billion-window index still compacts
       // through every executor

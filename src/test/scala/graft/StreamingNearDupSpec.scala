@@ -46,7 +46,8 @@ class StreamingNearDupSpec extends SparkSpecBase {
     val index = spark.read.parquet(idx)
     assert(readIds(idx) == Set(1L, 2L, 13L))
     // state is bounded by signatures: 64 longs per admitted doc, no text
-    assert(index.columns.toSet == Set("doc_id", "sig", "batch_id"))
+    assert(index.columns.toSet ==
+      Set("doc_id", "sig", "src_batch", "batch_id"))
     assert(index.select(size(col("sig"))).distinct().head().getInt(0) ==
       Dedup.MinhashK)
   }
@@ -150,5 +151,45 @@ class StreamingNearDupSpec extends SparkSpecBase {
     StreamingNearDup.compactIndex(spark, idxA)
     StreamingNearDup.compactIndex(spark, tmp() + "/absent")
     assert(readIds(idxA) == readIds(idxB))
+  }
+
+  test("replay AFTER compaction: a batch whose signatures were folded " +
+      "into batch_id=-1 is not flagged against itself (provenance " +
+      "survives compaction)") {
+    // the at-least-once hazard: batch 1 committed its sinks AND was
+    // compacted, then the driver died before the streaming checkpoint
+    // commit — batch 1 replays. Without src_batch provenance the replay
+    // would match every doc against its own compacted signature
+    // (est_jaccard 1.0) and the whole batch would vanish from admitted.
+    val (idx, adm, flg) = (tmp(), tmp(), tmp())
+    StreamingNearDup.processBatch(df(1L -> docA), 0L, idx, adm, flg, 0.5)
+    StreamingNearDup.processBatch(df(21L -> docB, 22L -> docC), 1L,
+      idx, adm, flg, 0.5)
+    StreamingNearDup.compactIndex(spark, idx)
+    assert(new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet ==
+      Set("batch_id=-1"))
+    // the replay: admitted/flagged/index doc sets all unchanged
+    StreamingNearDup.processBatch(df(21L -> docB, 22L -> docC), 1L,
+      idx, adm, flg, 0.5)
+    assert(readIds(adm) == Set(1L, 21L, 22L))
+    assert(readIds(flg).isEmpty,
+      "replayed batch was flagged against its own compacted signatures")
+    assert(readIds(idx) == Set(1L, 21L, 22L))
+    // ...and a LATER batch still sees the replayed batch's content
+    StreamingNearDup.processBatch(df(31L -> docC), 2L, idx, adm, flg, 0.5)
+    assert(readIds(flg) == Set(31L))
+  }
+
+  test("readIndex fails loudly on a pre-provenance index (missing " +
+      "src_batch) instead of null-filling and dropping every row") {
+    import spark.implicits._
+    val legacy = tmp() + "/legacy"
+    Seq((1L, Seq(1L, 2L), 0L)).toDF("doc_id", "sig", "batch_id")
+      .write.partitionBy("batch_id").parquet(legacy)
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.readIndex(spark, legacy)
+    }
+    assert(e.getMessage.contains("src_batch"))
   }
 }

@@ -39,7 +39,8 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
       df(11L -> "x a b c d y", 12L -> "f g h i"), 1L, idx, out, k = 3)
     assert(spans(out) == Set((11L, 2L, 5L, 4L)))
     val index = spark.read.parquet(idx)
-    assert(index.columns.toSet == Set("h", "doc_id", "p", "batch_id"))
+    assert(index.columns.toSet ==
+      Set("h", "doc_id", "p", "src_batch", "batch_id"))
     // batch 0: 3+2 windows, all fresh; batch 1: doc 11 contributes its
     // two non-repeating windows [x a b], [c d y]; doc 12 its two — and
     // the repeated contents do NOT re-index
@@ -214,6 +215,42 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
     assert(hs(idxA) == hs(idxB))
   }
 
+  test("replay AFTER compaction: a batch whose windows were already " +
+      "folded into batch_id=-1 does not mark itself (provenance " +
+      "survives compaction)") {
+    // the at-least-once hazard: processBatch(1) ran with compactEvery=1,
+    // so batch 1's fresh windows now live in batch_id=-1 — then the
+    // driver dies before the streaming checkpoint commits and batch 1
+    // REPLAYS. Without src_batch provenance the replay would see its own
+    // windows as corpus content, mark every occurrence, and (with cutDir)
+    // cut every document in the batch to nothing.
+    val (idx, out, cut) = (tmp(), tmp(), tmp())
+    def run(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingRepeatSpans.processBatch(df(b: _*), id, idx, out, 3,
+        Some(cut), compactEvery = 1)
+    run(Seq(1L -> "a b c d e"), 0L)
+    run(Seq(21L -> "z a b c d", 22L -> "f g h i j"), 1L)
+    val spansBefore = spans(out)
+    assert(spansBefore == Set((21L, 2L, 5L, 4L))) // repeats batch 0 only
+    def cutRows(): Set[(Long, String)] =
+      spark.read.parquet(cut).select("doc_id", "text_cut").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val cutBefore = cutRows()
+    assert(cutBefore.exists { case (id, t) => id == 22L && t == "f g h i j" })
+    // index is fully compacted (single -1 partition) at this point
+    assert(new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet ==
+      Set("batch_id=-1"))
+    // the replay: marks, cuts, and the distinct window set are unchanged
+    val hBefore = spark.read.parquet(idx).select("h").collect()
+      .map(_.getLong(0)).toSet
+    run(Seq(21L -> "z a b c d", 22L -> "f g h i j"), 1L)
+    assert(spans(out) == spansBefore)
+    assert(cutRows() == cutBefore)
+    assert(spark.read.parquet(idx).select("h").collect()
+      .map(_.getLong(0)).toSet == hBefore)
+  }
+
   test("readIndex: missing path reads empty (first batch); a corrupt " +
       "index fails loudly instead of silently under-marking") {
     val missing = tmp() + "/never-written"
@@ -224,5 +261,16 @@ class StreamingRepeatSpanSpec extends SparkSpecBase {
     intercept[Exception] {
       StreamingRepeatSpans.readIndex(spark, corrupt).collect()
     }
+    // a pre-provenance index (no src_batch column) must ALSO fail
+    // loudly: a forced-schema read would null-fill src_batch and the
+    // replay filter would then silently drop every row
+    import spark.implicits._
+    val legacy = tmp() + "/legacy"
+    Seq((1L, 2L, 3L, 0L)).toDF("h", "doc_id", "p", "batch_id")
+      .write.partitionBy("batch_id").parquet(legacy)
+    val e = intercept[IllegalArgumentException] {
+      StreamingRepeatSpans.readIndex(spark, legacy)
+    }
+    assert(e.getMessage.contains("src_batch"))
   }
 }
