@@ -49,21 +49,34 @@ object Boilerplate {
     * `<p>` paragraphs — paragraph idx (1-based) becomes an all-links
     * farm when (doc_id + idx) % 5 = 0 — and a footer. The token array
     * is bound to its own projection before the paragraph transform
-    * (HOF lambdas re-evaluate outer expressions per element). */
+    * (HOF lambdas re-evaluate outer expressions per element).
+    *
+    * Tokens are the NONEMPTY split pieces: empty or multi-spaced input
+    * text would otherwise synthesize empty-token slots — a farm
+    * paragraph of empty anchors has zero visible words, which
+    * [[extractContentOf]] classifies short while a slot-counting oracle
+    * calls it link-dense. Filtering empties makes every synthesized
+    * paragraph single-spaced and nonempty, so visible-word counts and
+    * token-slot counts agree on ANY input corpus (both oracles filter
+    * identically). */
   def synthesizeHtmlOf(docs: DataFrame): DataFrame = {
     val bound = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= lit("")).as("ws"))
       .withColumn("pc", ceil(size(col("ws")) / lit(ParaTokens.toDouble))
         .cast("int"))
-    val paras = transform(sequence(lit(1), col("pc")), i => {
-      val toks = slice(col("ws"), (i - 1) * ParaTokens + 1, lit(ParaTokens))
-      val farm = (col("doc_id") + i) % 5 === 0
-      concat(lit("<p>"),
-        when(farm, array_join(transform(toks,
-            t => concat(lit("<a href=\"/t\">"), t, lit("</a>"))), " "))
-          .otherwise(array_join(toks, " ")),
-        lit("</p>"))
-    })
+    // pc = 0 (empty text) must yield NO paragraphs — sequence(1, 0) is
+    // the DESCENDING [1, 0] in Spark, not empty
+    val paras = when(col("pc") > 0,
+      transform(sequence(lit(1), col("pc")), i => {
+        val toks = slice(col("ws"), (i - 1) * ParaTokens + 1, lit(ParaTokens))
+        val farm = (col("doc_id") + i) % 5 === 0
+        concat(lit("<p>"),
+          when(farm, array_join(transform(toks,
+              t => concat(lit("<a href=\"/t\">"), t, lit("</a>"))), " "))
+            .otherwise(array_join(toks, " ")),
+          lit("</p>"))
+      })).otherwise(array().cast("array<string>"))
     bound.select(col("doc_id"), concat(
       lit("<html><head><title>Document "), col("doc_id").cast("string"),
       lit("</title></head><body>" +
@@ -125,7 +138,8 @@ object Boilerplate {
     * markup it synthesized, so block segmentation, link accounting, and
     * every classification gate are pinned value-for-value. */
   val boilerplateOracle: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+    s"""WITH w AS (SELECT doc_id,
+             list_filter(string_split(text,' '), x -> x <> '') AS ws
            FROM documents),
        p AS (SELECT doc_id, i,
                array_to_string(
@@ -139,18 +153,27 @@ object Boilerplate {
                  CASE WHEN farm THEN 'link'
                       WHEN nw < 5 THEN 'short'
                       ELSE 'content' END AS k
-               FROM p)
-       SELECT doc_id,
-         CAST(count(*) + 4 AS BIGINT) AS n_blocks,
+               FROM p),
+       agg AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(count(*) FILTER (WHERE k = 'link') AS BIGINT)
+                   AS n_farm,
+                 CAST(count(*) FILTER (WHERE k = 'short') AS BIGINT)
+                   AS n_short,
+                 CAST(count(*) FILTER (WHERE k = 'content') AS BIGINT)
+                   AS n_content,
+                 coalesce(string_agg(ptext, ' ' ORDER BY i)
+                   FILTER (WHERE k = 'content'), '') AS main_text
+               FROM cls GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(coalesce(agg.n_paras, 0) + 4 AS BIGINT) AS n_blocks,
          CAST(3 AS BIGINT) AS n_chrome,
-         CAST(1 + count(*) FILTER (WHERE k = 'link') AS BIGINT)
-           AS n_link_dense,
-         CAST(count(*) FILTER (WHERE k = 'short') AS BIGINT) AS n_short,
-         CAST(count(*) FILTER (WHERE k = 'content') AS BIGINT)
-           AS n_content,
-         coalesce(string_agg(ptext, ' ' ORDER BY i)
-           FILTER (WHERE k = 'content'), '') AS main_text
-       FROM cls GROUP BY doc_id ORDER BY doc_id"""
+         CAST(1 + coalesce(agg.n_farm, 0) AS BIGINT) AS n_link_dense,
+         coalesce(agg.n_short, CAST(0 AS BIGINT)) AS n_short,
+         coalesce(agg.n_content, CAST(0 AS BIGINT)) AS n_content,
+         coalesce(agg.main_text, '') AS main_text
+       FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
 
   // --- link-graph construction (q124) --------------------------------------
 
@@ -179,6 +202,13 @@ object Boilerplate {
     * out-links, distinct dangling out-links (target not in the corpus —
     * the frontier), external links, and incoming edge count. The edge
     * list this derives is exactly what [[graft.ops.PageRank]] consumes.
+    *
+    * Counting contract (spec-pinned, deliberately asymmetric):
+    * `out_degree`/`n_dangling_out` are DISTINCT target counts — how many
+    * pages this one references — while `in_degree` counts every anchor
+    * OCCURRENCE, so a page linked five times from one source scores 5:
+    * repeated citation is the popularity signal crawl ranking wants,
+    * and it is what un-deduplicated PageRank edge weighting sees.
     *
     * Scale: extraction is a narrow map; the edge list ships (src, dst)
     * longs only and is materialized once (it feeds the out-stats, the
@@ -221,7 +251,11 @@ object Boilerplate {
     * and [[Curate.connectedComponents]] consume directly, so
     * extract → resolve → rank/cluster composes by plain DataFrames
     * (BoilerplateSpec runs the extracted graph through PageRank).
-    * Dangling and external links are excluded here; q124 reports them. */
+    * Dangling and external links are excluded here; q124 reports them.
+    * Edges are NOT deduplicated: one row per anchor occurrence, matching
+    * [[linkGraphOf]]'s occurrence-counting `in_degree` — callers wanting
+    * set semantics (e.g. [[Curate.connectedComponents]], where
+    * multiplicity is meaningless) should `.distinct()` the result. */
   def linkEdgesOf(html: DataFrame): DataFrame = {
     import graft.functions.HtmlLinks.html_links
     val cand = html
@@ -261,7 +295,9 @@ object Boilerplate {
                 FROM ex GROUP BY src),
        ind AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_degree
                FROM ex WHERE ok GROUP BY dst),
-       w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       w AS (SELECT doc_id,
+               list_filter(string_split(text,' '), x -> x <> '') AS ws
+             FROM documents),
        farm AS (SELECT doc_id,
                   coalesce(sum(least(i*$ParaTokens, len(ws))
                       - (i-1)*$ParaTokens)
@@ -270,11 +306,11 @@ object Boilerplate {
                   CAST(ceil(len(ws)/$ParaTokens.0) AS BIGINT))) AS t(i)
                 GROUP BY doc_id)
        SELECT d.doc_id, outd.out_degree, outd.n_dangling_out,
-         CAST(6 + farm.farm_toks AS BIGINT) AS n_ext_links,
+         CAST(6 + coalesce(farm.farm_toks, 0) AS BIGINT) AS n_ext_links,
          CAST(coalesce(ind.in_degree, 0) AS BIGINT) AS in_degree
        FROM documents d
          JOIN outd ON outd.src = d.doc_id
-         JOIN farm ON farm.doc_id = d.doc_id
+         LEFT JOIN farm ON farm.doc_id = d.doc_id
          LEFT JOIN ind ON ind.doc_id = d.doc_id
        ORDER BY d.doc_id"""
 }

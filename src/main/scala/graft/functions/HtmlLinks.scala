@@ -52,38 +52,52 @@ object HtmlLinks {
 
   /** Extract the href value from the inside of an `<a ...>` tag body
     * (the text between `<` and `>`, leading "a" included). Returns null
-    * when absent/empty. */
+    * when absent/empty.
+    *
+    * Parses attributes LEFT-TO-RIGHT at name positions, consuming each
+    * quoted value whole — a substring scan for "href" would accept the
+    * word occurring inside another attribute's value (e.g.
+    * `<a title="see href = bad" href="/x">`) and return garbage.
+    * Duplicate hrefs: the first occurrence wins (browser behavior);
+    * a valueless bare `href` counts as that first occurrence and
+    * contributes nothing. */
   private def hrefOf(tagBody: String): String = {
-    val lower = tagBody.toLowerCase
-    var from = 0
-    while (from >= 0) {
-      val at = lower.indexOf("href", from)
-      if (at < 0) return null
-      // must be a standalone attribute name: preceded by whitespace
-      val pre = at == 0 || Character.isWhitespace(tagBody.charAt(at - 1))
-      var j = at + 4
-      while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j)))
-        j += 1
-      if (pre && j < tagBody.length && tagBody.charAt(j) == '=') {
-        j += 1
-        while (j < tagBody.length && Character.isWhitespace(tagBody.charAt(j)))
-          j += 1
-        if (j >= tagBody.length) return null
-        val q = tagBody.charAt(j)
-        val (start, endIdx) =
+    val n = tagBody.length
+    var i = 0
+    // skip the tag name itself so "href" as a (bogus) tag can't match
+    while (i < n && Character.isLetterOrDigit(tagBody.charAt(i))) i += 1
+    while (i < n) {
+      // inter-attribute filler: whitespace and self-closing slashes
+      while (i < n && (Character.isWhitespace(tagBody.charAt(i)) ||
+        tagBody.charAt(i) == '/')) i += 1
+      if (i >= n) return null
+      val nameStart = i
+      while (i < n && !Character.isWhitespace(tagBody.charAt(i)) &&
+        tagBody.charAt(i) != '=') i += 1
+      val name = tagBody.substring(nameStart, i).toLowerCase
+      while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+      if (i < n && tagBody.charAt(i) == '=') {
+        i += 1
+        while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+        if (i >= n) return null
+        val q = tagBody.charAt(i)
+        val (start, endIdx, next) =
           if (q == '"' || q == '\'') {
-            val e = tagBody.indexOf(q, j + 1)
-            (j + 1, if (e < 0) tagBody.length else e)
+            val e = tagBody.indexOf(q, i + 1)
+            if (e < 0) (i + 1, n, n) else (i + 1, e, e + 1)
           } else {
-            var e = j
-            while (e < tagBody.length &&
-              !Character.isWhitespace(tagBody.charAt(e))) e += 1
-            (j, e)
+            var e = i
+            while (e < n && !Character.isWhitespace(tagBody.charAt(e))) e += 1
+            (i, e, e)
           }
-        val v = tagBody.substring(start, endIdx)
-        return if (v.isEmpty) null else v
+        if (name == "href") {
+          val v = tagBody.substring(start, endIdx)
+          return if (v.isEmpty) null else v
+        }
+        i = next // the quoted value is consumed whole, never re-scanned
+      } else if (name == "href") {
+        return null // bare href with no value — first occurrence wins
       }
-      from = at + 4
     }
     null
   }

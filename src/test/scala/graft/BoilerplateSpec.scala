@@ -174,6 +174,36 @@ class BoilerplateSpec extends SparkSpecBase {
         <!-- <a href="/gone">x</a> --><a href="/real">r</a>""")
       == Seq("/real"))
     assert(links("""<a href="/open""") == Seq()) // unterminated tag
+    // 'href' inside another attribute's VALUE is not an attribute name:
+    // attributes parse left-to-right with quoted values consumed whole
+    assert(links("""<a title="see href = bad" href="/x">v</a>""")
+      == Seq("/x"))
+    assert(links("""<a title="no href here">v</a>""") == Seq())
+    assert(links("""<a alt='href ="/q"' href=/real>v</a>""") == Seq("/real"))
+    // duplicate attribute: first occurrence wins (browser behavior),
+    // and a valueless bare href IS that first occurrence
+    assert(links("""<a href="/first" href="/second">v</a>""")
+      == Seq("/first"))
+    assert(links("""<a href href="/later">v</a>""") == Seq())
+  }
+
+  test("synthesis normalizes degenerate text: multi-space and empty " +
+      "input classify identically to their single-spaced forms") {
+    import spark.implicits._
+    // double/triple spaces collapse: same tokens as the clean twin, so
+    // the farm paragraph stays link-dense (empty anchor slots would have
+    // zero visible words and flip the verdict to short)
+    val messy = (1 to 24).map(i => s"w$i").mkString("  ") + "   "
+    val clean = (1 to 24).map(i => s"w$i").mkString(" ")
+    val Seq(m, c) = Boilerplate.extractContentOf(Boilerplate.synthesizeHtmlOf(
+        Seq((4L, messy), (104L, clean)).toDF("doc_id", "text")))
+      .orderBy("doc_id").collect().toSeq
+    // doc 4 and 104 share (doc_id % 5), so farm positions agree
+    assert((1 to 6).map(m.get) == (1 to 6).map(c.get))
+    // empty text: zero paragraphs, chrome-only markup, empty main text
+    val e = Boilerplate.extractContentOf(Boilerplate.synthesizeHtmlOf(
+      Seq((7L, "")).toDF("doc_id", "text"))).head()
+    assert(e.getLong(1) == 4L && e.getLong(5) == 0L && e.getString(6) == "")
   }
 
   test("linkGraphOf degrees on a hand-built graph, dangling and " +
