@@ -217,6 +217,10 @@ object SparkEntry {
       graft.ext.Pii.piiScan(s, d)),
     "q126_token_entropy" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenEntropy(s, d)),
+    "q127_image_dhash" -> ((s: SparkSession, d: String) =>
+      graft.ext.ImageHash.imageDhash(s, d)),
+    "q128_image_neardup" -> ((s: SparkSession, d: String) =>
+      graft.ext.ImageHash.imageNearDup(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -457,6 +461,8 @@ object SparkEntry {
     "q123_boilerplate" -> graft.ext.Boilerplate.boilerplateOracle,
     "q124_link_graph" -> graft.ext.Boilerplate.linkGraphOracle,
     "q125_pii_scan" -> graft.ext.Pii.piiOracle,
-    "q126_token_entropy" -> TextAnalysis.tokenEntropyOracle
+    "q126_token_entropy" -> TextAnalysis.tokenEntropyOracle,
+    "q127_image_dhash" -> graft.ext.ImageHash.imageDhashOracle,
+    "q128_image_neardup" -> graft.ext.ImageHash.imageNearDupOracle
   )
 }

@@ -1,0 +1,299 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Perceptual image near-duplication — the image-content dedup stage of
+  * a multimodal training pipeline (LAION-style corpus curation): hash
+  * every image to a small gradient fingerprint, then find near-identical
+  * images by banded Hamming join. Composes the existing parts: the
+  * [[MediaCodecs]] real decoders (q110), block averaging (the q72 box
+  * filter's arithmetic), and the SimHash banding pigeonhole
+  * ([[Dedup.simhashPairsOf]]).
+  *
+  * The fingerprint is a difference hash (dHash, the widely-published
+  * gradient hash: Krawetz, "HackerFactor: Kind of Like That", 2013) in
+  * an integer-exact variant:
+  *
+  *   - grayscale by CHANNEL SUM (not weighted luma) — keeps every value
+  *     an exact integer so independent engines agree bit-for-bit;
+  *   - block-average down to an 8×4 grid: cell (gx, gy) holds the sum
+  *     and count of all channel values of pixels with
+  *     gx = x·8/w, gy = y·4/h (integer division — the same partition a
+  *     box filter averages over). 8×4 rather than the classic 9×8 so
+  *     every cell is nonempty for any image at least 8×4 px;
+  *   - 64 gradient bits, two 32-bit halves: bit (gy·8+gx) of `dhash_h`
+  *     is 1 iff cell (gx, gy) is darker than its RIGHT neighbor
+  *     (wrapping), of `dhash_v` iff darker than its DOWN neighbor
+  *     (wrapping). "Darker than" compares averages by integer
+  *     cross-multiplication `s_a·c_b < s_b·c_a` — no division, no
+  *     floats, so the DuckDB oracle replays it exactly.
+  *
+  * Two 32-bit halves instead of one 64-bit word keep every packed value
+  * positive in a signed BIGINT (bit 63 would be the sign bit), which
+  * both engines sum/shift without edge cases.
+  *
+  * Near-dup pairs: 4 bands of 16 bits (h-low, h-high, v-low, v-high);
+  * any pair within Hamming distance ≤ 3 shares a whole band by
+  * pigeonhole, larger distances are found with banded recall — the
+  * REPORTED pair set is "band-collision candidates within Hamming ≤
+  * maxHamming", deterministic on both engines. Buckets are bounded by
+  * [[BucketCap]]; never all-pairs.
+  *
+  * Scale: hashing is a narrow mapPartitions decode (no payload bytes
+  * ever cross a shuffle — the q110 posture); the pair join ships only
+  * (doc_id, two longs) per band row and shuffles on 16-bit band values,
+  * the exact q24 SimHash shape that audits at zero spill.
+  */
+object ImageHash {
+
+  /** Grid geometry: 8×4 = 32 cells, 64 gradient bits. Every synthesized
+    * corpus raster (w ≥ 8, h ≥ 6) fills all cells. */
+  val GridW = 8
+  val GridH = 4
+
+  /** q128's perturbed-twin id offset and byte stride (see
+    * [[perturbedPayloads]]). */
+  val PerturbId = 1000000L
+  val PerturbStride = 37
+
+  /** Default Hamming radius for the registered pair query. */
+  val DefaultMaxHamming = 6
+
+  /** dHash of one decoded raster: (dhash_h, dhash_v) packed 32-bit
+    * gradient words, or None for images smaller than the grid (no
+    * stable perceptual hash exists for a 2×2 thumbnail). */
+  def dhashOne(img: MediaCodecs.ImagePixels): Option[(Long, Long)] = {
+    val w = img.width
+    val h = img.height
+    val ch = img.channels
+    if (w < GridW || h < GridH) return None
+    val sums = new Array[Long](GridW * GridH)
+    val cnts = new Array[Long](GridW * GridH)
+    val px = img.pixels
+    var i = 0
+    while (i < px.length) {
+      val p = i / ch
+      val x = p % w
+      val y = p / w
+      val cell = (y * GridH / h) * GridW + (x * GridW / w)
+      sums(cell) += px(i) & 0xff
+      cnts(cell) += 1
+      i += 1
+    }
+    var hh = 0L
+    var vv = 0L
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW) {
+        val c = gy * GridW + gx
+        val cr = gy * GridW + (gx + 1) % GridW
+        val cd = ((gy + 1) % GridH) * GridW + gx
+        // avg(c) < avg(neighbor), exact: s_c·n_nb < s_nb·n_c
+        if (sums(c) * cnts(cr) < sums(cr) * cnts(c)) hh |= 1L << c
+        if (sums(c) * cnts(cd) < sums(cd) * cnts(c)) vv |= 1L << c
+        gx += 1
+      }
+      gy += 1
+    }
+    Some((hh, vv))
+  }
+
+  /** dHash over any (doc_id, payload) frame — narrow mapPartitions batch
+    * decode, every decodable raster (JPEG included: perceptual hashing
+    * exists precisely to survive lossy re-encodes). Images smaller than
+    * the grid are skipped. */
+  def dhashOf(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeImage(p).flatMap { img =>
+          dhashOne(img).map { case (hh, vv) =>
+            (id, img.format, img.width, img.height, hh, vv)
+          }
+        }
+      })
+      .toDF("doc_id", "format", "width", "height", "dhash_h", "dhash_v")
+  }
+
+  /** q127: dHash over the synthesized media corpus, LOSSLESS formats
+    * only (bmp/ppm/pgm/png — the q110 scope, where the DuckDB oracle
+    * can replay the pixel arithmetic; JPEG's decode is codec-approximate
+    * and is tolerance-gated in ImageHashSpec instead). ORDER BY =
+    * oracle determinism only. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    dhashOf(Multimodal.mediaPayloads(spark, dir))
+      .filter(col("format") =!= "jpeg")
+      .orderBy(col("doc_id"))
+
+  /** Banded Hamming pairs over any (doc_id, dhash_h, dhash_v) frame —
+    * the [[Dedup.simhashPairsOf]] recipe on the image fingerprint: 4
+    * bands of 16 bits, BucketCap guard, pairs verified with
+    * bit_count(xor) ≤ maxHamming. */
+  def imageNearDupPairsOf(hashes: DataFrame,
+      maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val hs = hashes.select(col("doc_id"), col("dhash_h"), col("dhash_v"))
+    val banded = BucketCap.capBuckets(
+      hs.select(col("doc_id"), col("dhash_h"), col("dhash_v"), posexplode(
+        array(
+          col("dhash_h").bitwiseAND(0xffffL),
+          shiftrightunsigned(col("dhash_h"), 16).bitwiseAND(0xffffL),
+          col("dhash_v").bitwiseAND(0xffffL),
+          shiftrightunsigned(col("dhash_v"), 16).bitwiseAND(0xffffL))))
+        .toDF("doc_id", "dhash_h", "dhash_v", "band_idx", "band_val"),
+      Seq("band_idx", "band_val"), maxBucket, "dhash-bands")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (bit_count(col("x.dhash_h").bitwiseXOR(col("y.dhash_h"))) +
+          bit_count(col("x.dhash_v").bitwiseXOR(col("y.dhash_v"))))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Return `src` with every [[PerturbStride]]-th byte bumped by one
+    * (mod 256) — a deterministic "slightly noisy re-save" of the same
+    * content. */
+  def perturb(src: Array[Byte]): Array[Byte] = {
+    val out = src.clone()
+    var j = 0
+    while (j < out.length) {
+      out(j) = (((out(j) & 0xff) + 1) % 256).toByte
+      j += PerturbStride
+    }
+    out
+  }
+
+  /** q128's corpus: every lossless-raster document's synthesized image,
+    * plus — for each doc_id % 10 = 0 — a PLANTED near-identical twin
+    * (id + [[PerturbId]]): the same raster re-synthesized from
+    * [[perturb]]ed source bytes, i.e. the same picture with sparse
+    * single-step pixel noise, the canonical near-dup an image dedup
+    * stage must catch. Same id → same format and geometry (length is
+    * unchanged), so only pixel VALUES differ. */
+  def perturbedPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val m = math.floorMod(id, 6L)
+        if (m == 3 || m == 5) Iterator.empty // audio / lossy jpeg
+        else {
+          val base = Iterator((id, Multimodal.synthesizeMedia(id, text)))
+          if (id % 10 == 0) {
+            // perturb the EFFECTIVE source (empty text synthesizes from
+            // the single byte 42), mirroring synthesizeMedia's fallback
+            val src = if (text.isEmpty) Array[Byte](42) else text
+            base ++ Iterator(
+              (id + PerturbId, Multimodal.synthesizeMedia(id, perturb(src))))
+          } else base
+        }
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** q128: hash the perturbed-twin corpus and report the banded Hamming
+    * pairs — every planted twin must surface as (doc_id, doc_id + 10^6)
+    * with a small distance; naturally-similar documents may add pairs,
+    * which the oracle reproduces by replaying the identical algorithm.
+    * ORDER BY = oracle determinism only. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupPairsOf(dhashOf(perturbedPayloads(spark, dir)))
+      .orderBy(col("a"), col("b"))
+
+  /** Shared oracle scaffold: per-image 8×4 cell sums/counts and the two
+    * packed gradient words, replayed from `documents.text` hex bytes
+    * (the q110 recipe). `idsCte` must yield (img_id, doc_id, pert). */
+  private def dhashCte(idsCte: String): String =
+    s"""d AS (SELECT i.img_id, i.pert, t.doc_id, t.doc_id % 6 AS m,
+         CASE WHEN octet_length(encode(t.text)) = 0 THEN '2A'
+              ELSE hex(encode(t.text)) END AS hx,
+         CASE WHEN octet_length(encode(t.text)) = 0 THEN 1
+              ELSE octet_length(encode(t.text)) END AS len
+       FROM ($idsCte) i JOIN documents t ON t.doc_id = i.doc_id),
+       geo AS (SELECT img_id, pert, hx, len,
+           8 + len % 9 AS w, 6 + len % 7 AS h,
+           CASE WHEN m = 2 THEN 1 ELSE 3 END AS ch,
+           CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+             ELSE 'png' END AS format
+         FROM d),
+       px AS (SELECT img_id, pert, format, w, h, ch, len, hx,
+           unnest(range(0, w * h * ch)) AS i
+         FROM geo),
+       cell AS (SELECT img_id, format, w, h,
+           (((i // ch) // w) * $GridH // h) AS gy,
+           (((i // ch) % w) * $GridW // w) AS gx,
+           (CAST(('0x' || substr(hx, ((i % len) * 2) + 1, 2))::INTEGER
+              AS BIGINT)
+            + CASE WHEN pert = 1 AND (i % len) % $PerturbStride = 0
+                THEN 1 ELSE 0 END) % 256 AS v
+         FROM px),
+       cs AS (SELECT img_id, format, w, h, gy, gx,
+                CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+              FROM cell GROUP BY ALL),
+       bits AS (SELECT a.img_id, a.format, a.w, a.h,
+           CASE WHEN a.s * r.c < r.s * a.c
+             THEN (CAST(1 AS BIGINT) << CAST(a.gy * $GridW + a.gx AS INT))
+             ELSE 0 END AS hbit,
+           CASE WHEN a.s * dn.c < dn.s * a.c
+             THEN (CAST(1 AS BIGINT) << CAST(a.gy * $GridW + a.gx AS INT))
+             ELSE 0 END AS vbit
+         FROM cs a
+           JOIN cs r ON r.img_id = a.img_id AND r.gy = a.gy
+             AND r.gx = (a.gx + 1) % $GridW
+           JOIN cs dn ON dn.img_id = a.img_id AND dn.gx = a.gx
+             AND dn.gy = (a.gy + 1) % $GridH),
+       hsh AS (SELECT img_id, format, w, h,
+                 CAST(sum(hbit) AS BIGINT) AS dhash_h,
+                 CAST(sum(vbit) AS BIGINT) AS dhash_v
+               FROM bits GROUP BY ALL)"""
+
+  /** Oracle for q127 [[imageDhash]]: the cell partition, the channel-sum
+    * grayscale, and both packed gradient words recomputed from the text
+    * bytes — a single wrong pixel, stride, or comparison flips a bit
+    * and fails the hash. */
+  val imageDhashOracle: String =
+    s"""WITH ${dhashCte(
+      "SELECT doc_id AS img_id, doc_id, 0 AS pert FROM documents " +
+        "WHERE doc_id % 6 IN (0, 1, 2, 4)")}
+       SELECT img_id AS doc_id, format, CAST(w AS INT) AS width,
+         CAST(h AS INT) AS height, dhash_h, dhash_v
+       FROM hsh ORDER BY doc_id"""
+
+  /** Oracle for q128 [[imageNearDup]]: hashes for the base corpus AND
+    * the planted perturbed twins, then the identical 4×16-bit banding,
+    * candidate join, and Hamming gate. */
+  val imageNearDupOracle: String =
+    s"""WITH ${dhashCte(
+      "SELECT doc_id AS img_id, doc_id, 0 AS pert FROM documents " +
+        "WHERE doc_id % 6 IN (0, 1, 2, 4) UNION ALL " +
+        s"SELECT doc_id + $PerturbId, doc_id, 1 FROM documents " +
+        "WHERE doc_id % 6 IN (0, 1, 2, 4) AND doc_id % 10 = 0")},
+       bnum AS (SELECT unnest(range(0, 4)) AS bi),
+       band AS (SELECT img_id, dhash_h, dhash_v, bi,
+           CASE bi WHEN 0 THEN dhash_h & 65535
+                   WHEN 1 THEN (dhash_h >> 16) & 65535
+                   WHEN 2 THEN dhash_v & 65535
+                   ELSE (dhash_v >> 16) & 65535 END AS bv
+         FROM hsh CROSS JOIN bnum),
+       cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b,
+                  x.dhash_h AS ha, x.dhash_v AS va,
+                  y.dhash_h AS hb, y.dhash_v AS vb
+                FROM band x JOIN band y
+                  ON x.bi = y.bi AND x.bv = y.bv AND x.img_id < y.img_id)
+       SELECT a, b,
+         CAST(bit_count(xor(ha, hb)) + bit_count(xor(va, vb)) AS INT)
+           AS hamming
+       FROM cand
+       WHERE bit_count(xor(ha, hb)) + bit_count(xor(va, vb))
+         <= $DefaultMaxHamming
+       ORDER BY a, b"""
+}

@@ -214,7 +214,12 @@ object ScaleSmoke {
       "q125_pii_scan" -> ((s: SparkSession, d: String) =>
         graft.ext.Pii.piiScan(s, d)),
       "q126_token_entropy" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.tokenEntropy(s, d))
+        graft.ext.TextAnalysis.tokenEntropy(s, d)),
+      // round-11 operators
+      "q127_image_dhash" -> ((s: SparkSession, d: String) =>
+        graft.ext.ImageHash.imageDhash(s, d)),
+      "q128_image_neardup" -> ((s: SparkSession, d: String) =>
+        graft.ext.ImageHash.imageNearDup(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

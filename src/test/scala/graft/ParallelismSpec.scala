@@ -38,7 +38,10 @@ class ParallelismSpec extends SparkSpecBase {
     // invariance is near-structural, pinned anyway; the link graph
     // adds real shuffles (in-degree, id-resolution joins)
     "q123_boilerplate", "q124_link_graph", "q125_pii_scan",
-    "q126_token_entropy")
+    "q126_token_entropy",
+    // round-11: image dHash is a narrow decode map; the near-dup pair
+    // join shuffles on 16-bit band values
+    "q127_image_dhash", "q128_image_neardup")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
