@@ -221,6 +221,10 @@ object SparkEntry {
       graft.ext.ImageHash.imageDhash(s, d)),
     "q128_image_neardup" -> ((s: SparkSession, d: String) =>
       graft.ext.ImageHash.imageNearDup(s, d)),
+    "q129_url_canonicalize" -> ((s: SparkSession, d: String) =>
+      graft.ext.UrlCurate.urlCurate(s, d)),
+    "q130_domain_caps" -> ((s: SparkSession, d: String) =>
+      graft.ext.UrlCurate.domainCaps(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -463,6 +467,8 @@ object SparkEntry {
     "q125_pii_scan" -> graft.ext.Pii.piiOracle,
     "q126_token_entropy" -> TextAnalysis.tokenEntropyOracle,
     "q127_image_dhash" -> graft.ext.ImageHash.imageDhashOracle,
-    "q128_image_neardup" -> graft.ext.ImageHash.imageNearDupOracle
+    "q128_image_neardup" -> graft.ext.ImageHash.imageNearDupOracle,
+    "q129_url_canonicalize" -> graft.ext.UrlCurate.urlCurateOracle,
+    "q130_domain_caps" -> graft.ext.UrlCurate.domainCapsOracle
   )
 }

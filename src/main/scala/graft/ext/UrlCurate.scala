@@ -1,0 +1,293 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** URL/domain-level curation — the FIRST gate of RefinedWeb/FineWeb-
+  * shaped web pipelines (Penedo et al. 2023), upstream of extraction
+  * (q123) and the link graph (q124): canonicalize every URL, derive its
+  * registrable domain with the public-suffix algorithm
+  * (publicsuffix.org/list/ — the published Mozilla PSL matching rules),
+  * drop blocklisted domains, and cap documents per registrable domain
+  * so no single site dominates the corpus.
+  *
+  * Everything before the cap is a NARROW map: canonicalization is pure
+  * string expressions, and public-suffix matching folds each host's
+  * label-suffix candidates against the rule set INLINED as array
+  * literals — the PSL is configuration, not data, so no join and no
+  * shuffle at any corpus size. The cap is one hash-partitioned window
+  * (registrable domain → row_number), the only exchange in the
+  * pipeline.
+  *
+  * Canonicalization contract (deterministic, engine-portable — the
+  * DuckDB oracle replays it string-for-string):
+  *   - scheme and host lowercased; fragment dropped;
+  *   - default ports stripped (http:80, https:443), others kept;
+  *   - ONE trailing slash dropped from the path; empty path becomes "/";
+  *   - tracking parameters removed (`utm_*` prefix, fbclid, gclid,
+  *     ref), remaining `k=v` pairs sorted lexicographically;
+  *   - URLs without a `://` scheme pass through trimmed, host null
+  *     (canonicalization is defined over absolute URLs).
+  */
+object UrlCurate {
+
+  /** Query parameters dropped by canonicalization (exact names; the
+    * `utm_` prefix is handled separately). */
+  val TrackingParams = Seq("fbclid", "gclid", "ref")
+
+  /** Public-suffix rules, publicsuffix.org syntax: exact suffixes,
+    * one `*.` wildcard, one `!` exception — a representative subset
+    * inlined as config-as-data (the full published list drops in the
+    * same way). `github.io` stands in for the PSL private section. */
+  val PslExact = Seq("com", "org", "net", "de", "uk", "co.uk", "ac.uk",
+    "au", "com.au", "io", "github.io", "jp", "co.jp")
+  val PslWild = Seq("*.ck")
+  val PslException = Seq("www.ck")
+
+  /** Per-domain document cap for the registered q130. */
+  val DomainCap = 5
+
+  /** Registered q129/q130 blocklist (registrable domains). */
+  val Blocklist = Seq("site8.com", "site7.co.uk", "site3.de")
+
+  private def lits(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /** Canonicalize `url` into (scheme, host, canon_url) columns appended
+    * to the frame. Pure narrow expressions, fully codegen'd. */
+  def canonicalizeOf(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = trim(col(urlCol))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = substring_index(afterScheme, "#", 1)
+    val authority = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val pathq = substr(noFrag, length(authority) + 1, length(noFrag))
+    val path = substring_index(pathq, "?", 1)
+    val qstr = when(instr(pathq, "?") > 0,
+      substr(pathq, instr(pathq, "?") + 1, length(pathq))).otherwise("")
+    val host = lower(substring_index(authority, ":", 1))
+    val port = when(instr(authority, ":") > 0,
+      substring_index(authority, ":", -1)).otherwise("")
+    val portPart = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), "")
+      .otherwise(concat(lit(":"), port))
+    val path1 = regexp_replace(path, "/$", "")
+    val pathNorm = when(path1 === "", "/").otherwise(path1)
+    val params = array_sort(filter(split(qstr, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      p =!= "" && !name.startsWith("utm_") &&
+        !name.isin(TrackingParams.map(x => x: Any): _*)
+    }))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise("")
+    urls
+      .withColumn("scheme", when(scheme =!= "", scheme))
+      .withColumn("host", when(scheme =!= "", host))
+      .withColumn("canon_url", when(scheme === "", u)
+        .otherwise(concat(scheme, lit("://"), host, portPart, pathNorm,
+          queryPart)))
+  }
+
+  /** Append `registrable_domain` from `host` by the public-suffix
+    * algorithm, with the rules inlined as literals — a narrow fold, no
+    * join: for each label-suffix candidate of the host (up to 6), score
+    * exception > any match > none and longer suffixes over shorter,
+    * then cut the host to (public suffix + 1) labels. A host that IS a
+    * public suffix has no registrable domain (null). */
+  def registrableDomainOf(df: DataFrame,
+      exact: Seq[String] = PslExact, wild: Seq[String] = PslWild,
+      exception: Seq[String] = PslException): DataFrame = {
+    val labels = split(col("host"), "\\.")
+    val n = size(labels)
+    // candidate i = the host's last i labels, as the exact-match key and
+    // the wildcard-match key ("*." + last i-1 labels)
+    val keys = transform(sequence(lit(1), least(n, lit(6))), i => {
+      val ex = array_join(slice(labels, n - i + 1, i), ".")
+      val wc = when(i === 1, lit("*")).otherwise(
+        concat(lit("*."), array_join(slice(labels, n - i + 2, i - 1), ".")))
+      val isExc = array_contains(lits(exception), ex)
+      val matched = array_contains(lits(exact), ex) ||
+        array_contains(lits(wild), wc)
+      // packed score: priority·100 + public-suffix label count, so one
+      // array_max picks the winner (exception rules shed their leftmost
+      // label: "!www.ck" makes "ck" the suffix for that host)
+      when(isExc, lit(200) + i - 1).when(matched, lit(100) + i)
+    })
+    // no matching rule -> the default "*" rule: suffix = last label
+    val ps = coalesce(array_max(keys) % 100, lit(1))
+    df.withColumn("registrable_domain",
+      when(col("host").isNotNull && n > ps,
+        array_join(slice(labels, n - ps, ps + 1), ".")))
+  }
+
+  /** Append `blocked` from the (inlined) registrable-domain blocklist. */
+  def blocklistOf(df: DataFrame,
+      blocklist: Seq[String] = Blocklist): DataFrame =
+    df.withColumn("blocked",
+      coalesce(array_contains(lits(blocklist), col("registrable_domain")),
+        lit(false)))
+
+  /** Keep at most `cap` documents per registrable domain (lowest doc_id
+    * wins — deterministic), blocked domains dropped entirely; hosts
+    * without a registrable domain count as their own group. The one
+    * shuffle of the pipeline: a hash-partitioned window on the domain
+    * key. */
+  def domainCapOf(df: DataFrame, cap: Int = DomainCap): DataFrame = {
+    val dom = coalesce(col("registrable_domain"), col("host"))
+    df.filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain", dom)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(dom).orderBy(col("doc_id"))))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
+  /** Deterministic URL synthesis for the registered queries (the corpus
+    * has no URL column — the q123 idiom): scheme/sub/case/port/path/
+    * tracking-param/fragment variants all driven by doc_id arithmetic so
+    * every canonicalization rule is exercised and the oracle re-derives
+    * the same strings. */
+  def synthesizeUrlsOf(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val coreNum = (id * 7) % 10
+    val core = when(id % 7 === 0, concat(lit("SITE"), coreNum))
+      .otherwise(concat(lit("site"), coreNum))
+    val suffix = element_at(
+      lits(Seq("com", "co.uk", "github.io", "de", "com.au", "ck")),
+      ((id % 6) + 1).cast("int"))
+    val sub = when(id % 3 === 0, "www.").when(id % 3 === 1, "news.")
+      .otherwise("")
+    val scheme = when(id % 2 === 0, "https").otherwise("HTTP")
+    val port = when(id % 5 === 0, when(id % 2 === 0, ":443").otherwise(":80"))
+      .when(id % 5 === 1, ":8080").otherwise("")
+    val path = concat(lit("/articles/item"), id,
+      when(id % 4 === 0, "/").otherwise(""))
+    val query = when(id % 3 === 0, "?utm_source=feed&b=2&a=1")
+      .when(id % 3 === 1, "?z=9&fbclid=abc").otherwise("")
+    val frag = when(id % 6 === 0, "#top").otherwise("")
+    docs.select(id, concat(scheme, lit("://"), sub, core, lit("."), suffix,
+      port, path, query, frag).as("url"))
+  }
+
+  /** q129: synthesize, canonicalize, derive the registrable domain,
+    * apply the blocklist. Narrow until the output ORDER BY (oracle
+    * determinism only). */
+  def urlCurate(spark: SparkSession, dir: String): DataFrame =
+    blocklistOf(registrableDomainOf(canonicalizeOf(
+        synthesizeUrlsOf(Tables(spark, dir, "documents")))))
+      .select(col("doc_id"), col("url"), col("canon_url"), col("host"),
+        col("registrable_domain"), col("blocked"))
+      .orderBy(col("doc_id"))
+
+  /** q130: the capped corpus — which documents survive the per-domain
+    * cap after blocklisting. ORDER BY = oracle determinism only. */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame =
+    domainCapOf(blocklistOf(registrableDomainOf(canonicalizeOf(
+        synthesizeUrlsOf(Tables(spark, dir, "documents"))))))
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("domain"), col("doc_id"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
+  /** Shared oracle chain: synthesis → canonicalization → PSL →
+    * blocklist, replayed analytically (every rule string-for-string). */
+  private val curateCte: String =
+    s"""u AS (SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'www.'
+              WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN 'SITE' ELSE 'site' END ||
+           CAST((doc_id * 7) % 10 AS VARCHAR) || '.' ||
+         list_extract(['com','co.uk','github.io','de','com.au','ck'],
+           CAST(doc_id % 6 + 1 AS INT)) ||
+         CASE WHEN doc_id % 5 = 0 THEN
+                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
+         '/articles/item' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+              WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
+       FROM documents),
+       p0 AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+           split_part(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://',
+             ''), '#', 1) AS nofrag
+         FROM u),
+       p1 AS (SELECT doc_id, url, scheme, nofrag,
+           regexp_extract(nofrag, '^([^/?]*)', 1) AS auth
+         FROM p0),
+       p2 AS (SELECT doc_id, url, scheme,
+           lower(split_part(auth, ':', 1)) AS host,
+           split_part(auth, ':', 2) AS port,
+           substr(nofrag, length(auth) + 1) AS pathq
+         FROM p1),
+       p3 AS (SELECT doc_id, url, scheme, host,
+           CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                  OR (scheme = 'http' AND port = '80') THEN ''
+                ELSE ':' || port END AS portpart,
+           regexp_replace(split_part(pathq, '?', 1), '/$$', '') AS path1,
+           CASE WHEN strpos(pathq, '?') > 0
+                THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END
+             AS qstr
+         FROM p2),
+       p4 AS (SELECT doc_id, url, scheme, host, portpart,
+           CASE WHEN path1 = '' THEN '/' ELSE path1 END AS pathnorm,
+           list_sort(list_filter(string_split(qstr, '&'),
+             p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+               AND split_part(p, '=', 1) NOT IN
+                 (${sqlList(TrackingParams)}))) AS params
+         FROM p3),
+       c AS (SELECT doc_id, url, host,
+           scheme || '://' || host || portpart || pathnorm ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END
+             AS canon_url
+         FROM p4),
+       lab AS (SELECT doc_id, string_split(host, '.') AS ls FROM c),
+       cand AS (SELECT doc_id, ls, len(ls) AS n,
+           unnest(generate_series(1, least(len(ls), 6))) AS i
+         FROM lab),
+       sc AS (SELECT doc_id, n, i,
+           array_to_string(ls[n-i+1:n], '.') AS ex,
+           CASE WHEN i = 1 THEN '*'
+                ELSE '*.' || array_to_string(ls[n-i+2:n], '.') END AS wc
+         FROM cand),
+       best AS (SELECT doc_id, any_value(n) AS n,
+           coalesce(max(CASE
+             WHEN ex IN (${sqlList(PslException)}) THEN 200 + i - 1
+             WHEN ex IN (${sqlList(PslExact)})
+               OR wc IN (${sqlList(PslWild)}) THEN 100 + i END) % 100, 1)
+             AS ps
+         FROM sc GROUP BY doc_id),
+       reg AS (SELECT c.doc_id, c.url, c.canon_url, c.host,
+           CASE WHEN best.n > best.ps
+                THEN array_to_string(
+                  (string_split(c.host, '.'))[best.n - best.ps:best.n], '.')
+                END AS registrable_domain
+         FROM c JOIN best ON best.doc_id = c.doc_id),
+       blk AS (SELECT *, coalesce(registrable_domain IN
+             (${sqlList(Blocklist)}), FALSE) AS blocked
+         FROM reg)"""
+
+  /** Oracle for q129 [[urlCurate]]. */
+  val urlCurateOracle: String =
+    s"""WITH $curateCte
+       SELECT doc_id, url, canon_url, host, registrable_domain, blocked
+       FROM blk ORDER BY doc_id"""
+
+  /** Oracle for q130 [[domainCaps]]. */
+  val domainCapsOracle: String =
+    s"""WITH $curateCte,
+       capd AS (SELECT doc_id,
+           coalesce(registrable_domain, host) AS domain,
+           row_number() OVER (PARTITION BY coalesce(registrable_domain,
+             host) ORDER BY doc_id) AS rk
+         FROM blk WHERE NOT blocked)
+       SELECT doc_id, domain FROM capd WHERE rk <= $DomainCap
+       ORDER BY domain, doc_id"""
+}

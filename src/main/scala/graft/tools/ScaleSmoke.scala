@@ -219,7 +219,11 @@ object ScaleSmoke {
       "q127_image_dhash" -> ((s: SparkSession, d: String) =>
         graft.ext.ImageHash.imageDhash(s, d)),
       "q128_image_neardup" -> ((s: SparkSession, d: String) =>
-        graft.ext.ImageHash.imageNearDup(s, d))
+        graft.ext.ImageHash.imageNearDup(s, d)),
+      "q129_url_canonicalize" -> ((s: SparkSession, d: String) =>
+        graft.ext.UrlCurate.urlCurate(s, d)),
+      "q130_domain_caps" -> ((s: SparkSession, d: String) =>
+        graft.ext.UrlCurate.domainCaps(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -40,8 +40,10 @@ class ParallelismSpec extends SparkSpecBase {
     "q123_boilerplate", "q124_link_graph", "q125_pii_scan",
     "q126_token_entropy",
     // round-11: image dHash is a narrow decode map; the near-dup pair
-    // join shuffles on 16-bit band values
-    "q127_image_dhash", "q128_image_neardup")
+    // join shuffles on 16-bit band values; URL curation is narrow until
+    // the per-domain cap window
+    "q127_image_dhash", "q128_image_neardup",
+    "q129_url_canonicalize", "q130_domain_caps")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
