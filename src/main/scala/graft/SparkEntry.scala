@@ -225,6 +225,10 @@ object SparkEntry {
       graft.ext.UrlCurate.urlCurate(s, d)),
     "q130_domain_caps" -> ((s: SparkSession, d: String) =>
       graft.ext.UrlCurate.domainCaps(s, d)),
+    "q131_markup_metadata" -> ((s: SparkSession, d: String) =>
+      graft.ext.Boilerplate.markupMetadata(s, d)),
+    "q132_crawl_pipeline" -> ((s: SparkSession, d: String) =>
+      graft.ext.CrawlPipeline.crawlPipeline(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -469,6 +473,8 @@ object SparkEntry {
     "q127_image_dhash" -> graft.ext.ImageHash.imageDhashOracle,
     "q128_image_neardup" -> graft.ext.ImageHash.imageNearDupOracle,
     "q129_url_canonicalize" -> graft.ext.UrlCurate.urlCurateOracle,
-    "q130_domain_caps" -> graft.ext.UrlCurate.domainCapsOracle
+    "q130_domain_caps" -> graft.ext.UrlCurate.domainCapsOracle,
+    "q131_markup_metadata" -> graft.ext.Boilerplate.markupMetadataOracle,
+    "q132_crawl_pipeline" -> graft.ext.CrawlPipeline.crawlPipelineOracle
   )
 }

@@ -60,9 +60,14 @@ object Boilerplate {
     * token-slot counts agree on ANY input corpus (both oracles filter
     * identically). */
   def synthesizeHtmlOf(docs: DataFrame): DataFrame = {
+    // columns beyond (doc_id, text) ride through untouched, so wrappers
+    // can precompute text-derived material (e.g. the q131 outline)
+    // without a re-join
+    val extra = docs.columns.filterNot(Set("doc_id", "text")).map(col).toSeq
     val bound = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= lit("")).as("ws"))
+      .select(col("doc_id") +:
+        filter(split(col("text"), " "), t => t =!= lit("")).as("ws") +:
+        extra: _*)
       .withColumn("pc", ceil(size(col("ws")) / lit(ParaTokens.toDouble))
         .cast("int"))
     // pc = 0 (empty text) must yield NO paragraphs — sequence(1, 0) is
@@ -77,7 +82,8 @@ object Boilerplate {
             .otherwise(array_join(toks, " ")),
           lit("</p>"))
       })).otherwise(array().cast("array<string>"))
-    bound.select(col("doc_id"), concat(
+    val extraOut = docs.columns.filterNot(Set("doc_id", "text")).map(col).toSeq
+    bound.select(col("doc_id") +: concat(
       lit("<html><head><title>Document "), col("doc_id").cast("string"),
       lit("</title></head><body>" +
         "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
@@ -87,7 +93,7 @@ object Boilerplate {
       array_join(paras, ""),
       lit("<footer>Copyright 2024 Example Corp " +
         "<a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
-        "</footer></body></html>")).as("html"))
+        "</footer></body></html>")).as("html") +: extraOut: _*)
   }
 
   private val ChromeTags = Seq("nav", "footer", "header", "aside", "title")
@@ -312,5 +318,83 @@ object Boilerplate {
          JOIN outd ON outd.src = d.doc_id
          LEFT JOIN farm ON farm.doc_id = d.doc_id
          LEFT JOIN ind ON ind.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  // --- markup metadata extraction (q131) -----------------------------------
+
+  private val HeadingTags = Seq("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Typed document metadata from the markup — title and the heading
+    * outline as columns, the structural signal a crawl pipeline stores
+    * next to the extracted text (trafilatura's metadata extraction,
+    * Barbaresi 2021). Pure narrow map over the same single-scan
+    * [[graft.functions.HtmlBlocks]] parse as q123; `get()` (not
+    * `element_at`) for the first title/h1 so a missing block is null,
+    * not an ANSI error. */
+  def extractMetadataOf(html: DataFrame): DataFrame = {
+    val bs = col("bs")
+    def tagIs(t: String)(b: Column): Column = b.getField("tag") === t
+    val heads = filter(bs, b => b.getField("tag").isin(HeadingTags: _*))
+    html
+      .select(col("doc_id"), html_blocks(col("html")).as("bs"))
+      .select(col("doc_id"),
+        coalesce(get(filter(bs, tagIs("title") _), lit(0))
+          .getField("text"), lit("")).as("title"),
+        coalesce(get(filter(bs, tagIs("h1") _), lit(0))
+          .getField("text"), lit("")).as("first_h1"),
+        size(heads).cast("long").as("n_headings"),
+        array_join(transform(heads, b => concat(b.getField("tag"),
+          lit(":"), b.getField("text"))), " | ").as("outline"))
+  }
+
+  /** q131's synthesis: the q123 markup plus a deterministic heading
+    * outline appended after the footer (tag-soup-legal; order
+    * preserved): 1 + doc_id % 3 headings, heading j at level
+    * 1 + (doc_id + j) % 3 over the j-th 4-token slice of the text. The
+    * outline rides through [[synthesizeHtmlOf]] as a pass-through
+    * column — no re-join. */
+  def synthesizeOutlinedHtmlOf(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), t => t =!= lit(""))
+    val heads = transform(sequence(lit(1), (col("doc_id") % 3 + 1).cast("int")),
+      j => {
+        val lvl = ((col("doc_id") + j) % 3 + 1).cast("string")
+        concat(lit("<h"), lvl, lit(">"),
+          array_join(slice(ws, (j - 1) * 4 + 1, lit(4)), " "),
+          lit("</h"), lvl, lit(">"))
+      })
+    synthesizeHtmlOf(docs.withColumn("_heads", array_join(heads, "")))
+      .select(col("doc_id"),
+        concat(col("html"), col("_heads")).as("html"))
+  }
+
+  /** q131: synthesize + extract metadata. ORDER BY = oracle determinism
+    * only. */
+  def markupMetadata(spark: SparkSession, dir: String): DataFrame =
+    extractMetadataOf(synthesizeOutlinedHtmlOf(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: title and outline re-derived analytically from the source
+    * text — heading count, levels, slices, and document order all
+    * pinned; first_h1 via arg_min over the level-1 headings. */
+  val markupMetadataOracle: String =
+    s"""WITH w AS (SELECT doc_id,
+             list_filter(string_split(text,' '), x -> x <> '') AS ws
+           FROM documents),
+       hj AS (SELECT doc_id, j,
+               1 + (doc_id + j) % 3 AS lvl,
+               array_to_string(
+                 ws[((j-1)*4+1):least(j*4, len(ws))], ' ') AS htext
+             FROM w, unnest(generate_series(1, 1 + doc_id % 3)) AS t(j)),
+       agg AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_headings,
+                 coalesce(arg_min(htext, j) FILTER (WHERE lvl = 1), '')
+                   AS first_h1,
+                 string_agg('h' || CAST(lvl AS VARCHAR) || ':' || htext,
+                   ' | ' ORDER BY j) AS outline
+               FROM hj GROUP BY doc_id)
+       SELECT d.doc_id, 'Document ' || CAST(d.doc_id AS VARCHAR) AS title,
+         agg.first_h1, agg.n_headings, agg.outline
+       FROM documents d JOIN agg ON agg.doc_id = d.doc_id
        ORDER BY d.doc_id"""
 }

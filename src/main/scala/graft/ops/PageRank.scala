@@ -46,6 +46,12 @@ object PageRank {
     val outdeg = directed.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = outdeg.count()
+    // an empty edge list has no nodes to rank — return the empty frame
+    // instead of dividing rank mass by zero (a composed pipeline over a
+    // link-free corpus must degrade to rank 0, not crash)
+    if (n == 0)
+      return outdeg.select(col("src").as("node"),
+        col("outdeg").as("rank_micro"))
     val base = lit(Scale * 15L / (100L * n))
     var ranks = outdeg.select(col("src").as("node"),
       lit(Scale / n).as("rank"))

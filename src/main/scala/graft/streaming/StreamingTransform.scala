@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Stateless streaming stages — the foreachBatch shape for per-document
+  * transforms that need NO cross-batch state (unlike the indexed
+  * [[StreamingNearDup]]/[[StreamingRepeatSpans]]): each micro-batch is
+  * transformed and written to its own `batch_id` partition. The
+  * concrete stages wrap the batch operators verbatim, so stream output
+  * ≡ the batch operator over the union of batches by construction —
+  * spec-pinned anyway, because "by construction" has been wrong before.
+  *
+  * Exactly-once: the batch_id partition is deleted up front (dynamic
+  * overwrite alone keeps a failed attempt's rows when the re-run
+  * computes an empty set), and a replay rewrites it byte-identically —
+  * a per-doc transform has nothing to go stale. No index, so none of
+  * the compaction/provenance machinery applies.
+  */
+object StreamingTransform {
+
+  /** One micro-batch of any stateless per-document transform.
+    * Package-visible for direct testing without a streaming harness. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      outDir: String, transform: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(outDir, s"batch_id=$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    if (batch.isEmpty) return
+    transform(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
+  /** Start a stateless transform stage over any streaming frame. */
+  def start(docs: DataFrame, outDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, outDir, transform)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Streaming main-content extraction (the q123 operator) over a
+    * streaming (doc_id, html) frame — the crawl pipeline's extract
+    * stage as ingestion runs. */
+  def startExtract(html: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(html, outDir, checkpointDir, graft.ext.Boilerplate.extractContentOf)
+
+  /** Streaming markup-metadata extraction (the q131 operator). */
+  def startMetadata(html: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(html, outDir, checkpointDir, graft.ext.Boilerplate.extractMetadataOf)
+
+  /** Streaming PII scan + redaction (the q125 operator, Luhn-validated)
+    * over a streaming (doc_id, text) frame — the scrub stage every
+    * release pipeline runs before data leaves the boundary. */
+  def startPiiScrub(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(docs, outDir, checkpointDir, graft.ext.Pii.piiScanOf)
+}

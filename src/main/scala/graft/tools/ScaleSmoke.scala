@@ -223,7 +223,11 @@ object ScaleSmoke {
       "q129_url_canonicalize" -> ((s: SparkSession, d: String) =>
         graft.ext.UrlCurate.urlCurate(s, d)),
       "q130_domain_caps" -> ((s: SparkSession, d: String) =>
-        graft.ext.UrlCurate.domainCaps(s, d))
+        graft.ext.UrlCurate.domainCaps(s, d)),
+      "q131_markup_metadata" -> ((s: SparkSession, d: String) =>
+        graft.ext.Boilerplate.markupMetadata(s, d)),
+      "q132_crawl_pipeline" -> ((s: SparkSession, d: String) =>
+        graft.ext.CrawlPipeline.crawlPipeline(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

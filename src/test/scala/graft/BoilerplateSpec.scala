@@ -152,6 +152,68 @@ class BoilerplateSpec extends SparkSpecBase {
     assert("rangepartitioning".r.findAllIn(pReg).length == 1, pReg.take(800))
   }
 
+  // ---- q131 markup metadata ----------------------------------------------
+
+  test("extractMetadataOf: title, first h1, heading count and ordered " +
+      "outline; missing pieces come back empty, soup never throws") {
+    import spark.implicits._
+    val page = """<html><head><title>My Page</title></head><body>
+      <h2>Early section</h2><p>body text here</p>
+      <h1>Main Heading</h1><h3>Sub point</h3>
+      <h1>Second H1</h1></body></html>"""
+    val r = Boilerplate.extractMetadataOf(
+      Seq((1L, page)).toDF("doc_id", "html")).head()
+    assert(r.getAs[String]("title") == "My Page")
+    assert(r.getAs[String]("first_h1") == "Main Heading")
+    assert(r.getAs[Long]("n_headings") == 4L)
+    assert(r.getAs[String]("outline") ==
+      "h2:Early section | h1:Main Heading | h3:Sub point | h1:Second H1")
+    // no title, no headings, tag soup
+    val bare = Boilerplate.extractMetadataOf(
+      Seq((2L, "<p>just text</p><h2 unclosed"), (3L, "no markup at all"))
+        .toDF("doc_id", "html")).orderBy("doc_id").collect()
+    assert(bare(0).getAs[String]("title") == "")
+    assert(bare(0).getAs[String]("first_h1") == "")
+    assert(bare(0).getAs[Long]("n_headings") == 0L)
+    assert(bare(0).getAs[String]("outline") == "")
+    assert(bare(1).getAs[Long]("n_headings") == 0L)
+    // q131 plan: one narrow map + the registered output sort only
+    val p = Boilerplate.extractMetadataOf(Boilerplate.synthesizeOutlinedHtmlOf(
+        Tables(spark, sf0001, "documents").select(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
+  test("q132 composition: the block parse runs once (checkpointed), " +
+      "and the verdict flags planted dups and thin docs") {
+    import spark.implicits._
+    // ids 5/10 share text AND farm phase (both 0 mod 5) -> same
+    // extraction -> the higher id is the dup; id 7 is too thin to keep
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((5L, body), (10L, body), (7L, "too short to pass"))
+      .toDF("doc_id", "text")
+    val html = Boilerplate.synthesizeLinkedHtmlOf(docs)
+    val got = graft.ext.CrawlPipeline.crawlPipelineOf(html)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(!got(5L)._2 && got(10L)._2, s"dup flags wrong: $got")
+    assert(!got(7L)._2 && !got(7L)._3) // thin: not a dup, not kept
+    assert(got(5L)._1 == got(10L)._1)  // same extraction
+    // the composed plan re-parses nothing: over a REAL (non-local,
+    // non-foldable) source, html_blocks appears in the extraction plan,
+    // and the composed plan — whose extraction is checkpointed — never
+    // contains it again
+    val corpusHtml = Boilerplate.synthesizeLinkedHtmlOf(
+      Tables(spark, sf0001, "documents").select(col("doc_id"), col("text")))
+    val extPlan = Boilerplate.extractContentOf(corpusHtml)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert("html_blocks".r.findAllIn(extPlan).length >= 1, extPlan.take(800))
+    val composed = graft.ext.CrawlPipeline.crawlPipelineOf(corpusHtml)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!composed.contains("html_blocks"),
+      "composed plan re-parses markup instead of reading the checkpoint")
+  }
+
   // ---- q124 link graph ----------------------------------------------------
 
   test("html_links: attribute forms, order, duplicates, script/comment " +

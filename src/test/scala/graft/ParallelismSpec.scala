@@ -43,7 +43,8 @@ class ParallelismSpec extends SparkSpecBase {
     // join shuffles on 16-bit band values; URL curation is narrow until
     // the per-domain cap window
     "q127_image_dhash", "q128_image_neardup",
-    "q129_url_canonicalize", "q130_domain_caps")
+    "q129_url_canonicalize", "q130_domain_caps",
+    "q131_markup_metadata", "q132_crawl_pipeline")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

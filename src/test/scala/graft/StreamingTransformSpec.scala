@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingTransform
+import graft.ext.{Boilerplate, Pii}
+
+/** Stateless streaming stages (extract / metadata / PII scrub): stream
+  * output equals the batch operator over the union of batches, replays
+  * are idempotent, and the wiring works through a real MemoryStream. */
+class StreamingTransformSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stx").toString
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def rows(dir: String, cols: String*): Set[Seq[Any]] =
+    spark.read.parquet(dir).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+
+  test("streaming PII scrub equals batch q125 over the union of " +
+      "batches; replay (including an emptied batch) is idempotent") {
+    val out = tmp()
+    val b0 = Seq(0L -> "alpha beta", 5L -> "gamma")
+    val b1 = Seq(6L -> "delta", 10L -> "epsilon zeta")
+    def pii(b: Seq[(Long, String)]) = Pii.synthesizePiiOf(docs(b: _*))
+    StreamingTransform.processBatch(pii(b0), 0L, out, Pii.piiScanOf)
+    StreamingTransform.processBatch(pii(b1), 1L, out, Pii.piiScanOf)
+    val want = Pii.piiScanOf(pii(b0 ++ b1)).collect()
+      .map(_.toSeq).toSet
+    val cols = Seq("doc_id", "n_phones", "n_card_candidates",
+      "n_cards_valid", "text_redacted")
+    assert(rows(out, cols: _*) == want)
+    // the scrub actually redacted something in this fixture
+    assert(rows(out, "text_redacted").exists(
+      _.head.toString.contains("<PHONE>")))
+    // replay batch 1: byte-identical outcome
+    StreamingTransform.processBatch(pii(b1), 1L, out, Pii.piiScanOf)
+    assert(rows(out, cols: _*) == want)
+    // empty replay clears the partition instead of keeping stale rows
+    StreamingTransform.processBatch(docs(), 1L, out, Pii.piiScanOf)
+    assert(rows(out, "doc_id").map(_.head) == Set(0L, 5L))
+  }
+
+  test("streaming extract and metadata stages equal their batch " +
+      "operators over the union of batches") {
+    val (outE, outM) = (tmp(), tmp())
+    val b0 = Seq(1L -> ((1 to 25).map(i => s"w$i").mkString(" ")))
+    val b1 = Seq(2L -> "tiny doc", 3L -> ((1 to 40).map(i => s"v$i").mkString(" ")))
+    def html(b: Seq[(Long, String)]) =
+      Boilerplate.synthesizeOutlinedHtmlOf(docs(b: _*))
+    for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+      StreamingTransform.processBatch(html(b), i.toLong, outE,
+        Boilerplate.extractContentOf)
+      StreamingTransform.processBatch(html(b), i.toLong, outM,
+        Boilerplate.extractMetadataOf)
+    }
+    val wantE = Boilerplate.extractContentOf(html(b0 ++ b1))
+      .collect().map(_.toSeq).toSet
+    assert(rows(outE, "doc_id", "n_blocks", "n_chrome", "n_link_dense",
+      "n_short", "n_content", "main_text") == wantE)
+    val wantM = Boilerplate.extractMetadataOf(html(b0 ++ b1))
+      .collect().map(_.toSeq).toSet
+    assert(rows(outM, "doc_id", "title", "first_h1", "n_headings",
+      "outline") == wantM)
+  }
+
+  test("end-to-end through writeStream: the PII stage scrubs across " +
+      "real micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = tmp()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTransform.startPiiScrub(
+      Pii.synthesizePiiOf(input.toDF().toDF("doc_id", "text")),
+      out, checkpointDir = tmp())
+    input.addData(0L -> "first")
+    q.processAllAvailable()
+    input.addData(6L -> "second", 10L -> "third")
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(out, "doc_id").map(_.head) == Set(0L, 6L, 10L))
+    // doc 0: phone (0%5) and valid card (0%3, even); doc 6: valid card
+    val red = rows(out, "doc_id", "text_redacted")
+      .map(s => s.head.asInstanceOf[Long] -> s(1).toString).toMap
+    assert(red(0L).contains("<PHONE>") && red(0L).contains("<CARD>"))
+    assert(red(6L).contains("<CARD>"))
+    assert(!red(10L).contains("<CARD>"))
+  }
+}
