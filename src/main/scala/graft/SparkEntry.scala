@@ -229,6 +229,8 @@ object SparkEntry {
       graft.ext.Boilerplate.markupMetadata(s, d)),
     "q132_crawl_pipeline" -> ((s: SparkSession, d: String) =>
       graft.ext.CrawlPipeline.crawlPipeline(s, d)),
+    "q133_image_clusters" -> ((s: SparkSession, d: String) =>
+      graft.ext.ImageHash.imageClusters(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -475,6 +477,7 @@ object SparkEntry {
     "q129_url_canonicalize" -> graft.ext.UrlCurate.urlCurateOracle,
     "q130_domain_caps" -> graft.ext.UrlCurate.domainCapsOracle,
     "q131_markup_metadata" -> graft.ext.Boilerplate.markupMetadataOracle,
-    "q132_crawl_pipeline" -> graft.ext.CrawlPipeline.crawlPipelineOracle
+    "q132_crawl_pipeline" -> graft.ext.CrawlPipeline.crawlPipelineOracle,
+    "q133_image_clusters" -> graft.ext.ImageHash.imageClustersOracle
   )
 }

@@ -209,6 +209,19 @@ object ImageHash {
     imageNearDupPairsOf(dhashOf(perturbedPayloads(spark, dir)))
       .orderBy(col("a"), col("b"))
 
+  /** q133: image duplicate CLUSTERS — the q128 pair set resolved into
+    * connected components ([[Curate.dedupClustersOf]], the
+    * large-star/small-star CC), so chains of near-identical images
+    * (original ↔ noisy re-save ↔ second re-save) collapse to one
+    * canonical representative — the image-side twin of the text q48.
+    * Pairs are checkpointed once; the CC rounds read the
+    * materialization. ORDER BY = oracle determinism only. */
+  def imageClusters(spark: SparkSession, dir: String): DataFrame =
+    Curate.dedupClustersOf(
+        imageNearDupPairsOf(dhashOf(perturbedPayloads(spark, dir)))
+          .select(col("a"), col("b")).localCheckpoint())
+      .orderBy(col("doc_id"))
+
   /** Shared oracle scaffold: per-image 8×4 cell sums/counts and the two
     * packed gradient words, replayed from `documents.text` hex bytes
     * (the q110 recipe). `idsCte` must yield (img_id, doc_id, pert). */
@@ -296,4 +309,41 @@ object ImageHash {
        WHERE bit_count(xor(ha, hb)) + bit_count(xor(va, vb))
          <= $DefaultMaxHamming
        ORDER BY a, b"""
+
+  /** Oracle for q133 [[imageClusters]]: the q128 pair derivation plus
+    * transitive closure via a recursive CTE (the q48 idiom — min
+    * reachable id = component representative). */
+  val imageClustersOracle: String =
+    s"""WITH RECURSIVE ${dhashCte(
+      "SELECT doc_id AS img_id, doc_id, 0 AS pert FROM documents " +
+        "WHERE doc_id % 6 IN (0, 1, 2, 4) UNION ALL " +
+        s"SELECT doc_id + $PerturbId, doc_id, 1 FROM documents " +
+        "WHERE doc_id % 6 IN (0, 1, 2, 4) AND doc_id % 10 = 0")},
+       bnum AS (SELECT unnest(range(0, 4)) AS bi),
+       band AS (SELECT img_id, dhash_h, dhash_v, bi,
+           CASE bi WHEN 0 THEN dhash_h & 65535
+                   WHEN 1 THEN (dhash_h >> 16) & 65535
+                   WHEN 2 THEN dhash_v & 65535
+                   ELSE (dhash_v >> 16) & 65535 END AS bv
+         FROM hsh CROSS JOIN bnum),
+       cand AS (SELECT DISTINCT x.img_id AS a, y.img_id AS b,
+                  x.dhash_h AS ha, x.dhash_v AS va,
+                  y.dhash_h AS hb, y.dhash_v AS vb
+                FROM band x JOIN band y
+                  ON x.bi = y.bi AND x.bv = y.bv AND x.img_id < y.img_id),
+       pr AS (SELECT a, b FROM cand
+              WHERE bit_count(xor(ha, hb)) + bit_count(xor(va, vb))
+                <= $DefaultMaxHamming),
+       edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       cc AS (SELECT node AS doc_id, min(r) AS cluster_id
+              FROM walk GROUP BY node)
+       SELECT cc.doc_id, cc.cluster_id, s.n_members
+       FROM cc JOIN (SELECT cluster_id, count(*) AS n_members
+                     FROM cc GROUP BY 1) s USING (cluster_id)
+       ORDER BY doc_id"""
 }

@@ -227,7 +227,9 @@ object ScaleSmoke {
       "q131_markup_metadata" -> ((s: SparkSession, d: String) =>
         graft.ext.Boilerplate.markupMetadata(s, d)),
       "q132_crawl_pipeline" -> ((s: SparkSession, d: String) =>
-        graft.ext.CrawlPipeline.crawlPipeline(s, d))
+        graft.ext.CrawlPipeline.crawlPipeline(s, d)),
+      "q133_image_clusters" -> ((s: SparkSession, d: String) =>
+        graft.ext.ImageHash.imageClusters(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -105,6 +105,29 @@ class ImageHashSpec extends SparkSpecBase {
       s"missing planted pairs: ${planted -- pairs}")
   }
 
+  test("q133 clusters: every planted twin lands in its original's " +
+      "component with the original as representative") {
+    import spark.implicits._
+    val clusters = ImageHash.imageClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .as[(Long, Long, Long)].collect()
+    val byId = clusters.map(c => c._1 -> c).toMap
+    val planted = Tables(spark, sf0001, "documents")
+      .select(col("doc_id")).as[Long].collect()
+      .filter(id => id % 10 == 0 &&
+        math.floorMod(id, 6L) != 3 && math.floorMod(id, 6L) != 5)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val twin = id + ImageHash.PerturbId
+      assert(byId.contains(id) && byId.contains(twin),
+        s"pairled images $id/$twin missing from clusters")
+      assert(byId(id)._2 == byId(twin)._2,
+        s"twin $twin not in $id's component")
+      assert(byId(id)._2 <= id, "representative must be the min id")
+      assert(byId(id)._3 >= 2)
+    }
+  }
+
   test("plan shape: hashing is a narrow decode map; the pair join is " +
       "banded (no cartesian) and the Of form is sort-free") {
     val hashPlan = ImageHash.dhashOf(Multimodal.mediaPayloads(spark, sf0001))
