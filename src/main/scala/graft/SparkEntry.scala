@@ -231,6 +231,10 @@ object SparkEntry {
       graft.ext.CrawlPipeline.crawlPipeline(s, d)),
     "q133_image_clusters" -> ((s: SparkSession, d: String) =>
       graft.ext.ImageHash.imageClusters(s, d)),
+    "q134_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+      graft.ext.AudioHash.audioFingerprint(s, d)),
+    "q135_audio_neardup" -> ((s: SparkSession, d: String) =>
+      graft.ext.AudioHash.audioNearDup(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -478,6 +482,8 @@ object SparkEntry {
     "q130_domain_caps" -> graft.ext.UrlCurate.domainCapsOracle,
     "q131_markup_metadata" -> graft.ext.Boilerplate.markupMetadataOracle,
     "q132_crawl_pipeline" -> graft.ext.CrawlPipeline.crawlPipelineOracle,
-    "q133_image_clusters" -> graft.ext.ImageHash.imageClustersOracle
+    "q133_image_clusters" -> graft.ext.ImageHash.imageClustersOracle,
+    "q134_audio_fingerprint" -> graft.ext.AudioHash.audioFingerprintOracle,
+    "q135_audio_neardup" -> graft.ext.AudioHash.audioNearDupOracle
   )
 }

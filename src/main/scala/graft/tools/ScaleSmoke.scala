@@ -229,7 +229,11 @@ object ScaleSmoke {
       "q132_crawl_pipeline" -> ((s: SparkSession, d: String) =>
         graft.ext.CrawlPipeline.crawlPipeline(s, d)),
       "q133_image_clusters" -> ((s: SparkSession, d: String) =>
-        graft.ext.ImageHash.imageClusters(s, d))
+        graft.ext.ImageHash.imageClusters(s, d)),
+      "q134_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+        graft.ext.AudioHash.audioFingerprint(s, d)),
+      "q135_audio_neardup" -> ((s: SparkSession, d: String) =>
+        graft.ext.AudioHash.audioNearDup(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

@@ -44,7 +44,8 @@ class ParallelismSpec extends SparkSpecBase {
     // the per-domain cap window
     "q127_image_dhash", "q128_image_neardup",
     "q129_url_canonicalize", "q130_domain_caps",
-    "q131_markup_metadata", "q132_crawl_pipeline", "q133_image_clusters")
+    "q131_markup_metadata", "q132_crawl_pipeline", "q133_image_clusters",
+    "q134_audio_fingerprint", "q135_audio_neardup")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
