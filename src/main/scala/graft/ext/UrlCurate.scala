@@ -91,36 +91,19 @@ object UrlCurate {
   }
 
   /** Append `registrable_domain` from `host` by the public-suffix
-    * algorithm, with the rules inlined as literals — a narrow fold, no
-    * join: for each label-suffix candidate of the host (up to 6), score
-    * exception > any match > none and longer suffixes over shorter,
-    * then cut the host to (public suffix + 1) labels. A host that IS a
-    * public suffix has no registrable domain (null). */
+    * algorithm — exception > any match > none, longer suffixes over
+    * shorter, default `*` rule when nothing matches, null when the host
+    * IS a public suffix. One compact codegen'd expression
+    * ([[graft.functions.PublicSuffixDomain]]) with the rules hashed
+    * once per plan: the same algorithm as a column fold over inlined
+    * literals generated thousands of Java lines and cost seconds of
+    * Janino compilation per cold query. */
   def registrableDomainOf(df: DataFrame,
       exact: Seq[String] = PslExact, wild: Seq[String] = PslWild,
-      exception: Seq[String] = PslException): DataFrame = {
-    val labels = split(col("host"), "\\.")
-    val n = size(labels)
-    // candidate i = the host's last i labels, as the exact-match key and
-    // the wildcard-match key ("*." + last i-1 labels)
-    val keys = transform(sequence(lit(1), least(n, lit(6))), i => {
-      val ex = array_join(slice(labels, n - i + 1, i), ".")
-      val wc = when(i === 1, lit("*")).otherwise(
-        concat(lit("*."), array_join(slice(labels, n - i + 2, i - 1), ".")))
-      val isExc = array_contains(lits(exception), ex)
-      val matched = array_contains(lits(exact), ex) ||
-        array_contains(lits(wild), wc)
-      // packed score: priority·100 + public-suffix label count, so one
-      // array_max picks the winner (exception rules shed their leftmost
-      // label: "!www.ck" makes "ck" the suffix for that host)
-      when(isExc, lit(200) + i - 1).when(matched, lit(100) + i)
-    })
-    // no matching rule -> the default "*" rule: suffix = last label
-    val ps = coalesce(array_max(keys) % 100, lit(1))
+      exception: Seq[String] = PslException): DataFrame =
     df.withColumn("registrable_domain",
-      when(col("host").isNotNull && n > ps,
-        array_join(slice(labels, n - ps, ps + 1), ".")))
-  }
+      graft.functions.PublicSuffix.registrable_domain(
+        col("host"), exact, wild, exception))
 
   /** Append `blocked` from the (inlined) registrable-domain blocklist. */
   def blocklistOf(df: DataFrame,
@@ -134,15 +117,17 @@ object UrlCurate {
     * without a registrable domain count as their own group. The one
     * shuffle of the pipeline: a hash-partitioned window on the domain
     * key. */
-  def domainCapOf(df: DataFrame, cap: Int = DomainCap): DataFrame = {
-    val dom = coalesce(col("registrable_domain"), col("host"))
+  def domainCapOf(df: DataFrame, cap: Int = DomainCap): DataFrame =
     df.filter(!col("blocked") && col("host").isNotNull)
-      .withColumn("domain", dom)
+      // materialize the domain column FIRST: partitioning the window on
+      // the raw coalesce(...) expression would re-inline the whole
+      // canonicalization/PSL tree into the exchange key
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
       .withColumn("_rk", row_number().over(
-        Window.partitionBy(dom).orderBy(col("doc_id"))))
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
       .filter(col("_rk") <= cap)
       .drop("_rk")
-  }
 
   /** Deterministic URL synthesis for the registered queries (the corpus
     * has no URL column — the q123 idiom): scheme/sub/case/port/path/
