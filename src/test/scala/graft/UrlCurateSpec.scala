@@ -113,6 +113,58 @@ class UrlCurateSpec extends SparkSpecBase {
     assert(!kept.keySet.exists(UrlCurate.Blocklist.contains))
   }
 
+  test("canonicalization is idempotent: every canonical URL of the " +
+      "synthesized corpus is its own fixed point") {
+    import spark.implicits._
+    val once = UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(
+      Tables(spark, sf0001, "documents")))
+      .select(col("doc_id"), col("canon_url"))
+    val twice = UrlCurate.canonicalizeOf(
+        once.withColumnRenamed("canon_url", "url"))
+      .select(col("doc_id"), col("url"), col("canon_url"))
+      .as[(Long, String, String)].collect()
+    assert(twice.nonEmpty)
+    twice.foreach { case (id, u, c) =>
+      assert(u == c, s"doc $id: canon($u) re-canonicalized to $c")
+    }
+  }
+
+  test("PSL matcher agrees with an independent reference " +
+      "implementation on 2000 generated hosts") {
+    import spark.implicits._
+    // independent re-statement of the published algorithm: try every
+    // rule against the host's label tail, exceptions shed a label,
+    // longest match wins, default * otherwise
+    def reference(host: String): String = {
+      val ls = host.split('.')
+      val n = ls.length
+      def tailMatches(rule: Array[String]): Boolean =
+        rule.length <= n && rule.zip(ls.takeRight(rule.length))
+          .forall { case (r, l) => r == "*" || r == l }
+      val exc = UrlCurate.PslException.map(_.split('.'))
+        .filter(tailMatches).map(_.length - 1).sorted.lastOption
+      val norm = (UrlCurate.PslExact ++ UrlCurate.PslWild)
+        .map(_.split('.')).filter(tailMatches).map(_.length)
+        .sorted.lastOption
+      val ps = exc.getOrElse(norm.getOrElse(1))
+      if (n > ps) ls.takeRight(ps + 1).mkString(".") else null
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val labels = Seq("www", "a", "news", "x9", "site", "any", "ck",
+      "com", "co", "uk", "github", "io", "de", "au", "example")
+    val hosts = (1 to 2000).map { _ =>
+      (1 to (1 + rnd.nextInt(5))).map(_ => labels(rnd.nextInt(labels.size)))
+        .mkString(".")
+    }.distinct
+    val got = UrlCurate.registrableDomainOf(hosts.toDF("host"))
+      .select(col("host"), col("registrable_domain")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach { h =>
+      assert(got(h) == reference(h),
+        s"host $h: expression ${got(h)}, reference ${reference(h)}")
+    }
+  }
+
   test("plan shape: canonicalize + PSL + blocklist is one narrow map " +
       "(zero exchanges); the cap adds exactly one hash exchange") {
     val narrow = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
