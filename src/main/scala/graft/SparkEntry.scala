@@ -235,6 +235,12 @@ object SparkEntry {
       graft.ext.AudioHash.audioFingerprint(s, d)),
     "q135_audio_neardup" -> ((s: SparkSession, d: String) =>
       graft.ext.AudioHash.audioNearDup(s, d)),
+    "q136_video_frames" -> ((s: SparkSession, d: String) =>
+      graft.ext.VideoHash.videoFrameStats(s, d)),
+    "q137_video_fingerprint" -> ((s: SparkSession, d: String) =>
+      graft.ext.VideoHash.videoFingerprint(s, d)),
+    "q138_video_neardup" -> ((s: SparkSession, d: String) =>
+      graft.ext.VideoHash.videoNearDup(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -484,6 +490,9 @@ object SparkEntry {
     "q132_crawl_pipeline" -> graft.ext.CrawlPipeline.crawlPipelineOracle,
     "q133_image_clusters" -> graft.ext.ImageHash.imageClustersOracle,
     "q134_audio_fingerprint" -> graft.ext.AudioHash.audioFingerprintOracle,
-    "q135_audio_neardup" -> graft.ext.AudioHash.audioNearDupOracle
+    "q135_audio_neardup" -> graft.ext.AudioHash.audioNearDupOracle,
+    "q136_video_frames" -> graft.ext.VideoHash.videoFrameStatsOracle,
+    "q137_video_fingerprint" -> graft.ext.VideoHash.videoFingerprintOracle,
+    "q138_video_neardup" -> graft.ext.VideoHash.videoNearDupOracle
   )
 }

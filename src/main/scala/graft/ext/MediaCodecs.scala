@@ -610,4 +610,168 @@ object MediaCodecs {
     }
     Some((rate, out))
   }
+
+  // ------------------------------------------- animated GIF89a (video)
+  // The VIDEO container of the corpus: a multi-frame GIF is the one
+  // universally-published video format expressible in pure integer
+  // arithmetic (lossless palette raster + LZW entropy coding), so the
+  // frame pixels survive the round trip bit-exactly and a SQL oracle
+  // can replay them the q110 way. The WRITE path below is our own LZW
+  // implementation (variable-width codes, width growth at each
+  // power-of-two table fill, clear-code reset at slot 4095 — the
+  // GIF89a specification appendix algorithm, giflib-compatible width
+  // timing); the READ path is the JDK ImageIO GIF plugin's independent
+  // LZW decoder, so encode and decode never share a line of code.
+
+  /** GIF LZW with an 8-bit minimum code size: variable-width codes
+    * starting at 9 bits, LSB-first bit packing, dictionary reset via
+    * the clear code when slot 4095 is reached. Prefix state is a dense
+    * (prefixCode, nextByte) hash — prefix < 4096 and byte < 256 pack
+    * into one positive Int key. */
+  private def gifLzwEncode(pixels: Array[Byte]): Array[Byte] = {
+    val minCode = 8
+    val clear = 1 << minCode // 256
+    val eoi = clear + 1 // 257
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = minCode + 1
+    var maxCode1 = 1 << width
+    var next = eoi + 1
+    // width grows AFTER emitting the code that crossed the boundary —
+    // the decoder mirrors this because its own table reaches the same
+    // size one step later (it lags the encoder by exactly one entry)
+    def write(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) {
+        out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+      }
+      if (next >= maxCode1 && width < 12) { width += 1; maxCode1 = 1 << width }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    write(clear)
+    var prefix = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val c = pixels(i) & 0xff
+      val key = Integer.valueOf((prefix << 8) | c)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        write(prefix)
+        if (next >= 4095) {
+          write(clear)
+          dict.clear()
+          next = eoi + 1
+          width = minCode + 1
+          maxCode1 = 1 << width
+        } else {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+        }
+        prefix = c
+      }
+      i += 1
+    }
+    write(prefix)
+    write(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Encode 1-channel frames as an animated GIF89a: identity grayscale
+    * global palette (entry i = (i,i,i), so every palette index IS its
+    * intensity and the raster is lossless), full-size frames at origin
+    * with disposal "none", a NETSCAPE loop block, and our own
+    * [[gifLzwEncode]] entropy coder per frame. Every frame must be
+    * exactly width*height bytes. */
+  def encodeGif(width: Int, height: Int, frames: Seq[Array[Byte]],
+      delayCs: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xF7) // global color table, 8-bit resolution, 256 entries
+    out.write(0) // background index
+    out.write(0) // aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x21); out.write(0xFF); out.write(11) // application ext
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0); out.write(0) // loop forever
+    frames.foreach { px =>
+      require(px.length == width * height, "frame size mismatch")
+      out.write(0x21); out.write(0xF9); out.write(4) // graphic control
+      out.write(0) // disposal none, no transparency
+      u16(delayCs)
+      out.write(0); out.write(0)
+      out.write(0x2C); u16(0); u16(0); u16(width); u16(height); out.write(0)
+      out.write(8) // LZW minimum code size
+      val z = gifLzwEncode(px)
+      var o = 0
+      while (o < z.length) {
+        val n = math.min(255, z.length - o)
+        out.write(n)
+        out.write(z, o, n)
+        o += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** One decoded GIF frame: 1-channel palette-index pixels. For
+    * [[encodeGif]]'s identity-gray palette the index IS the intensity;
+    * for foreign GIFs it is the palette index of each pixel. */
+  case class GifFrames(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** Decode EVERY frame of a GIF through the JDK ImageIO GIF reader
+    * (its own LZW implementation — fully independent of the encoder
+    * above). Frames are returned as palette indices read straight off
+    * the indexed raster; frames whose descriptor is not full-size at
+    * the origin (foreign optimized GIFs) are refused rather than
+    * composited. None for non-GIF or malformed payloads. */
+  def decodeGifFrames(b: Array[Byte]): Option[GifFrames] = {
+    if (!isGif(b)) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) return None
+          val first = r.read(0)
+          val w = first.getWidth
+          val h = first.getHeight
+          val frames = new Array[Array[Byte]](n)
+          var f = 0
+          while (f < n) {
+            val im = if (f == 0) first else r.read(f)
+            if (im.getWidth != w || im.getHeight != h) return None
+            val out = new Array[Byte](w * h)
+            val raster = im.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out(y * w + x) = raster.getSample(x, y, 0).toByte
+                x += 1
+              }
+              y += 1
+            }
+            frames(f) = out
+            f += 1
+          }
+          Some(GifFrames(w, h, frames))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

@@ -233,7 +233,13 @@ object ScaleSmoke {
       "q134_audio_fingerprint" -> ((s: SparkSession, d: String) =>
         graft.ext.AudioHash.audioFingerprint(s, d)),
       "q135_audio_neardup" -> ((s: SparkSession, d: String) =>
-        graft.ext.AudioHash.audioNearDup(s, d))
+        graft.ext.AudioHash.audioNearDup(s, d)),
+      "q136_video_frames" -> ((s: SparkSession, d: String) =>
+        graft.ext.VideoHash.videoFrameStats(s, d)),
+      "q137_video_fingerprint" -> ((s: SparkSession, d: String) =>
+        graft.ext.VideoHash.videoFingerprint(s, d)),
+      "q138_video_neardup" -> ((s: SparkSession, d: String) =>
+        graft.ext.VideoHash.videoNearDup(s, d))
     )
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
     cases.foreach { case (name, q) =>

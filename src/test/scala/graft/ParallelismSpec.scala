@@ -45,7 +45,10 @@ class ParallelismSpec extends SparkSpecBase {
     "q127_image_dhash", "q128_image_neardup",
     "q129_url_canonicalize", "q130_domain_caps",
     "q131_markup_metadata", "q132_crawl_pipeline", "q133_image_clusters",
-    "q134_audio_fingerprint", "q135_audio_neardup")
+    "q134_audio_fingerprint", "q135_audio_neardup",
+    // round-11 video family: the demux+hash pass is a narrow map; the
+    // temporal near-dup adds band and verify shuffles
+    "q136_video_frames", "q137_video_fingerprint", "q138_video_neardup")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
