@@ -197,10 +197,15 @@ object VideoHash {
     * twin must surface as (doc_id, doc_id + 10^6) with per-frame
     * Hamming within budget on ALL common sampled frames; naturally
     * similar videos may add pairs, which the oracle reproduces by
-    * replaying the identical algorithm. ORDER BY = oracle determinism
-    * only. */
+    * replaying the identical algorithm. Fingerprints are checkpointed
+    * once: the pair derivation reads them four times (band self-join +
+    * both verify sides), and ~24 B/sampled frame is vastly cheaper to
+    * materialize than to demux the video corpus again — the posture a
+    * 100 TB pipeline would take (hash once, join the hashes). ORDER BY
+    * = oracle determinism only. */
   def videoNearDup(spark: SparkSession, dir: String): DataFrame =
-    videoNearDupPairsOf(fingerprintsOf(perturbedVideoPayloads(spark, dir)))
+    videoNearDupPairsOf(
+        fingerprintsOf(perturbedVideoPayloads(spark, dir)).localCheckpoint())
       .orderBy(col("a"), col("b"))
 
   // -------------------------------------------------------- oracles
