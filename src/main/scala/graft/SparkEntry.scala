@@ -241,6 +241,8 @@ object SparkEntry {
       graft.ext.VideoHash.videoFingerprint(s, d)),
     "q138_video_neardup" -> ((s: SparkSession, d: String) =>
       graft.ext.VideoHash.videoNearDup(s, d)),
+    "q139_robots_policy" -> ((s: SparkSession, d: String) =>
+      graft.ext.Robots.robotsFilter(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -493,6 +495,7 @@ object SparkEntry {
     "q135_audio_neardup" -> graft.ext.AudioHash.audioNearDupOracle,
     "q136_video_frames" -> graft.ext.VideoHash.videoFrameStatsOracle,
     "q137_video_fingerprint" -> graft.ext.VideoHash.videoFingerprintOracle,
-    "q138_video_neardup" -> graft.ext.VideoHash.videoNearDupOracle
+    "q138_video_neardup" -> graft.ext.VideoHash.videoNearDupOracle,
+    "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle
   )
 }

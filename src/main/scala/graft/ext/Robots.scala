@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Robots-exclusion (crawl-policy) filtering — the gate RFC 9309 puts in
+  * front of every web pipeline, completing the crawl front end: URL
+  * curation (q129/q130) → ROBOTS POLICY (q139) → extraction (q123) →
+  * link graph (q124).
+  *
+  * Semantics are the published Robots Exclusion Protocol (RFC 9309 §2,
+  * the rules Googlebot documents publicly):
+  *   - rules are grouped by user-agent; if ANY group names the crawling
+  *     agent, that group applies and the `*` group is ignored entirely
+  *     (group SELECTION, not merging);
+  *   - a rule's path pattern matches from the beginning of the URL's
+  *     path+query; `*` matches any run of characters and a trailing `$`
+  *     anchors the match to the end;
+  *   - among matching rules the MOST SPECIFIC (longest pattern) wins,
+  *     and on an exact length tie the least restrictive (allow) wins;
+  *   - a URL with no matching rule — or a host with no rules at all —
+  *     is allowed.
+  *
+  * Spark-first shape: the rules frame is an INPUT (in production it is
+  * the parsed per-host robots.txt corpus, keyed however the fetcher
+  * stored it — here the registered query keys by registrable domain as
+  * a domain-policy table). URLs join rules on the domain key with the
+  * pattern match as a residual LIKE predicate, then ONE hash aggregate
+  * per URL picks the winner via an integer score — `2·len(pattern) +
+  * (allow ? 1 : 0)` — whose max encodes both the longest-match rule and
+  * the allow-on-tie rule, so the whole verdict is a single max() with
+  * map-side partial aggregation. With a config-sized rule set the join
+  * is broadcast (plan-asserted in RobotsSpec); with a crawl-scale rule
+  * corpus the same plan degrades gracefully to a hash join on the
+  * domain key. No sort anywhere; the registered q139's ORDER BY is
+  * oracle determinism only.
+  *
+  * Pattern→LIKE translation is exact for REP patterns over our URL
+  * alphabet: `*` → `%`, trailing `$` dropped (anchored = no trailing
+  * `%`), everything else literal — paths contain no `%`/`_`, the only
+  * LIKE metacharacters. The DuckDB oracle replays the translation,
+  * the score, and the group selection string-for-string.
+  */
+object Robots {
+
+  /** The crawling agent the registered query filters for. */
+  val Agent = "graftbot"
+
+  /** Config-as-data policy table for q139 — (domain, agent, allow,
+    * pattern), exercising every REP rule class over the synthesized
+    * URL corpus (see [[UrlCurate.synthesizeUrlsOf]]; doc ids on each
+    * domain are fixed residues mod 30, noted per rule):
+    *   - site0.com (ids ≡ 0 mod 30, query `?a=1&b=2`): wildcard
+    *     disallow spanning path+query, re-opened by a LONGER allow;
+    *   - site1.co.uk (ids ≡ 13 mod 30, query `?z=9`): blanket
+    *     directory disallow, partially re-opened by a prefix allow and
+    *     one `$`-anchored exact-URL allow;
+    *   - site2.github.io (ids ≡ 26 mod 30): a `*` group that would
+    *     block every /articles/item URL plus a graftbot group that
+    *     allows them — proves group SELECTION (the `*` group's longer
+    *     disallow must be ignored, not merged) — and a graftbot
+    *     disallow blocking the item8… subset;
+    *   - site4.com.au (ids ≡ 22 mod 30): equal-length allow/disallow
+    *     tie on item2… URLs (allow wins) and a `$`-anchored disallow of
+    *     exactly one URL including its query string;
+    *   - site5.co.uk (ids ≡ 25 mod 30): a graftbot-ONLY group (no `*`
+    *     group to fall back to);
+    *   - every other domain: no rules → default allowed.
+    */
+  val Rules: Seq[(String, String, Boolean, String)] = Seq(
+    ("site0.com", "*", false, "/articles/*0?*"),
+    ("site0.com", "*", true, "/articles/item6*"),
+    ("site1.co.uk", "*", false, "/articles/"),
+    ("site1.co.uk", "*", true, "/articles/item1*"),
+    ("site1.co.uk", "*", true, "/articles/item43?z=9$"),
+    ("site2.github.io", "*", false, "/articles/item"),
+    ("site2.github.io", "graftbot", true, "/articles/"),
+    ("site2.github.io", "graftbot", false, "/articles/item8*"),
+    ("site4.com.au", "*", false, "/articles/item2*"),
+    ("site4.com.au", "*", true, "/articles/item*2"),
+    ("site4.com.au", "*", false, "/articles/item52?z=9$"),
+    ("site5.co.uk", "graftbot", false, "/articles/item8*"))
+
+  /** The q139 policy table as a DataFrame (config-as-data, the
+    * blocklist idiom). */
+  def rulesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Rules.toDF("domain", "agent", "allow", "pattern")
+  }
+
+  /** RFC 9309 group selection: keep the `agent` group where one exists
+    * for the domain, else the `*` group. Two passes over the (small)
+    * rules frame; the existence probe is a broadcast semi-structure. */
+  def applicableRulesOf(rules: DataFrame, agent: String): DataFrame = {
+    val specific = rules.filter(col("agent") === agent)
+      .select(col("domain").as("_specific_domain")).distinct()
+    rules.join(broadcast(specific),
+        col("domain") === col("_specific_domain"), "left")
+      .filter(col("agent") === agent ||
+        (col("agent") === "*" && col("_specific_domain").isNull))
+      .drop("_specific_domain")
+  }
+
+  /** Verdict for every row of `urls` (`domain`, `path` columns, any
+    * others carried through): appends `allowed` and `matched_len` (the
+    * winning pattern's length, null when no rule matched). One
+    * broadcast-or-hash join on the domain key with the REP pattern
+    * match as a residual LIKE, then one max() aggregate per URL —
+    * longest-match and allow-on-tie both live in the integer score
+    * `2·len + allow`.
+    */
+  def robotsFilterOf(urls: DataFrame, rules: DataFrame,
+      agent: String = Agent): DataFrame = {
+    val app = applicableRulesOf(rules, agent)
+      .withColumn("_like_pat",
+        when(col("pattern").endsWith("$"),
+          replace(expr("substring(pattern, 1, length(pattern) - 1)"),
+            lit("*"), lit("%")))
+        .otherwise(concat(replace(col("pattern"), lit("*"), lit("%")),
+          lit("%"))))
+      .withColumn("_score",
+        length(col("pattern")) * 2 + col("allow").cast("int"))
+      .select(col("domain").as("_rule_domain"), col("_like_pat"),
+        col("_score"))
+    val carried = urls.columns.map(col).toSeq
+    urls.join(broadcast(app),
+        col("domain") === col("_rule_domain") &&
+          expr("path LIKE _like_pat"), "left")
+      .groupBy(carried: _*)
+      .agg(max(col("_score")).as("_best"))
+      .withColumn("allowed", coalesce(col("_best") % 2 === 1, lit(true)))
+      .withColumn("matched_len", expr("_best div 2"))
+      .drop("_best")
+  }
+
+  /** q139: the curated URL corpus (q129's synthesis → canonicalization
+    * → PSL → blocklist chain) filtered through the [[Rules]] policy
+    * table for [[Agent]]. ORDER BY = oracle determinism only. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val urls = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(
+          Tables(spark, dir, "documents")))))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+      .withColumn("path",
+        regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
+      .select(col("doc_id"), col("domain"), col("path"))
+    robotsFilterOf(urls, rulesDf(spark))
+      .select(col("doc_id"), col("domain"), col("path"), col("allowed"),
+        col("matched_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def rulesValues: String = Rules.map { case (d, a, al, p) =>
+    s"('$d', '$a', ${if (al) "TRUE" else "FALSE"}, '$p')"
+  }.mkString(",\n         ")
+
+  /** Oracle for q139 [[robotsFilter]] — replays the URL chain (the
+    * shared q129 CTE), the VALUES policy table, group selection, the
+    * LIKE translation, and the integer score. */
+  val robotsFilterOracle: String =
+    s"""WITH ${UrlCurate.curateCte},
+       urls AS (SELECT doc_id,
+           coalesce(registrable_domain, host) AS domain,
+           regexp_replace(canon_url, '^[a-z]+://[^/]*', '') AS path
+         FROM blk WHERE NOT blocked AND host IS NOT NULL),
+       rules(domain, agent, allow, pattern) AS (VALUES
+         $rulesValues),
+       spec AS (SELECT DISTINCT domain AS sd FROM rules
+         WHERE agent = 'graftbot'),
+       app AS (SELECT r.domain AS rule_domain,
+           CASE WHEN r.pattern LIKE '%$$'
+                THEN replace(substr(r.pattern, 1,
+                  length(r.pattern) - 1), '*', '%')
+                ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat,
+           length(r.pattern) * 2 +
+             CASE WHEN r.allow THEN 1 ELSE 0 END AS score
+         FROM rules r LEFT JOIN spec s ON s.sd = r.domain
+         WHERE r.agent = 'graftbot'
+            OR (r.agent = '*' AND s.sd IS NULL)),
+       m AS (SELECT u.doc_id, u.domain, u.path,
+           max(a.score) AS best
+         FROM urls u LEFT JOIN app a ON a.rule_domain = u.domain
+           AND u.path LIKE a.like_pat
+         GROUP BY 1, 2, 3)
+       SELECT doc_id, domain, path,
+         coalesce(best % 2 = 1, TRUE) AS allowed,
+         best // 2 AS matched_len
+       FROM m ORDER BY doc_id"""
+}

@@ -178,8 +178,10 @@ object UrlCurate {
     xs.map(x => s"'$x'").mkString(", ")
 
   /** Shared oracle chain: synthesis → canonicalization → PSL →
-    * blocklist, replayed analytically (every rule string-for-string). */
-  private val curateCte: String =
+    * blocklist, replayed analytically (every rule string-for-string).
+    * `private[ext]` so the robots-policy oracle (q139) replays the same
+    * URL corpus it filters. */
+  private[ext] val curateCte: String =
     s"""u AS (SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
          CASE WHEN doc_id % 3 = 0 THEN 'www.'

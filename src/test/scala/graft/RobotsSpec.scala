@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Robots
+
+/** Robots-exclusion policy filtering (q139): RFC 9309 matching goldens
+  * (wildcard, `$` anchor, longest-match, allow-on-tie, default allow),
+  * group selection, plan shape (broadcast join, sort-free `Of` form),
+  * and corpus-level coverage — every rule class fires on the registered
+  * query's synthesized URLs. */
+class RobotsSpec extends SparkSpecBase {
+
+  private def verdicts(urls: Seq[(Long, String, String)],
+      rules: Seq[(String, String, Boolean, String)],
+      agent: String = "graftbot"): Map[Long, (Boolean, Option[Long])] = {
+    import spark.implicits._
+    Robots.robotsFilterOf(
+        urls.toDF("doc_id", "domain", "path"),
+        rules.toDF("domain", "agent", "allow", "pattern"), agent)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("allowed"),
+          Option(r.getAs[Any]("matched_len"))
+            .map(_.asInstanceOf[Long])))
+      }.toMap
+  }
+
+  test("matching goldens: prefix, * wildcard, $ anchor, longest-match " +
+      "precedence, allow wins length ties, no-match defaults allowed") {
+    val rules = Seq(
+      ("d.com", "*", false, "/private/"),
+      ("d.com", "*", true, "/private/pub*"),
+      ("d.com", "*", false, "/exact$"),
+      ("d.com", "*", false, "/a*z"),
+      // equal length (6), opposite directives, both match "/tt"
+      ("d.com", "*", false, "/t*"),
+      ("d.com", "*", true, "*/tt"))
+    val got = verdicts(Seq(
+      (1L, "d.com", "/private/x"),      // blanket disallow
+      (2L, "d.com", "/private/pub1"),   // longer allow re-opens
+      (3L, "d.com", "/exact"),          // $ anchored: exact hit
+      (4L, "d.com", "/exact/sub"),      // $ anchored: no match -> allowed
+      (5L, "d.com", "/a-middle-z"),     // * spans arbitrary run
+      (6L, "d.com", "/tt"),             // length tie -> allow wins
+      (7L, "d.com", "/elsewhere"),      // no rule matches
+      (8L, "other.net", "/private/x")), // no rules for domain
+      rules)
+    assert(got(1L) == ((false, Some(9L))))
+    assert(got(2L) == ((true, Some(13L))))
+    assert(got(3L) == ((false, Some(7L))))
+    assert(got(4L) == ((true, None)))
+    assert(got(5L) == ((false, Some(4L))))
+    assert(got(6L) == ((true, Some(4L))))
+    assert(got(7L) == ((true, None)))
+    assert(got(8L) == ((true, None)))
+  }
+
+  test("group selection: a specific-agent group REPLACES the * group " +
+      "(never merged), and * applies only where no specific group exists") {
+    val rules = Seq(
+      ("d.com", "*", false, "/docs/page"),    // longer: would win if merged
+      ("d.com", "graftbot", true, "/docs/"),
+      ("e.com", "*", false, "/docs/"),
+      ("f.com", "graftbot", false, "/docs/"))
+    val got = verdicts(Seq(
+      (1L, "d.com", "/docs/page1"),  // graftbot group only: allowed
+      (2L, "e.com", "/docs/page1"),  // * group applies: blocked
+      (3L, "f.com", "/docs/page1")), // graftbot-only group: blocked
+      rules)
+    assert(got(1L) == ((true, Some(6L))))
+    assert(got(2L) == ((false, Some(6L))))
+    assert(got(3L) == ((false, Some(6L))))
+    // a different agent sees the * groups (and default-allow on f.com)
+    val other = verdicts(Seq(
+      (1L, "d.com", "/docs/page1"), (3L, "f.com", "/docs/page1")),
+      rules, agent = "otherbot")
+    assert(other(1L)._1 == false)
+    assert(other(3L) == ((true, None)))
+  }
+
+  test("plan shape: rules join is broadcast and robotsFilterOf is " +
+      "sort-free (no rangepartitioning)") {
+    val df = Robots.robotsFilterOf(
+      graft.ext.UrlCurate.blocklistOf(graft.ext.UrlCurate
+          .registrableDomainOf(graft.ext.UrlCurate.canonicalizeOf(
+            graft.ext.UrlCurate.synthesizeUrlsOf(
+              Tables(spark, sf0001, "documents")))))
+        .filter(!col("blocked") && col("host").isNotNull)
+        .withColumn("domain",
+          coalesce(col("registrable_domain"), col("host")))
+        .withColumn("path",
+          regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
+        .select(col("doc_id"), col("domain"), col("path")),
+      Robots.rulesDf(spark))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "robotsFilterOf must stay sort-free")
+  }
+
+  test("registered q139: every rule class fires on the synthesized " +
+      "corpus — wildcard disallow, longer allow, blanket+$-anchored " +
+      "re-open, group selection, graftbot-only block, default allow") {
+    import spark.implicits._
+    val rows = Robots.robotsFilter(spark, sf001)
+      .select(col("domain"), col("allowed"), col("matched_len"))
+      .as[(String, Boolean, Option[Long])].collect()
+    def n(d: String, allowed: Boolean, len: Option[Long]): Int =
+      rows.count(r => r._1 == d && r._2 == allowed && r._3 == len)
+    // site0.com: wildcard disallow (len 14) dominates, item6* (16) re-opens
+    assert(n("site0.com", false, Some(14L)) > 0)
+    assert(n("site0.com", true, Some(16L)) > 0)
+    // site1.co.uk: blanket (10) blocks, item1* (16) + anchored (21) re-open
+    assert(n("site1.co.uk", false, Some(10L)) > 0)
+    assert(n("site1.co.uk", true, Some(16L)) > 0)
+    assert(n("site1.co.uk", true, Some(21L)) == 1)
+    // site2.github.io: graftbot group selected ('*' item-disallow ignored),
+    // graftbot item8* (16) blocks its subset
+    assert(n("site2.github.io", true, Some(10L)) > 0)
+    assert(n("site2.github.io", false, Some(16L)) > 0)
+    assert(n("site2.github.io", false, Some(14L)) == 0)
+    // site4.com.au: allow wins the 16/16 tie; anchored disallow hits one
+    assert(n("site4.com.au", true, Some(16L)) > 0)
+    assert(n("site4.com.au", false, Some(21L)) == 1)
+    // site5.co.uk: graftbot-only group
+    assert(n("site5.co.uk", false, Some(16L)) > 0)
+    // untouched domains default to allowed with no match
+    assert(n("site9.de", true, None) > 0)
+    assert(!rows.exists(r => r._1 == "site9.de" && !r._2))
+  }
+}
