@@ -243,6 +243,10 @@ object SparkEntry {
       graft.ext.VideoHash.videoNearDup(s, d)),
     "q139_robots_policy" -> ((s: SparkSession, d: String) =>
       graft.ext.Robots.robotsFilter(s, d)),
+    "q140_quantiles_exact" -> ((s: SparkSession, d: String) =>
+      graft.ext.Quantiles.exactQuantiles(s, d)),
+    "q141_quantile_sketch" -> ((s: SparkSession, d: String) =>
+      graft.ext.Quantiles.sketchQuantiles(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -496,6 +500,8 @@ object SparkEntry {
     "q136_video_frames" -> graft.ext.VideoHash.videoFrameStatsOracle,
     "q137_video_fingerprint" -> graft.ext.VideoHash.videoFingerprintOracle,
     "q138_video_neardup" -> graft.ext.VideoHash.videoNearDupOracle,
-    "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle
+    "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle,
+    "q140_quantiles_exact" -> graft.ext.Quantiles.exactQuantilesOracle,
+    "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle
   )
 }
