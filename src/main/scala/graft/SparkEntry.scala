@@ -247,6 +247,8 @@ object SparkEntry {
       graft.ext.Quantiles.exactQuantiles(s, d)),
     "q141_quantile_sketch" -> ((s: SparkSession, d: String) =>
       graft.ext.Quantiles.sketchQuantiles(s, d)),
+    "q142_compression_ratio" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.compressionRatio(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )

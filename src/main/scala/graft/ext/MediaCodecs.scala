@@ -628,7 +628,7 @@ object MediaCodecs {
     * the clear code when slot 4095 is reached. Prefix state is a dense
     * (prefixCode, nextByte) hash — prefix < 4096 and byte < 256 pack
     * into one positive Int key. */
-  private def gifLzwEncode(pixels: Array[Byte]): Array[Byte] = {
+  private[graft] def gifLzwEncode(pixels: Array[Byte]): Array[Byte] = {
     val minCode = 8
     val clear = 1 << minCode // 256
     val eoi = clear + 1 // 257

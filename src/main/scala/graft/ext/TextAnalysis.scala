@@ -1040,6 +1040,36 @@ object TextAnalysis {
        FROM res ORDER BY doc_id"""
   }
 
+  // --- LZW compression-ratio quality signal (q142) --------------------------
+
+  /** q142: per-document LZW compression ratio — the entropy-coding
+    * quality signal of published pipelines (Dolma's gzip ratio,
+    * RedPajama-v2's repetition signals). Unlike q50's windowed n-gram
+    * ratios or q126's unigram entropy, the LZW dictionary compresses
+    * repeats at ANY distance, so cross-paragraph boilerplate shows up
+    * here first. `templated` (ratio ≤ 0.60) flags machine-generated /
+    * copy-heavy text (natural prose in this corpus sits at 0.64–0.79
+    * interquartile); `high_entropy` (ratio ≥ 1.0) flags incompressible
+    * noise — base64 blobs, minified data, or too-short fragments.
+    *
+    * One narrow codegen'd map ([[graft.functions.Lzw]]), zero shuffle
+    * at any corpus size. Rows-only the way BPE (q82/q83) is: LZW is
+    * inherently sequential, and its exact integer twin is the
+    * byte-stream equality `lzw_bytes(s) == gifLzwEncode(bytes).length`
+    * pinned in LzwSpec across width boundaries and dictionary resets. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionRatioOf(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  def compressionRatioOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.Lzw.lzw_bytes(col("text")).as("lzw_bytes"))
+      .withColumn("compression_ratio",
+        round(col("lzw_bytes") / col("n_bytes"), 4))
+      .withColumn("templated", col("compression_ratio") <= 0.60)
+      .withColumn("high_entropy", col("compression_ratio") >= 1.0)
+
   val hashedClassifierOracle: String = {
     val mix = graft.functions.DetMix.mixSql("h", 122)
     s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
