@@ -249,6 +249,8 @@ object SparkEntry {
       graft.ext.Quantiles.sketchQuantiles(s, d)),
     "q142_compression_ratio" -> ((s: SparkSession, d: String) =>
       TextAnalysis.compressionRatio(s, d)),
+    "q143_shard_manifest" -> ((s: SparkSession, d: String) =>
+      graft.ext.Shards.shardManifest(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -504,6 +506,7 @@ object SparkEntry {
     "q138_video_neardup" -> graft.ext.VideoHash.videoNearDupOracle,
     "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle,
     "q140_quantiles_exact" -> graft.ext.Quantiles.exactQuantilesOracle,
-    "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle
+    "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle,
+    "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle
   )
 }

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.DetMix
+
+/** Training-shard layout — the DELIVERY end of the pipeline: after
+  * curation (dedup → quality → decontamination) and packing (q55), a
+  * training corpus ships as N equal-ish shard files a data loader can
+  * open independently (the WebDataset/Megatron shard convention), plus
+  * a MANIFEST recording per-shard counts and content fingerprints so a
+  * consumer can verify a shard without rereading the corpus.
+  *
+  * Assignment is `DetMix(doc_id) mod n` — deterministic, uniform (the
+  * mixer is the repo's engine-portable draw), and independent of input
+  * partitioning, so the same corpus always ships the same shards and
+  * the DuckDB oracle replays the whole manifest: n_docs, token sums,
+  * doc_id range, and an order-independent content fingerprint
+  * (Σ DetMix(doc_id, seed+1), exact integer arithmetic; documented
+  * bound: sums stay below 2⁶³ for < ~4·10⁹ docs per shard — at larger
+  * scale raise n_shards, never the other way).
+  *
+  * Scale: ONE hash aggregate on shard_id for the manifest; the writer
+  * repartitions by the shard column so every shard lands in exactly
+  * one task → exactly one file per shard directory, written in the
+  * same pass (no post-hoc compaction). Manifest is written AFTER the
+  * data commits, so a consumer that sees the manifest sees the files.
+  */
+object Shards {
+
+  /** Shard fanout for the registered q143. */
+  val NShards = 8
+
+  /** DetMix seed for assignment; seed+1 fingerprints content. */
+  val Seed = 143L
+
+  /** Append (n_tokens, shard_id, fp) to a documents frame. Narrow. */
+  def shardAssignOf(docs: DataFrame, nShards: Int = NShards,
+      seed: Long = Seed): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard_id",
+        (expr(DetMix.mixSql("doc_id", seed)) % nShards).cast("int"))
+      .withColumn("fp", expr(DetMix.mixSql("doc_id", seed + 1)))
+
+  /** Per-shard manifest of an assigned frame: doc/token counts, doc_id
+    * range, and the order-independent content fingerprint. One hash
+    * aggregate. */
+  def manifestOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("fp")).as("checksum"))
+
+  /** q143: the shard manifest of the documents corpus. ORDER BY =
+    * oracle determinism only. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(shardAssignOf(Tables(spark, dir, "documents")))
+      .orderBy(col("shard_id"))
+
+  /** Write the corpus as one parquet file per shard under
+    * `outDir/data/shard_id=K/`, then the manifest under
+    * `outDir/manifest/` — AFTER the data, so manifest-present implies
+    * data-present. Repartitioning BY the shard column puts each
+    * shard's rows in exactly one task, hence exactly one file per
+    * shard directory, one pass, no compaction. Returns the manifest. */
+  def writeShards(docs: DataFrame, outDir: String,
+      nShards: Int = NShards, seed: Long = Seed): DataFrame = {
+    val assigned = shardAssignOf(docs, nShards, seed)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    assigned
+      .repartition(nShards, col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$outDir/data")
+    val m = manifestOf(shardAssignOf(docs, nShards, seed))
+    m.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    m
+  }
+
+  /** Oracle for q143 [[shardManifest]] — replays assignment, counts,
+    * range, and fingerprint sum (all exact integer arithmetic). */
+  val shardManifestOracle: String =
+    s"""WITH a AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(${DetMix.mixSql("doc_id", Seed)} % $NShards AS INT)
+             AS shard_id,
+           ${DetMix.mixSql("doc_id", Seed + 1)} AS fp
+         FROM documents)
+       SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         CAST(sum(fp) AS BIGINT) AS checksum
+       FROM a GROUP BY shard_id ORDER BY shard_id"""
+}
