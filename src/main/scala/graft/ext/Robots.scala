@@ -134,24 +134,33 @@ object Robots {
       .drop("_best")
   }
 
-  /** q139: the curated URL corpus (q129's synthesis → canonicalization
-    * → PSL → blocklist chain) filtered through the [[Rules]] policy
-    * table for [[Agent]]. ORDER BY = oracle determinism only. */
-  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
-    val urls = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
-        UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(
-          Tables(spark, dir, "documents")))))
+  /** (doc_id, url) → curated (doc_id, domain, path): the q129
+    * canonicalization → PSL → blocklist chain reduced to the robots
+    * join key and match subject. Narrow; shared by the batch q139 and
+    * the streaming crawl-policy stage. */
+  def curatedUrlsOf(urls: DataFrame): DataFrame =
+    UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(urls)))
       .filter(!col("blocked") && col("host").isNotNull)
       .withColumn("domain",
         coalesce(col("registrable_domain"), col("host")))
       .withColumn("path",
         regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
       .select(col("doc_id"), col("domain"), col("path"))
-    robotsFilterOf(urls, rulesDf(spark))
+
+  /** The full policy verdict over a raw (doc_id, url) frame with the
+    * [[Rules]] table — the streaming stage's transform. */
+  def policyOf(urls: DataFrame): DataFrame =
+    robotsFilterOf(curatedUrlsOf(urls), rulesDf(urls.sparkSession))
       .select(col("doc_id"), col("domain"), col("path"), col("allowed"),
         col("matched_len"))
+
+  /** q139: the curated URL corpus (q129's synthesis → canonicalization
+    * → PSL → blocklist chain) filtered through the [[Rules]] policy
+    * table for [[Agent]]. ORDER BY = oracle determinism only. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame =
+    policyOf(UrlCurate.synthesizeUrlsOf(Tables(spark, dir, "documents")))
       .orderBy(col("doc_id"))
-  }
 
   private def rulesValues: String = Rules.map { case (d, a, al, p) =>
     s"('$d', '$a', ${if (al) "TRUE" else "FALSE"}, '$p')"

@@ -64,4 +64,13 @@ object StreamingTransform {
   def startPiiScrub(docs: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =
     start(docs, outDir, checkpointDir, graft.ext.Pii.piiScanOf)
+
+  /** Streaming crawl-policy verdicts (the q139 operator: canonicalize →
+    * PSL → blocklist → RFC 9309 robots match) over a streaming
+    * (doc_id, url) frame — the frontier gate as fetch results arrive.
+    * Stateless because the policy table is config; a rules CORPUS that
+    * itself streams would need the indexed recipe instead. */
+  def startRobotsPolicy(urls: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(urls, outDir, checkpointDir, graft.ext.Robots.policyOf)
 }

@@ -70,6 +70,33 @@ class StreamingTransformSpec extends SparkSpecBase {
       "outline") == wantM)
   }
 
+  test("streaming robots-policy stage equals batch q139 over the union " +
+      "of batches, through a real MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = tmp()
+    // urls from the q139 synthesis over two disjoint doc_id ranges
+    def urls(ids: Seq[Long]) = graft.ext.UrlCurate.synthesizeUrlsOf(
+      ids.toDF("doc_id")).as[(Long, String)].collect().toSeq
+    val b0 = urls(0L to 40L)
+    val b1 = urls(41L to 90L)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTransform.startRobotsPolicy(
+      input.toDF().toDF("doc_id", "url"), out, checkpointDir = tmp())
+    input.addData(b0: _*)
+    q.processAllAvailable()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.ext.Robots.policyOf(
+        (b0 ++ b1).toDF("doc_id", "url")).collect().map(_.toSeq).toSet
+    assert(rows(out, "doc_id", "domain", "path", "allowed",
+      "matched_len") == want)
+    // the stream actually blocked something in this range
+    assert(rows(out, "allowed").exists(_.head == false))
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._
