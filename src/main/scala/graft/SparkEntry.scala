@@ -251,6 +251,8 @@ object SparkEntry {
       TextAnalysis.compressionRatio(s, d)),
     "q143_shard_manifest" -> ((s: SparkSession, d: String) =>
       graft.ext.Shards.shardManifest(s, d)),
+    "q144_domain_scorecard" -> ((s: SparkSession, d: String) =>
+      graft.ext.UrlCurate.domainScorecard(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -507,6 +509,7 @@ object SparkEntry {
     "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle,
     "q140_quantiles_exact" -> graft.ext.Quantiles.exactQuantilesOracle,
     "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle,
-    "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle
+    "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle,
+    "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle
   )
 }

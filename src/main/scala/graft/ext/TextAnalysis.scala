@@ -26,7 +26,9 @@ object TextAnalysis {
     // drop the empty leading element regexp splits can produce
     filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[ext] val stopwordList =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopwords = stopwordList
 
   /** Per-document quality metrics (length / vocabulary / stopword
     * signals) — SQL-expressible, oracled. */

@@ -134,7 +134,13 @@ object UrlCurate {
     * tracking-param/fragment variants all driven by doc_id arithmetic so
     * every canonicalization rule is exercised and the oracle re-derives
     * the same strings. */
-  def synthesizeUrlsOf(docs: DataFrame): DataFrame = {
+  def synthesizeUrlsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), synthUrlExpr.as("url"))
+
+  /** The synthesized-URL expression over `doc_id` — shared so consumers
+    * that need other columns of the same scan (q144 carries `text`)
+    * attach it without a self-join. */
+  private[ext] def synthUrlExpr: Column = {
     val id = col("doc_id")
     val coreNum = (id * 7) % 10
     val core = when(id % 7 === 0, concat(lit("SITE"), coreNum))
@@ -152,8 +158,8 @@ object UrlCurate {
     val query = when(id % 3 === 0, "?utm_source=feed&b=2&a=1")
       .when(id % 3 === 1, "?z=9&fbclid=abc").otherwise("")
     val frag = when(id % 6 === 0, "#top").otherwise("")
-    docs.select(id, concat(scheme, lit("://"), sub, core, lit("."), suffix,
-      port, path, query, frag).as("url"))
+    concat(scheme, lit("://"), sub, core, lit("."), suffix,
+      port, path, query, frag)
   }
 
   /** q129: synthesize, canonicalize, derive the registrable domain,
@@ -173,6 +179,83 @@ object UrlCurate {
         synthesizeUrlsOf(Tables(spark, dir, "documents"))))))
       .select(col("doc_id"), col("domain"))
       .orderBy(col("domain"), col("doc_id"))
+
+  /** q144: per-domain quality scorecard — the aggregation FineWeb/
+    * RefinedWeb-shaped pipelines run between URL curation (q129/q130)
+    * and document-level filtering: spam and SEO farms are domain-level
+    * phenomena, so token/vocabulary/stopword statistics are rolled up
+    * per registrable domain and thresholds are then corpus policy
+    * (this operator ships the exact statistics, not a verdict).
+    *
+    * All ratios divide two EXACT integer sums once and round to 4
+    * decimals (the q28 idiom), so the whole scorecard is hash-oracled.
+    * Plan: domain key and text metrics both derive from the same
+    * documents scan — one scan, one hash aggregate, no join, sort-free
+    * but for the output ORDER BY (oracle determinism only). */
+  def domainScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val withDomain = blocklistOf(registrableDomainOf(canonicalizeOf(
+        docs.select(col("doc_id"), col("text"), synthUrlExpr.as("url")))))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+    val w = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
+    def q4(x: String): String = graft.functions.DetLn.fix4Sql(x)
+    withDomain
+      .select(col("domain"), col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("chars"),
+        size(w).cast("long").as("toks"),
+        size(array_distinct(w)).cast("long").as("uniq"),
+        size(filter(w, t => array_contains(stopArr, t))).cast("long")
+          .as("stops"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("chars")).as("_chars"),
+        sum(col("uniq")).as("_uniq"),
+        sum(col("stops")).as("_stops"))
+      .select(col("domain"), col("n_docs"), col("sum_tokens"),
+        expr(q4("CAST(sum_tokens AS DOUBLE) / n_docs")).as("avg_tokens"),
+        expr(q4("CAST(_chars AS DOUBLE) / sum_tokens"))
+          .as("avg_token_chars"),
+        expr(q4("CAST(_uniq AS DOUBLE) / sum_tokens")).as("uniq_ratio"),
+        expr(q4("CAST(_stops AS DOUBLE) / sum_tokens")).as("stop_ratio"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle for q144 [[domainScorecard]] — the shared URL chain joined
+    * back to the text, the same exact integer sums, and the same
+    * deterministic 4-decimal quantization of each ratio. */
+  // lazy: curateCte is declared below (initialization order)
+  lazy val domainScorecardOracle: String = {
+    def q4(x: String): String = graft.functions.DetLn.fix4Sql(x)
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH $curateCte,
+       m AS (SELECT coalesce(b.registrable_domain, b.host) AS domain,
+           CAST(length(replace(t.text, ' ', '')) AS BIGINT) AS chars,
+           CAST(len(string_split(t.text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_distinct(string_split(t.text, ' '))) AS BIGINT)
+             AS uniq,
+           CAST(len(list_filter(string_split(t.text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM blk b JOIN documents t ON t.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL),
+       g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           CAST(sum(uniq) AS BIGINT) AS sum_uniq,
+           CAST(sum(stops) AS BIGINT) AS sum_stops
+         FROM m GROUP BY domain)
+       SELECT domain, n_docs, sum_tokens,
+         ${q4("CAST(sum_tokens AS DOUBLE) / n_docs")} AS avg_tokens,
+         ${q4("CAST(sum_chars AS DOUBLE) / sum_tokens")}
+           AS avg_token_chars,
+         ${q4("CAST(sum_uniq AS DOUBLE) / sum_tokens")} AS uniq_ratio,
+         ${q4("CAST(sum_stops AS DOUBLE) / sum_tokens")} AS stop_ratio
+       FROM g ORDER BY domain"""
+  }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")

@@ -239,10 +239,28 @@ object ScaleSmoke {
       "q137_video_fingerprint" -> ((s: SparkSession, d: String) =>
         graft.ext.VideoHash.videoFingerprint(s, d)),
       "q138_video_neardup" -> ((s: SparkSession, d: String) =>
-        graft.ext.VideoHash.videoNearDup(s, d))
+        graft.ext.VideoHash.videoNearDup(s, d)),
+      // round-11 session-3 operators
+      "q139_robots_policy" -> ((s: SparkSession, d: String) =>
+        graft.ext.Robots.robotsFilter(s, d)),
+      "q140_quantiles_exact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Quantiles.exactQuantiles(s, d)),
+      "q141_quantile_sketch" -> ((s: SparkSession, d: String) =>
+        graft.ext.Quantiles.sketchQuantiles(s, d)),
+      "q142_compression_ratio" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.compressionRatio(s, d)),
+      "q143_shard_manifest" -> ((s: SparkSession, d: String) =>
+        graft.ext.Shards.shardManifest(s, d)),
+      "q144_domain_scorecard" -> ((s: SparkSession, d: String) =>
+        graft.ext.UrlCurate.domainScorecard(s, d))
     )
+    // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
+    // times only matching cases (prefix match), after full synthesis
+    val selected =
+      if (args.isEmpty) cases
+      else cases.filter { case (n, _) => args.exists(n.startsWith) }
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
-    cases.foreach { case (name, q) =>
+    selected.foreach { case (name, q) =>
       time(name, base)(q) // warm
       val a = time(name, base)(q)
       val b = time(name, big)(q)

@@ -48,7 +48,14 @@ class ParallelismSpec extends SparkSpecBase {
     "q134_audio_fingerprint", "q135_audio_neardup",
     // round-11 video family: the demux+hash pass is a narrow map; the
     // temporal near-dup adds band and verify shuffles
-    "q136_video_frames", "q137_video_fingerprint", "q138_video_neardup")
+    "q136_video_frames", "q137_video_fingerprint", "q138_video_neardup",
+    // round-11 session 3: robots is a broadcast join + one aggregate;
+    // the quantile sketch's hash_sample merge is associative by
+    // construction (k smallest of the union); the shard manifest's
+    // checksum is an order-independent sum
+    "q139_robots_policy", "q140_quantiles_exact", "q141_quantile_sketch",
+    "q142_compression_ratio", "q143_shard_manifest",
+    "q144_domain_scorecard")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -185,4 +185,42 @@ class UrlCurateSpec extends SparkSpecBase {
         rp.take(1200))
     }
   }
+
+  test("q144 domain scorecard: per-domain stats agree with a per-doc " +
+      "recomputation; single scan, no self-join, one hash exchange") {
+    import spark.implicits._
+    val df = UrlCurate.domainScorecard(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "scorecard must not self-join documents")
+    assert("hashpartitioning".r.findAllIn(p.toLowerCase).length == 1,
+      p.take(1200))
+    val rows = df.collect()
+    assert(rows.length > 20)
+    // recompute one domain's stats doc-by-doc from the raw tables
+    val target = rows.head
+    val dom = target.getAs[String]("domain")
+    val ids = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(
+          Tables(spark, sf001, "documents")))))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .filter(coalesce(col("registrable_domain"), col("host")) === dom)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = Tables(spark, sf001, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(docs.length.toLong == target.getAs[Long]("n_docs"))
+    val toks = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(toks == target.getAs[Long]("sum_tokens"))
+    val stops = docs.map(_._2.split(" ", -1)
+      .count(Seq("the", "a", "of", "and", "to", "in", "is").contains)).sum
+    assert(target.getAs[Double]("stop_ratio") ==
+      math.floor(stops.toDouble / toks * 1e4 + 0.5) / 1e4)
+    // sanity: ratios in natural-text bands
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stop_ratio") > 0.0 &&
+        r.getAs[Double]("stop_ratio") < 0.8)
+      assert(r.getAs[Double]("uniq_ratio") > 0.2 &&
+        r.getAs[Double]("uniq_ratio") <= 1.0)
+    }
+  }
 }
