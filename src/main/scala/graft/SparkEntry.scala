@@ -253,6 +253,8 @@ object SparkEntry {
       graft.ext.Shards.shardManifest(s, d)),
     "q144_domain_scorecard" -> ((s: SparkSession, d: String) =>
       graft.ext.UrlCurate.domainScorecard(s, d)),
+    "q145_release_manifest" -> ((s: SparkSession, d: String) =>
+      graft.ext.Shards.releaseManifest(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -510,6 +512,7 @@ object SparkEntry {
     "q140_quantiles_exact" -> graft.ext.Quantiles.exactQuantilesOracle,
     "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle,
     "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle,
-    "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle
+    "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle,
+    "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle
   )
 }

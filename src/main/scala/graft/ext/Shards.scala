@@ -80,6 +80,60 @@ object Shards {
     m
   }
 
+  /** q145: the composed RELEASE pipeline — exact dedup (q21's keep-first
+    * digest groupBy) → quality gate (pure-integer thresholds: ≥ 20
+    * tokens and a ≥ 2% stopword share, so no float ever enters the
+    * filter) → shard manifest of the survivors. The delivery shape
+    * every training-data release runs, as ONE oracled query: three slim
+    * shuffles (32-byte digest groupBy, doc_id semi join, shard_id
+    * aggregate), each carrying ids/digests/longs — never text.
+    * ORDER BY = oracle determinism only. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val w = split(col("text"), " ")
+    val stopArr = array(
+      TextAnalysis.stopwordList.map(lit): _*)
+    val gated = docs
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("_toks", size(w).cast("long"))
+      .withColumn("_stops",
+        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
+      .filter(col("_toks") >= 20 &&
+        col("_stops") * 100 >= col("_toks") * 2)
+      .select(col("doc_id"), col("text"))
+    manifestOf(shardAssignOf(gated)).orderBy(col("shard_id"))
+  }
+
+  /** Oracle for q145 [[releaseManifest]] — dedup, the integer gate, and
+    * the manifest arithmetic replayed end to end. */
+  lazy val releaseManifestOracle: String = {
+    val stops = graft.ext.TextAnalysis.stopwordList
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY md5(text)),
+       g AS (SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(d.text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents d JOIN k USING (doc_id)),
+       f AS (SELECT doc_id, toks FROM g
+         WHERE toks >= 20 AND stops * 100 >= toks * 2),
+       a AS (SELECT doc_id, toks AS n_tokens,
+           CAST(${DetMix.mixSql("doc_id", Seed)} % $NShards AS INT)
+             AS shard_id,
+           ${DetMix.mixSql("doc_id", Seed + 1)} AS fp
+         FROM f)
+       SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         CAST(sum(fp) AS BIGINT) AS checksum
+       FROM a GROUP BY shard_id ORDER BY shard_id"""
+  }
+
   /** Oracle for q143 [[shardManifest]] — replays assignment, counts,
     * range, and fingerprint sum (all exact integer arithmetic). */
   val shardManifestOracle: String =

