@@ -255,6 +255,8 @@ object SparkEntry {
       graft.ext.UrlCurate.domainScorecard(s, d)),
     "q145_release_manifest" -> ((s: SparkSession, d: String) =>
       graft.ext.Shards.releaseManifest(s, d)),
+    "q146_forget_impact" -> ((s: SparkSession, d: String) =>
+      graft.ext.Shards.forgetImpact(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -513,6 +515,7 @@ object SparkEntry {
     "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle,
     "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle,
     "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle,
-    "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle
+    "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle,
+    "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle
   )
 }

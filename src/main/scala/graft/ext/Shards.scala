@@ -134,6 +134,64 @@ object Shards {
        FROM a GROUP BY shard_id ORDER BY shard_id"""
   }
 
+  /** q146: forget-impact manifest — the GDPR erasure pass (ops/Forget)
+    * projected onto the delivery layout: which shards contain
+    * to-be-forgotten documents (ONLY those need a rewrite — the
+    * affected-partition-only ethos), and the exact post-forget manifest.
+    * Because q143's checksum is an order-independent SUM, erasure is
+    * arithmetic: post = pre − Σ(forgotten), never a recomputation of
+    * the surviving corpus — spec-pinned both ways. One conditional
+    * aggregate over the same single scan as q143.
+    *
+    * The registered query synthesizes the forget set as doc_id ≡ 0
+    * (mod 97) — request-sized, like a real erasure batch. */
+  def forgetImpactOf(assigned: DataFrame, forget: org.apache.spark.sql.Column): DataFrame =
+    assigned
+      .withColumn("_f", forget)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("n_forgotten"),
+        sum(when(!col("_f"), col("n_tokens"))).as("n_tokens_after"),
+        min(when(!col("_f"), col("doc_id"))).as("min_doc_id_after"),
+        max(when(!col("_f"), col("doc_id"))).as("max_doc_id_after"),
+        sum(when(!col("_f"), col("fp"))).as("checksum_after"))
+      .withColumn("n_docs_after",
+        col("n_docs_before") - col("n_forgotten"))
+      .withColumn("needs_rewrite", col("n_forgotten") > 0)
+
+  def forgetImpact(spark: SparkSession, dir: String): DataFrame =
+    forgetImpactOf(shardAssignOf(Tables(spark, dir, "documents")),
+        col("doc_id") % 97 === 0)
+      .select(col("shard_id"), col("n_docs_before"), col("n_forgotten"),
+        col("n_docs_after"), col("n_tokens_after"),
+        col("min_doc_id_after"), col("max_doc_id_after"),
+        col("checksum_after"), col("needs_rewrite"))
+      .orderBy(col("shard_id"))
+
+  /** Oracle for q146 [[forgetImpact]]. */
+  val forgetImpactOracle: String =
+    s"""WITH a AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(${DetMix.mixSql("doc_id", Seed)} % $NShards AS INT)
+             AS shard_id,
+           ${DetMix.mixSql("doc_id", Seed + 1)} AS fp,
+           doc_id % 97 = 0 AS f
+         FROM documents)
+       SELECT shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs_before,
+         CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_forgotten,
+         CAST(count(*) - sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_after,
+         CAST(sum(CASE WHEN NOT f THEN n_tokens END) AS BIGINT)
+           AS n_tokens_after,
+         min(CASE WHEN NOT f THEN doc_id END) AS min_doc_id_after,
+         max(CASE WHEN NOT f THEN doc_id END) AS max_doc_id_after,
+         CAST(sum(CASE WHEN NOT f THEN fp END) AS BIGINT)
+           AS checksum_after,
+         sum(CASE WHEN f THEN 1 ELSE 0 END) > 0 AS needs_rewrite
+       FROM a GROUP BY shard_id ORDER BY shard_id"""
+
   /** Oracle for q143 [[shardManifest]] — replays assignment, counts,
     * range, and fingerprint sum (all exact integer arithmetic). */
   val shardManifestOracle: String =

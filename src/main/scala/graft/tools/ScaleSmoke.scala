@@ -254,7 +254,9 @@ object ScaleSmoke {
       "q144_domain_scorecard" -> ((s: SparkSession, d: String) =>
         graft.ext.UrlCurate.domainScorecard(s, d)),
       "q145_release_manifest" -> ((s: SparkSession, d: String) =>
-        graft.ext.Shards.releaseManifest(s, d))
+        graft.ext.Shards.releaseManifest(s, d)),
+      "q146_forget_impact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Shards.forgetImpact(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

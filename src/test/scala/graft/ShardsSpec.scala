@@ -90,6 +90,53 @@ class ShardsSpec extends SparkSpecBase {
       "keep-first must retain the minimum doc_id of a duplicate group")
   }
 
+  test("q146 forget impact: erasure is exact manifest arithmetic " +
+      "(post == pre - forgotten), flags exactly the shards holding " +
+      "forgotten docs, and equals a from-scratch survivor manifest") {
+    import spark.implicits._
+    val docs = Tables(spark, sf001, "documents")
+    val impact = graft.ext.Shards.forgetImpact(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val pre = graft.ext.Shards.manifestOf(
+        graft.ext.Shards.shardAssignOf(docs))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val forgotten = graft.ext.Shards.shardAssignOf(
+        docs.filter(col("doc_id") % 97 === 0))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), sum("fp").as("fps"),
+        sum("n_tokens").as("tok"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(forgotten.nonEmpty, "forget set empty at sf0.01")
+    for ((sid, r) <- impact) {
+      val (fN, fFp, fTok) = forgotten.getOrElse(sid, (0L, 0L, 0L))
+      assert(r.getAs[Boolean]("needs_rewrite") == (fN > 0))
+      assert(r.getAs[Long]("n_forgotten") == fN)
+      // the additive checksum makes erasure a subtraction
+      assert(r.getAs[Long]("checksum_after") ==
+        pre(sid).getAs[Long]("checksum") - fFp)
+      assert(r.getAs[Long]("n_tokens_after") ==
+        pre(sid).getAs[Long]("n_tokens") - fTok)
+    }
+    // and the post state equals a from-scratch survivor manifest
+    val scratch = graft.ext.Shards.manifestOf(graft.ext.Shards
+        .shardAssignOf(docs.filter(col("doc_id") % 97 =!= 0)))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    for ((sid, r) <- impact) {
+      assert(r.getAs[Long]("n_docs_after") ==
+        scratch(sid).getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("checksum_after") ==
+        scratch(sid).getAs[Long]("checksum"))
+      assert(r.getAs[Long]("min_doc_id_after") ==
+        scratch(sid).getAs[Long]("min_doc_id"))
+      assert(r.getAs[Long]("max_doc_id_after") ==
+        scratch(sid).getAs[Long]("max_doc_id"))
+    }
+    assert(impact.values.exists(!_.getAs[Boolean]("needs_rewrite")) ||
+      forgotten.size == graft.ext.Shards.NShards,
+      "flag must discriminate unless every shard is hit")
+  }
+
   test("plan shape: manifest is one hash exchange, sort-free") {
     val df = Shards.manifestOf(
       Shards.shardAssignOf(Tables(spark, sf0001, "documents")))
