@@ -90,8 +90,15 @@ object Robots {
   }
 
   /** RFC 9309 group selection: keep the `agent` group where one exists
-    * for the domain, else the `*` group. Two passes over the (small)
-    * rules frame; the existence probe is a broadcast semi-structure. */
+    * for the domain, else the `*` group. Empty-pattern rules are
+    * dropped HERE, not at match time — RFC 9309 §2.2.2 defines an
+    * empty `Disallow:` as "allow all" (a no-op rule), whereas a naive
+    * LIKE translation of "" would match every path at the lowest
+    * specificity and block everything on a domain whose only rule is
+    * the empty disallow. Two passes over the (small) rules frame; the
+    * existence probe is a broadcast semi-structure. NOTE: group
+    * existence is decided BEFORE the empty-rule drop (a group
+    * consisting solely of the no-op rule still selects). */
   def applicableRulesOf(rules: DataFrame, agent: String): DataFrame = {
     val specific = rules.filter(col("agent") === agent)
       .select(col("domain").as("_specific_domain")).distinct()
@@ -99,6 +106,7 @@ object Robots {
         col("domain") === col("_specific_domain"), "left")
       .filter(col("agent") === agent ||
         (col("agent") === "*" && col("_specific_domain").isNull))
+      .filter(length(col("pattern")) > 0)
       .drop("_specific_domain")
   }
 

@@ -35,11 +35,14 @@ object Shards {
   /** DetMix seed for assignment; seed+1 fingerprints content. */
   val Seed = 143L
 
-  /** Append (n_tokens, shard_id, fp) to a documents frame. Narrow. */
+  /** Append (n_tokens, shard_id, fp) to a documents frame — input
+    * columns carried through, so writers keep `text` on the SAME scan
+    * (no self-join). Narrow. */
   def shardAssignOf(docs: DataFrame, nShards: Int = NShards,
       seed: Long = Seed): DataFrame =
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs
+      .withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long"))
       .withColumn("shard_id",
         (expr(DetMix.mixSql("doc_id", seed)) % nShards).cast("int"))
       .withColumn("fp", expr(DetMix.mixSql("doc_id", seed + 1)))
@@ -69,9 +72,7 @@ object Shards {
     * shard directory, one pass, no compaction. Returns the manifest. */
   def writeShards(docs: DataFrame, outDir: String,
       nShards: Int = NShards, seed: Long = Seed): DataFrame = {
-    val assigned = shardAssignOf(docs, nShards, seed)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-    assigned
+    shardAssignOf(docs, nShards, seed)
       .repartition(nShards, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/data")

@@ -40,10 +40,8 @@ object StreamingShards {
       if (fs.exists(p)) fs.delete(p, true)
     }
     if (batch.isEmpty) return
-    val assigned = Shards.shardAssignOf(batch, nShards, seed)
-      .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+    Shards.shardAssignOf(batch, nShards, seed)
       .withColumn("batch_id", lit(batchId))
-    assigned
       .repartition(nShards, col("shard_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

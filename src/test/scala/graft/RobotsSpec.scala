@@ -54,6 +54,19 @@ class RobotsSpec extends SparkSpecBase {
     assert(got(8L) == ((true, None)))
   }
 
+  test("an empty Disallow is RFC 9309's allow-all no-op, not a " +
+      "match-everything rule — even as a domain's only rule, and even " +
+      "when its group is what selects") {
+    val got = verdicts(
+      Seq((1L, "d.com", "/anything"), (2L, "e.com", "/x")),
+      Seq(
+        ("d.com", "graftbot", false, ""),   // no-op, but selects the group
+        ("d.com", "*", false, "/"),         // must be IGNORED (selection)
+        ("e.com", "*", false, "")))         // only rule: allow all
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((true, None)))
+  }
+
   test("group selection: a specific-agent group REPLACES the * group " +
       "(never merged), and * applies only where no specific group exists") {
     val rules = Seq(
