@@ -257,6 +257,8 @@ object SparkEntry {
       graft.ext.Shards.releaseManifest(s, d)),
     "q146_forget_impact" -> ((s: SparkSession, d: String) =>
       graft.ext.Shards.forgetImpact(s, d)),
+    "q147_sample_examples" -> ((s: SparkSession, d: String) =>
+      Curate.sampleExamples(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -516,6 +518,7 @@ object SparkEntry {
     "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle,
     "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle,
     "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle,
-    "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle
+    "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle,
+    "q147_sample_examples" -> Curate.sampleExamplesOracle
   )
 }

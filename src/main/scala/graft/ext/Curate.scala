@@ -911,19 +911,52 @@ object Curate {
     uniformSampleOf(docs(spark, dir), k)
       .orderBy(col("lang"), col("sample_rank"))
 
-  def uniformSampleOf(d: DataFrame, k: Int): DataFrame = {
+  def uniformSampleOf(d: DataFrame, k: Int,
+      grp: String = "lang"): DataFrame = {
     // first 13 hex chars = 52 bits: exactly representable as a Double,
     // so heap order == unsigned draw order with no rounding ties
     val draw = conv(substring(sampleHash(col("doc_id")), 1, 13), 16, 10)
       .cast("long")
-    d.select(col("lang"), col("doc_id"), (-draw.cast("double")).as("s"))
-      .groupBy(col("lang"))
+    d.select(col(grp), col("doc_id"), (-draw.cast("double")).as("s"))
+      .groupBy(col(grp))
       .agg(graft.functions.TopK.top_k_by_score(col("s"), col("doc_id"), k)
         .as("sel"))
-      .select(col("lang"), explode(col("sel")).as("e"))
-      .select(col("lang"), col("e.rank").as("sample_rank"),
+      .select(col(grp), explode(col("sel")).as("e"))
+      .select(col(grp), col("e.rank").as("sample_rank"),
         col("e.id").as("doc_id"))
   }
+
+  /** q147: data-card example rows — k uniformly-drawn example documents
+    * per source with an excerpt, the human-inspection surface every
+    * published data card ships (sample rows per split/source). The
+    * SELECTION is q77's bounded-heap draw (ids only, map-side k-per-
+    * group); HYDRATION is a broadcast join of the k·groups-sized
+    * selection back onto the corpus scan — text is never shuffled,
+    * never sorted, at any corpus size. ORDER BY = oracle determinism
+    * only. */
+  def sampleExamples(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val d = docs(spark, dir)
+    val sel = uniformSampleOf(d, k, grp = "source")
+    d.join(broadcast(sel.select(col("sample_rank"), col("doc_id"))),
+        Seq("doc_id"))
+      .select(col("source"), col("sample_rank"), col("doc_id"),
+        substring(col("text"), 1, 60).as("excerpt"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  /** Oracle for q147 [[sampleExamples]]. */
+  val sampleExamplesOracle: String =
+    """SELECT source, CAST(rk AS INT) AS sample_rank, doc_id,
+         substr(text, 1, 60) AS excerpt,
+         len(string_split(text, ' ')) AS n_tokens
+       FROM (SELECT source, doc_id, text,
+           row_number() OVER (PARTITION BY source
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id
+           ) AS rk
+         FROM documents)
+       WHERE rk <= 3 ORDER BY source, sample_rank"""
 
   val uniformSampleOracle: String =
     """SELECT lang, CAST(rk AS INT) AS sample_rank, doc_id FROM (

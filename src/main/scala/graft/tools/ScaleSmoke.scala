@@ -256,7 +256,9 @@ object ScaleSmoke {
       "q145_release_manifest" -> ((s: SparkSession, d: String) =>
         graft.ext.Shards.releaseManifest(s, d)),
       "q146_forget_impact" -> ((s: SparkSession, d: String) =>
-        graft.ext.Shards.forgetImpact(s, d))
+        graft.ext.Shards.forgetImpact(s, d)),
+      "q147_sample_examples" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.sampleExamples(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -518,4 +518,40 @@ class CurateSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert("rangepartitioning".r.findAllIn(p60).length == 1, p60.take(900))
   }
+
+  test("q147 example cards: exactly k per source, rank order follows " +
+      "the q77 draw, excerpt is a text prefix, hydration is broadcast") {
+    import spark.implicits._
+    val df = Curate.sampleExamples(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "selection must hydrate via broadcast, never shuffle text")
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("sample_rank")).sorted.toSeq ==
+        (1 to rs.length) && rs.length <= 3, s"source $src")
+    }
+    // the picked ids are exactly q77's draw restricted to this grouping
+    val all = Tables(spark, sf0001, "documents")
+      .select("source", "doc_id", "text").as[(String, Long, String)]
+      .collect()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md5.synchronized {
+      md5.reset()
+      md5.digest(id.toString.getBytes).map("%02x".format(_))
+        .mkString.substring(0, 13)
+    }
+    for ((src, rs) <- bySource) {
+      val expect = all.filter(_._1 == src).sortBy(t => (h(t._2), t._2))
+        .take(3).map(_._2).toSeq
+      assert(rs.sortBy(_.getAs[Int]("sample_rank"))
+        .map(_.getAs[Long]("doc_id")).toSeq == expect, s"source $src")
+    }
+    rows.foreach { r =>
+      val full = all.find(_._2 == r.getAs[Long]("doc_id")).get._3
+      assert(full.startsWith(r.getAs[String]("excerpt")))
+    }
+  }
 }
