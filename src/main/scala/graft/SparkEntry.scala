@@ -259,6 +259,8 @@ object SparkEntry {
       graft.ext.Shards.forgetImpact(s, d)),
     "q147_sample_examples" -> ((s: SparkSession, d: String) =>
       Curate.sampleExamples(s, d)),
+    "q148_anchor_text" -> ((s: SparkSession, d: String) =>
+      graft.ext.Boilerplate.anchorText(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -519,6 +521,7 @@ object SparkEntry {
     "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle,
     "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle,
     "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle,
-    "q147_sample_examples" -> Curate.sampleExamplesOracle
+    "q147_sample_examples" -> Curate.sampleExamplesOracle,
+    "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle
   )
 }

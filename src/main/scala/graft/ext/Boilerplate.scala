@@ -281,6 +281,89 @@ object Boilerplate {
         Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
       .orderBy(col("doc_id"))
 
+  /** Deterministic anchored-page synthesis for q148 — a CLEAN page
+    * (title, intro paragraph, a related-items list with VARIED anchor
+    * text, one external citation per fifth document) built from doc_id
+    * arithmetic only, so the oracle re-derives every (href, anchor)
+    * pair without parsing. The markup-soup edge cases (nested tags,
+    * comments, script regions, implicit closes) are HtmlAnchorsSpec's
+    * job, not the corpus synthesis's. */
+  def synthesizeAnchoredHtmlOf(docs: DataFrame): DataFrame = {
+    val items = (1 to 3).map { j =>
+      val nj = ((col("doc_id") * 131 + j * 97) % 1000).cast("string")
+      val topic = ((col("doc_id") * 131 + j * 97) % 1000 % 7)
+        .cast("string")
+      concat(lit("<li><a href=\"/doc/"), nj, lit("\">topic "), topic,
+        lit(" <b>item</b> "), nj, lit("</a></li>"))
+    }
+    val ext = when(col("doc_id") % 5 === 0,
+      lit("<a href=\"https://ext.example/src\">external <i>source</i></a>"))
+      .otherwise("")
+    docs.select(col("doc_id"),
+      concat(lit("<html><head><title>doc</title></head><body>" +
+          "<p>intro paragraph</p><ul>"),
+        concat(items: _*), lit("</ul>"), ext,
+        lit("</body></html>")).as("html"))
+  }
+
+  /** Anchor-text table over any (doc_id, html) frame — the IR training
+    * signal [[graft.functions.HtmlAnchors]] extracts: one row per
+    * anchor occurrence with the link target resolved against the
+    * corpus (`/doc/N` → dst_doc_id when present, dangling when not,
+    * null for external links). Anchor text describes the TARGET page —
+    * the label behind anchor-text pretraining corpora — so downstream
+    * consumers aggregate this table BY dst_doc_id. Narrow extraction;
+    * resolution is one long-keyed join against the corpus id set.
+    * Sort-free. */
+  def anchorTextOf(html: DataFrame): DataFrame = {
+    import graft.functions.HtmlAnchors.html_anchors
+    val pairs = html
+      .select(col("doc_id"), explode(html_anchors(col("html"))).as("p"))
+      .select(col("doc_id"), col("p.href").as("href"),
+        col("p.anchor").as("anchor"))
+      .withColumn("_dst",
+        when(col("href").rlike("^/doc/[0-9]+$"),
+          substring(col("href"), 6, 18).cast("long")))
+    val ids = html.select(col("doc_id").as("_id")).distinct()
+    pairs.join(ids, col("_dst") === col("_id"), "left")
+      .select(col("doc_id"), col("href"), col("anchor"),
+        when(col("_id").isNotNull, col("_dst")).as("dst_doc_id"),
+        (col("_dst").isNotNull && col("_id").isNull).as("dangling"))
+  }
+
+  /** q148: anchor text over the synthesized corpus. ORDER BY = oracle
+    * determinism only. */
+  def anchorText(spark: SparkSession, dir: String): DataFrame =
+    anchorTextOf(synthesizeAnchoredHtmlOf(
+        Tables(spark, dir, "documents").select(col("doc_id"))))
+      .orderBy(col("doc_id"), col("href"), col("anchor"))
+
+  /** Oracle for q148 [[anchorText]] — the synthesis formula re-derived
+    * pair-for-pair (internal items with their varied visible text,
+    * the per-fifth-document external citation), resolved against the
+    * corpus id set. */
+  val anchorTextOracle: String =
+    s"""WITH j AS (SELECT unnest(generate_series(1, 3)) AS j),
+       internal AS (SELECT d.doc_id,
+           '/doc/' || CAST((d.doc_id * 131 + j.j * 97) % 1000 AS VARCHAR)
+             AS href,
+           'topic ' || CAST((d.doc_id * 131 + j.j * 97) % 1000 % 7
+               AS VARCHAR) ||
+             ' item ' || CAST((d.doc_id * 131 + j.j * 97) % 1000
+               AS VARCHAR) AS anchor,
+           (d.doc_id * 131 + j.j * 97) % 1000 AS dst
+         FROM documents d CROSS JOIN j),
+       ext AS (SELECT doc_id, 'https://ext.example/src' AS href,
+           'external source' AS anchor, CAST(NULL AS BIGINT) AS dst
+         FROM documents WHERE doc_id % 5 = 0),
+       a AS (SELECT * FROM internal UNION ALL SELECT * FROM ext),
+       ids AS (SELECT doc_id AS id FROM documents)
+       SELECT a.doc_id, a.href, a.anchor,
+         CASE WHEN ids.id IS NOT NULL THEN a.dst END AS dst_doc_id,
+         (a.dst IS NOT NULL AND ids.id IS NULL) AS dangling
+       FROM a LEFT JOIN ids ON ids.id = a.dst
+       ORDER BY doc_id, href, anchor"""
+
   /** Oracle: the link formula replayed analytically — candidates from
     * the (doc_id, j) cross join, resolved against the corpus id set;
     * external links = the 6 chrome anchors plus one per link-farm

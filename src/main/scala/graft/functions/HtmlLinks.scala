@@ -61,6 +61,11 @@ object HtmlLinks {
     * Duplicate hrefs: the first occurrence wins (browser behavior);
     * a valueless bare `href` counts as that first occurrence and
     * contributes nothing. */
+  /** [[hrefOf]] exposed to [[HtmlAnchors]] so both expressions share
+    * one attribute-parsing contract. */
+  private[functions] def hrefShared(tagBody: String): String =
+    hrefOf(tagBody)
+
   private def hrefOf(tagBody: String): String = {
     val n = tagBody.length
     var i = 0

@@ -258,7 +258,9 @@ object ScaleSmoke {
       "q146_forget_impact" -> ((s: SparkSession, d: String) =>
         graft.ext.Shards.forgetImpact(s, d)),
       "q147_sample_examples" -> ((s: SparkSession, d: String) =>
-        graft.ext.Curate.sampleExamples(s, d))
+        graft.ext.Curate.sampleExamples(s, d)),
+      "q148_anchor_text" -> ((s: SparkSession, d: String) =>
+        graft.ext.Boilerplate.anchorText(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis
