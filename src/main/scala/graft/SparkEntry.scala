@@ -261,6 +261,8 @@ object SparkEntry {
       Curate.sampleExamples(s, d)),
     "q148_anchor_text" -> ((s: SparkSession, d: String) =>
       graft.ext.Boilerplate.anchorText(s, d)),
+    "q149_anchor_terms" -> ((s: SparkSession, d: String) =>
+      graft.ext.Boilerplate.anchorTerms(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -522,6 +524,7 @@ object SparkEntry {
     "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle,
     "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle,
     "q147_sample_examples" -> Curate.sampleExamplesOracle,
-    "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle
+    "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle,
+    "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle
   )
 }

@@ -364,6 +364,52 @@ object Boilerplate {
        FROM a LEFT JOIN ids ON ids.id = a.dst
        ORDER BY doc_id, href, anchor"""
 
+  /** Per-target anchor vocabulary over an [[anchorTextOf]] frame — the
+    * LABEL table anchor-text pretraining actually consumes: for every
+    * RESOLVED target, each anchor term with its mention count and the
+    * number of distinct source documents using it (a term used once by
+    * five sources is a stronger label than one used five times by one
+    * source). One composite-key aggregate on (dst, term) — skew-free:
+    * popular targets spread across their term vocabulary. Sort-free. */
+  def anchorTermsOf(anchors: DataFrame): DataFrame =
+    anchors
+      .filter(col("dst_doc_id").isNotNull)
+      .select(col("dst_doc_id"), col("doc_id").as("src_doc_id"),
+        explode(split(col("anchor"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("dst_doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_mentions"),
+        count_distinct(col("src_doc_id")).as("n_sources"))
+
+  /** q149: anchor-term labels over the q148 corpus. ORDER BY = oracle
+    * determinism only. */
+  def anchorTerms(spark: SparkSession, dir: String): DataFrame =
+    anchorTermsOf(anchorTextOf(synthesizeAnchoredHtmlOf(
+        Tables(spark, dir, "documents").select(col("doc_id")))))
+      .orderBy(col("dst_doc_id"), col("term"))
+
+  /** Oracle for q149 [[anchorTerms]] — the q148 pair formula, resolved
+    * internals only, terms unnested and double-counted exactly. */
+  val anchorTermsOracle: String =
+    s"""WITH j AS (SELECT unnest(generate_series(1, 3)) AS j),
+       internal AS (SELECT d.doc_id AS src,
+           'topic ' || CAST((d.doc_id * 131 + j.j * 97) % 1000 % 7
+               AS VARCHAR) ||
+             ' item ' || CAST((d.doc_id * 131 + j.j * 97) % 1000
+               AS VARCHAR) AS anchor,
+           (d.doc_id * 131 + j.j * 97) % 1000 AS dst
+         FROM documents d CROSS JOIN j),
+       res AS (SELECT i.src, i.dst, i.anchor FROM internal i
+         JOIN documents t ON t.doc_id = i.dst),
+       terms AS (SELECT dst AS dst_doc_id, src,
+           unnest(string_split(anchor, ' ')) AS term
+         FROM res)
+       SELECT dst_doc_id, term,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+       FROM terms WHERE term <> ''
+       GROUP BY dst_doc_id, term ORDER BY dst_doc_id, term"""
+
   /** Oracle: the link formula replayed analytically — candidates from
     * the (doc_id, j) cross join, resolved against the corpus id set;
     * external links = the 6 chrome anchors plus one per link-farm

@@ -260,7 +260,9 @@ object ScaleSmoke {
       "q147_sample_examples" -> ((s: SparkSession, d: String) =>
         graft.ext.Curate.sampleExamples(s, d)),
       "q148_anchor_text" -> ((s: SparkSession, d: String) =>
-        graft.ext.Boilerplate.anchorText(s, d))
+        graft.ext.Boilerplate.anchorText(s, d)),
+      "q149_anchor_terms" -> ((s: SparkSession, d: String) =>
+        graft.ext.Boilerplate.anchorTerms(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -77,4 +77,26 @@ class HtmlAnchorsSpec extends SparkSpecBase {
     assert(internal.forall(r =>
       r.getAs[String]("anchor").matches("topic \\d ?.*item \\d+")))
   }
+
+  test("q149 anchor-term labels: counts recompute exactly from the " +
+      "q148 rows; multi-source terms exist and n_sources <= n_mentions") {
+    val anchors = Boilerplate.anchorText(spark, sf001).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("dst_doc_id")))
+    val want = anchors.flatMap { r =>
+      r.getAs[String]("anchor").split(" ").filter(_.nonEmpty).map(t =>
+        (r.getAs[Long]("dst_doc_id"), t, r.getAs[Long]("doc_id")))
+    }
+    val wantCounts = want.groupBy(t => (t._1, t._2)).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._3).distinct.length.toLong))
+    }
+    val got = Boilerplate.anchorTerms(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("dst_doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("n_mentions"), r.getAs[Long]("n_sources")))).toMap
+    assert(got == wantCounts)
+    assert(got.values.forall { case (m, s) => s <= m && s >= 1 })
+    // the label-strength signal is non-degenerate: some term is used by
+    // MORE THAN ONE distinct source
+    assert(got.values.exists(_._2 > 1),
+      "no multi-source anchor term at sf0.01 — synthesis too diverse")
+  }
 }
