@@ -263,6 +263,8 @@ object SparkEntry {
       graft.ext.Boilerplate.anchorText(s, d)),
     "q149_anchor_terms" -> ((s: SparkSession, d: String) =>
       graft.ext.Boilerplate.anchorTerms(s, d)),
+    "q150_crawl_admission" -> ((s: SparkSession, d: String) =>
+      graft.ext.Robots.crawlAdmission(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -525,6 +527,7 @@ object SparkEntry {
     "q146_forget_impact" -> graft.ext.Shards.forgetImpactOracle,
     "q147_sample_examples" -> Curate.sampleExamplesOracle,
     "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle,
-    "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle
+    "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle,
+    "q150_crawl_admission" -> graft.ext.Robots.crawlAdmissionOracle
   )
 }

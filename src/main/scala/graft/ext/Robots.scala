@@ -174,11 +174,12 @@ object Robots {
     s"('$d', '$a', ${if (al) "TRUE" else "FALSE"}, '$p')"
   }.mkString(",\n         ")
 
-  /** Oracle for q139 [[robotsFilter]] — replays the URL chain (the
-    * shared q129 CTE), the VALUES policy table, group selection, the
-    * LIKE translation, and the integer score. */
-  val robotsFilterOracle: String =
-    s"""WITH ${UrlCurate.curateCte},
+  /** Shared oracle chain ending in `m` (doc_id, domain, path, best) —
+    * the scored verdict table the q139 oracle reads directly and the
+    * q150 admission oracle caps. `private[ext]` like
+    * [[UrlCurate.curateCte]]. */
+  private[ext] def robotsCte: String =
+    s"""${UrlCurate.curateCte},
        urls AS (SELECT doc_id,
            coalesce(registrable_domain, host) AS domain,
            regexp_replace(canon_url, '^[a-z]+://[^/]*', '') AS path
@@ -195,15 +196,52 @@ object Robots {
            length(r.pattern) * 2 +
              CASE WHEN r.allow THEN 1 ELSE 0 END AS score
          FROM rules r LEFT JOIN spec s ON s.sd = r.domain
-         WHERE r.agent = 'graftbot'
-            OR (r.agent = '*' AND s.sd IS NULL)),
+         WHERE (r.agent = 'graftbot'
+            OR (r.agent = '*' AND s.sd IS NULL))
+           AND length(r.pattern) > 0),
        m AS (SELECT u.doc_id, u.domain, u.path,
            max(a.score) AS best
          FROM urls u LEFT JOIN app a ON a.rule_domain = u.domain
            AND u.path LIKE a.like_pat
-         GROUP BY 1, 2, 3)
+         GROUP BY 1, 2, 3)"""
+
+  /** Oracle for q139 [[robotsFilter]] — replays the URL chain (the
+    * shared q129 CTE), the VALUES policy table, group selection, the
+    * LIKE translation, and the integer score. */
+  lazy val robotsFilterOracle: String =
+    s"""WITH $robotsCte
        SELECT doc_id, domain, path,
          coalesce(best % 2 = 1, TRUE) AS allowed,
          best // 2 AS matched_len
        FROM m ORDER BY doc_id"""
+
+  /** q150: the frontier ADMISSION gate end to end — canonicalize → PSL
+    * → blocklist → robots verdict → per-domain cap over the ALLOWED
+    * URLs only (q130's anti-domination window applied after policy, the
+    * order a real frontier applies them: a domain's disallowed URLs
+    * must not consume its crawl budget). ONE broadcast join + one
+    * verdict aggregate + one domain-keyed window. ORDER BY = oracle
+    * determinism only. */
+  def crawlAdmission(spark: SparkSession, dir: String,
+      cap: Int = UrlCurate.DomainCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    policyOf(UrlCurate.synthesizeUrlsOf(Tables(spark, dir, "documents")))
+      .filter(col("allowed"))
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .filter(col("cap_rank") <= cap)
+      .select(col("doc_id"), col("domain"), col("path"), col("cap_rank"))
+      .orderBy(col("domain"), col("doc_id"))
+  }
+
+  /** Oracle for q150 [[crawlAdmission]]. */
+  lazy val crawlAdmissionOracle: String =
+    s"""WITH $robotsCte,
+       adm AS (SELECT doc_id, domain, path,
+           CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+             AS INT) AS cap_rank
+         FROM m WHERE coalesce(best % 2 = 1, TRUE))
+       SELECT doc_id, domain, path, cap_rank FROM adm
+       WHERE cap_rank <= ${UrlCurate.DomainCap}
+       ORDER BY domain, doc_id"""
 }

@@ -262,7 +262,9 @@ object ScaleSmoke {
       "q148_anchor_text" -> ((s: SparkSession, d: String) =>
         graft.ext.Boilerplate.anchorText(s, d)),
       "q149_anchor_terms" -> ((s: SparkSession, d: String) =>
-        graft.ext.Boilerplate.anchorTerms(s, d))
+        graft.ext.Boilerplate.anchorTerms(s, d)),
+      "q150_crawl_admission" -> ((s: SparkSession, d: String) =>
+        graft.ext.Robots.crawlAdmission(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -110,6 +110,36 @@ class RobotsSpec extends SparkSpecBase {
       "robotsFilterOf must stay sort-free")
   }
 
+  test("q150 crawl admission: cap binds AFTER policy — disallowed URLs " +
+      "never consume a domain's budget; at most cap per domain, lowest " +
+      "allowed doc_ids win") {
+    import spark.implicits._
+    val adm = Robots.crawlAdmission(spark, sf001)
+      .select("domain", "doc_id", "cap_rank")
+      .as[(String, Long, Int)].collect()
+    val byDomain = adm.groupBy(_._1)
+    assert(byDomain.values.forall(_.length <= graft.ext.UrlCurate.DomainCap))
+    assert(byDomain.values.exists(_.length ==
+      graft.ext.UrlCurate.DomainCap), "cap never binds")
+    // reference: allowed set from q139, capped per domain by doc_id
+    val verdicts = Robots.robotsFilter(spark, sf001)
+      .select("domain", "doc_id", "allowed")
+      .as[(String, Long, Boolean)].collect()
+    for ((dom, rows) <- byDomain) {
+      val expect = verdicts.filter(v => v._1 == dom && v._3)
+        .map(_._2).sorted.take(graft.ext.UrlCurate.DomainCap).toSeq
+      assert(rows.sortBy(_._3).map(_._2).toSeq == expect, s"domain $dom")
+    }
+    // policy-before-cap is observable: some domain's admitted set skips
+    // over a blocked lower doc_id
+    val skipped = byDomain.exists { case (dom, rows) =>
+      verdicts.exists(v => v._1 == dom && !v._3 &&
+        v._2 < rows.map(_._2).max)
+    }
+    assert(skipped, "no blocked URL below an admitted one — the " +
+      "policy-then-cap order is untested by this corpus")
+  }
+
   test("registered q139: every rule class fires on the synthesized " +
       "corpus — wildcard disallow, longer allow, blanket+$-anchored " +
       "re-open, group selection, graftbot-only block, default allow") {
