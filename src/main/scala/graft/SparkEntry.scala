@@ -265,6 +265,8 @@ object SparkEntry {
       graft.ext.Boilerplate.anchorTerms(s, d)),
     "q150_crawl_admission" -> ((s: SparkSession, d: String) =>
       graft.ext.Robots.crawlAdmission(s, d)),
+    "q151_domain_quantiles" -> ((s: SparkSession, d: String) =>
+      graft.ext.UrlCurate.domainQuantiles(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -528,6 +530,7 @@ object SparkEntry {
     "q147_sample_examples" -> Curate.sampleExamplesOracle,
     "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle,
     "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle,
-    "q150_crawl_admission" -> graft.ext.Robots.crawlAdmissionOracle
+    "q150_crawl_admission" -> graft.ext.Robots.crawlAdmissionOracle,
+    "q151_domain_quantiles" -> graft.ext.UrlCurate.domainQuantilesOracle
   )
 }

@@ -99,7 +99,8 @@ object Quantiles {
       "o_totalprice", "o_orderkey")
       .orderBy(col("grp"))
 
-  private def pickSql(rn: String, n: String, v: String,
+  /** Shared by the q141 and q151 oracles. */
+  private[ext] def pickSql(rn: String, n: String, v: String,
       suffix: String): String =
     QuantileSpec.map { case (name, num, den) =>
       s"max(CASE WHEN $rn = ($n * $num + ${den - 1}) // $den THEN $v END) AS $name$suffix"

@@ -257,6 +257,59 @@ object UrlCurate {
        FROM g ORDER BY domain"""
   }
 
+  /** q151: per-domain token-length quantile sketch — the q141
+    * [[graft.functions.HashSample]] machinery on the crawl grouping:
+    * "what is the p95 document length on this domain" is the
+    * length-profile gate next to q144's mean-based scorecard (means
+    * hide bimodal length farms; the quartiles don't). Same single
+    * documents scan as q144 (domain key + token count, no self-join),
+    * one O(k)-state aggregate, k=64. Groups smaller than k degrade to
+    * the EXACT discrete quantiles; either way the DuckDB oracle
+    * replays the draw and the ceil-rank picks. ORDER BY = oracle
+    * determinism only. */
+  def domainQuantiles(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = blocklistOf(registrableDomainOf(canonicalizeOf(
+        docs.select(col("doc_id"), col("text"), synthUrlExpr.as("url")))))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+      .select(col("domain"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    Quantiles.sketchQuantilesOf(base, "domain",
+        expr(graft.functions.DetMix.mixSql("doc_id", Quantiles.Seed)),
+        "toks", "doc_id", k)
+      .orderBy(col("grp"))
+  }
+
+  /** Oracle for q151 [[domainQuantiles]]. */
+  lazy val domainQuantilesOracle: String =
+    s"""WITH $curateCte,
+       base AS (SELECT coalesce(b.registrable_domain, b.host) AS domain,
+           b.doc_id,
+           CAST(len(string_split(t.text, ' ')) AS BIGINT) AS toks,
+           ${graft.functions.DetMix.mixSql("b.doc_id",
+             Quantiles.Seed)} AS h
+         FROM blk b JOIN documents t ON t.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL),
+       cnt AS (SELECT domain, CAST(count(*) AS BIGINT) AS n
+         FROM base GROUP BY domain),
+       sel AS (SELECT domain, toks FROM (SELECT domain, toks,
+             row_number() OVER (PARTITION BY domain ORDER BY h, doc_id)
+               AS hr
+           FROM base) WHERE hr <= 64),
+       r AS (SELECT domain, toks,
+           row_number() OVER (PARTITION BY domain ORDER BY toks) AS rn,
+           count(*) OVER (PARTITION BY domain) AS m
+         FROM sel),
+       e AS (SELECT domain, CAST(max(m) AS INT) AS m,
+           ${Quantiles.pickSql("rn", "m", "toks", "_est")}
+         FROM r GROUP BY domain)
+       SELECT cnt.domain AS grp, cnt.n, e.m,
+           e.p25_est, e.p50_est, e.p75_est, e.p95_est
+       FROM cnt JOIN e ON e.domain = cnt.domain ORDER BY grp"""
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
 

@@ -264,7 +264,9 @@ object ScaleSmoke {
       "q149_anchor_terms" -> ((s: SparkSession, d: String) =>
         graft.ext.Boilerplate.anchorTerms(s, d)),
       "q150_crawl_admission" -> ((s: SparkSession, d: String) =>
-        graft.ext.Robots.crawlAdmission(s, d))
+        graft.ext.Robots.crawlAdmission(s, d)),
+      "q151_domain_quantiles" -> ((s: SparkSession, d: String) =>
+        graft.ext.UrlCurate.domainQuantiles(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -186,6 +186,34 @@ class UrlCurateSpec extends SparkSpecBase {
     }
   }
 
+  test("q151 domain quantiles: every sf0.01 domain fits inside k, so " +
+      "the sketch IS the exact discrete quantile — verified doc-by-doc " +
+      "on one domain") {
+    import spark.implicits._
+    val rows = UrlCurate.domainQuantiles(spark, sf001).collect()
+    assert(rows.length > 20)
+    rows.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("m"),
+      s"${r.getAs[String]("grp")}: group exceeds k at sf0.01?"))
+    val target = rows.head
+    val dom = target.getAs[String]("grp")
+    val ids = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(
+          Tables(spark, sf001, "documents")))))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .filter(coalesce(col("registrable_domain"), col("host")) === dom)
+      .select("doc_id").as[Long].collect().toSet
+    val toks = Tables(spark, sf001, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(size(split(col("text"), " ")).cast("long"))
+      .as[Long].collect().sorted
+    def pick(num: Int, den: Int): Long =
+      toks((num * toks.length + den - 1) / den - 1)
+    assert(target.getAs[Long]("p25_est") == pick(1, 4))
+    assert(target.getAs[Long]("p50_est") == pick(1, 2))
+    assert(target.getAs[Long]("p75_est") == pick(3, 4))
+    assert(target.getAs[Long]("p95_est") == pick(19, 20))
+  }
+
   test("q144 domain scorecard: per-domain stats agree with a per-doc " +
       "recomputation; single scan, no self-join, one hash exchange") {
     import spark.implicits._
