@@ -74,7 +74,8 @@ object StreamingDomainCaps {
     * direct testing without a streaming harness. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, admittedDir: String, rejectedDir: String,
-      cap: Int = UrlCurate.DomainCap): Unit = {
+      cap: Int = UrlCurate.DomainCap,
+      robots: Boolean = false): Unit = {
     val spark = batch.sparkSession
     Seq(admittedDir, rejectedDir, indexDir).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
@@ -87,13 +88,36 @@ object StreamingDomainCaps {
       .withColumn("domain",
         coalesce(col("registrable_domain"), col("host")))
       .localCheckpoint()
+    val curOk = cur.filter(!col("blocked") && col("host").isNotNull)
+    // optional RFC 9309 policy stage BEFORE the cap window (the q150
+    // frontier order): a disallowed URL is rejected with its own reason
+    // and never consumes the domain's crawl budget
+    val (pass, robotsRejected) =
+      if (robots) {
+        val verdicts = graft.ext.Robots.robotsFilterOf(
+          curOk.withColumn("path",
+              regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
+            .select(col("doc_id"), col("url"), col("canon_url"),
+              col("domain"), col("path")),
+          graft.ext.Robots.rulesDf(spark)).localCheckpoint()
+        (verdicts.filter(col("allowed"))
+           .select(col("doc_id"), col("url"), col("canon_url"),
+             col("domain")),
+         verdicts.filter(!col("allowed"))
+           .select(col("doc_id"), col("domain"),
+             lit("robots").as("reason")))
+      } else
+        (curOk.select(col("doc_id"), col("url"), col("canon_url"),
+           col("domain")),
+         curOk.filter(lit(false)).select(col("doc_id"), col("domain"),
+           lit("robots").as("reason")))
     // cumulative admitted per domain, excluding THIS batch's prior
     // attempt by provenance (compaction may have moved its rows to -1)
     val prior = readIndex(spark, indexDir)
       .filter(col("src_batch") =!= batchId)
       .groupBy(col("domain"))
       .agg(count_distinct(col("doc_id")).as("_n_prior"))
-    val ranked = cur.filter(!col("blocked") && col("host").isNotNull)
+    val ranked = pass
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
       .join(prior, Seq("domain"), "left")
@@ -105,6 +129,7 @@ object StreamingDomainCaps {
       .filter(col("blocked") || col("host").isNull)
       .select(col("doc_id"), col("domain"),
         when(col("blocked"), "blocked").otherwise("no_host").as("reason"))
+      .unionByName(robotsRejected)
       .unionByName(ranked.filter(col("_n") + col("_rk") > cap)
         .select(col("doc_id"), col("domain"), lit("over_cap").as("reason")))
     def writeBatch(df: DataFrame, dir: String): Unit =
@@ -118,14 +143,17 @@ object StreamingDomainCaps {
       .withColumn("src_batch", lit(batchId)), indexDir)
   }
 
-  /** Start the stage over a streaming (doc_id, url) frame. */
+  /** Start the stage over a streaming (doc_id, url) frame. With
+    * `robots = true` the q150 frontier composition runs as ingestion
+    * does: policy verdicts BEFORE the cumulative cap. */
   def start(urls: DataFrame, indexDir: String, admittedDir: String,
       rejectedDir: String, checkpointDir: String,
-      cap: Int = UrlCurate.DomainCap): StreamingQuery =
+      cap: Int = UrlCurate.DomainCap,
+      robots: Boolean = false): StreamingQuery =
     urls.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, indexDir, admittedDir,
-          rejectedDir, cap)
+          rejectedDir, cap, robots)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

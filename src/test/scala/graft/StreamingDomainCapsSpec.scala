@@ -70,6 +70,43 @@ class StreamingDomainCapsSpec extends SparkSpecBase {
     assert(ids(adm) == want)
   }
 
+  test("robots=true: monotone-ingest stream equals the batch q150 " +
+      "frontier gate (policy BEFORE cap) over the union; disallowed " +
+      "URLs rejected with reason 'robots' and never consume budget") {
+    import spark.implicits._
+    val (idx, adm, rej) = (tmp(), tmp(), tmp())
+    val all = Tables(spark, sf001, "documents").select(col("doc_id"))
+      .as[Long].collect().sorted
+    val withUrls = UrlCurate.synthesizeUrlsOf(
+      Tables(spark, sf001, "documents"))
+    val (lo, hi) = all.splitAt(all.length / 2)
+    def slice(idset: Seq[Long]) = withUrls.filter(col("doc_id")
+      .isin(idset.map(x => x: Any): _*))
+    StreamingDomainCaps.processBatch(slice(lo.toSeq), 0L, idx, adm, rej,
+      robots = true)
+    StreamingDomainCaps.processBatch(slice(hi.toSeq), 1L, idx, adm, rej,
+      robots = true)
+    val want = graft.ext.Robots.crawlAdmission(spark, sf001)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids(adm) == want)
+    val reasons = spark.read.parquet(rej)
+      .select(col("doc_id"), col("reason"))
+      .as[(Long, String)].collect().toMap
+    assert(reasons.values.exists(_ == "robots"))
+    // a robots-rejected doc_id below an admitted one on the same domain
+    // proves policy ran BEFORE the cap (the budget was not consumed)
+    val verdicts = graft.ext.Robots.robotsFilter(spark, sf001)
+      .select(col("domain"), col("doc_id"), col("allowed"))
+      .as[(String, Long, Boolean)].collect()
+    val admitted = ids(adm)
+    val observed = verdicts.exists { case (dom, id, allowed) =>
+      !allowed && verdicts.exists { case (d2, id2, a2) =>
+        d2 == dom && a2 && id2 > id && admitted.contains(id2)
+      }
+    }
+    assert(observed, "no blocked-below-admitted case — order untested")
+  }
+
   test("replay AFTER compaction: provenance survives, the batch " +
       "neither caps itself out nor double-admits") {
     val (idx, adm, rej) = (tmp(), tmp(), tmp())
