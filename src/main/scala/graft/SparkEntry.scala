@@ -267,6 +267,8 @@ object SparkEntry {
       graft.ext.Robots.crawlAdmission(s, d)),
     "q151_domain_quantiles" -> ((s: SparkSession, d: String) =>
       graft.ext.UrlCurate.domainQuantiles(s, d)),
+    "q152_frontier_report" -> ((s: SparkSession, d: String) =>
+      graft.ext.Robots.frontierReport(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -531,6 +533,7 @@ object SparkEntry {
     "q148_anchor_text" -> graft.ext.Boilerplate.anchorTextOracle,
     "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle,
     "q150_crawl_admission" -> graft.ext.Robots.crawlAdmissionOracle,
-    "q151_domain_quantiles" -> graft.ext.UrlCurate.domainQuantilesOracle
+    "q151_domain_quantiles" -> graft.ext.UrlCurate.domainQuantilesOracle,
+    "q152_frontier_report" -> graft.ext.Robots.frontierReportOracle
   )
 }

@@ -234,6 +234,44 @@ object Robots {
       .orderBy(col("domain"), col("doc_id"))
   }
 
+  /** q152: per-domain frontier report — the observability rollup of
+    * the whole admission chain: URLs seen, robots-allowed, robots-
+    * blocked, and admitted-under-cap counts per domain, plus the
+    * binding state (whether the cap actually cut). The run-ledger view
+    * a crawl operator reads after every frontier pass. One aggregate
+    * over the already-computed verdicts + one over the admission — the
+    * same plans as q139/q150 feeding two slim counts. ORDER BY =
+    * oracle determinism only. */
+  def frontierReport(spark: SparkSession, dir: String,
+      cap: Int = UrlCurate.DomainCap): DataFrame = {
+    val verdicts = policyOf(UrlCurate.synthesizeUrlsOf(
+      Tables(spark, dir, "documents")))
+    val perDomain = verdicts.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        sum((!col("allowed")).cast("long")).as("n_robots_blocked"))
+    perDomain
+      .withColumn("n_admitted", least(col("n_allowed"), lit(cap.toLong)))
+      .withColumn("cap_bound", col("n_allowed") > cap)
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle for q152 [[frontierReport]]. */
+  lazy val frontierReportOracle: String =
+    s"""WITH $robotsCte,
+       v AS (SELECT domain,
+           coalesce(best % 2 = 1, TRUE) AS allowed FROM m),
+       g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_robots_blocked
+         FROM v GROUP BY domain)
+       SELECT domain, n_urls, n_allowed, n_robots_blocked,
+         least(n_allowed, ${UrlCurate.DomainCap}) AS n_admitted,
+         n_allowed > ${UrlCurate.DomainCap} AS cap_bound
+       FROM g ORDER BY domain"""
+
   /** Oracle for q150 [[crawlAdmission]]. */
   lazy val crawlAdmissionOracle: String =
     s"""WITH $robotsCte,

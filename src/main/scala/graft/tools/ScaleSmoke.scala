@@ -266,7 +266,9 @@ object ScaleSmoke {
       "q150_crawl_admission" -> ((s: SparkSession, d: String) =>
         graft.ext.Robots.crawlAdmission(s, d)),
       "q151_domain_quantiles" -> ((s: SparkSession, d: String) =>
-        graft.ext.UrlCurate.domainQuantiles(s, d))
+        graft.ext.UrlCurate.domainQuantiles(s, d)),
+      "q152_frontier_report" -> ((s: SparkSession, d: String) =>
+        graft.ext.Robots.frontierReport(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -58,7 +58,7 @@ class ParallelismSpec extends SparkSpecBase {
     "q144_domain_scorecard", "q145_release_manifest",
     "q146_forget_impact", "q147_sample_examples", "q148_anchor_text",
     "q149_anchor_terms", "q150_crawl_admission",
-    "q151_domain_quantiles")
+    "q151_domain_quantiles", "q152_frontier_report")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -140,6 +140,32 @@ class RobotsSpec extends SparkSpecBase {
       "policy-then-cap order is untested by this corpus")
   }
 
+  test("q152 frontier report: counts reconcile with q139 verdicts and " +
+      "q150 admissions; cap_bound marks exactly the capped domains") {
+    import spark.implicits._
+    val report = Robots.frontierReport(spark, sf001).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    val verdicts = Robots.robotsFilter(spark, sf001)
+      .select("domain", "allowed").as[(String, Boolean)].collect()
+      .groupBy(_._1)
+    val admitted = Robots.crawlAdmission(spark, sf001)
+      .select("domain").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(report.keySet == verdicts.keySet)
+    for ((dom, r) <- report) {
+      val vs = verdicts(dom)
+      assert(r.getAs[Long]("n_urls") == vs.length)
+      assert(r.getAs[Long]("n_allowed") == vs.count(_._2))
+      assert(r.getAs[Long]("n_robots_blocked") == vs.count(!_._2))
+      assert(r.getAs[Long]("n_admitted") ==
+        admitted.getOrElse(dom, 0).toLong)
+      assert(r.getAs[Boolean]("cap_bound") ==
+        (vs.count(_._2) > graft.ext.UrlCurate.DomainCap))
+    }
+    assert(report.values.exists(_.getAs[Boolean]("cap_bound")))
+    assert(report.values.exists(r => r.getAs[Long]("n_robots_blocked") > 0))
+  }
+
   test("registered q139: every rule class fires on the synthesized " +
       "corpus — wildcard disallow, longer allow, blanket+$-anchored " +
       "re-open, group selection, graftbot-only block, default allow") {
