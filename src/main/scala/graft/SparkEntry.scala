@@ -269,6 +269,12 @@ object SparkEntry {
       graft.ext.UrlCurate.domainQuantiles(s, d)),
     "q152_frontier_report" -> ((s: SparkSession, d: String) =>
       graft.ext.Robots.frontierReport(s, d)),
+    "q153_warc_records" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.warcRecords(s, d)),
+    "q154_warc_fetch" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.warcFetch(s, d)),
+    "q155_wet_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.wetRoundtrip(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -534,6 +540,9 @@ object SparkEntry {
     "q149_anchor_terms" -> graft.ext.Boilerplate.anchorTermsOracle,
     "q150_crawl_admission" -> graft.ext.Robots.crawlAdmissionOracle,
     "q151_domain_quantiles" -> graft.ext.UrlCurate.domainQuantilesOracle,
-    "q152_frontier_report" -> graft.ext.Robots.frontierReportOracle
+    "q152_frontier_report" -> graft.ext.Robots.frontierReportOracle,
+    "q153_warc_records" -> graft.ext.Warc.warcRecordsOracle,
+    "q154_warc_fetch" -> graft.ext.Warc.warcFetchOracle,
+    "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle
   )
 }

@@ -162,6 +162,27 @@ object UrlCurate {
       port, path, query, frag)
   }
 
+  /** Scalar twin of [[synthUrlExpr]] for synthesis paths that build
+    * whole byte blobs JVM-side (the WARC writer assembles records in a
+    * `mapGroups`, where a Column cannot reach). Rule-for-rule identical;
+    * WarcSpec pins expression ≡ scalar over the corpus. */
+  private[graft] def synthUrlScala(id: Long): String = {
+    val core = (if (id % 7 == 0) "SITE" else "site") + ((id * 7) % 10)
+    val suffix = Seq("com", "co.uk", "github.io", "de", "com.au",
+      "ck")((id % 6).toInt)
+    val sub = if (id % 3 == 0) "www." else if (id % 3 == 1) "news." else ""
+    val scheme = if (id % 2 == 0) "https" else "HTTP"
+    val port =
+      if (id % 5 == 0) { if (id % 2 == 0) ":443" else ":80" }
+      else if (id % 5 == 1) ":8080" else ""
+    val path = s"/articles/item$id" + (if (id % 4 == 0) "/" else "")
+    val query =
+      if (id % 3 == 0) "?utm_source=feed&b=2&a=1"
+      else if (id % 3 == 1) "?z=9&fbclid=abc" else ""
+    val frag = if (id % 6 == 0) "#top" else ""
+    s"$scheme://$sub$core.$suffix$port$path$query$frag"
+  }
+
   /** q129: synthesize, canonicalize, derive the registrable domain,
     * apply the blocklist. Narrow until the output ORDER BY (oracle
     * determinism only). */
@@ -313,11 +334,11 @@ object UrlCurate {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
 
-  /** Shared oracle chain: synthesis → canonicalization → PSL →
-    * blocklist, replayed analytically (every rule string-for-string).
-    * `private[ext]` so the robots-policy oracle (q139) replays the same
-    * URL corpus it filters. */
-  private[ext] val curateCte: String =
+  /** The URL-synthesis CTE alone (the `u` table of [[curateCte]]) —
+    * `private[ext]` so oracles that need the synthesized URLs without
+    * the canonicalization chain (the WARC family's `WARC-Target-URI`)
+    * replay exactly the corpus [[synthUrlExpr]] builds. */
+  private[ext] val urlCte: String =
     s"""u AS (SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
          CASE WHEN doc_id % 3 = 0 THEN 'www.'
@@ -334,7 +355,14 @@ object UrlCurate {
          CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
               WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END ||
          CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
-       FROM documents),
+       FROM documents)"""
+
+  /** Shared oracle chain: synthesis → canonicalization → PSL →
+    * blocklist, replayed analytically (every rule string-for-string).
+    * `private[ext]` so the robots-policy oracle (q139) replays the same
+    * URL corpus it filters. */
+  private[ext] val curateCte: String =
+    s"""$urlCte,
        p0 AS (SELECT doc_id, url,
            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
              AS scheme,

@@ -1,0 +1,497 @@
+package graft.ext
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** WARC (Web ARChive, ISO 28500 / WARC 1.0-1.1) ingestion — the raw
+  * front of CommonCrawl-shaped pipelines, upstream of everything the
+  * crawl stack already does (URL curation q129/q130, robots q139,
+  * extraction q123, links q124): parse archive blobs into typed records,
+  * gate on HTTP fetch status, and strip response records down to their
+  * payload the way the WET "conversion" derivation does.
+  *
+  * Format essentials implemented here (from the published standard):
+  *   - a record = version line (`WARC/1.0` or `WARC/1.1`), named-field
+  *     header lines, an empty line, then EXACTLY `Content-Length` octets
+  *     of block, then two line breaks. Framing is length-based, NEVER
+  *     boundary-scanning — a block containing the bytes `WARC/1.0` must
+  *     not split a record (golden-tested);
+  *   - header names are case-insensitive; values may continue onto
+  *     following lines that start with space/tab (obsolete but legal);
+  *   - records with `Content-Type: application/http` carry an HTTP
+  *     message as the block: status line, headers, empty line, payload;
+  *   - `.warc.gz` files are per-record gzip members concatenated;
+  *     `GZIPInputStream` inflates member-concatenated streams whole.
+  *
+  * Line breaks: the standard mandates CRLF; real crawls contain LF-only
+  * writers, so the parser accepts both (and the writer emits CRLF).
+  *
+  * Malformed framing (bad version line, missing Content-Length, block
+  * running past end of input) cannot be resynchronized safely under
+  * length-based framing — scanning forward for the next `WARC/` magic
+  * could land inside a block. The parser therefore emits ONE quarantine
+  * row (`error` set, the house CSV posture, Clean.scala:109) for the
+  * failed record and stops consuming that blob; records already parsed
+  * stand.
+  *
+  * Scale: [[readWarcDir]] reads via Spark's `binaryFile` source — one
+  * task per file, the CommonCrawl execution model (archives ship as
+  * ~1 GiB `.warc.gz` segments, so a 100 TB crawl is ~100k files and
+  * parallelism is file count, not `maxPartitionBytes`, which cannot
+  * split gzip anyway). [[recordsOf]] is a narrow `mapPartitions`
+  * flatMap: no shuffle between bytes and typed records. [[wetBlobsOf]]
+  * groups CONSECUTIVE records of one blob inside each partition —
+  * record streams arrive blob-contiguous from the parser — so the
+  * WARC→WET derivation is also shuffle-free.
+  */
+object Warc {
+
+  /** One parsed record. `http_*` fields are populated only for
+    * `application/http` response blocks; `body` is the block with the
+    * HTTP envelope stripped (or the raw block when there is none).
+    * `error` is null on well-formed records (quarantine idiom). */
+  case class WarcRecord(
+      blob_id: Long,
+      rec_idx: Int,
+      warc_type: Option[String],
+      record_id: Option[String],
+      target_uri: Option[String],
+      warc_date: Option[String],
+      content_type: Option[String],
+      content_length: Long,
+      http_status: Option[Int],
+      http_content_type: Option[String],
+      body: Array[Byte],
+      error: Option[String])
+
+  // ---------------------------------------------------------------- bytes
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Deflate `b` as one gzip member (JDK only — no codec deps). */
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** Inflate a whole (possibly member-concatenated) gzip stream. */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(b))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Read one line at `pos`: bytes to the next LF (or EOF), CR stripped.
+    * ISO-8859-1 so header decode is byte-transparent. Returns
+    * (line, posAfterLineBreak). */
+  private def readLine(data: Array[Byte], pos: Int): (String, Int) = {
+    var i = pos
+    while (i < data.length && data(i) != '\n') i += 1
+    val end = if (i > pos && data(i - 1) == '\r') i - 1 else i
+    val line = new String(data, pos, end - pos, "ISO-8859-1")
+    (line, if (i < data.length) i + 1 else i)
+  }
+
+  /** Parse `name: value` header lines (case-insensitive names, leading-
+    * whitespace continuations) until the empty line. Returns
+    * (headers, posAfterEmptyLine) or Left(reason). */
+  private def readHeaders(data: Array[Byte], pos0: Int)
+      : Either[String, (Map[String, String], Int)] = {
+    var pos = pos0
+    var last: String = null
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (true) {
+      if (pos >= data.length) return Left("unterminated header block")
+      val (line, next) = readLine(data, pos)
+      pos = next
+      if (line.isEmpty) return Right((m.toMap, pos))
+      else if ((line.charAt(0) == ' ' || line.charAt(0) == '\t')
+          && last != null)
+        m(last) = m(last) + " " + line.trim
+      else {
+        val c = line.indexOf(':')
+        if (c <= 0) return Left(s"malformed header line: $line")
+        last = line.substring(0, c).trim.toLowerCase
+        m(last) = line.substring(c + 1).trim
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Strip an HTTP message envelope from a block: (status, content-type,
+    * payload). None when the block does not start with `HTTP/` (the
+    * record is then surfaced with its raw block, not failed — real
+    * crawls contain non-HTTP `application/http` mislabels). */
+  private def stripHttp(block: Array[Byte])
+      : Option[(Int, Option[String], Array[Byte])] = {
+    if (block.length < 5 ||
+        new String(block, 0, 5, "ISO-8859-1") != "HTTP/") return None
+    val (statusLine, p1) = readLine(block, 0)
+    val parts = statusLine.split(" ")
+    val code =
+      if (parts.length >= 2) scala.util.Try(parts(1).toInt).toOption
+      else None
+    code.flatMap { c =>
+      readHeaders(block, p1).toOption.map { case (hs, bodyStart) =>
+        (c, hs.get("content-type"),
+          java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+      }
+    }
+  }
+
+  /** Parse one archive blob (gzip auto-detected) into records. */
+  def parseBlob(blobId: Long, raw: Array[Byte]): Seq[WarcRecord] = {
+    val data = if (isGzip(raw)) gunzip(raw) else raw
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var idx = 0
+    var failed = false
+    def quarantine(reason: String): Unit = {
+      out += WarcRecord(blobId, idx, None, None, None, None, None, -1L,
+        None, None, Array.emptyByteArray, Some(reason))
+      failed = true
+    }
+    while (!failed && pos < data.length) {
+      // inter-record line breaks (the standard's two, or any padding)
+      while (pos < data.length &&
+          (data(pos) == '\r' || data(pos) == '\n')) pos += 1
+      if (pos < data.length) {
+        val (version, p1) = readLine(data, pos)
+        if (!version.startsWith("WARC/")) quarantine(
+          s"bad version line at offset $pos: ${version.take(40)}")
+        else readHeaders(data, p1) match {
+          case Left(reason) => quarantine(reason)
+          case Right((hs, bodyStart)) =>
+            hs.get("content-length")
+                .flatMap(v => scala.util.Try(v.toLong).toOption) match {
+              case None => quarantine("missing or non-numeric Content-Length")
+              case Some(len) if bodyStart + len > data.length =>
+                quarantine(s"truncated block: declared $len octets, " +
+                  s"${data.length - bodyStart} remain")
+              case Some(len) =>
+                val block = java.util.Arrays.copyOfRange(
+                  data, bodyStart, bodyStart + (len.toInt))
+                val ct = hs.get("content-type")
+                val http =
+                  if (ct.exists(_.toLowerCase.startsWith("application/http")))
+                    stripHttp(block)
+                  else None
+                out += WarcRecord(blobId, idx,
+                  warc_type = hs.get("warc-type"),
+                  record_id = hs.get("warc-record-id"),
+                  target_uri = hs.get("warc-target-uri"),
+                  warc_date = hs.get("warc-date"),
+                  content_type = ct,
+                  content_length = len,
+                  http_status = http.map(_._1),
+                  http_content_type = http.flatMap(_._2),
+                  body = http.map(_._3).getOrElse(block),
+                  error = None)
+                idx += 1
+                pos = bodyStart + len.toInt
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Append one record in standard framing (CRLF, length-based). */
+  def writeRecord(out: ByteArrayOutputStream,
+      headers: Seq[(String, String)], block: Array[Byte]): Unit = {
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => w(s"$k: $v\r\n") }
+    w(s"Content-Length: ${block.length}\r\n\r\n")
+    out.write(block)
+    w("\r\n\r\n")
+  }
+
+  /** First capture group of `pattern` as a nullable long (ANSI-safe:
+    * regexp_extract's no-match "" would fail a plain cast). */
+  private def extractedId(c: org.apache.spark.sql.Column,
+      pattern: String): org.apache.spark.sql.Column = {
+    val s = regexp_extract(c, pattern, 1)
+    when(s === "", lit(null)).otherwise(s).cast("long")
+  }
+
+  // ------------------------------------------------------------ operators
+
+  /** Typed records from a (blob_id, payload binary) frame — narrow
+    * mapPartitions, each blob's records emitted contiguously in order. */
+  def recordsOf(blobs: DataFrame): Dataset[WarcRecord] = {
+    import blobs.sparkSession.implicits._
+    blobs.select(col("blob_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (b, bytes) => parseBlob(b, bytes) })
+  }
+
+  /** Read a directory of `.warc` / `.warc.gz` files: one task per file
+    * (`binaryFile` is unsplittable — the CommonCrawl model, parallelism
+    * = file count). `blob_id` is the file name's trailing number when
+    * present, else a 64-bit hash of the path. */
+  def readWarcDir(spark: SparkSession, path: String,
+      glob: String = "*.warc*"): Dataset[WarcRecord] =
+    recordsOf(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+      .select(
+        coalesce(extractedId(col("path"), "(\\d+)\\.warc"),
+          xxhash64(col("path"))).as("blob_id"),
+        col("content").as("payload")))
+
+  /** The standard fetch gate: well-formed response records that came
+    * back HTTP 200. */
+  def fetchOkOf(records: Dataset[WarcRecord]): Dataset[WarcRecord] =
+    records.filter(r => r.error.isEmpty && r.warc_type.contains("response")
+      && r.http_status.contains(200))
+
+  /** WARC→WET derivation: each admitted response record re-emitted as a
+    * `conversion` record (payload only, `WARC-Refers-To` lineage, URI
+    * and date preserved), one gzip blob per source blob. Zero shuffle:
+    * [[recordsOf]] emits each blob's records contiguously, so grouping
+    * consecutive runs inside the partition suffices. */
+  def wetBlobsOf(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    fetchOkOf(records).mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Array[Byte])] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Array[Byte]) = {
+          val b = buf.head.blob_id
+          var recs = Vector.empty[WarcRecord]
+          while (buf.hasNext && buf.head.blob_id == b) recs :+= buf.next()
+          val out = new ByteArrayOutputStream()
+          recs.sortBy(_.rec_idx).foreach { r =>
+            val docId = r.record_id
+              .flatMap("doc:(\\d+)".r.findFirstMatchIn(_))
+              .map(_.group(1)).getOrElse("x")
+            writeRecord(out, Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Record-ID" -> s"<urn:graft:wet:$docId>",
+              "WARC-Refers-To" -> r.record_id.getOrElse(""),
+              "WARC-Target-URI" -> r.target_uri.getOrElse(""),
+              "WARC-Date" -> r.warc_date.getOrElse(""),
+              "Content-Type" -> "text/plain"), r.body)
+          }
+          (b, gzip(out.toByteArray))
+        }
+      }
+    }.toDF("blob_id", "payload")
+  }
+
+  // ------------------------------------------------------------ synthesis
+
+  /** Docs per synthesized archive blob (registered queries). */
+  val RecordsPerBlob = 8L
+
+  /** 2024-01-01T00:00:00Z — synthesis epoch for WARC-Date. */
+  val BaseEpoch = 1704067200L
+
+  private def isoDate(epoch: Long): String =
+    java.time.Instant.ofEpochSecond(epoch).toString
+
+  private[ext] def statusOf(id: Long): (Int, String) =
+    if (id % 10 == 3) (404, "Not Found")
+    else if (id % 10 == 7) (301, "Moved Permanently")
+    else (200, "OK")
+
+  private[ext] def isConversion(id: Long): Boolean = id % 5 == 4
+
+  /** Build one archive blob: a `warcinfo` record, then one record per
+    * doc (sorted) — `conversion`/text-plain for every fifth doc, else
+    * `response` wrapping an HTTP envelope whose status cycles through
+    * 200/301/404 by doc_id arithmetic (so the fetch gate is exercised).
+    * Every rule is replayed by the DuckDB oracles. */
+  private[ext] def synthesizeBlob(blobId: Long,
+      docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeRecord(out, Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:info:$blobId>",
+      "WARC-Date" -> isoDate(BaseEpoch + blobId),
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8"))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val payload = text.getBytes("UTF-8")
+      val common = Seq(
+        "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+        "WARC-Target-URI" -> UrlCurate.synthUrlScala(id),
+        "WARC-Date" -> isoDate(BaseEpoch + id))
+      if (isConversion(id))
+        writeRecord(out, ("WARC-Type" -> "conversion") +: common :+
+          ("Content-Type" -> "text/plain"), payload)
+      else {
+        val (code, reason) = statusOf(id)
+        val envelope = s"HTTP/1.1 $code $reason\r\n" +
+          s"Content-Type: text/html\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n"
+        writeRecord(out, ("WARC-Type" -> "response") +: common :+
+          ("Content-Type" -> "application/http;msgtype=response"),
+          envelope.getBytes("ISO-8859-1") ++ payload)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** (blob_id, payload) frame of synthesized archives over the corpus —
+    * `doc_id / 8` contiguous groups. The groupByKey here is test-INPUT
+    * construction (real ingestion starts from files via
+    * [[readWarcDir]], no shuffle); it is not part of the operator. */
+  def synthesizeWarcBlobsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / RecordsPerBlob)
+      .mapGroups { (b, it) => (b, synthesizeBlob(b, it.toSeq)) }
+      .toDF("blob_id", "payload")
+  }
+
+  // ------------------------------------------------------- registered qs
+
+  /** q153: full record inventory of the synthesized archives — every
+    * header field, framing length, HTTP envelope split, and a body
+    * prefix, one row per record including the `warcinfo` rows. `error`
+    * is emitted (not filtered) so a parser regression can never hide as
+    * a silently shorter result. ORDER BY = oracle determinism only. */
+  def warcRecords(spark: SparkSession, dir: String): DataFrame =
+    recordsOf(synthesizeWarcBlobsOf(Tables(spark, dir, "documents")))
+      .toDF()
+      .select(col("blob_id"), col("rec_idx"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("warc_date"),
+        col("content_type"), col("content_length"), col("http_status"),
+        col("http_content_type"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        substring(col("body").cast("string"), 1, 48).as("body_head"),
+        extractedId(col("record_id"), "doc:(\\d+)").as("doc_id"),
+        col("error"))
+      .orderBy(col("blob_id"), col("rec_idx"))
+
+  /** Oracle for q153 [[warcRecords]] — synthesis arithmetic replayed:
+    * record order within a blob (warcinfo first, docs by id), the
+    * length-framed Content-Length including the HTTP envelope, and the
+    * envelope split. */
+  lazy val warcRecordsOracle: String = {
+    val date = "strftime(TIMESTAMP '2024-01-01 00:00:00' + " +
+      "to_seconds(%s), '%%Y-%%m-%%dT%%H:%%M:%%SZ')"
+    s"""WITH ${UrlCurate.urlCte},
+       d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+           CASE WHEN doc_id % 10 = 3 THEN 404
+                WHEN doc_id % 10 = 7 THEN 301 ELSE 200 END AS code,
+           CASE WHEN doc_id % 10 = 3 THEN 'Not Found'
+                WHEN doc_id % 10 = 7 THEN 'Moved Permanently'
+                ELSE 'OK' END AS reason,
+           (doc_id % 5 = 4) AS conv
+         FROM documents),
+       docrec AS (SELECT d.blob_id,
+           CAST(row_number() OVER (PARTITION BY d.blob_id
+             ORDER BY d.doc_id) AS INT) AS rec_idx,
+           CASE WHEN conv THEN 'conversion' ELSE 'response' END
+             AS warc_type,
+           '<urn:graft:doc:' || d.doc_id || '>' AS record_id,
+           u.url AS target_uri,
+           ${date.format("d.doc_id")} AS warc_date,
+           CASE WHEN conv THEN 'text/plain'
+                ELSE 'application/http;msgtype=response' END
+             AS content_type,
+           CAST(CASE WHEN conv THEN length(text)
+                ELSE length('HTTP/1.1 ' || code || ' ' || reason) + 2
+                   + length('Content-Type: text/html') + 2
+                   + length('Content-Length: ' || length(text)) + 2 + 2
+                   + length(text) END AS BIGINT) AS content_length,
+           CASE WHEN conv THEN NULL ELSE code END AS http_status,
+           CASE WHEN conv THEN NULL ELSE 'text/html' END
+             AS http_content_type,
+           CAST(length(text) AS BIGINT) AS body_len,
+           substr(text, 1, 48) AS body_head,
+           d.doc_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS error
+         FROM d JOIN u ON u.doc_id = d.doc_id),
+       info AS (SELECT blob_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           '<urn:graft:info:' || blob_id || '>' AS record_id,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           ${date.format("blob_id")} AS warc_date,
+           'application/warc-fields' AS content_type,
+           CAST(17 AS BIGINT) AS content_length,
+           CAST(NULL AS INT) AS http_status,
+           CAST(NULL AS VARCHAR) AS http_content_type,
+           CAST(17 AS BIGINT) AS body_len,
+           'software: graft' || chr(13) || chr(10) AS body_head,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS error
+         FROM (SELECT DISTINCT doc_id // 8 AS blob_id FROM documents))
+       SELECT * FROM info UNION ALL SELECT * FROM docrec
+       ORDER BY blob_id, rec_idx"""
+  }
+
+  /** q154: the crawl's first aggregate — parse, gate on fetch status
+    * (well-formed HTTP 200 responses only), canonicalize the target
+    * URI, resolve the registrable domain, drop blocklisted domains, and
+    * roll up admitted docs and payload bytes per domain. One narrow
+    * parse + the URL chain's narrow maps + ONE hash aggregate. */
+  def warcFetch(spark: SparkSession, dir: String): DataFrame = {
+    val ok = fetchOkOf(recordsOf(synthesizeWarcBlobsOf(
+        Tables(spark, dir, "documents")))).toDF()
+      .select(col("target_uri").as("url"),
+        octet_length(col("body")).cast("long").as("n_bytes"))
+    UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(ok)))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle for q154 [[warcFetch]] — the shared curate chain restricted
+    * to docs synthesized as HTTP-200 responses. */
+  lazy val warcFetchOracle: String =
+    s"""WITH ${UrlCurate.curateCte},
+       st AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7))
+       SELECT coalesce(b.registrable_domain, b.host) AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s.n_bytes) AS BIGINT) AS sum_bytes
+       FROM blk b JOIN st s ON s.doc_id = b.doc_id
+       WHERE NOT b.blocked AND b.host IS NOT NULL
+       GROUP BY 1 ORDER BY domain"""
+
+  /** q155: WARC→WET roundtrip — synthesize archives, parse, derive WET
+    * conversion blobs ([[wetBlobsOf]], gzip on the write path so the
+    * inflate path is exercised end to end), parse THOSE back, and emit
+    * per-doc digests. `body_md5` equal to the source text's md5 pins
+    * byte-exact payload preservation through write → gzip → inflate →
+    * parse (the q109 exact-twin idiom). */
+  def wetRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
+        Tables(spark, dir, "documents")))))
+      .toDF()
+      .select(
+        extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
+        col("warc_type"), col("content_type"), col("target_uri"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        md5(col("body")).as("body_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle for q155 [[wetRoundtrip]]. */
+  lazy val wetRoundtripOracle: String =
+    s"""WITH ${UrlCurate.urlCte}
+       SELECT d.doc_id, 'conversion' AS warc_type,
+         'text/plain' AS content_type, u.url AS target_uri,
+         CAST(length(d.text) AS BIGINT) AS body_len,
+         md5(d.text) AS body_md5
+       FROM documents d JOIN u ON u.doc_id = d.doc_id
+       WHERE d.doc_id % 5 <> 4 AND d.doc_id % 10 NOT IN (3, 7)
+       ORDER BY d.doc_id"""
+}

@@ -1,0 +1,230 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ext.{UrlCurate, Warc}
+import graft.ext.Warc.WarcRecord
+
+/** WARC ingestion (q153-q155): length-based framing goldens (a block
+  * containing `WARC/1.0` bytes, LF-only line breaks, case-insensitive
+  * and continued headers), gzip member-concatenated blobs, quarantine
+  * rows for every malformed-framing class, HTTP envelope stripping,
+  * writer→parser roundtrip (property), directory reads, the WET
+  * derivation's zero-shuffle contract, and synthesis-twin equality
+  * (scalar URL ≡ expression URL). */
+class WarcSpec extends SparkSpecBase {
+
+  private def check(prop: Prop, minTests: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def rec(headers: Seq[(String, String)],
+      block: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, headers, block)
+    out.toByteArray
+  }
+
+  private def resp(id: Long, body: String, code: Int = 200,
+      reason: String = "OK"): Array[Byte] = {
+    val payload = body.getBytes("UTF-8")
+    val env = s"HTTP/1.1 $code $reason\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    rec(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+      "WARC-Target-URI" -> s"https://x.com/$id",
+      "WARC-Date" -> "2024-01-01T00:00:00Z",
+      "Content-Type" -> "application/http;msgtype=response"),
+      env.getBytes("ISO-8859-1") ++ payload)
+  }
+
+  test("framing is length-based: a body containing the bytes " +
+      "'WARC/1.0\\r\\n' does not split a record") {
+    val trap = "before WARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    val blob = resp(1, trap) ++ resp(2, "second")
+    val rs = Warc.parseBlob(7L, blob)
+    assert(rs.length == 2)
+    assert(rs.forall(_.error.isEmpty))
+    assert(new String(rs(0).body, "UTF-8") == trap)
+    assert(rs(1).record_id.contains("<urn:graft:doc:2>"))
+    assert(rs.map(_.rec_idx) == Seq(0, 1))
+    assert(rs.forall(_.blob_id == 7L))
+  }
+
+  test("LF-only records, case-mixed header names, and header value " +
+      "continuation lines all parse") {
+    val body = "payload"
+    val lfRecord = ("WARC/1.1\n" +
+      "warc-type: response\n" +
+      "WARC-RECORD-ID: <urn:a>\n" +
+      "WARC-Target-URI: https://x.com/a\n" +
+      "  continued-tail\n" + // continuation joins previous value
+      s"content-length: ${body.length}\n\n" +
+      body + "\n\n").getBytes("ISO-8859-1")
+    val rs = Warc.parseBlob(0L, lfRecord)
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.error.isEmpty)
+    assert(r.warc_type.contains("response"))
+    assert(r.record_id.contains("<urn:a>"))
+    assert(r.target_uri.contains("https://x.com/a continued-tail"))
+    // content-type absent -> no HTTP strip even though body is free-form
+    assert(r.http_status.isEmpty)
+    assert(new String(r.body, "UTF-8") == body)
+  }
+
+  test("HTTP envelope: status and content-type extracted, payload " +
+      "stripped; LF-only envelopes parse; non-HTTP block under an " +
+      "application/http label surfaces raw, not failed") {
+    val lfEnv = "HTTP/1.0 404 Not Found\nContent-Type: a/b\n\nbody!"
+    val r1 = Warc.parseBlob(0L, rec(Seq(
+      "WARC-Type" -> "response",
+      "Content-Type" -> "application/http"),
+      lfEnv.getBytes("ISO-8859-1"))).head
+    assert(r1.http_status.contains(404))
+    assert(r1.http_content_type.contains("a/b"))
+    assert(new String(r1.body, "UTF-8") == "body!")
+    val r2 = Warc.parseBlob(0L, rec(Seq(
+      "WARC-Type" -> "response",
+      "Content-Type" -> "application/http"),
+      "NOT-HTTP".getBytes("ISO-8859-1"))).head
+    assert(r2.error.isEmpty && r2.http_status.isEmpty)
+    assert(new String(r2.body, "UTF-8") == "NOT-HTTP")
+  }
+
+  test("quarantine rows: bad version line, missing Content-Length, " +
+      "truncated block — parsed prefix stands, one error row, stop") {
+    val good = resp(1, "ok-record")
+    val badVersion = good ++ "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")
+    val rs1 = Warc.parseBlob(0L, badVersion)
+    assert(rs1.length == 2 && rs1(0).error.isEmpty)
+    assert(rs1(1).error.exists(_.contains("bad version line")))
+
+    val noLen = good ++ rec(Seq("WARC-Type" -> "response"), Array[Byte]())
+      .map(identity) // keep bytes
+    // strip the writer's Content-Length header to synthesize the fault
+    val noLenBytes = new String(noLen, "ISO-8859-1")
+      .replace("Content-Length: 0\r\n", "").getBytes("ISO-8859-1")
+    val rs2 = Warc.parseBlob(0L, noLenBytes)
+    assert(rs2.length == 2)
+    assert(rs2(1).error.exists(_.contains("Content-Length")))
+
+    val truncated = good ++ resp(2, "x" * 100).dropRight(60)
+    val rs3 = Warc.parseBlob(0L, truncated)
+    assert(rs3.length == 2)
+    assert(rs3(1).error.exists(_.contains("truncated")))
+  }
+
+  test("gzip: member-concatenated .warc.gz (one member per record) " +
+      "inflates and parses whole; single-member roundtrips") {
+    val blob = Warc.gzip(resp(1, "alpha")) ++ Warc.gzip(resp(2, "beta"))
+    val rs = Warc.parseBlob(3L, blob)
+    assert(rs.map(r => new String(r.body, "UTF-8")) == Seq("alpha", "beta"))
+    val single = Warc.gzip(resp(9, "gamma"))
+    assert(new String(Warc.parseBlob(0L, single).head.body,
+      "UTF-8") == "gamma")
+  }
+
+  test("property: writer→parser roundtrip preserves headers and " +
+      "arbitrary block bytes (incl. CR/LF/NUL) under CRLF framing") {
+    val bytesGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    check(Prop.forAll(bytesGen, Gen.alphaNumStr.suchThat(_.nonEmpty)) {
+      (block: Array[Byte], id: String) =>
+        val one = rec(Seq(
+          "WARC-Type" -> "metadata",
+          "WARC-Record-ID" -> s"<urn:$id>"), block)
+        val rs = Warc.parseBlob(0L, one ++ one)
+        rs.length == 2 && rs.forall { r =>
+          r.error.isEmpty && r.warc_type.contains("metadata") &&
+            r.record_id.contains(s"<urn:$id>") &&
+            java.util.Arrays.equals(r.body, block)
+        }
+    })
+  }
+
+  test("synthesis twin: UrlCurate.synthUrlScala ≡ synthUrlExpr over " +
+      "the corpus (the WARC writer's JVM-side URL must be the oracle's)") {
+    val docs = Tables(spark, sf001, "documents")
+    val fromExpr = UrlCurate.synthesizeUrlsOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromExpr.nonEmpty)
+    fromExpr.foreach { case (id, url) =>
+      assert(UrlCurate.synthUrlScala(id) == url, s"doc_id=$id")
+    }
+  }
+
+  test("readWarcDir: files written to disk (.warc.gz) parse to exactly " +
+      "the in-memory records, blob_id from the file name") {
+    import spark.implicits._
+    val docs = Tables(spark, sf0001, "documents")
+    val blobs = Warc.synthesizeWarcBlobsOf(docs)
+      .as[(Long, Array[Byte])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    blobs.foreach { case (b, bytes) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"seg-$b.warc.gz").toPath, Warc.gzip(bytes))
+    }
+    val fromDir = Warc.readWarcDir(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.blob_id, r.rec_idx) -> r).toMap
+    val direct = blobs.flatMap { case (b, bytes) => Warc.parseBlob(b, bytes) }
+    assert(direct.nonEmpty && fromDir.size == direct.size)
+    direct.foreach { d =>
+      val g = fromDir((d.blob_id, d.rec_idx))
+      assert(g.record_id == d.record_id && g.warc_type == d.warc_type &&
+        g.content_length == d.content_length &&
+        java.util.Arrays.equals(g.body, d.body))
+    }
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
+  test("fetch gate: only well-formed HTTP-200 responses pass; the " +
+      "synthesized corpus exercises 200/301/404 and conversion records") {
+    val records = Warc.recordsOf(Warc.synthesizeWarcBlobsOf(
+      Tables(spark, sf001, "documents")))
+    val all = records.collect()
+    assert(all.forall(_.error.isEmpty))
+    val statuses = all.flatMap(_.http_status).toSet
+    assert(statuses == Set(200, 301, 404))
+    assert(all.exists(_.warc_type.contains("conversion")))
+    val ok = Warc.fetchOkOf(records).collect()
+    assert(ok.nonEmpty)
+    assert(ok.forall(r => r.warc_type.contains("response") &&
+      r.http_status.contains(200)))
+  }
+
+  test("WET derivation: zero shuffle from records to WET blobs (blob-" +
+      "contiguous grouping, no Exchange), and the roundtrip preserves " +
+      "payload bytes and lineage") {
+    val docs = Tables(spark, sf0001, "documents")
+    val records = Warc.recordsOf(Warc.synthesizeWarcBlobsOf(docs))
+    val wet = Warc.wetBlobsOf(records)
+    // plan: exactly the synthesis groupByKey exchange — WET adds none
+    val exchanges = wet.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the synthesis exchange:\n" +
+      wet.queryExecution.executedPlan)
+    val back = Warc.recordsOf(wet).collect()
+    assert(back.nonEmpty)
+    assert(back.forall(r => r.warc_type.contains("conversion") &&
+      r.error.isEmpty))
+    val src = Warc.fetchOkOf(records).collect()
+      .map(r => r.record_id.get -> r).toMap
+    assert(back.length == src.size)
+    back.foreach { w =>
+      // WARC-Refers-To is parsed out of... headers map (not surfaced as a
+      // column) — lineage is pinned via the wet:<id> record id instead
+      val id = "wet:(\\d+)".r.findFirstMatchIn(w.record_id.get)
+        .get.group(1)
+      val s = src(s"<urn:graft:doc:$id>")
+      assert(java.util.Arrays.equals(w.body, s.body))
+      assert(w.target_uri == s.target_uri && w.warc_date == s.warc_date)
+    }
+  }
+}
