@@ -275,6 +275,8 @@ object SparkEntry {
       graft.ext.Warc.warcFetch(s, d)),
     "q155_wet_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.wetRoundtrip(s, d)),
+    "q156_secrets_scan" -> ((s: SparkSession, d: String) =>
+      graft.ext.Secrets.secretsScan(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -543,6 +545,7 @@ object SparkEntry {
     "q152_frontier_report" -> graft.ext.Robots.frontierReportOracle,
     "q153_warc_records" -> graft.ext.Warc.warcRecordsOracle,
     "q154_warc_fetch" -> graft.ext.Warc.warcFetchOracle,
-    "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle
+    "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle,
+    "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle
   )
 }

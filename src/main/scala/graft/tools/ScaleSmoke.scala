@@ -268,7 +268,13 @@ object ScaleSmoke {
       "q151_domain_quantiles" -> ((s: SparkSession, d: String) =>
         graft.ext.UrlCurate.domainQuantiles(s, d)),
       "q152_frontier_report" -> ((s: SparkSession, d: String) =>
-        graft.ext.Robots.frontierReport(s, d))
+        graft.ext.Robots.frontierReport(s, d)),
+      "q153_warc_records" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.warcRecords(s, d)),
+      "q154_warc_fetch" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.warcFetch(s, d)),
+      "q155_wet_roundtrip" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.wetRoundtrip(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis
