@@ -277,6 +277,8 @@ object SparkEntry {
       graft.ext.Warc.wetRoundtrip(s, d)),
     "q156_secrets_scan" -> ((s: SparkSession, d: String) =>
       graft.ext.Secrets.secretsScan(s, d)),
+    "q157_manifest_diff" -> ((s: SparkSession, d: String) =>
+      graft.ext.Shards.manifestDiff(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -546,6 +548,7 @@ object SparkEntry {
     "q153_warc_records" -> graft.ext.Warc.warcRecordsOracle,
     "q154_warc_fetch" -> graft.ext.Warc.warcFetchOracle,
     "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle,
-    "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle
+    "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle,
+    "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle
   )
 }

@@ -193,6 +193,91 @@ object Shards {
          sum(CASE WHEN f THEN 1 ELSE 0 END) > 0 AS needs_rewrite
        FROM a GROUP BY shard_id ORDER BY shard_id"""
 
+  /** Diff two release manifests WITHOUT rereading either corpus — the
+    * dataset-versioning primitive (what a consumer runs between
+    * releases, and what a publisher ships as a changelog): per shard,
+    * `added` / `removed` / `changed` / `unchanged` plus exact count,
+    * token, and checksum deltas. Because q143's checksum is an
+    * order-independent SUM, `d_checksum` equals Σ fp(added docs) −
+    * Σ fp(removed docs) — so a consumer can verify a claimed delta
+    * against just the changed documents (spec-pinned). Manifests are
+    * shard-count-sized: the full-outer join is trivially broadcastable
+    * at any corpus size. */
+  def manifestDiffOf(pre: DataFrame, post: DataFrame): DataFrame = {
+    val p = pre.select(col("shard_id"),
+      col("n_docs").as("n_docs_pre"), col("n_tokens").as("n_tokens_pre"),
+      col("checksum").as("checksum_pre"))
+    val q = post.select(col("shard_id"),
+      col("n_docs").as("n_docs_post"), col("n_tokens").as("n_tokens_post"),
+      col("checksum").as("checksum_post"))
+    p.join(q, Seq("shard_id"), "full_outer")
+      .withColumn("status",
+        when(col("n_docs_pre").isNull, "added")
+          .when(col("n_docs_post").isNull, "removed")
+          .when(col("n_docs_pre") === col("n_docs_post") &&
+            col("n_tokens_pre") === col("n_tokens_post") &&
+            col("checksum_pre") === col("checksum_post"), "unchanged")
+          .otherwise("changed"))
+      .select(col("shard_id"), col("status"),
+        coalesce(col("n_docs_pre"), lit(0L)).as("n_docs_pre"),
+        coalesce(col("n_docs_post"), lit(0L)).as("n_docs_post"),
+        (coalesce(col("n_docs_post"), lit(0L)) -
+          coalesce(col("n_docs_pre"), lit(0L))).as("d_docs"),
+        (coalesce(col("n_tokens_post"), lit(0L)) -
+          coalesce(col("n_tokens_pre"), lit(0L))).as("d_tokens"),
+        (coalesce(col("checksum_post"), lit(0L)) -
+          coalesce(col("checksum_pre"), lit(0L))).as("d_checksum"))
+  }
+
+  /** q157: the changelog between two deterministic release snapshots
+    * of the corpus — the PRE release shipped before the late batch
+    * (doc_id ≡ 13 mod 89) arrived; the POST release includes it but
+    * honors an erasure batch (doc_id ≡ 0 mod 97, q146's shape). Same
+    * sharding both sides, so the diff isolates content movement.
+    * ORDER BY = oracle determinism only. */
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pre = manifestOf(shardAssignOf(
+      docs.filter(!(col("doc_id") % 89 === 13))))
+    val post = manifestOf(shardAssignOf(
+      docs.filter(!(col("doc_id") % 97 === 0))))
+    manifestDiffOf(pre, post).orderBy(col("shard_id"))
+  }
+
+  /** Oracle for q157 [[manifestDiff]] — both snapshots' manifests
+    * replayed from the assignment arithmetic, full-outer joined. */
+  val manifestDiffOracle: String = {
+    def m(name: String, pred: String) =
+      s"""$name AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(fp) AS BIGINT) AS checksum
+         FROM a WHERE $pred GROUP BY shard_id)"""
+    s"""WITH a AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(${DetMix.mixSql("doc_id", Seed)} % $NShards AS INT)
+             AS shard_id,
+           ${DetMix.mixSql("doc_id", Seed + 1)} AS fp
+         FROM documents),
+       ${m("pre", "doc_id % 89 <> 13")},
+       ${m("post", "doc_id % 97 <> 0")}
+       SELECT coalesce(pre.shard_id, post.shard_id) AS shard_id,
+         CASE WHEN pre.shard_id IS NULL THEN 'added'
+              WHEN post.shard_id IS NULL THEN 'removed'
+              WHEN pre.n_docs = post.n_docs
+                AND pre.n_tokens = post.n_tokens
+                AND pre.checksum = post.checksum THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         coalesce(pre.n_docs, 0) AS n_docs_pre,
+         coalesce(post.n_docs, 0) AS n_docs_post,
+         coalesce(post.n_docs, 0) - coalesce(pre.n_docs, 0) AS d_docs,
+         coalesce(post.n_tokens, 0) - coalesce(pre.n_tokens, 0)
+           AS d_tokens,
+         coalesce(post.checksum, 0) - coalesce(pre.checksum, 0)
+           AS d_checksum
+       FROM pre FULL OUTER JOIN post ON post.shard_id = pre.shard_id
+       ORDER BY shard_id"""
+  }
+
   /** Oracle for q143 [[shardManifest]] — replays assignment, counts,
     * range, and fingerprint sum (all exact integer arithmetic). */
   val shardManifestOracle: String =

@@ -274,7 +274,11 @@ object ScaleSmoke {
       "q154_warc_fetch" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.warcFetch(s, d)),
       "q155_wet_roundtrip" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.wetRoundtrip(s, d))
+        graft.ext.Warc.wetRoundtrip(s, d)),
+      "q156_secrets_scan" -> ((s: SparkSession, d: String) =>
+        graft.ext.Secrets.secretsScan(s, d)),
+      "q157_manifest_diff" -> ((s: SparkSession, d: String) =>
+        graft.ext.Shards.manifestDiff(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -137,6 +137,58 @@ class ShardsSpec extends SparkSpecBase {
       "flag must discriminate unless every shard is hit")
   }
 
+  test("q157 manifest diff: all four statuses; added/removed shards " +
+      "surface with zeroed missing side") {
+    import spark.implicits._
+    val pre = Seq((0, 5L, 50L, 111L), (1, 3L, 30L, 222L),
+      (2, 4L, 40L, 333L))
+      .toDF("shard_id", "n_docs", "n_tokens", "checksum")
+    val post = Seq((0, 5L, 50L, 111L), (1, 3L, 30L, 999L),
+      (3, 2L, 20L, 444L))
+      .toDF("shard_id", "n_docs", "n_tokens", "checksum")
+    val got = Shards.manifestDiffOf(pre, post)
+      .collect().map(r => r.getAs[Int]("shard_id") -> r).toMap
+    assert(got(0).getAs[String]("status") == "unchanged")
+    assert(got(1).getAs[String]("status") == "changed")
+    assert(got(1).getAs[Long]("d_checksum") == 999L - 222L)
+    assert(got(2).getAs[String]("status") == "removed")
+    assert(got(2).getAs[Long]("n_docs_post") == 0L &&
+      got(2).getAs[Long]("d_docs") == -4L)
+    assert(got(3).getAs[String]("status") == "added")
+    assert(got(3).getAs[Long]("d_tokens") == 20L)
+  }
+
+  test("q157 additive-delta property: d_checksum per shard equals " +
+      "sum(fp of added docs) - sum(fp of removed docs) — a consumer " +
+      "verifies a changelog against just the changed documents") {
+    val docs = Tables(spark, sf001, "documents")
+    val pre = docs.filter(!(col("doc_id") % 89 === 13))
+    val post = docs.filter(!(col("doc_id") % 97 === 0))
+    val diff = Shards.manifestDiffOf(
+        Shards.manifestOf(Shards.shardAssignOf(pre)),
+        Shards.manifestOf(Shards.shardAssignOf(post)))
+      .collect().map(r => r.getAs[Int]("shard_id") ->
+        r.getAs[Long]("d_checksum")).toMap
+    val a = Shards.shardAssignOf(docs)
+    val added = a.filter(col("doc_id") % 89 === 13 &&
+        !(col("doc_id") % 97 === 0))
+      .groupBy("shard_id").agg(sum("fp").as("s"))
+      .collect().map(r => r.getAs[Int]("shard_id") -> r.getAs[Long]("s"))
+      .toMap
+    val removed = a.filter(col("doc_id") % 97 === 0 &&
+        !(col("doc_id") % 89 === 13))
+      .groupBy("shard_id").agg(sum("fp").as("s"))
+      .collect().map(r => r.getAs[Int]("shard_id") -> r.getAs[Long]("s"))
+      .toMap
+    assert(diff.nonEmpty)
+    diff.foreach { case (sid, d) =>
+      assert(d == added.getOrElse(sid, 0L) - removed.getOrElse(sid, 0L),
+        s"shard $sid")
+    }
+    // the registered corpus exercises both movement directions
+    assert(added.nonEmpty && removed.nonEmpty)
+  }
+
   test("plan shape: manifest is one hash exchange, sort-free") {
     val df = Shards.manifestOf(
       Shards.shardAssignOf(Tables(spark, sf0001, "documents")))
