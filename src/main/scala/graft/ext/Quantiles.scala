@@ -75,9 +75,12 @@ object Quantiles {
     * deterministic per-row draw; `key` a unique row id. */
   def sketchQuantilesOf(df: DataFrame, grp: String, hash: Column,
       v: String, key: String, k: Int = K): DataFrame = {
+    // _m = 0 guard: a group whose every value/hash/key is null yields an
+    // EMPTY sample array, and element_at(arr, 0) is a runtime error in
+    // Spark ("array index starts at 1") — degrade to null estimates
     val picks = QuantileSpec.map { case (name, num, den) =>
-      element_at(col("_sample"),
-        expr(s"CAST((_m * $num + ${den - 1}) div $den AS INT)"))
+      when(col("_m") > 0, element_at(col("_sample"),
+        expr(s"CAST((_m * $num + ${den - 1}) div $den AS INT)")))
         .as(s"${name}_est")
     }
     df.groupBy(col(grp).as("grp"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -36,11 +36,14 @@ import graft.Tables
   * domain key. No sort anywhere; the registered q139's ORDER BY is
   * oracle determinism only.
   *
-  * Pattern→LIKE translation is exact for REP patterns over our URL
-  * alphabet: `*` → `%`, trailing `$` dropped (anchored = no trailing
-  * `%`), everything else literal — paths contain no `%`/`_`, the only
-  * LIKE metacharacters. The DuckDB oracle replays the translation,
-  * the score, and the group selection string-for-string.
+  * Pattern→LIKE translation is exact for ALL REP patterns: `*` → `%`,
+  * trailing `$` dropped (anchored = no trailing `%`), and every LIKE
+  * metacharacter in the pattern (`%`, `_`, the escape `\`) is
+  * backslash-escaped first, so a literal underscore in a robots path
+  * pattern matches only an underscore — RFC 9309 patterns have no
+  * single-char wildcard. The DuckDB oracle replays the translation
+  * (with an explicit `ESCAPE '\'` — DuckDB's LIKE has no default
+  * escape), the score, and the group selection string-for-string.
   */
 object Robots {
 
@@ -120,13 +123,19 @@ object Robots {
     */
   def robotsFilterOf(urls: DataFrame, rules: DataFrame,
       agent: String = Agent): DataFrame = {
+    // backslash-escape LIKE metachars BEFORE '*'→'%' so pattern
+    // literals '%'/'_' stay literal (Spark LIKE's default escape is \)
+    def likeOf(c: Column): Column =
+      replace(replace(replace(replace(c,
+        lit("\\"), lit("\\\\")),
+        lit("%"), lit("\\%")),
+        lit("_"), lit("\\_")),
+        lit("*"), lit("%"))
     val app = applicableRulesOf(rules, agent)
       .withColumn("_like_pat",
         when(col("pattern").endsWith("$"),
-          replace(expr("substring(pattern, 1, length(pattern) - 1)"),
-            lit("*"), lit("%")))
-        .otherwise(concat(replace(col("pattern"), lit("*"), lit("%")),
-          lit("%"))))
+          likeOf(expr("substring(pattern, 1, length(pattern) - 1)")))
+        .otherwise(concat(likeOf(col("pattern")), lit("%"))))
       .withColumn("_score",
         length(col("pattern")) * 2 + col("allow").cast("int"))
       .select(col("domain").as("_rule_domain"), col("_like_pat"),
@@ -178,6 +187,11 @@ object Robots {
     * the scored verdict table the q139 oracle reads directly and the
     * q150 admission oracle caps. `private[ext]` like
     * [[UrlCurate.curateCte]]. */
+  /** A single backslash for the oracle templates: the s-interpolator
+    * processes escape sequences even in triple quotes, so `\` literals
+    * must arrive via interpolation. */
+  private val B = "\\"
+
   private[ext] def robotsCte: String =
     s"""${UrlCurate.curateCte},
        urls AS (SELECT doc_id,
@@ -188,21 +202,26 @@ object Robots {
          $rulesValues),
        spec AS (SELECT DISTINCT domain AS sd FROM rules
          WHERE agent = 'graftbot'),
+       esc AS (SELECT *, replace(replace(replace(
+             CASE WHEN r.pattern LIKE '%$$'
+                  THEN substr(r.pattern, 1, length(r.pattern) - 1)
+                  ELSE r.pattern END,
+             '$B', '$B$B'), '%', '$B%'), '_', '${B}_') AS esc_pat
+         FROM rules r),
        app AS (SELECT r.domain AS rule_domain,
            CASE WHEN r.pattern LIKE '%$$'
-                THEN replace(substr(r.pattern, 1,
-                  length(r.pattern) - 1), '*', '%')
-                ELSE replace(r.pattern, '*', '%') || '%' END AS like_pat,
+                THEN replace(r.esc_pat, '*', '%')
+                ELSE replace(r.esc_pat, '*', '%') || '%' END AS like_pat,
            length(r.pattern) * 2 +
              CASE WHEN r.allow THEN 1 ELSE 0 END AS score
-         FROM rules r LEFT JOIN spec s ON s.sd = r.domain
+         FROM esc r LEFT JOIN spec s ON s.sd = r.domain
          WHERE (r.agent = 'graftbot'
             OR (r.agent = '*' AND s.sd IS NULL))
            AND length(r.pattern) > 0),
        m AS (SELECT u.doc_id, u.domain, u.path,
            max(a.score) AS best
          FROM urls u LEFT JOIN app a ON a.rule_domain = u.domain
-           AND u.path LIKE a.like_pat
+           AND u.path LIKE a.like_pat ESCAPE '$B'
          GROUP BY 1, 2, 3)"""
 
   /** Oracle for q139 [[robotsFilter]] — replays the URL chain (the

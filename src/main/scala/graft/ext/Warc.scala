@@ -176,6 +176,11 @@ object Warc {
             hs.get("content-length")
                 .flatMap(v => scala.util.Try(v.toLong).toOption) match {
               case None => quarantine("missing or non-numeric Content-Length")
+              case Some(len) if len < 0 =>
+                // Try(v.toLong) happily parses "-5"; without this gate the
+                // truncation guard passes and copyOfRange throws, killing
+                // the task instead of quarantining the one bad record
+                quarantine(s"negative Content-Length: $len")
               case Some(len) if bodyStart + len > data.length =>
                 quarantine(s"truncated block: declared $len octets, " +
                   s"${data.length - bodyStart} remain")

@@ -93,9 +93,11 @@ object StreamingQuantiles {
       k: Int): DataFrame = {
     val spec = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
       ("p95", 19, 20))
+    // same _m = 0 guard as Quantiles.sketchQuantilesOf: an all-null
+    // group's empty sample must degrade to null estimates, not throw
     val picks = spec.map { case (name, num, den) =>
-      element_at(col("_sample"),
-        expr(s"CAST((_m * $num + ${den - 1}) div $den AS INT)"))
+      when(col("_m") > 0, element_at(col("_sample"),
+        expr(s"CAST((_m * $num + ${den - 1}) div $den AS INT)")))
         .as(s"${name}_est")
     }
     val sampled = state.groupBy(col("grp"))

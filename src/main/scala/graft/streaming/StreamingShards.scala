@@ -58,18 +58,63 @@ object StreamingShards {
       .parquet(s"$outDir/manifest")
   }
 
+  private val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("checksum",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("src_batch",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** The CURRENT manifest: sum of all committed deltas — exact by the
     * additivity of every manifest column (counts, sums, min/max, the
-    * order-independent checksum). */
+    * order-independent checksum). Same read contract as the other
+    * streaming indexes (StreamingQuantiles.readDir): a missing or
+    * only-just-bootstrapped dir is an EMPTY manifest, a dir holding
+    * anything other than batch_id= partitions with the delta schema is
+    * refused — never silently summed. */
   def readManifest(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/manifest")
+      outDir: String): DataFrame = {
+    val dir = s"$outDir/manifest"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+      else Array.empty[String]
+    val raw = if (!entries.exists(_.startsWith("batch_id="))) {
+      val stray = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
+      require(stray.isEmpty,
+        s"shard manifest at $dir has no batch_id= partitions but " +
+          s"contains ${stray.mkString(", ")} — refusing to read it as empty")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], deltaSchema)
+    } else {
+      val onDisk = spark.read.parquet(dir).schema.fieldNames.toSet
+      val missing = deltaSchema.fieldNames.filterNot(onDisk)
+      require(missing.isEmpty,
+        s"shard manifest at $dir is missing column(s) " +
+          s"${missing.mkString(", ")} — not a StreamingShards delta " +
+          "manifest; rebuild it")
+      spark.read.schema(deltaSchema).parquet(dir)
+    }
+    raw
       .groupBy(col("shard_id"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("min_doc_id")).as("min_doc_id"),
         max(col("max_doc_id")).as("max_doc_id"),
         sum(col("checksum")).as("checksum"))
+  }
 
   /** Start the shard-append sink over a streaming (doc_id, text)
     * frame. */

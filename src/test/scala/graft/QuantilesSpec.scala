@@ -41,6 +41,22 @@ class QuantilesSpec extends SparkSpecBase {
     assert(sk("a").getAs[Int]("m") == 100)
   }
 
+  test("all-null group degrades to null estimates, not a runtime error " +
+      "(empty sample array -> element_at index 0 would throw)") {
+    import spark.implicits._
+    val df = Seq(("g", Option(1.0), 1L), ("h", Option.empty[Double], 2L),
+        ("h", Option.empty[Double], 3L))
+      .toDF("g", "v", "k")
+    val rows = Quantiles.sketchQuantilesOf(df, "g",
+        expr(DetMix.mixSql("k", 7)), "v", "k", k = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("h").getAs[Int]("m") == 0)
+    for (q <- Seq("p25", "p50", "p75", "p95"))
+      assert(rows("h").isNullAt(rows("h").fieldIndex(s"${q}_est")),
+        s"$q of an all-null group must be null")
+    assert(rows("g").getAs[Double]("p50_est") == 1.0)
+  }
+
   test("registered q141 estimates sit within the DKW rank band of the " +
       "exact distribution (k=256 -> +/-0.10 rank)") {
     import spark.implicits._

@@ -54,6 +54,29 @@ class RobotsSpec extends SparkSpecBase {
     assert(got(8L) == ((true, None)))
   }
 
+  test("LIKE metacharacters in patterns and paths stay LITERAL: '_' " +
+      "matches only '_', '%' only '%' — RFC 9309 has no single-char " +
+      "wildcard, only '*'") {
+    val rules = Seq(
+      ("d.com", "*", false, "/a_b"),     // '_' must not act as LIKE '_'
+      ("e.com", "*", false, "/p%q"),     // '%' must not act as LIKE '%'
+      ("f.com", "*", false, "/x_*z$"))   // escape composes with * and $
+    val got = verdicts(Seq(
+      (1L, "d.com", "/a_b/page"),  // literal underscore: blocked
+      (2L, "d.com", "/aXb/page"),  // would match under unescaped LIKE
+      (3L, "e.com", "/p%q"),       // literal percent: blocked
+      (4L, "e.com", "/pWIDEq"),    // would match under unescaped LIKE
+      (5L, "f.com", "/x_yyz"),     // _ literal, * spans, $ anchors
+      (6L, "f.com", "/xAyyz")),    // _ is not a wildcard here either
+      rules)
+    assert(got(1L) == ((false, Some(4L))))
+    assert(got(2L) == ((true, None)))
+    assert(got(3L) == ((false, Some(4L))))
+    assert(got(4L) == ((true, None)))
+    assert(got(5L) == ((false, Some(6L))))
+    assert(got(6L) == ((true, None)))
+  }
+
   test("an empty Disallow is RFC 9309's allow-all no-op, not a " +
       "match-everything rule — even as a domain's only rule, and even " +
       "when its group is what selects") {

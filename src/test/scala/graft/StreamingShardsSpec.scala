@@ -59,6 +59,29 @@ class StreamingShardsSpec extends SparkSpecBase {
     assert(manifestRows(StreamingShards.readManifest(spark, out)) == only0)
   }
 
+  test("readManifest read contract: missing dir is an EMPTY manifest; " +
+      "a foreign parquet at the path is refused, never silently summed") {
+    val out = tmp()
+    // bootstrap state (nothing written yet): empty frame, not an
+    // AnalysisException — same contract as the other streaming indexes
+    assert(StreamingShards.readManifest(spark, out).isEmpty)
+    // a parquet that isn't a delta manifest (no batch_id= layout)
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$out/manifest")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingShards.readManifest(spark, out).collect()
+    }
+    assert(e1.getMessage.contains("refusing"))
+    // batch_id= layout but a pre-format/foreign schema
+    val out2 = tmp()
+    Seq((1, "x")).toDF("a", "b").write
+      .parquet(s"$out2/manifest/batch_id=0")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingShards.readManifest(spark, out2).collect()
+    }
+    assert(e2.getMessage.contains("missing column"))
+  }
+
   test("end-to-end through writeStream across real micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -119,6 +119,16 @@ class WarcSpec extends SparkSpecBase {
     val rs3 = Warc.parseBlob(0L, truncated)
     assert(rs3.length == 2)
     assert(rs3(1).error.exists(_.contains("truncated")))
+
+    // Try(v.toLong) parses "-5": a negative declared length must land in
+    // quarantine, not in copyOfRange (which throws and kills the task)
+    val negLen = good ++ new String(
+      rec(Seq("WARC-Type" -> "response"), Array[Byte]()), "ISO-8859-1")
+      .replace("Content-Length: 0\r\n", "Content-Length: -5\r\n")
+      .getBytes("ISO-8859-1")
+    val rs4 = Warc.parseBlob(0L, negLen)
+    assert(rs4.length == 2 && rs4(0).error.isEmpty)
+    assert(rs4(1).error.exists(_.contains("negative Content-Length")))
   }
 
   test("gzip: member-concatenated .warc.gz (one member per record) " +
