@@ -158,6 +158,18 @@ object Bpe {
     chosen.result()
   }
 
+  /** Trained-merges memo: training is a deterministic driver-side loop
+    * over the vocabulary, and q83's encode is a MODEL READ — a
+    * production tokenizer trains once and every encode pass reuses the
+    * artifact ([[graft.SessionMemo]]). q82, whose registered OUTPUT is
+    * the model itself, keeps training fresh — a query never memoizes
+    * its own result. */
+  private def trainFor(spark: SparkSession, dir: String,
+      merges: Int): Seq[(String, String, Long)] =
+    graft.SessionMemo(spark, s"bpe-train:$dir:$merges") {
+      train(Tables(spark, dir, "documents"), merges)
+    }
+
   /** q82: the merge table as a DataFrame — rank-ordered subword merges
     * with their training-time pair counts. */
   def mergeTable(spark: SparkSession, dir: String,
@@ -175,16 +187,19 @@ object Bpe {
   def encodeCorpus(spark: SparkSession, dir: String,
       merges: Int = 16): DataFrame =
     // sort = driver-output determinism only; the Of form is sort-free
-    encodeCorpusOf(Tables(spark, dir, "documents"), merges)
+    encodeWith(Tables(spark, dir, "documents"),
+      trainFor(spark, dir, merges).map { case (l, r, _) => (l, r) })
       .orderBy(col("doc_id"))
 
-  def encodeCorpusOf(docs: DataFrame, merges: Int): DataFrame = {
-    val ranks = train(docs, merges).map { case (l, r, _) => (l, r) }
+  def encodeCorpusOf(docs: DataFrame, merges: Int): DataFrame =
+    encodeWith(docs, train(docs, merges).map { case (l, r, _) => (l, r) })
+
+  private def encodeWith(docs: DataFrame,
+      ranks: Seq[(String, String)]): DataFrame =
     docs
       .select(col("doc_id"),
         BpeOps.bpe_encode(col("text"), ranks, EndMark).as("toks"),
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_words"),
         size(col("toks")).cast("long").as("n_bpe_tokens"))
-  }
 }

