@@ -279,6 +279,8 @@ object SparkEntry {
       graft.ext.Secrets.secretsScan(s, d)),
     "q157_manifest_diff" -> ((s: SparkSession, d: String) =>
       graft.ext.Shards.manifestDiff(s, d)),
+    "q158_redirect_chains" -> ((s: SparkSession, d: String) =>
+      graft.ext.Redirects.redirectChains(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -549,6 +551,7 @@ object SparkEntry {
     "q154_warc_fetch" -> graft.ext.Warc.warcFetchOracle,
     "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle,
     "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle,
-    "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle
+    "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle,
+    "q158_redirect_chains" -> graft.ext.Redirects.redirectChainsOracle
   )
 }

@@ -338,23 +338,29 @@ object UrlCurate {
     * `private[ext]` so oracles that need the synthesized URLs without
     * the canonicalization chain (the WARC family's `WARC-Target-URI`)
     * replay exactly the corpus [[synthUrlExpr]] builds. */
-  private[ext] val urlCte: String =
-    s"""u AS (SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
-         CASE WHEN doc_id % 3 = 0 THEN 'www.'
-              WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END ||
-         CASE WHEN doc_id % 7 = 0 THEN 'SITE' ELSE 'site' END ||
-           CAST((doc_id * 7) % 10 AS VARCHAR) || '.' ||
+  /** The synthesized-URL SQL expression over ANY id expression —
+    * parameterized so oracles can compute the URL of an id that has no
+    * documents row (q158's dangling redirect targets). Twin of
+    * [[synthUrlExpr]]/[[synthUrlScala]] rule for rule. */
+  private[ext] def urlExprSql(id: String): String =
+    s"""CASE WHEN ($id) % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+         CASE WHEN ($id) % 3 = 0 THEN 'www.'
+              WHEN ($id) % 3 = 1 THEN 'news.' ELSE '' END ||
+         CASE WHEN ($id) % 7 = 0 THEN 'SITE' ELSE 'site' END ||
+           CAST((($id) * 7) % 10 AS VARCHAR) || '.' ||
          list_extract(['com','co.uk','github.io','de','com.au','ck'],
-           CAST(doc_id % 6 + 1 AS INT)) ||
-         CASE WHEN doc_id % 5 = 0 THEN
-                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
-              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
-         '/articles/item' || CAST(doc_id AS VARCHAR) ||
-         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
-         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
-              WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END ||
-         CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
+           CAST(($id) % 6 + 1 AS INT)) ||
+         CASE WHEN ($id) % 5 = 0 THEN
+                CASE WHEN ($id) % 2 = 0 THEN ':443' ELSE ':80' END
+              WHEN ($id) % 5 = 1 THEN ':8080' ELSE '' END ||
+         '/articles/item' || CAST(($id) AS VARCHAR) ||
+         CASE WHEN ($id) % 4 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN ($id) % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+              WHEN ($id) % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END ||
+         CASE WHEN ($id) % 6 = 0 THEN '#top' ELSE '' END"""
+
+  private[ext] val urlCte: String =
+    s"""u AS (SELECT doc_id, ${urlExprSql("doc_id")} AS url
        FROM documents)"""
 
   /** Shared oracle chain: synthesis → canonicalization → PSL →

@@ -66,6 +66,7 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
+      http_location: Option[String],
       body: Array[Byte],
       error: Option[String])
 
@@ -134,7 +135,7 @@ object Warc {
     * record is then surfaced with its raw block, not failed — real
     * crawls contain non-HTTP `application/http` mislabels). */
   private def stripHttp(block: Array[Byte])
-      : Option[(Int, Option[String], Array[Byte])] = {
+      : Option[(Int, Option[String], Option[String], Array[Byte])] = {
     if (block.length < 5 ||
         new String(block, 0, 5, "ISO-8859-1") != "HTTP/") return None
     val (statusLine, p1) = readLine(block, 0)
@@ -144,7 +145,7 @@ object Warc {
       else None
     code.flatMap { c =>
       readHeaders(block, p1).toOption.map { case (hs, bodyStart) =>
-        (c, hs.get("content-type"),
+        (c, hs.get("content-type"), hs.get("location"),
           java.util.Arrays.copyOfRange(block, bodyStart, block.length))
       }
     }
@@ -159,7 +160,7 @@ object Warc {
     var failed = false
     def quarantine(reason: String): Unit = {
       out += WarcRecord(blobId, idx, None, None, None, None, None, -1L,
-        None, None, Array.emptyByteArray, Some(reason))
+        None, None, None, Array.emptyByteArray, Some(reason))
       failed = true
     }
     while (!failed && pos < data.length) {
@@ -201,7 +202,8 @@ object Warc {
                   content_length = len,
                   http_status = http.map(_._1),
                   http_content_type = http.flatMap(_._2),
-                  body = http.map(_._3).getOrElse(block),
+                  http_location = http.flatMap(_._3),
+                  body = http.map(_._4).getOrElse(block),
                   error = None)
                 idx += 1
                 pos = bodyStart + len.toInt
@@ -311,6 +313,30 @@ object Warc {
     else if (id % 10 == 7) (301, "Moved Permanently")
     else (200, "OK")
 
+  /** Deterministic redirect target for a 301 doc (id ≡ 7 mod 10) — the
+    * `Location:` the synthesized envelope carries, chosen so every
+    * chain class exists in the corpus and q158's resolver is exercised
+    * end to end:
+    *   - id ≡ 97 (mod 100): SELF-LOOP (Location = own URL) → the
+    *     bounded walk must refuse it as cap_exceeded;
+    *   - id ≡ 7 or 17 (mod 30): hop to id+10 (also ≡ 7 mod 10, another
+    *     301) → 3-hop and 2-hop chains respectively;
+    *   - otherwise: hop to id+3 (≡ 0 mod 10 — always a 200 response,
+    *     never a conversion since 0 mod 5 ≠ 4) → 1-hop resolution.
+    * A target beyond the corpus' max doc_id was never fetched → the
+    * resolver's `dangling` arm (fires at sf0.001, where doc 47 → 57).
+    * Replayed by [[redirectTargetSql]] in the q153/q158 oracles. */
+  private[graft] def redirectTargetOf(id: Long): Long =
+    if (id % 100 == 97) id
+    else if (id % 30 == 7 || id % 30 == 17) id + 10
+    else id + 3
+
+  /** SQL twin of [[redirectTargetOf]] over an id expression. */
+  private[graft] def redirectTargetSql(id: String): String =
+    s"""CASE WHEN ($id) % 100 = 97 THEN ($id)
+             WHEN ($id) % 30 IN (7, 17) THEN ($id) + 10
+             ELSE ($id) + 3 END"""
+
   private[ext] def isConversion(id: Long): Boolean = id % 5 == 4
 
   /** Build one archive blob: a `warcinfo` record, then one record per
@@ -338,8 +364,13 @@ object Warc {
           ("Content-Type" -> "text/plain"), payload)
       else {
         val (code, reason) = statusOf(id)
+        val location =
+          if (code == 301)
+            s"Location: ${UrlCurate.synthUrlScala(redirectTargetOf(id))}\r\n"
+          else ""
         val envelope = s"HTTP/1.1 $code $reason\r\n" +
           s"Content-Type: text/html\r\n" +
+          location +
           s"Content-Length: ${payload.length}\r\n\r\n"
         writeRecord(out, ("WARC-Type" -> "response") +: common :+
           ("Content-Type" -> "application/http;msgtype=response"),
@@ -374,7 +405,7 @@ object Warc {
       .select(col("blob_id"), col("rec_idx"), col("warc_type"),
         col("record_id"), col("target_uri"), col("warc_date"),
         col("content_type"), col("content_length"), col("http_status"),
-        col("http_content_type"),
+        col("http_content_type"), col("http_location"),
         octet_length(col("body")).cast("long").as("body_len"),
         substring(col("body").cast("string"), 1, 48).as("body_head"),
         extractedId(col("record_id"), "doc:(\\d+)").as("doc_id"),
@@ -395,6 +426,8 @@ object Warc {
            CASE WHEN doc_id % 10 = 3 THEN 'Not Found'
                 WHEN doc_id % 10 = 7 THEN 'Moved Permanently'
                 ELSE 'OK' END AS reason,
+           ${UrlCurate.urlExprSql(redirectTargetSql("doc_id"))}
+             AS loc_url,
            (doc_id % 5 = 4) AS conv
          FROM documents),
        docrec AS (SELECT d.blob_id,
@@ -411,11 +444,16 @@ object Warc {
            CAST(CASE WHEN conv THEN length(text)
                 ELSE length('HTTP/1.1 ' || code || ' ' || reason) + 2
                    + length('Content-Type: text/html') + 2
+                   + CASE WHEN code = 301
+                       THEN length('Location: ' || d.loc_url) + 2
+                       ELSE 0 END
                    + length('Content-Length: ' || length(text)) + 2 + 2
                    + length(text) END AS BIGINT) AS content_length,
            CASE WHEN conv THEN NULL ELSE code END AS http_status,
            CASE WHEN conv THEN NULL ELSE 'text/html' END
              AS http_content_type,
+           CASE WHEN NOT conv AND code = 301 THEN d.loc_url END
+             AS http_location,
            CAST(length(text) AS BIGINT) AS body_len,
            substr(text, 1, 48) AS body_head,
            d.doc_id AS doc_id,
@@ -429,6 +467,7 @@ object Warc {
            CAST(17 AS BIGINT) AS content_length,
            CAST(NULL AS INT) AS http_status,
            CAST(NULL AS VARCHAR) AS http_content_type,
+           CAST(NULL AS VARCHAR) AS http_location,
            CAST(17 AS BIGINT) AS body_len,
            'software: graft' || chr(13) || chr(10) AS body_head,
            CAST(NULL AS BIGINT) AS doc_id,
