@@ -281,6 +281,8 @@ object SparkEntry {
       graft.ext.Shards.manifestDiff(s, d)),
     "q158_redirect_chains" -> ((s: SparkSession, d: String) =>
       graft.ext.Redirects.redirectChains(s, d)),
+    "q159_warc_encodings" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.warcEncodings(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -552,6 +554,7 @@ object SparkEntry {
     "q155_wet_roundtrip" -> graft.ext.Warc.wetRoundtripOracle,
     "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle,
     "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle,
-    "q158_redirect_chains" -> graft.ext.Redirects.redirectChainsOracle
+    "q158_redirect_chains" -> graft.ext.Redirects.redirectChainsOracle,
+    "q159_warc_encodings" -> graft.ext.Warc.warcEncodingsOracle
   )
 }

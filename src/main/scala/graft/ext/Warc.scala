@@ -53,8 +53,14 @@ object Warc {
 
   /** One parsed record. `http_*` fields are populated only for
     * `application/http` response blocks; `body` is the block with the
-    * HTTP envelope stripped (or the raw block when there is none).
-    * `error` is null on well-formed records (quarantine idiom). */
+    * HTTP envelope stripped and the payload DECODED per its
+    * `Content-Encoding` (or the raw block when there is no envelope).
+    * `http_wire_len` is the payload's transmitted octet count BEFORE
+    * decode — `wire/decoded` is the transfer-compression signal.
+    * `error` is null on well-formed records (quarantine idiom); a
+    * payload this parser cannot decode sets `error` on the ONE record
+    * (body left raw) and parsing continues — framing is intact, unlike
+    * the quarantine classes that stop the blob. */
   case class WarcRecord(
       blob_id: Long,
       rec_idx: Int,
@@ -67,6 +73,8 @@ object Warc {
       http_status: Option[Int],
       http_content_type: Option[String],
       http_location: Option[String],
+      http_content_encoding: Option[String],
+      http_wire_len: Option[Long],
       body: Array[Byte],
       error: Option[String])
 
@@ -91,6 +99,96 @@ object Warc {
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     out.toByteArray
+  }
+
+  /** Inflate a DEFLATE stream: zlib-wrapped (RFC 1950, `raw = false`)
+    * or raw (RFC 1951, `raw = true` — the broken-server variant of
+    * `Content-Encoding: deflate` that real crawls contain). */
+  private def inflate(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(b)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new java.util.zip.DataFormatException("truncated stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** One FINAL stored DEFLATE block (RFC 1951 §3.2.4): `01`, LEN little-
+    * endian, ~LEN, raw bytes — byte-deterministic by construction (no
+    * dependence on any zlib build's block-splitting heuristics), so the
+    * oracles can replay the encoded WIRE length arithmetically. */
+  private def storedDeflate(b: Array[Byte]): Array[Byte] = {
+    require(b.length <= 0xffff,
+      s"single stored block holds <= 65535 bytes, got ${b.length}")
+    val out = new ByteArrayOutputStream(b.length + 5)
+    out.write(0x01)
+    out.write(b.length & 0xff); out.write((b.length >> 8) & 0xff)
+    out.write(~b.length & 0xff); out.write((~b.length >> 8) & 0xff)
+    out.write(b, 0, b.length)
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` — RFC 9110's zlib wrapper (RFC 1950):
+    * `78 01` header, one stored block, Adler-32 big-endian. Encoded
+    * length = n + 11. Synthesis-side twin; the parser decodes with the
+    * independent JDK Inflater, so the round trip crosses
+    * implementations. */
+  private[graft] def zlibStored(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 11)
+    out.write(0x78); out.write(0x01)
+    out.write(storedDeflate(b))
+    val a = new java.util.zip.Adler32(); a.update(b, 0, b.length)
+    val v = a.getValue
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: gzip` — one RFC 1952 member with zeroed MTIME,
+    * XFL 0, OS 255 (unknown), one stored block, CRC-32 and ISIZE
+    * little-endian. Encoded length = n + 23. */
+  private[graft] def gzipStored(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length + 23)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0xff.toByte))
+    out.write(storedDeflate(b))
+    val c = new java.util.zip.CRC32(); c.update(b, 0, b.length)
+    val v = c.getValue
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    val n = b.length.toLong
+    out.write((n & 0xff).toInt); out.write(((n >> 8) & 0xff).toInt)
+    out.write(((n >> 16) & 0xff).toInt); out.write(((n >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Decode an HTTP payload per its `Content-Encoding`. Left(reason) on
+    * a coding this parser does not speak or a corrupt stream — a
+    * RECORD-level fault (framing is intact), so the caller surfaces it
+    * on the one record and keeps parsing the blob. */
+  private def decodePayload(enc: Option[String], body: Array[Byte])
+      : Either[String, Array[Byte]] = enc.map(_.toLowerCase) match {
+    case None | Some("identity") => Right(body)
+    case Some(e @ ("gzip" | "x-gzip")) =>
+      try Right(gunzip(body))
+      catch { case ex: java.io.IOException =>
+        Left(s"Content-Encoding $e decode failed: ${ex.getMessage}") }
+    case Some("deflate") =>
+      // zlib per the RFC; raw-DEFLATE fallback for the broken servers
+      // that named the bare format (a tolerance every fetcher ships)
+      try Right(inflate(body, raw = false))
+      catch { case _: Exception =>
+        try Right(inflate(body, raw = true))
+        catch { case ex: Exception =>
+          Left(s"Content-Encoding deflate decode failed: ${ex.getMessage}") }
+      }
+    case Some(other) => Left(s"unsupported Content-Encoding: $other")
   }
 
   /** Read one line at `pos`: bytes to the next LF (or EOF), CR stripped.
@@ -130,12 +228,18 @@ object Warc {
     sys.error("unreachable")
   }
 
-  /** Strip an HTTP message envelope from a block: (status, content-type,
-    * payload). None when the block does not start with `HTTP/` (the
-    * record is then surfaced with its raw block, not failed — real
-    * crawls contain non-HTTP `application/http` mislabels). */
-  private def stripHttp(block: Array[Byte])
-      : Option[(Int, Option[String], Option[String], Array[Byte])] = {
+  /** A stripped HTTP message: status, headers, payload octets as
+    * transmitted, payload decoded per `Content-Encoding`, and the
+    * decode fault if any (body then left raw). */
+  private final case class HttpMsg(status: Int,
+      headers: Map[String, String], wireLen: Long, body: Array[Byte],
+      decodeError: Option[String])
+
+  /** Strip an HTTP message envelope from a block. None when the block
+    * does not start with `HTTP/` (the record is then surfaced with its
+    * raw block, not failed — real crawls contain non-HTTP
+    * `application/http` mislabels). */
+  private def stripHttp(block: Array[Byte]): Option[HttpMsg] = {
     if (block.length < 5 ||
         new String(block, 0, 5, "ISO-8859-1") != "HTTP/") return None
     val (statusLine, p1) = readLine(block, 0)
@@ -145,8 +249,12 @@ object Warc {
       else None
     code.flatMap { c =>
       readHeaders(block, p1).toOption.map { case (hs, bodyStart) =>
-        (c, hs.get("content-type"), hs.get("location"),
-          java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+        val raw =
+          java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+        decodePayload(hs.get("content-encoding"), raw) match {
+          case Right(b)  => HttpMsg(c, hs, raw.length.toLong, b, None)
+          case Left(err) => HttpMsg(c, hs, raw.length.toLong, raw, Some(err))
+        }
       }
     }
   }
@@ -160,7 +268,7 @@ object Warc {
     var failed = false
     def quarantine(reason: String): Unit = {
       out += WarcRecord(blobId, idx, None, None, None, None, None, -1L,
-        None, None, None, Array.emptyByteArray, Some(reason))
+        None, None, None, None, None, Array.emptyByteArray, Some(reason))
       failed = true
     }
     while (!failed && pos < data.length) {
@@ -200,11 +308,14 @@ object Warc {
                   warc_date = hs.get("warc-date"),
                   content_type = ct,
                   content_length = len,
-                  http_status = http.map(_._1),
-                  http_content_type = http.flatMap(_._2),
-                  http_location = http.flatMap(_._3),
-                  body = http.map(_._4).getOrElse(block),
-                  error = None)
+                  http_status = http.map(_.status),
+                  http_content_type = http.flatMap(_.headers.get("content-type")),
+                  http_location = http.flatMap(_.headers.get("location")),
+                  http_content_encoding =
+                    http.flatMap(_.headers.get("content-encoding")),
+                  http_wire_len = http.map(_.wireLen),
+                  body = http.map(_.body).getOrElse(block),
+                  error = http.flatMap(_.decodeError))
                 idx += 1
                 pos = bodyStart + len.toInt
             }
@@ -339,6 +450,49 @@ object Warc {
 
   private[ext] def isConversion(id: Long): Boolean = id % 5 == 4
 
+  /** Deterministic `Content-Encoding` for a synthesized response —
+    * chosen so every decode arm is exercised and every wire length is
+    * oracle-replayable (stored-DEFLATE blocks only, see
+    * [[storedDeflate]]):
+    *   - id ≡ 2 (mod 100): header says `br` but the body is PLAIN (the
+    *     lying-server case) → the parser flags `unsupported
+    *     Content-Encoding: br`, keeps the raw body, and the fetch gate
+    *     drops the record;
+    *   - id ≡ 1 (mod 10): `gzip` (RFC 1952 member, wire = n + 23);
+    *   - id ≡ 6 (mod 20): `deflate` carrying RAW DEFLATE (the
+    *     broken-server variant, wire = n + 5) → exercises the
+    *     zlib-then-raw fallback;
+    *   - id ≡ 16 (mod 20): `deflate` carrying the RFC-correct zlib
+    *     wrapper (wire = n + 11);
+    *   - otherwise identity (no header).
+    * All encoded ids end in 1/2/6 — never 3 or 7 — so every encoded
+    * record is an HTTP 200 and flows through the fetch gate, where
+    * q155's md5 pin proves byte-exact decode. */
+  private[ext] def encodingOf(id: Long): Option[String] =
+    if (isConversion(id)) None
+    else if (id % 100 == 2) Some("br")
+    else if (id % 10 == 1) Some("gzip")
+    else if (id % 10 == 6) Some("deflate")
+    else None
+
+  /** SQL twin of [[encodingOf]] (NULL for conversions and identity). */
+  private[graft] def encodingSql(id: String): String =
+    s"""CASE WHEN ($id) % 5 = 4 THEN NULL
+             WHEN ($id) % 100 = 2 THEN 'br'
+             WHEN ($id) % 10 = 1 THEN 'gzip'
+             WHEN ($id) % 10 = 6 THEN 'deflate'
+             ELSE NULL END"""
+
+  /** SQL twin of the encoded wire length over a response body of `n`
+    * octets: the stored-block constructions are byte-deterministic, so
+    * the transmitted size is pure arithmetic (br is planted plain). */
+  private[graft] def wireLenSql(id: String, n: String): String =
+    s"""CASE WHEN ($id) % 5 = 4 THEN ($n)
+             WHEN ($id) % 10 = 1 THEN ($n) + 23
+             WHEN ($id) % 20 = 6 THEN ($n) + 5
+             WHEN ($id) % 20 = 16 THEN ($n) + 11
+             ELSE ($n) END"""
+
   /** Build one archive blob: a `warcinfo` record, then one record per
     * doc (sorted) — `conversion`/text-plain for every fifth doc, else
     * `response` wrapping an HTTP envelope whose status cycles through
@@ -364,17 +518,25 @@ object Warc {
           ("Content-Type" -> "text/plain"), payload)
       else {
         val (code, reason) = statusOf(id)
+        val enc = encodingOf(id)
+        val wire = enc match {
+          case Some("gzip")    => gzipStored(payload)
+          case Some("deflate") =>
+            if (id % 20 == 6) storedDeflate(payload) else zlibStored(payload)
+          case _               => payload // identity, and the lying `br`
+        }
         val location =
           if (code == 301)
             s"Location: ${UrlCurate.synthUrlScala(redirectTargetOf(id))}\r\n"
           else ""
         val envelope = s"HTTP/1.1 $code $reason\r\n" +
           s"Content-Type: text/html\r\n" +
+          enc.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
           location +
-          s"Content-Length: ${payload.length}\r\n\r\n"
+          s"Content-Length: ${wire.length}\r\n\r\n"
         writeRecord(out, ("WARC-Type" -> "response") +: common :+
           ("Content-Type" -> "application/http;msgtype=response"),
-          envelope.getBytes("ISO-8859-1") ++ payload)
+          envelope.getBytes("ISO-8859-1") ++ wire)
       }
     }
     out.toByteArray
@@ -406,6 +568,7 @@ object Warc {
         col("record_id"), col("target_uri"), col("warc_date"),
         col("content_type"), col("content_length"), col("http_status"),
         col("http_content_type"), col("http_location"),
+        col("http_content_encoding"),
         octet_length(col("body")).cast("long").as("body_len"),
         substring(col("body").cast("string"), 1, 48).as("body_head"),
         extractedId(col("record_id"), "doc:(\\d+)").as("doc_id"),
@@ -428,6 +591,8 @@ object Warc {
                 ELSE 'OK' END AS reason,
            ${UrlCurate.urlExprSql(redirectTargetSql("doc_id"))}
              AS loc_url,
+           ${encodingSql("doc_id")} AS enc,
+           ${wireLenSql("doc_id", "length(text)")} AS wlen,
            (doc_id % 5 = 4) AS conv
          FROM documents),
        docrec AS (SELECT d.blob_id,
@@ -444,20 +609,25 @@ object Warc {
            CAST(CASE WHEN conv THEN length(text)
                 ELSE length('HTTP/1.1 ' || code || ' ' || reason) + 2
                    + length('Content-Type: text/html') + 2
+                   + CASE WHEN d.enc IS NOT NULL
+                       THEN length('Content-Encoding: ' || d.enc) + 2
+                       ELSE 0 END
                    + CASE WHEN code = 301
                        THEN length('Location: ' || d.loc_url) + 2
                        ELSE 0 END
-                   + length('Content-Length: ' || length(text)) + 2 + 2
-                   + length(text) END AS BIGINT) AS content_length,
+                   + length('Content-Length: ' || d.wlen) + 2 + 2
+                   + d.wlen END AS BIGINT) AS content_length,
            CASE WHEN conv THEN NULL ELSE code END AS http_status,
            CASE WHEN conv THEN NULL ELSE 'text/html' END
              AS http_content_type,
            CASE WHEN NOT conv AND code = 301 THEN d.loc_url END
              AS http_location,
+           d.enc AS http_content_encoding,
            CAST(length(text) AS BIGINT) AS body_len,
            substr(text, 1, 48) AS body_head,
            d.doc_id AS doc_id,
-           CAST(NULL AS VARCHAR) AS error
+           CASE WHEN NOT conv AND d.doc_id % 100 = 2
+             THEN 'unsupported Content-Encoding: br' END AS error
          FROM d JOIN u ON u.doc_id = d.doc_id),
        info AS (SELECT blob_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
            '<urn:graft:info:' || blob_id || '>' AS record_id,
@@ -468,6 +638,7 @@ object Warc {
            CAST(NULL AS INT) AS http_status,
            CAST(NULL AS VARCHAR) AS http_content_type,
            CAST(NULL AS VARCHAR) AS http_location,
+           CAST(NULL AS VARCHAR) AS http_content_encoding,
            CAST(17 AS BIGINT) AS body_len,
            'software: graft' || chr(13) || chr(10) AS body_head,
            CAST(NULL AS BIGINT) AS doc_id,
@@ -503,7 +674,8 @@ object Warc {
     s"""WITH ${UrlCurate.curateCte},
        st AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
          FROM documents
-         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7))
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2 /* br decode fault -> gate drops it */)
        SELECT coalesce(b.registrable_domain, b.host) AS domain,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(s.n_bytes) AS BIGINT) AS sum_bytes
@@ -537,5 +709,48 @@ object Warc {
          md5(d.text) AS body_md5
        FROM documents d JOIN u ON u.doc_id = d.doc_id
        WHERE d.doc_id % 5 <> 4 AND d.doc_id % 10 NOT IN (3, 7)
+         AND d.doc_id % 100 <> 2 /* br decode fault -> gate drops it */
        ORDER BY d.doc_id"""
+
+  /** q159: HTTP `Content-Encoding` inventory over the synthesized
+    * crawl's response records — per record: the declared coding, the
+    * transmitted (wire) octets, the decoded octets, the transfer
+    * overhead, and the decode fault when the parser cannot honor the
+    * coding (the lying `br` rows). Pins the decode gate end to end:
+    * wire lengths are the stored-block arithmetic (gzip n+23,
+    * raw-deflate n+5, zlib-deflate n+11), decoded lengths equal the
+    * source text, and exactly the `br` rows carry errors. Narrow
+    * parse + projection — no shuffle beyond the synthesis input. */
+  def warcEncodings(spark: SparkSession, dir: String): DataFrame =
+    recordsOf(synthesizeWarcBlobsOf(Tables(spark, dir, "documents")))
+      .toDF()
+      .filter(col("http_status").isNotNull)
+      .select(
+        extractedId(col("record_id"), "doc:(\\d+)").as("doc_id"),
+        col("http_status"),
+        col("http_content_encoding").as("encoding"),
+        col("http_wire_len").as("wire_len"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        (col("http_wire_len") - octet_length(col("body")).cast("long"))
+          .as("overhead_bytes"),
+        col("error"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle for q159 [[warcEncodings]] — synthesis arithmetic replayed
+    * ([[encodingSql]] / [[wireLenSql]]). */
+  lazy val warcEncodingsOracle: String =
+    s"""SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN 404
+              WHEN doc_id % 10 = 7 THEN 301 ELSE 200 END AS http_status,
+         ${encodingSql("doc_id")} AS encoding,
+         CAST(${wireLenSql("doc_id", "length(text)")} AS BIGINT)
+           AS wire_len,
+         CAST(length(text) AS BIGINT) AS body_len,
+         CAST(${wireLenSql("doc_id", "length(text)")} - length(text)
+           AS BIGINT) AS overhead_bytes,
+         CASE WHEN doc_id % 100 = 2
+           THEN 'unsupported Content-Encoding: br' END AS error
+       FROM documents
+       WHERE doc_id % 5 <> 4
+       ORDER BY doc_id"""
 }

@@ -98,6 +98,58 @@ class WarcSpec extends SparkSpecBase {
     assert(new String(r2.body, "UTF-8") == "NOT-HTTP")
   }
 
+  private def encResp(enc: String, wire: Array[Byte]): Array[Byte] = {
+    val env = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Encoding: $enc\r\nContent-Length: ${wire.length}\r\n\r\n"
+    rec(Seq(
+      "WARC-Type" -> "response",
+      "Content-Type" -> "application/http;msgtype=response"),
+      env.getBytes("ISO-8859-1") ++ wire)
+  }
+
+  test("Content-Encoding decode: hand-built gzip/zlib/raw-deflate wire " +
+      "(the oracle-pinned n+23/n+11/n+5 stored-block forms) decode via " +
+      "the independent JDK Inflater; header is case-insensitive") {
+    val text = "compressed payload éü".getBytes("UTF-8")
+    assert(Warc.gzipStored(text).length == text.length + 23)
+    assert(Warc.zlibStored(text).length == text.length + 11)
+    val cases = Seq(
+      "gzip" -> Warc.gzipStored(text),
+      "x-gzip" -> Warc.gzipStored(text),
+      "GZIP" -> Warc.gzipStored(text),     // RFC 9110: codings case-insensitive
+      "deflate" -> Warc.zlibStored(text),  // the RFC-correct zlib wrapper
+      "identity" -> text)
+    cases.foreach { case (enc, wire) =>
+      val r = Warc.parseBlob(0L, encResp(enc, wire)).head
+      assert(r.error.isEmpty, s"$enc: ${r.error}")
+      assert(r.http_content_encoding.contains(enc))
+      assert(r.http_wire_len.contains(wire.length.toLong))
+      assert(java.util.Arrays.equals(r.body, text), enc)
+    }
+  }
+
+  test("Content-Encoding faults are RECORD-level: corrupt gzip, an " +
+      "unsupported coding, and raw-DEFLATE-under-'deflate' fallback — " +
+      "body kept raw on fault, and the NEXT record still parses") {
+    val text = "fallback payload".getBytes("UTF-8")
+    // broken server: raw RFC 1951 stream named "deflate" -> fallback decodes
+    val raw = Warc.parseBlob(0L,
+      encResp("deflate", Warc.gzipStored(text).slice(10, 10 + text.length + 5))
+    ).head
+    assert(raw.error.isEmpty && java.util.Arrays.equals(raw.body, text))
+
+    val corrupt = Warc.gzipStored(text); corrupt(3) = 0x7f // mangle FLG
+    val blob = encResp("gzip", corrupt) ++ encResp("br", text) ++
+      encResp("gzip", Warc.gzipStored(text))
+    val rs = Warc.parseBlob(0L, blob)
+    assert(rs.length == 3, rs.map(_.error).toString)
+    assert(rs(0).error.exists(_.contains("gzip decode failed")))
+    assert(java.util.Arrays.equals(rs(0).body, corrupt)) // raw, not lost
+    assert(rs(1).error.contains("unsupported Content-Encoding: br"))
+    assert(java.util.Arrays.equals(rs(1).body, text))
+    assert(rs(2).error.isEmpty && java.util.Arrays.equals(rs(2).body, text))
+  }
+
   test("quarantine rows: bad version line, missing Content-Length, " +
       "truncated block — parsed prefix stands, one error row, stop") {
     val good = resp(1, "ok-record")
@@ -199,7 +251,16 @@ class WarcSpec extends SparkSpecBase {
     val records = Warc.recordsOf(Warc.synthesizeWarcBlobsOf(
       Tables(spark, sf001, "documents")))
     val all = records.collect()
-    assert(all.forall(_.error.isEmpty))
+    // the ONLY errors are the planted lying-`br` rows (id ≡ 2 mod 100) —
+    // framing errors would also land here, so this pins both directions
+    all.foreach { r =>
+      val id = r.record_id.flatMap(
+        "doc:(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
+      if (id.exists(i => i % 100 == 2 && i % 5 != 4))
+        assert(r.error.contains("unsupported Content-Encoding: br") &&
+          r.http_content_encoding.contains("br"))
+      else assert(r.error.isEmpty, s"unexpected error on $id: ${r.error}")
+    }
     val statuses = all.flatMap(_.http_status).toSet
     assert(statuses == Set(200, 301, 404))
     assert(all.exists(_.warc_type.contains("conversion")))
