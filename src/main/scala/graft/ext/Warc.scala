@@ -355,18 +355,56 @@ object Warc {
       .mapPartitions(_.flatMap { case (b, bytes) => parseBlob(b, bytes) })
   }
 
+  /** `binaryFile` rows → the (blob_id, payload) contract shared by the
+    * batch and streaming readers. `blob_id` is the file name's trailing
+    * number when present, else a 64-bit hash of the path. */
+  private[graft] def blobFrameOf(files: DataFrame): DataFrame =
+    files.select(
+      coalesce(extractedId(col("path"), "(\\d+)\\.warc"),
+        xxhash64(col("path"))).as("blob_id"),
+      col("content").as("payload"))
+
+  /** The `binaryFile` source's fixed schema — file STREAMING sources
+    * require it stated explicitly. */
+  private[graft] val BinaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+
   /** Read a directory of `.warc` / `.warc.gz` files: one task per file
     * (`binaryFile` is unsplittable — the CommonCrawl model, parallelism
-    * = file count). `blob_id` is the file name's trailing number when
-    * present, else a 64-bit hash of the path. */
+    * = file count). */
   def readWarcDir(spark: SparkSession, path: String,
       glob: String = "*.warc*"): Dataset[WarcRecord] =
-    recordsOf(spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(path)
-      .select(
-        coalesce(extractedId(col("path"), "(\\d+)\\.warc"),
-          xxhash64(col("path"))).as("blob_id"),
-        col("content").as("payload")))
+    recordsOf(blobFrameOf(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)))
+
+  /** Streaming twin of [[readWarcDir]] — archive segments landing in a
+    * directory become micro-batches of (blob_id, payload).
+    * `maxFilesPerTrigger` bounds a micro-batch the way the CSV ingest
+    * stage does (StreamingIngest): segments are ~1 GiB each, so the
+    * trigger size IS the memory bound per micro-batch. */
+  def readWarcStream(spark: SparkSession, path: String,
+      glob: String = "*.warc*", maxFilesPerTrigger: Int = 8): DataFrame =
+    blobFrameOf(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path))
+
+  /** (doc_id, url) frame of admitted fetches from a (blob_id, payload)
+    * frame — the hand-off shape the frontier stages (robots policy
+    * q139, domain caps q144, admission q150) consume. */
+  def fetchUrlsOf(blobs: DataFrame): DataFrame =
+    fetchOkOf(recordsOf(blobs)).toDF()
+      .select(extractedId(col("record_id"), "doc:(\\d+)").as("doc_id"),
+        col("target_uri").as("url"))
 
   /** The standard fetch gate: well-formed response records that came
     * back HTTP 200. */

@@ -73,4 +73,26 @@ object StreamingTransform {
   def startRobotsPolicy(urls: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =
     start(urls, outDir, checkpointDir, graft.ext.Robots.policyOf)
+
+  /** Streaming WARC ingestion (the q153 operator): archive segments
+    * stream in as (blob_id, payload) — from [[graft.ext.Warc
+    * .readWarcStream]]'s file source in production — and each
+    * micro-batch parses to typed records in its own `batch_id`
+    * partition. Stateless by nature (a record derives from its blob
+    * alone, narrow mapPartitions), so the CommonCrawl front door runs
+    * under the same recipe as the other per-document stages; `batch_id`
+    * is the src_batch provenance — no index, nothing compacts. */
+  def startWarcRecords(blobs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(blobs, outDir, checkpointDir,
+      b => graft.ext.Warc.recordsOf(b).toDF())
+
+  /** The composed streaming front door: parse archive blobs, gate on
+    * well-formed HTTP-200 fetches, and run the q139 frontier policy on
+    * the admitted URLs — raw crawl segments to robots verdicts in one
+    * stage, all narrow except the policy's broadcast rules join. */
+  def startWarcPolicy(blobs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(blobs, outDir, checkpointDir,
+      b => graft.ext.Robots.policyOf(graft.ext.Warc.fetchUrlsOf(b)))
 }

@@ -97,6 +97,83 @@ class StreamingTransformSpec extends SparkSpecBase {
     assert(rows(out, "allowed").exists(_.head == false))
   }
 
+  test("streaming WARC ingestion: segments landing on disk stream " +
+      "through the real binaryFile file source (one file per trigger) " +
+      "and parse to exactly the batch readWarcDir records; replay " +
+      "(including an emptied batch) is idempotent") {
+    import spark.implicits._
+    import graft.ext.Warc
+    val docs = Tables(spark, sf0001, "documents")
+    val blobs = Warc.synthesizeWarcBlobsOf(docs)
+      .as[(Long, Array[Byte])].collect().toSeq
+    val dir = Files.createTempDirectory("graft-warcstream").toFile
+    blobs.foreach { case (b, bytes) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"seg-$b.warc.gz").toPath, Warc.gzip(bytes))
+    }
+    val out = tmp()
+    val q = StreamingTransform.startWarcRecords(
+      Warc.readWarcStream(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = 1),
+      out, checkpointDir = tmp())
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+    // one micro-batch per file — the trigger bound held
+    assert(got.select("batch_id").distinct().count() == blobs.size.toLong)
+    val cols = Seq("blob_id", "rec_idx", "warc_type", "record_id",
+      "target_uri", "content_length", "http_status",
+      "http_content_encoding", "error")
+    val want = Warc.readWarcDir(spark, dir.getAbsolutePath).toDF()
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && rows(out, cols: _*) == want)
+    // replay one blob's batch: byte-identical outcome; empty replay
+    // clears the partition instead of keeping stale rows
+    val replayId = got.select(min("batch_id")).as[Long].head()
+    // the file source picks its own file order — replay whatever blob
+    // actually landed in that batch
+    val rb = got.filter(col("batch_id") === replayId)
+      .select("blob_id").as[Long].head()
+    val rbytes = blobs.find(_._1 == rb).get._2
+    StreamingTransform.processBatch(
+      Seq((rb, rbytes)).toDF("blob_id", "payload"), replayId, out,
+      b => Warc.recordsOf(b).toDF())
+    assert(rows(out, cols: _*) == want)
+    StreamingTransform.processBatch(
+      Seq.empty[(Long, Array[Byte])].toDF("blob_id", "payload"),
+      replayId, out, b => Warc.recordsOf(b).toDF())
+    assert(rows(out, "blob_id").map(_.head) ==
+      blobs.map(_._1).toSet - rb)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
+  test("composed streaming front door: archive blobs to robots " +
+      "verdicts (parse -> fetch gate -> q139 policy) equals the batch " +
+      "composition over the union of batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{Robots, Warc}
+    val out = tmp()
+    val docs = Tables(spark, sf0001, "documents")
+    val blobs = Warc.synthesizeWarcBlobsOf(docs)
+      .as[(Long, Array[Byte])].collect().toSeq
+    val (b0, b1) = blobs.splitAt(blobs.size / 2)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingTransform.startWarcPolicy(
+      input.toDF().toDF("blob_id", "payload"), out, checkpointDir = tmp())
+    input.addData(b0: _*)
+    q.processAllAvailable()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = Robots.policyOf(Warc.fetchUrlsOf(
+        blobs.toDF("blob_id", "payload"))).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(rows(out, "doc_id", "domain", "path", "allowed",
+      "matched_len") == want)
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._
