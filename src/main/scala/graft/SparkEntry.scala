@@ -283,6 +283,8 @@ object SparkEntry {
       graft.ext.Redirects.redirectChains(s, d)),
     "q159_warc_encodings" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.warcEncodings(s, d)),
+    "q160_nb_quality" -> ((s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.nbQualityClassifier(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -555,6 +557,7 @@ object SparkEntry {
     "q156_secrets_scan" -> graft.ext.Secrets.secretsOracle,
     "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle,
     "q158_redirect_chains" -> graft.ext.Redirects.redirectChainsOracle,
-    "q159_warc_encodings" -> graft.ext.Warc.warcEncodingsOracle
+    "q159_warc_encodings" -> graft.ext.Warc.warcEncodingsOracle,
+    "q160_nb_quality" -> graft.ext.TextAnalysis.nbQualityOracle
   )
 }

@@ -1250,8 +1250,10 @@ object Curate {
   }
 
   /** The q102 hex band boundaries for (0.8, 0.1, 0.1): train < 'cc'
-    * (204 buckets), val < 'e6' (26), test the rest (26). */
-  private val SplitFractions =
+    * (204 buckets), val < 'e6' (26), test the rest (26). Shared with
+    * the q160 classifier so "trained on the train split" means THE
+    * train split. */
+  private[graft] val SplitFractions =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** q102: split the document corpus and report per-source split sizes

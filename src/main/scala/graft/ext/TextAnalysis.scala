@@ -1092,4 +1092,163 @@ object TextAnalysis {
        FROM d LEFT JOIN vocab USING (h)
        GROUP BY d.doc_id ORDER BY d.doc_id"""
   }
+
+  // --- trained quality classifier (q160): multinomial Naive Bayes ----------
+
+  /** q160: the pipeline's first END-TO-END TRAINED model — train a
+    * multinomial Naive Bayes quality classifier on the q102 train
+    * split, then score the whole corpus, in one derivation. This is
+    * the CCNet / LLaMA-1 quality-filter shape (Wenzek et al. 2020,
+    * arXiv:1911.00359: "does this page look like the reference
+    * corpus?"): the reference class is a designated source set, the
+    * negatives are everything else, and the score is the NB log-odds
+    * margin. q122 runs *inference* over supplied weights; this one
+    * LEARNS the weights — closed-form counts, so training is two
+    * aggregates, not an optimizer loop.
+    *
+    * Model (standard multinomial NB, add-one smoothing):
+    *   margin(d) = Σ_w tf_w·[ln(c⁺_w+1) − ln(c⁻_w+1)]
+    *             − n_tokens·[ln(T⁺+V) − ln(T⁻+V)]
+    *             + ln(N⁺) − ln(N⁻)
+    * with c±_w the per-class train token counts, T± the class token
+    * totals, V the train vocabulary size, N± the class doc counts.
+    * Out-of-vocabulary tokens contribute exactly their smoothed
+    * −[ln(T⁺+V) − ln(T⁻+V)] share via the n_tokens term.
+    *
+    * Engine parity: every ln is [[graft.functions.DetLn]]'s IEEE-exact
+    * lnFix of an INTEGER, quantized to BIGINT micro-nats; the margin is
+    * then exact integer arithmetic — DuckDB reproduces it bit-for-bit,
+    * so a TRAINED model's scores sit under the hash oracle.
+    *
+    * Scale: training = one (word) aggregate over the train split plus
+    * two scalar rows (the sufficient statistics — collected driver-side
+    * by construction: 5 numbers). Scoring = per-(doc, word) tf counts
+    * joined to the BROADCAST weight table (vocabulary-sized) and one
+    * per-doc aggregate. No iteration, no optimizer state; the model
+    * "artifact" is a DataFrame, swappable into q122's scoring join. */
+  def nbQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+      .orderBy(col("doc_id")) // oracle determinism only
+
+  /** Train-and-score over any (doc_id, text, source) frame — the
+    * reusable operator behind q160. Sort-free. */
+  def nbQualityOf(docs: DataFrame,
+      refSources: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val tagged = Curate.splitAssign(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "graft", Curate.SplitFractions)
+      .withColumn("is_ref", col("source").isin(refSources: _*))
+    val tok = tagged.select(col("doc_id"), col("split"), col("is_ref"),
+      explode(tokens(col("text"))).as("w"))
+    val train = tok.filter(col("split") === "train")
+    // the model's sufficient statistics: per-word class counts — built
+    // once, feeds the scalar totals AND the weight table
+    val counts = train.groupBy(col("w")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cneg"))
+      .localCheckpoint()
+    val t = counts.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1)))
+      .head()
+    val (totpos, totneg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d = tagged.filter(col("split") === "train")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)),
+        sum(when(col("is_ref"), 0L).otherwise(1L))).head()
+    val (npos, nneg) = (d.getLong(0), d.getLong(1))
+    // refuse-don't-mislabel: a one-class training set has no log-odds
+    require(npos > 0 && nneg > 0,
+      s"NB training split needs both classes, got ref=$npos other=$nneg")
+    // per-class constants in micro-nats, via the SAME lnFix DAG the
+    // oracle runs (the inputs are integers, so literal-vs-column makes
+    // the identical double)
+    val kRow = Seq(("ln_ap", totpos + v), ("ln_an", totneg + v),
+      ("ln_pp", npos), ("ln_pn", nneg))
+      .foldLeft(spark.range(1).toDF("i")) { case (df, (out, x)) =>
+        DetLn.withLnFix(df, out, x.toString)
+      }
+      .select(expr(DetLn.microSql("ln_ap")), expr(DetLn.microSql("ln_an")),
+        expr(DetLn.microSql("ln_pp")), expr(DetLn.microSql("ln_pn")))
+      .head()
+    val kdiff = kRow.getLong(0) - kRow.getLong(1)
+    val prior = kRow.getLong(2) - kRow.getLong(3)
+    val weights = DetLn.withLnFix(DetLn.withLnFix(counts,
+        "ln_cp", "cpos + 1"), "ln_cn", "cneg + 1")
+      .select(col("w"),
+        (expr(DetLn.microSql("ln_cp")) - expr(DetLn.microSql("ln_cn")))
+          .as("dw"))
+    val tf = tok.groupBy(col("doc_id"), col("split"), col("is_ref"),
+        col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(weights), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("split"), col("is_ref"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("dw"), lit(0L))).as("s_num"))
+      .select(col("doc_id"), col("split"), col("is_ref"), col("n_tokens"),
+        (col("s_num") - col("n_tokens") * lit(kdiff) + lit(prior))
+          .as("margin_micro"))
+      .withColumn("margin", expr(DetLn.micro4Sql("margin_micro")))
+      .withColumn("pred_ref", col("margin_micro") >= 0)
+  }
+
+  /** Oracle for q160 [[nbQualityClassifier]] — the identical integer
+    * pipeline: q102's split bands, per-word class counts, lnFix stages
+    * for the weights and the four scalar constants, exact micro-nat
+    * margin. */
+  val nbQualityOracle: String = {
+    val (kStages, kFin) = DetLn.oracleLnStages("k0", "k",
+      Seq("ap", "an", "npos", "nneg"),
+      Seq("ln_ap" -> "ap", "ln_an" -> "an",
+        "ln_pp" -> "npos", "ln_pn" -> "nneg"))
+    val (wStages, wFin) = DetLn.oracleLnStages("cnt", "nw",
+      Seq("w", "cpos", "cneg"),
+      Seq("ln_cp" -> "cpos + 1", "ln_cn" -> "cneg + 1"))
+    s"""WITH a AS (SELECT doc_id, text,
+           CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                  1, 2) < 'cc' THEN 'train'
+                WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                  1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           source IN ('src0', 'src1') AS is_ref
+         FROM documents),
+       tok AS (SELECT doc_id, split, is_ref,
+           unnest(string_split(text, ' ')) AS w FROM a),
+       cnt AS (SELECT w,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS cpos,
+           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+             AS cneg
+         FROM tok WHERE split = 'train' GROUP BY 1),
+       sc AS (SELECT CAST(sum(cpos) AS BIGINT) AS totpos,
+           CAST(sum(cneg) AS BIGINT) AS totneg,
+           CAST(count(*) AS BIGINT) AS v FROM cnt),
+       dc AS (SELECT
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS npos,
+           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+             AS nneg
+         FROM a WHERE split = 'train'),
+       k0 AS (SELECT totpos + v AS ap, totneg + v AS an, npos, nneg
+         FROM sc CROSS JOIN dc)$kStages,
+       kc AS (SELECT ${DetLn.microSql("ln_ap")} - ${DetLn.microSql("ln_an")}
+             AS kdiff,
+           ${DetLn.microSql("ln_pp")} - ${DetLn.microSql("ln_pn")}
+             AS prior
+         FROM $kFin)$wStages,
+       wt AS (SELECT w,
+           ${DetLn.microSql("ln_cp")} - ${DetLn.microSql("ln_cn")} AS dw
+         FROM $wFin),
+       tf AS (SELECT doc_id, split, is_ref, w,
+           CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2, 3, 4),
+       sm AS (SELECT doc_id, split, is_ref,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * coalesce(dw, 0)) AS BIGINT) AS s_num
+         FROM tf LEFT JOIN wt USING (w) GROUP BY 1, 2, 3)
+       SELECT doc_id, split, is_ref, n_tokens,
+         s_num - n_tokens * kdiff + prior AS margin_micro,
+         ${DetLn.micro4Sql("s_num - n_tokens * kdiff + prior")} AS margin,
+         (s_num - n_tokens * kdiff + prior >= 0) AS pred_ref
+       FROM sm CROSS JOIN kc
+       ORDER BY doc_id"""
+  }
 }

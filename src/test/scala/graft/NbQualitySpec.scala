@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+
+/** q160 trained NB quality classifier: the learned model separates a
+  * planted reference class, refuses a one-class training set, and the
+  * scoring join stays broadcast (the q122 scale contract carries over
+  * to the trained path). The arithmetic itself is pinned by the DuckDB
+  * oracle; these specs pin the LEARNING behavior the oracle can't
+  * distinguish from a lookup table. */
+class NbQualitySpec extends SparkSpecBase {
+
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map { id =>
+      if (id < n / 2)
+        (id, "clean measured prose with citations and structure", "ref")
+      else
+        (id, "buy now click here free spam offer junk", "web")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("training separates the classes: every doc (train AND held-out " +
+      "splits) is predicted into its true class when the classes share " +
+      "no vocabulary") {
+    val scored = TextAnalysis.nbQualityOf(corpus(40), Seq("ref")).collect()
+    assert(scored.length == 40)
+    // the held-out splits exist in this fixture (otherwise the test
+    // only proves memorization)
+    assert(scored.map(_.getAs[String]("split")).toSet.size >= 2)
+    scored.foreach { r =>
+      assert(r.getAs[Boolean]("pred_ref") == r.getAs[Boolean]("is_ref"),
+        s"doc ${r.getAs[Long]("doc_id")} split ${r.getAs[String]("split")}")
+    }
+    // margins are symmetric-ish, not degenerate constants
+    assert(scored.map(_.getAs[Long]("margin_micro")).distinct.length >= 2)
+  }
+
+  test("shared vocabulary dilutes but does not flip: classes that " +
+      "differ in only one token still separate") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { id =>
+      val base = "the quick brown fox jumps over the lazy dog"
+      if (id < 20L) (id, s"$base excellent", "ref")
+      else (id, s"$base terrible", "web")
+    }.toDF("doc_id", "text", "source")
+    val scored = TextAnalysis.nbQualityOf(docs, Seq("ref")).collect()
+    scored.foreach { r =>
+      assert(r.getAs[Boolean]("pred_ref") == r.getAs[Boolean]("is_ref"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("one-class training set is refused, not mislabeled") {
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityOf(corpus(40), Seq("nonexistent")).collect()
+    }
+    assert(ex.getMessage.contains("both classes"))
+  }
+
+  test("q160 plan: the scoring join broadcasts the weight table — no " +
+      "sort-merge join anywhere in the trained path") {
+    val plan = TextAnalysis.nbQualityClassifier(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}
