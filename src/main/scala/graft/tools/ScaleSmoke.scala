@@ -278,7 +278,13 @@ object ScaleSmoke {
       "q156_secrets_scan" -> ((s: SparkSession, d: String) =>
         graft.ext.Secrets.secretsScan(s, d)),
       "q157_manifest_diff" -> ((s: SparkSession, d: String) =>
-        graft.ext.Shards.manifestDiff(s, d))
+        graft.ext.Shards.manifestDiff(s, d)),
+      "q158_redirect_chains" -> ((s: SparkSession, d: String) =>
+        graft.ext.Redirects.redirectChains(s, d)),
+      "q159_warc_encodings" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.warcEncodings(s, d)),
+      "q160_nb_quality" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.nbQualityClassifier(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

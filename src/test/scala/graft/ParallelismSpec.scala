@@ -58,7 +58,15 @@ class ParallelismSpec extends SparkSpecBase {
     "q144_domain_scorecard", "q145_release_manifest",
     "q146_forget_impact", "q147_sample_examples", "q148_anchor_text",
     "q149_anchor_terms", "q150_crawl_admission",
-    "q151_domain_quantiles", "q152_frontier_report")
+    "q151_domain_quantiles", "q152_frontier_report",
+    // round-11 late landings + round-12: the WARC family is a narrow
+    // parse (one task per blob) feeding one aggregate; the redirect
+    // resolver iterates bounded self-joins; NB margins are exact
+    // micro-nat integer sums, so training must not move with partition
+    // count either
+    "q153_warc_records", "q154_warc_fetch", "q155_wet_roundtrip",
+    "q156_secrets_scan", "q157_manifest_diff", "q158_redirect_chains",
+    "q159_warc_encodings", "q160_nb_quality")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
