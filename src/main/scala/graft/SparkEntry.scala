@@ -285,6 +285,10 @@ object SparkEntry {
       graft.ext.Warc.warcEncodings(s, d)),
     "q160_nb_quality" -> ((s: SparkSession, d: String) =>
       graft.ext.TextAnalysis.nbQualityClassifier(s, d)),
+    "q161_nb_eval" -> ((s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.nbEvalReport(s, d)),
+    "q162_crawl_corpus" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlCorpus(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -558,6 +562,8 @@ object SparkEntry {
     "q157_manifest_diff" -> graft.ext.Shards.manifestDiffOracle,
     "q158_redirect_chains" -> graft.ext.Redirects.redirectChainsOracle,
     "q159_warc_encodings" -> graft.ext.Warc.warcEncodingsOracle,
-    "q160_nb_quality" -> graft.ext.TextAnalysis.nbQualityOracle
+    "q160_nb_quality" -> graft.ext.TextAnalysis.nbQualityOracle,
+    "q161_nb_eval" -> graft.ext.TextAnalysis.nbEvalOracle,
+    "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle
   )
 }

@@ -26,7 +26,7 @@ object TextAnalysis {
     // drop the empty leading element regexp splits can produce
     filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  private[ext] val stopwordList =
+  private[graft] val stopwordList =
     Seq("the", "a", "of", "and", "to", "in", "is")
   private def stopwords = stopwordList
 
@@ -1190,11 +1190,11 @@ object TextAnalysis {
       .withColumn("pred_ref", col("margin_micro") >= 0)
   }
 
-  /** Oracle for q160 [[nbQualityClassifier]] — the identical integer
+  /** Shared oracle CTE chain for q160/q161 — the identical integer
     * pipeline: q102's split bands, per-word class counts, lnFix stages
     * for the weights and the four scalar constants, exact micro-nat
-    * margin. */
-  val nbQualityOracle: String = {
+    * margins in a final `scored` CTE. */
+  private lazy val nbCte: String = {
     val (kStages, kFin) = DetLn.oracleLnStages("k0", "k",
       Seq("ap", "an", "npos", "nneg"),
       Seq("ln_ap" -> "ap", "ln_an" -> "an",
@@ -1202,7 +1202,7 @@ object TextAnalysis {
     val (wStages, wFin) = DetLn.oracleLnStages("cnt", "nw",
       Seq("w", "cpos", "cneg"),
       Seq("ln_cp" -> "cpos + 1", "ln_cn" -> "cneg + 1"))
-    s"""WITH a AS (SELECT doc_id, text,
+    s"""a AS (SELECT doc_id, text,
            CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
                   1, 2) < 'cc' THEN 'train'
                 WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
@@ -1243,12 +1243,62 @@ object TextAnalysis {
        sm AS (SELECT doc_id, split, is_ref,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
            CAST(sum(tf * coalesce(dw, 0)) AS BIGINT) AS s_num
-         FROM tf LEFT JOIN wt USING (w) GROUP BY 1, 2, 3)
-       SELECT doc_id, split, is_ref, n_tokens,
-         s_num - n_tokens * kdiff + prior AS margin_micro,
-         ${DetLn.micro4Sql("s_num - n_tokens * kdiff + prior")} AS margin,
-         (s_num - n_tokens * kdiff + prior >= 0) AS pred_ref
-       FROM sm CROSS JOIN kc
-       ORDER BY doc_id"""
+         FROM tf LEFT JOIN wt USING (w) GROUP BY 1, 2, 3),
+       scored AS (SELECT doc_id, split, is_ref, n_tokens,
+           s_num - n_tokens * kdiff + prior AS margin_micro,
+           ${DetLn.micro4Sql("s_num - n_tokens * kdiff + prior")} AS margin,
+           (s_num - n_tokens * kdiff + prior >= 0) AS pred_ref
+         FROM sm CROSS JOIN kc)"""
   }
+
+  /** Oracle for q160 [[nbQualityClassifier]]. */
+  lazy val nbQualityOracle: String =
+    s"""WITH $nbCte
+       SELECT doc_id, split, is_ref, n_tokens, margin_micro, margin,
+         pred_ref
+       FROM scored ORDER BY doc_id"""
+
+  /** q161: the classifier's evaluation report — per split (train / val /
+    * test): document count, the confusion matrix against the true
+    * reference labels, and accuracy. The val/test rows are the
+    * HELD-OUT generalization numbers (their docs contributed nothing
+    * to the counts the weights were learned from) — the numbers a
+    * model-based quality filter must publish before its `keep` column
+    * is trusted. Completes the q160 loop: train → score → EVALUATE,
+    * all under one oracle. One extra 3-row aggregate over the q160
+    * derivation; accuracy divides two exact integers once and
+    * floor-quantizes (the house fix4 idiom). */
+  def nbEvalReport(spark: SparkSession, dir: String): DataFrame =
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_ref") && col("pred_ref"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!col("is_ref") && col("pred_ref"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("is_ref") && !col("pred_ref"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("is_ref") && !col("pred_ref"), 1L).otherwise(0L))
+          .as("tn"))
+      .withColumn("accuracy", expr(DetLn.fix4Sql(
+        "CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE)")))
+      .orderBy(col("split"))
+
+  /** Oracle for q161 [[nbEvalReport]]. */
+  lazy val nbEvalOracle: String =
+    s"""WITH $nbCte,
+       ev AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_ref AND pred_ref THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN NOT is_ref AND pred_ref THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN is_ref AND NOT pred_ref THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT is_ref AND NOT pred_ref THEN 1 ELSE 0
+             END) AS BIGINT) AS tn
+         FROM scored GROUP BY split)
+       SELECT split, n_docs, tp, fp, fn, tn,
+         ${DetLn.fix4Sql("CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+           AS accuracy
+       FROM ev ORDER BY split"""
 }

@@ -791,4 +791,66 @@ object Warc {
        FROM documents
        WHERE doc_id % 5 <> 4
        ORDER BY doc_id"""
+
+  /** q162: the crawl-to-corpus composition — raw archive blobs to an
+    * admitted training corpus, per registrable domain: parse (q153,
+    * Content-Encoding decoded) → fetch gate (q154) → WET text
+    * derivation (q155) → the q145 integer quality gate (≥ 20 tokens,
+    * ≥ 2% stopword share — no float enters the filter) → per-domain
+    * fetched / admitted / token counts. This is the whole front door
+    * in ONE query: the text being gated went through synthesize →
+    * WARC framing → HTTP envelope → content encoding → WET rewrite →
+    * gzip → parse-back before a single token was counted.
+    *
+    * Scale: every step before the final aggregate is narrow (parse,
+    * WET grouping of blob-contiguous runs, URL maps, token counts);
+    * ONE hash aggregate on domain ends it. */
+  def crawlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val wet = recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
+        Tables(spark, dir, "documents"))))).toDF()
+      .select(col("target_uri").as("url"),
+        col("body").cast("string").as("text"))
+    val w = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
+    val gated = wet
+      .withColumn("_toks", size(w).cast("long"))
+      .withColumn("_stops",
+        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("admitted", col("_toks") >= 20 &&
+        col("_stops") * 100 >= col("_toks") * 2)
+    UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(gated)))
+      .filter(!col("blocked") && col("host").isNotNull)
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_fetched"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("_toks")).otherwise(0L))
+          .as("tok_admitted"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle for q162 [[crawlCorpus]] — the fetch-gate id set, the
+    * integer quality gate, and the curate chain replayed. */
+  lazy val crawlCorpusOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2)
+       SELECT coalesce(b.registrable_domain, b.host) AS domain,
+         CAST(count(*) AS BIGINT) AS n_fetched,
+         CAST(sum(CASE WHEN s.toks >= 20 AND s.stops * 100 >= s.toks * 2
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN s.toks >= 20 AND s.stops * 100 >= s.toks * 2
+           THEN s.toks ELSE 0 END) AS BIGINT) AS tok_admitted
+       FROM blk b JOIN st s ON s.doc_id = b.doc_id
+       WHERE NOT b.blocked AND b.host IS NOT NULL
+       GROUP BY 1 ORDER BY domain"""
+  }
 }

@@ -87,6 +87,18 @@ object StreamingTransform {
     start(blobs, outDir, checkpointDir,
       b => graft.ext.Warc.recordsOf(b).toDF())
 
+  /** Streaming model-based quality scoring (the q122 inference shape)
+    * over a streaming (doc_id, text) frame: each document's hashed
+    * n-gram features look their weights up in the SUPPLIED weight
+    * table (a trained model exported as a DataFrame — e.g. q160's NB
+    * weights or any fastText-bucket export) and the margin decides
+    * `keep`. Stateless because the model is config, like the robots
+    * rules; the weight side broadcasts per micro-batch. */
+  def startQualityScore(docs: DataFrame, weights: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    start(docs, outDir, checkpointDir,
+      b => graft.ext.TextAnalysis.hashedLinearScoreOf(b, weights))
+
   /** The composed streaming front door: parse archive blobs, gate on
     * well-formed HTTP-200 fetches, and run the q139 frontier policy on
     * the admitted URLs — raw crawl segments to robots verdicts in one

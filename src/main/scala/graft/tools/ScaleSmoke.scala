@@ -284,7 +284,11 @@ object ScaleSmoke {
       "q159_warc_encodings" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.warcEncodings(s, d)),
       "q160_nb_quality" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.nbQualityClassifier(s, d))
+        graft.ext.TextAnalysis.nbQualityClassifier(s, d)),
+      "q161_nb_eval" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.nbEvalReport(s, d)),
+      "q162_crawl_corpus" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlCorpus(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -61,6 +61,30 @@ class NbQualitySpec extends SparkSpecBase {
     assert(ex.getMessage.contains("both classes"))
   }
 
+  test("q161 eval report reconciles against the per-doc q160 rows: " +
+      "every confusion cell is the count of matching documents and " +
+      "accuracy is (tp+tn)/n") {
+    val scored = TextAnalysis.nbQualityClassifier(spark, sf0001).collect()
+    val report = TextAnalysis.nbEvalReport(spark, sf0001).collect()
+    assert(report.map(_.getAs[String]("split")).toSeq.sorted ==
+      Seq("test", "train", "val"))
+    report.foreach { r =>
+      val s = scored.filter(_.getAs[String]("split") ==
+        r.getAs[String]("split"))
+      def cell(ref: Boolean, pred: Boolean): Long = s.count(x =>
+        x.getAs[Boolean]("is_ref") == ref &&
+          x.getAs[Boolean]("pred_ref") == pred).toLong
+      assert(r.getAs[Long]("n_docs") == s.length.toLong)
+      assert(r.getAs[Long]("tp") == cell(true, true))
+      assert(r.getAs[Long]("fp") == cell(false, true))
+      assert(r.getAs[Long]("fn") == cell(true, false))
+      assert(r.getAs[Long]("tn") == cell(false, false))
+      val acc = (r.getAs[Long]("tp") + r.getAs[Long]("tn")).toDouble /
+        r.getAs[Long]("n_docs")
+      assert(math.abs(r.getAs[Double]("accuracy") - acc) < 1e-4 + 1e-9)
+    }
+  }
+
   test("q160 plan: the scoring join broadcasts the weight table — no " +
       "sort-merge join anywhere in the trained path") {
     val plan = TextAnalysis.nbQualityClassifier(spark, sf0001)

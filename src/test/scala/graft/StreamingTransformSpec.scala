@@ -174,6 +174,44 @@ class StreamingTransformSpec extends SparkSpecBase {
       "matched_len") == want)
   }
 
+  test("streaming quality scoring equals batch q122 inference over the " +
+      "union of batches with the same supplied weight table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.TextAnalysis
+    val out = tmp()
+    val docsAll = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // the q122 stand-in weights, frozen once — the "trained model" side
+    import graft.functions.ShingleHashes.shingle_hashes_md5
+    val weights = docsAll
+      .select(explode(shingle_hashes_md5(col("text"), 3)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("h"),
+        (expr(graft.functions.DetMix.mixSql("h", 122)) % 2001 - 1000)
+          .as("wt"))
+      .localCheckpoint()
+    val rowsAll = docsAll.as[(Long, String)].collect().toSeq
+    val (b0, b1) = rowsAll.splitAt(rowsAll.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTransform.startQualityScore(
+      input.toDF().toDF("doc_id", "text"), weights, out,
+      checkpointDir = tmp())
+    input.addData(b0: _*)
+    q.processAllAvailable()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = TextAnalysis.hashedLinearScoreOf(
+        rowsAll.toDF("doc_id", "text"), weights)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(rows(out, "doc_id", "n_features", "margin", "keep") == want)
+    // the gate is live in this fixture: both outcomes occur
+    assert(rows(out, "keep").map(_.head).size == 2)
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._

@@ -270,6 +270,49 @@ class WarcSpec extends SparkSpecBase {
       r.http_status.contains(200)))
   }
 
+  test("q162 crawl-to-corpus reconciles against q154: every domain's " +
+      "fetched count equals the fetch gate's doc count, admitted <= " +
+      "fetched, and one domain's gate recomputes doc-by-doc") {
+    import spark.implicits._
+    import graft.ext.Warc
+    val corpus = Warc.crawlCorpus(spark, sf001).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    val fetch = Warc.warcFetch(spark, sf001).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("n_docs")).toMap
+    assert(corpus.nonEmpty && corpus.keySet == fetch.keySet)
+    corpus.foreach { case (d, r) =>
+      assert(r.getAs[Long]("n_fetched") == fetch(d), d)
+      assert(r.getAs[Long]("n_admitted") <= r.getAs[Long]("n_fetched"), d)
+    }
+    // both gate outcomes occur somewhere (the quality gate is live)
+    assert(corpus.values.exists(r =>
+      r.getAs[Long]("n_admitted") < r.getAs[Long]("n_fetched")))
+    assert(corpus.values.exists(r => r.getAs[Long]("n_admitted") > 0))
+    // recompute the busiest domain from the WET text itself
+    val (busiest, row) = corpus.maxBy(_._2.getAs[Long]("n_fetched"))
+    val stops = graft.ext.TextAnalysis.stopwordList.toSet
+    val wet = Warc.recordsOf(Warc.wetBlobsOf(Warc.recordsOf(
+        Warc.synthesizeWarcBlobsOf(Tables(spark, sf001, "documents")))))
+      .collect()
+    val urls = graft.ext.UrlCurate.blocklistOf(
+        graft.ext.UrlCurate.registrableDomainOf(
+          graft.ext.UrlCurate.canonicalizeOf(
+            wet.toSeq.map(_.target_uri.get).toDF("url"))))
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        (Option(r.getAs[String]("registrable_domain"))
+          .getOrElse(r.getAs[String]("host")))).toMap
+    val mine = wet.filter(w => urls(w.target_uri.get) == busiest)
+    assert(mine.length.toLong == row.getAs[Long]("n_fetched"))
+    val admitted = mine.map(w => new String(w.body, "UTF-8"))
+      .filter { t =>
+        val toks = t.split(" ", -1)
+        toks.length >= 20 &&
+          toks.count(stops.contains) * 100 >= toks.length * 2
+      }
+    assert(admitted.length.toLong == row.getAs[Long]("n_admitted"))
+  }
+
   test("WET derivation: zero shuffle from records to WET blobs (blob-" +
       "contiguous grouping, no Exchange), and the roundtrip preserves " +
       "payload bytes and lineage") {
