@@ -91,13 +91,28 @@ object Warc {
     bos.toByteArray
   }
 
-  /** Inflate a whole (possibly member-concatenated) gzip stream. */
-  def gunzip(b: Array[Byte]): Array[Byte] = {
+  /** Per-blob inflated-size cap: a hostile or corrupt archive (a "zip
+    * bomb" — tiny wire bytes inflating without bound) must cost ONE
+    * quarantine row, not an executor OOM. 4 GiB ≈ 4× CommonCrawl's
+    * ~1 GiB-segment convention; [[parseBlob]] turns the breach into
+    * the blob's quarantine row. */
+  val MaxInflatedBytes: Long = 4L << 30
+
+  private final class InflatedTooLarge(val limit: Long)
+    extends RuntimeException(s"inflated size exceeds $limit bytes")
+
+  /** Inflate a whole (possibly member-concatenated) gzip stream,
+    * refusing past `limit` inflated bytes. */
+  def gunzip(b: Array[Byte],
+      limit: Long = MaxInflatedBytes): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(b))
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      if (out.size().toLong + n > limit) throw new InflatedTooLarge(limit)
+      out.write(buf, 0, n); n = in.read(buf)
+    }
     out.toByteArray
   }
 
@@ -177,7 +192,7 @@ object Warc {
     case None | Some("identity") => Right(body)
     case Some(e @ ("gzip" | "x-gzip")) =>
       try Right(gunzip(body))
-      catch { case ex: java.io.IOException =>
+      catch { case ex @ (_: java.io.IOException | _: InflatedTooLarge) =>
         Left(s"Content-Encoding $e decode failed: ${ex.getMessage}") }
     case Some("deflate") =>
       // zlib per the RFC; raw-DEFLATE fallback for the broken servers
@@ -259,9 +274,20 @@ object Warc {
     }
   }
 
-  /** Parse one archive blob (gzip auto-detected) into records. */
+  /** Parse one archive blob (gzip auto-detected) into records. A blob
+    * whose gzip stream is corrupt or inflates past [[MaxInflatedBytes]]
+    * yields ONE quarantine row — a hostile file in a 100k-segment read
+    * must never kill the job. */
   def parseBlob(blobId: Long, raw: Array[Byte]): Seq[WarcRecord] = {
-    val data = if (isGzip(raw)) gunzip(raw) else raw
+    val data =
+      if (isGzip(raw)) {
+        try gunzip(raw)
+        catch { case e @ (_: java.io.IOException | _: InflatedTooLarge) =>
+          return Seq(WarcRecord(blobId, 0, None, None, None, None, None,
+            -1L, None, None, None, None, None, Array.emptyByteArray,
+            Some(s"blob inflate failed: ${e.getMessage}")))
+        }
+      } else raw
     val out = Seq.newBuilder[WarcRecord]
     var pos = 0
     var idx = 0

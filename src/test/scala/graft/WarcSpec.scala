@@ -150,6 +150,21 @@ class WarcSpec extends SparkSpecBase {
     assert(rs(2).error.isEmpty && java.util.Arrays.equals(rs(2).body, text))
   }
 
+  test("blob-level inflate faults quarantine, never crash: corrupt " +
+      ".warc.gz bytes and an inflated-size cap breach each yield one " +
+      "error row") {
+    val good = resp(1, "payload")
+    val gz = Warc.gzip(good)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x55).toByte // corrupt body
+    val rs1 = Warc.parseBlob(3L, gz)
+    assert(rs1.length == 1 &&
+      rs1.head.error.exists(_.contains("blob inflate failed")))
+    // cap breach: inflate refuses past the limit instead of buffering
+    val big = Warc.gzip(Array.fill(1 << 16)('a'.toByte))
+    val ex = intercept[RuntimeException](Warc.gunzip(big, limit = 1024))
+    assert(ex.getMessage.contains("exceeds 1024"))
+  }
+
   test("quarantine rows: bad version line, missing Content-Length, " +
       "truncated block — parsed prefix stands, one error row, stop") {
     val good = resp(1, "ok-record")
