@@ -289,6 +289,8 @@ object SparkEntry {
       graft.ext.TextAnalysis.nbEvalReport(s, d)),
     "q162_crawl_corpus" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlCorpus(s, d)),
+    "q163_crawl_shards" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlShards(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -564,6 +566,7 @@ object SparkEntry {
     "q159_warc_encodings" -> graft.ext.Warc.warcEncodingsOracle,
     "q160_nb_quality" -> graft.ext.TextAnalysis.nbQualityOracle,
     "q161_nb_eval" -> graft.ext.TextAnalysis.nbEvalOracle,
-    "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle
+    "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle,
+    "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle
   )
 }

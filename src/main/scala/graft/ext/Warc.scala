@@ -879,4 +879,63 @@ object Warc {
        WHERE NOT b.blocked AND b.host IS NOT NULL
        GROUP BY 1 ORDER BY domain"""
   }
+
+  /** q163: raw crawl archives to TRAINING SHARDS — q162's admission
+    * (fetch gate → WET text → integer quality gate → blocklist) handed
+    * to the q143 delivery layout: DetMix shard assignment over the
+    * admitted doc_ids and the per-shard manifest (counts, token sums,
+    * ranges, the order-independent checksum). The complete
+    * CommonCrawl-to-release path as ONE oracled query; the WET doc_id
+    * (from the `wet:<id>` lineage) keys the assignment, so the shard a
+    * document lands in is identical whether it arrived via the crawl
+    * front or the curated-corpus path (q145) — delivery is
+    * source-independent by construction. */
+  def crawlShards(spark: SparkSession, dir: String): DataFrame = {
+    val wet = recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
+        Tables(spark, dir, "documents"))))).toDF()
+      .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
+        col("target_uri").as("url"),
+        col("body").cast("string").as("text"))
+    val w = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
+    val admitted = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+        UrlCurate.canonicalizeOf(wet)))
+      .withColumn("_toks", size(w).cast("long"))
+      .withColumn("_stops",
+        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
+      .filter(!col("blocked") && col("host").isNotNull &&
+        col("_toks") >= 20 && col("_stops") * 100 >= col("_toks") * 2)
+      .select(col("doc_id"), col("text"))
+    Shards.manifestOf(Shards.shardAssignOf(admitted))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Oracle for q163 [[crawlShards]] — the q162 admission set fed to
+    * the q143 manifest arithmetic. */
+  lazy val crawlShardsOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2),
+       adm AS (SELECT s.doc_id, s.toks FROM blk b
+         JOIN st s ON s.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL
+           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
+       a AS (SELECT doc_id, toks AS n_tokens,
+           CAST(${graft.functions.DetMix.mixSql("doc_id", Shards.Seed)}
+             % ${Shards.NShards} AS INT) AS shard_id,
+           ${graft.functions.DetMix.mixSql("doc_id", Shards.Seed + 1)}
+             AS fp
+         FROM adm)
+       SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         CAST(sum(fp) AS BIGINT) AS checksum
+       FROM a GROUP BY shard_id ORDER BY shard_id"""
+  }
 }

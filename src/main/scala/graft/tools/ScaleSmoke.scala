@@ -288,7 +288,9 @@ object ScaleSmoke {
       "q161_nb_eval" -> ((s: SparkSession, d: String) =>
         graft.ext.TextAnalysis.nbEvalReport(s, d)),
       "q162_crawl_corpus" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.crawlCorpus(s, d))
+        graft.ext.Warc.crawlCorpus(s, d)),
+      "q163_crawl_shards" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlShards(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -328,6 +328,39 @@ class WarcSpec extends SparkSpecBase {
     assert(admitted.length.toLong == row.getAs[Long]("n_admitted"))
   }
 
+  test("q163 crawl-to-shards: the manifest over the WARC path equals " +
+      "the manifest computed straight from the documents table's " +
+      "admitted set — delivery is source-independent") {
+    import graft.ext.{Shards, UrlCurate, Warc}
+    import org.apache.spark.sql.functions.{array, array_contains, col,
+      filter, lit, size, split}
+    val got = Warc.crawlShards(spark, sf001).collect()
+      .map(r => r.getAs[Int]("shard_id") -> r.toSeq).toMap
+    // the admitted set rebuilt WITHOUT the WARC machinery: the fetch
+    // gate is id arithmetic, the quality gate and blocklist ride the
+    // same curate chain over the raw table
+    val docs = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") % 5 =!= 4 &&
+        !(col("doc_id") % 10).isin(3, 7) && col("doc_id") % 100 =!= 2)
+    val urls = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+      UrlCurate.canonicalizeOf(UrlCurate.synthesizeUrlsOf(docs))))
+    val w = split(col("text"), " ")
+    val stopArr = array(
+      graft.ext.TextAnalysis.stopwordList.map(lit): _*)
+    val admitted = docs
+      .join(urls.filter(!col("blocked") && col("host").isNotNull)
+        .select(col("doc_id")), Seq("doc_id"))
+      .withColumn("_toks", size(w).cast("long"))
+      .withColumn("_stops",
+        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
+      .filter(col("_toks") >= 20 &&
+        col("_stops") * 100 >= col("_toks") * 2)
+      .select(col("doc_id"), col("text"))
+    val want = Shards.manifestOf(Shards.shardAssignOf(admitted))
+      .collect().map(r => r.getAs[Int]("shard_id") -> r.toSeq).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
   test("WET derivation: zero shuffle from records to WET blobs (blob-" +
       "contiguous grouping, no Exchange), and the roundtrip preserves " +
       "payload bytes and lineage") {
