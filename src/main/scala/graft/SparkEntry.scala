@@ -291,6 +291,8 @@ object SparkEntry {
       graft.ext.Warc.crawlCorpus(s, d)),
     "q163_crawl_shards" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlShards(s, d)),
+    "q164_nb_calibration" -> ((s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.nbCalibration(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -567,6 +569,7 @@ object SparkEntry {
     "q160_nb_quality" -> graft.ext.TextAnalysis.nbQualityOracle,
     "q161_nb_eval" -> graft.ext.TextAnalysis.nbEvalOracle,
     "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle,
-    "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle
+    "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle,
+    "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle
   )
 }

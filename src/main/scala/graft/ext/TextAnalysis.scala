@@ -1284,6 +1284,50 @@ object TextAnalysis {
         "CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE)")))
       .orderBy(col("split"))
 
+  /** q164: classifier calibration table — the reliability diagram's
+    * data: documents bucketed into FIXED margin bands (5-nat steps in
+    * micro-nat space, clamped to [-4, 4] — fixed widths, not deciles,
+    * so no corpus-wide sort/order-statistics at any scale) with each
+    * band's actual reference share. A well-calibrated filter shows
+    * ref_share rising with the band; a flat table means the margin is
+    * noise — the check that decides whether q160's `keep` threshold
+    * can be trusted off the training distribution. Band arithmetic is
+    * a double floor over the exact integer margin (identical IEEE text
+    * both engines — integer `/` rounds differently across engines on
+    * negatives, the q70 lesson, so no integer division here). Band
+    * width 0.5 nat, clamped to [-12, 12]: on a corpus with a ~10%
+    * reference prior every margin is negative (the prior term), so the
+    * informative range is a handful of nats below zero. */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame =
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+      .withColumn("band", expr(
+        "CAST(greatest(-12, least(12, " +
+          "floor(CAST(margin_micro AS DOUBLE) / 5e5))) AS BIGINT)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"))
+      .withColumn("ref_share", expr(DetLn.fix4Sql(
+        "CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)")))
+      .orderBy(col("band"))
+
+  /** Oracle for q164 [[nbCalibration]]. */
+  lazy val nbCalibrationOracle: String =
+    s"""WITH $nbCte,
+       bd AS (SELECT
+           CAST(greatest(-12, least(12,
+             floor(CAST(margin_micro AS DOUBLE) / 5e5))) AS BIGINT)
+             AS band,
+           is_ref
+         FROM scored),
+       ag AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ref
+         FROM bd GROUP BY band)
+       SELECT band, n_docs, n_ref,
+         ${DetLn.fix4Sql("CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+           AS ref_share
+       FROM ag ORDER BY band"""
+
   /** Oracle for q161 [[nbEvalReport]]. */
   lazy val nbEvalOracle: String =
     s"""WITH $nbCte,

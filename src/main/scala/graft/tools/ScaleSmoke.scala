@@ -290,7 +290,9 @@ object ScaleSmoke {
       "q162_crawl_corpus" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlCorpus(s, d)),
       "q163_crawl_shards" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.crawlShards(s, d))
+        graft.ext.Warc.crawlShards(s, d)),
+      "q164_nb_calibration" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.nbCalibration(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

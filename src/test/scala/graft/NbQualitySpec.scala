@@ -85,6 +85,36 @@ class NbQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q164 calibration table reconciles against the per-doc rows: " +
+      "each band's counts recompute, totals cover the corpus, and the " +
+      "margin actually spreads across bands") {
+    val scored = TextAnalysis.nbQualityClassifier(spark, sf0001).collect()
+    val cal = TextAnalysis.nbCalibration(spark, sf0001).collect()
+    assert(cal.length >= 4, s"degenerate table: ${cal.length} bands")
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == scored.length.toLong)
+    assert(cal.map(_.getAs[Long]("n_ref")).sum ==
+      scored.count(_.getAs[Boolean]("is_ref")).toLong)
+    cal.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val mine = scored.filter { x =>
+        val band = math.max(-12L, math.min(12L,
+          math.floor(x.getAs[Long]("margin_micro").toDouble / 5e5).toLong))
+        band == b
+      }
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong, s"band $b")
+      assert(r.getAs[Long]("n_ref") ==
+        mine.count(_.getAs[Boolean]("is_ref")).toLong, s"band $b")
+    }
+    // the signal exists: the top-third bands' pooled ref share exceeds
+    // the bottom-third's (calibration = share rises with margin)
+    val sorted = cal.sortBy(_.getAs[Long]("band"))
+    val third = sorted.length / 3
+    def share(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n_ref")).sum.toDouble /
+        rs.map(_.getAs[Long]("n_docs")).sum
+    assert(share(sorted.takeRight(third)) > share(sorted.take(third)))
+  }
+
   test("q160 plan: the scoring join broadcasts the weight table — no " +
       "sort-merge join anywhere in the trained path") {
     val plan = TextAnalysis.nbQualityClassifier(spark, sf0001)

@@ -361,6 +361,23 @@ class WarcSpec extends SparkSpecBase {
     assert(want.nonEmpty && got == want)
   }
 
+  test("plan shape: q162 and q163 each run on exactly TWO exchanges — " +
+      "the synthesis groupByKey and the one final aggregate; " +
+      "everything between (parse, WET, URL chain, gates) is narrow") {
+    import graft.ext.Warc
+    for ((name, df) <- Seq(
+        "q162" -> Warc.crawlCorpus(spark, sf0001),
+        "q163" -> Warc.crawlShards(spark, sf0001))) {
+      val exchanges = df.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange"))
+      // the orderBy adds a range exchange on the tiny aggregated frame;
+      // allow it, forbid anything more
+      assert(exchanges <= 3, s"$name expected <= 3 exchanges " +
+        s"(synthesis + aggregate + output sort), got $exchanges:\n" +
+        df.queryExecution.executedPlan)
+    }
+  }
+
   test("WET derivation: zero shuffle from records to WET blobs (blob-" +
       "contiguous grouping, no Exchange), and the roundtrip preserves " +
       "payload bytes and lineage") {
