@@ -27,6 +27,14 @@ object SessionMemo {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Any]
 
-  def apply[T](spark: SparkSession, key: String)(build: => T): T =
+  def apply[T](spark: SparkSession, key: String)(build: => T): T = {
+    // cheap sweep: a stopped session's artifacts are unreadable and
+    // only pin memory (the session graph + checkpointed plans) — drop
+    // them whenever the memo is next touched, so a long-lived JVM
+    // cycling sessions (the test runner, a driver loop) cannot
+    // accumulate dead entries
+    memo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(memo.remove)
     memo.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+  }
 }

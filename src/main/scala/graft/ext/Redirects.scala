@@ -65,9 +65,13 @@ object Redirects {
       .select(col("url").as("origin"), col("url").as("final_url"),
         col("http_status").cast("int").as("final_status"),
         lit(0).as("n_hops"), lit("dangling").as("outcome"))
+    // `_last_status`: the 3xx of the redirect most recently followed —
+    // what a capped chain reports as its final_status (the last REAL
+    // observation, never a fabricated code)
     var pending = fetches.filter(seedRedirect && col("location").isNotNull)
       .select(col("url").as("origin"), col("location").as("_next"),
-        lit(0).as("n_hops"))
+        lit(0).as("n_hops"),
+        col("http_status").cast("int").as("_last_status"))
     for (_ <- 1 to maxHops) {
       val j = pending
         .join(t, col("_next") === col("_t_url"), "left")
@@ -88,11 +92,12 @@ object Redirects {
       pending = j.filter(col("_t_url").isNotNull && tRedirect &&
           col("_t_loc").isNotNull)
         .select(col("origin"), col("_t_loc").as("_next"),
-          (col("n_hops") + 1).as("n_hops"))
+          (col("n_hops") + 1).as("n_hops"),
+          col("_t_status").cast("int").as("_last_status"))
     }
     settled.union(
       pending.select(col("origin"), col("_next").as("final_url"),
-        lit(301).cast("int").as("final_status"), col("n_hops"),
+        col("_last_status").as("final_status"), col("n_hops"),
         lit("cap_exceeded").as("outcome")))
   }
 

@@ -89,22 +89,29 @@ object Shards {
     * shuffles (32-byte digest groupBy, doc_id semi join, shard_id
     * aggregate), each carrying ids/digests/longs — never text.
     * ORDER BY = oracle determinism only. */
+  /** The release quality gate shared by q145/q162/q163: appends exact
+    * integer token and stopword counts over `text` and the `admitted`
+    * verdict (≥ 20 tokens, ≥ 2% stopword share — no float enters the
+    * filter). ONE definition so the threshold can never silently
+    * diverge between the curated-corpus and crawl-front paths. */
+  private[ext] def withQualityGate(df: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
+    df.withColumn("_toks", size(w).cast("long"))
+      .withColumn("_stops",
+        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("admitted", col("_toks") >= 20 &&
+        col("_stops") * 100 >= col("_toks") * 2)
+  }
+
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val keepers = docs
       .groupBy(md5(col("text").cast("binary")).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val w = split(col("text"), " ")
-    val stopArr = array(
-      TextAnalysis.stopwordList.map(lit): _*)
-    val gated = docs
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .withColumn("_toks", size(w).cast("long"))
-      .withColumn("_stops",
-        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
-      .filter(col("_toks") >= 20 &&
-        col("_stops") * 100 >= col("_toks") * 2)
+    val gated = withQualityGate(docs.join(keepers, Seq("doc_id"), "left_semi"))
+      .filter(col("admitted"))
       .select(col("doc_id"), col("text"))
     manifestOf(shardAssignOf(gated)).orderBy(col("shard_id"))
   }

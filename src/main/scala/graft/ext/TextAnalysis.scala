@@ -1127,31 +1127,35 @@ object TextAnalysis {
     * per-doc aggregate. No iteration, no optimizer state; the model
     * "artifact" is a DataFrame, swappable into q122's scoring join. */
   def nbQualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
+        memoKey = Some(s"nbmodel:$dir:src0,src1"))
       .orderBy(col("doc_id")) // oracle determinism only
 
-  /** Train-and-score over any (doc_id, text, source) frame — the
-    * reusable operator behind q160. Sort-free. */
-  def nbQualityOf(docs: DataFrame,
-      refSources: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
-    val tagged = Curate.splitAssign(
-        docs.select(col("doc_id"), col("text"), col("source")),
-        "doc_id", "graft", Curate.SplitFractions)
-      .withColumn("is_ref", col("source").isin(refSources: _*))
-    val tok = tagged.select(col("doc_id"), col("split"), col("is_ref"),
+  /** A trained NB model: per-word weight table plus the two scalar
+    * constants (the per-class denominator difference and the class
+    * prior), all in micro-nats. */
+  private[graft] final case class NbModel(weights: DataFrame,
+      kdiff: Long, prior: Long)
+
+  /** Train the model from a tagged (doc_id, split, is_ref, text) frame
+    * — the closed-form pass: one per-word class-count aggregate plus
+    * five scalars. Eager (the scalars collect), so a one-class train
+    * split fails HERE, loudly. */
+  private def nbTrainOf(tagged: DataFrame): NbModel = {
+    val spark = tagged.sparkSession
+    val train = tagged.filter(col("split") === "train")
+    val tok = train.select(col("is_ref"),
       explode(tokens(col("text"))).as("w"))
-    val train = tok.filter(col("split") === "train")
     // the model's sufficient statistics: per-word class counts — built
     // once, feeds the scalar totals AND the weight table
-    val counts = train.groupBy(col("w")).agg(
+    val counts = tok.groupBy(col("w")).agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("cpos"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("cneg"))
       .localCheckpoint()
     val t = counts.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1)))
       .head()
     val (totpos, totneg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    val d = tagged.filter(col("split") === "train")
+    val d = train
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)),
         sum(when(col("is_ref"), 0L).otherwise(1L))).head()
     val (npos, nneg) = (d.getLong(0), d.getLong(1))
@@ -1169,13 +1173,36 @@ object TextAnalysis {
       .select(expr(DetLn.microSql("ln_ap")), expr(DetLn.microSql("ln_an")),
         expr(DetLn.microSql("ln_pp")), expr(DetLn.microSql("ln_pn")))
       .head()
-    val kdiff = kRow.getLong(0) - kRow.getLong(1)
-    val prior = kRow.getLong(2) - kRow.getLong(3)
     val weights = DetLn.withLnFix(DetLn.withLnFix(counts,
         "ln_cp", "cpos + 1"), "ln_cn", "cneg + 1")
       .select(col("w"),
         (expr(DetLn.microSql("ln_cp")) - expr(DetLn.microSql("ln_cn")))
           .as("dw"))
+    NbModel(weights, kRow.getLong(0) - kRow.getLong(1),
+      kRow.getLong(2) - kRow.getLong(3))
+  }
+
+  /** Train-and-score over any (doc_id, text, source) frame — the
+    * reusable operator behind q160. Sort-free. `memoKey`: the
+    * registered q160/q161/q164 entries pass a session-memo key so the
+    * MODEL (weights + constants — the shared artifact, like q83's BPE
+    * merges) trains once per session over the static table; each
+    * query's scoring pass still runs itself. Arbitrary caller frames
+    * (specs, production use) leave it None and train fresh. */
+  def nbQualityOf(docs: DataFrame, refSources: Seq[String],
+      memoKey: Option[String] = None): DataFrame = {
+    val tagged = Curate.splitAssign(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "graft", Curate.SplitFractions)
+      .withColumn("is_ref", col("source").isin(refSources: _*))
+    val model = memoKey match {
+      case Some(k) =>
+        graft.SessionMemo(docs.sparkSession, k)(nbTrainOf(tagged))
+      case None => nbTrainOf(tagged)
+    }
+    val (weights, kdiff, prior) = (model.weights, model.kdiff, model.prior)
+    val tok = tagged.select(col("doc_id"), col("split"), col("is_ref"),
+      explode(tokens(col("text"))).as("w"))
     val tf = tok.groupBy(col("doc_id"), col("split"), col("is_ref"),
         col("w"))
       .agg(count(lit(1)).as("tf"))
@@ -1269,7 +1296,8 @@ object TextAnalysis {
     * derivation; accuracy divides two exact integers once and
     * floor-quantizes (the house fix4 idiom). */
   def nbEvalReport(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
+        memoKey = Some(s"nbmodel:$dir:src0,src1"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_ref") && col("pred_ref"), 1L).otherwise(0L))
@@ -1285,10 +1313,10 @@ object TextAnalysis {
       .orderBy(col("split"))
 
   /** q164: classifier calibration table — the reliability diagram's
-    * data: documents bucketed into FIXED margin bands (5-nat steps in
-    * micro-nat space, clamped to [-4, 4] — fixed widths, not deciles,
-    * so no corpus-wide sort/order-statistics at any scale) with each
-    * band's actual reference share. A well-calibrated filter shows
+    * data: documents bucketed into FIXED margin bands (0.5-nat steps
+    * in micro-nat space, clamped to [-12, 12] — fixed widths, not
+    * deciles, so no corpus-wide sort/order-statistics at any scale)
+    * with each band's actual reference share. A well-calibrated filter shows
     * ref_share rising with the band; a flat table means the margin is
     * noise — the check that decides whether q160's `keep` threshold
     * can be trusted off the training distribution. Band arithmetic is
@@ -1299,7 +1327,8 @@ object TextAnalysis {
     * reference prior every margin is negative (the prior term), so the
     * informative range is a handful of nats below zero. */
   def nbCalibration(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
+        memoKey = Some(s"nbmodel:$dir:src0,src1"))
       .withColumn("band", expr(
         "CAST(greatest(-12, least(12, " +
           "floor(CAST(margin_micro AS DOUBLE) / 5e5))) AS BIGINT)"))

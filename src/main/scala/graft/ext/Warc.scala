@@ -93,10 +93,12 @@ object Warc {
 
   /** Per-blob inflated-size cap: a hostile or corrupt archive (a "zip
     * bomb" — tiny wire bytes inflating without bound) must cost ONE
-    * quarantine row, not an executor OOM. 4 GiB ≈ 4× CommonCrawl's
-    * ~1 GiB-segment convention; [[parseBlob]] turns the breach into
-    * the blob's quarantine row. */
-  val MaxInflatedBytes: Long = 4L << 30
+    * quarantine row, not an executor OOM. 1.5 GiB ≈ 1.5× CommonCrawl's
+    * ~1 GiB-segment convention and sits UNDER the JVM's ~2 GiB byte-
+    * array bound — a larger cap could never fire, the buffer would
+    * OOM first; [[parseBlob]] turns the breach into the blob's
+    * quarantine row. */
+  val MaxInflatedBytes: Long = 3L << 29
 
   private final class InflatedTooLarge(val limit: Long)
     extends RuntimeException(s"inflated size exceeds $limit bytes")
@@ -118,19 +120,33 @@ object Warc {
 
   /** Inflate a DEFLATE stream: zlib-wrapped (RFC 1950, `raw = false`)
     * or raw (RFC 1951, `raw = true` — the broken-server variant of
-    * `Content-Encoding: deflate` that real crawls contain). */
-  private def inflate(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    * `Content-Encoding: deflate` that real crawls contain). Same
+    * inflated-size cap as [[gunzip]] (deflate's ~1032:1 max ratio
+    * makes a 2 MB record a 2 GiB bomb otherwise), and a preset-
+    * dictionary stream (FDICT) is refused rather than looped on —
+    * `inflate()` returns 0 with `needsInput` FALSE in that state, so
+    * a truncation-only check would spin forever on one hostile
+    * record. */
+  private def inflate(b: Array[Byte], raw: Boolean,
+      limit: Long = MaxInflatedBytes): Array[Byte] = {
     val inf = new java.util.zip.Inflater(raw)
     inf.setInput(b)
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput())
-        throw new java.util.zip.DataFormatException("truncated stream")
-      out.write(buf, 0, n)
-    }
-    inf.end()
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) {
+          val why =
+            if (inf.needsDictionary()) "preset dictionary required"
+            else if (inf.needsInput()) "truncated stream"
+            else "stalled inflate"
+          throw new java.util.zip.DataFormatException(why)
+        }
+        if (out.size().toLong + n > limit) throw new InflatedTooLarge(limit)
+        out.write(buf, 0, n)
+      }
+    } finally inf.end()
     out.toByteArray
   }
 
@@ -196,12 +212,17 @@ object Warc {
         Left(s"Content-Encoding $e decode failed: ${ex.getMessage}") }
     case Some("deflate") =>
       // zlib per the RFC; raw-DEFLATE fallback for the broken servers
-      // that named the bare format (a tolerance every fetcher ships)
+      // that named the bare format (a tolerance every fetcher ships).
+      // A size-cap breach does NOT fall back — re-inflating the same
+      // bomb raw would just burn the work twice before quarantining.
       try Right(inflate(body, raw = false))
-      catch { case _: Exception =>
-        try Right(inflate(body, raw = true))
-        catch { case ex: Exception =>
-          Left(s"Content-Encoding deflate decode failed: ${ex.getMessage}") }
+      catch {
+        case ex: InflatedTooLarge =>
+          Left(s"Content-Encoding deflate decode failed: ${ex.getMessage}")
+        case _: Exception =>
+          try Right(inflate(body, raw = true))
+          catch { case ex: Exception =>
+            Left(s"Content-Encoding deflate decode failed: ${ex.getMessage}") }
       }
     case Some(other) => Left(s"unsupported Content-Encoding: $other")
   }
@@ -836,14 +857,7 @@ object Warc {
         Tables(spark, dir, "documents"))))).toDF()
       .select(col("target_uri").as("url"),
         col("body").cast("string").as("text"))
-    val w = split(col("text"), " ")
-    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
-    val gated = wet
-      .withColumn("_toks", size(w).cast("long"))
-      .withColumn("_stops",
-        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
-      .withColumn("admitted", col("_toks") >= 20 &&
-        col("_stops") * 100 >= col("_toks") * 2)
+    val gated = Shards.withQualityGate(wet)
     UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
         UrlCurate.canonicalizeOf(gated)))
       .filter(!col("blocked") && col("host").isNotNull)
@@ -896,15 +910,10 @@ object Warc {
       .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
         col("target_uri").as("url"),
         col("body").cast("string").as("text"))
-    val w = split(col("text"), " ")
-    val stopArr = array(TextAnalysis.stopwordList.map(lit): _*)
-    val admitted = UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
-        UrlCurate.canonicalizeOf(wet)))
-      .withColumn("_toks", size(w).cast("long"))
-      .withColumn("_stops",
-        size(filter(w, t => array_contains(stopArr, t))).cast("long"))
-      .filter(!col("blocked") && col("host").isNotNull &&
-        col("_toks") >= 20 && col("_stops") * 100 >= col("_toks") * 2)
+    val admitted = Shards.withQualityGate(
+        UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+          UrlCurate.canonicalizeOf(wet))))
+      .filter(!col("blocked") && col("host").isNotNull && col("admitted"))
       .select(col("doc_id"), col("text"))
     Shards.manifestOf(Shards.shardAssignOf(admitted))
       .orderBy(col("shard_id"))

@@ -89,11 +89,13 @@ object StreamingTransform {
 
   /** Streaming model-based quality scoring (the q122 inference shape)
     * over a streaming (doc_id, text) frame: each document's hashed
-    * n-gram features look their weights up in the SUPPLIED weight
-    * table (a trained model exported as a DataFrame — e.g. q160's NB
-    * weights or any fastText-bucket export) and the margin decides
-    * `keep`. Stateless because the model is config, like the robots
-    * rules; the weight side broadcasts per micro-batch. */
+    * n-gram features look their weights up in the SUPPLIED (h, wt)
+    * weight table — a trained model exported in the hashed-feature
+    * schema, e.g. a fastText bucket table (word-level weights like
+    * q160's NB `dw` column would first be re-keyed to the md5 shingle
+    * feature space) — and the margin decides `keep`. Stateless because
+    * the model is config, like the robots rules; the weight side
+    * broadcasts per micro-batch. */
   def startQualityScore(docs: DataFrame, weights: DataFrame,
       outDir: String, checkpointDir: String): StreamingQuery =
     start(docs, outDir, checkpointDir,

@@ -57,6 +57,10 @@ class RedirectsSpec extends SparkSpecBase {
     assert(got("x")._4 == "cap_exceeded" && got("y")._4 == "cap_exceeded")
     assert(got("x")._3 == Redirects.MaxHops)
     assert(got("t") == (("u", Some(200), 1, "resolved")))
+    // a capped chain reports the status LAST OBSERVED on it, never a
+    // fabricated 301: a 307 self-loop stays 307
+    val g7 = resolve(Seq(("p", 307, Some("p"))))
+    assert(g7("p") == (("p", Some(307), Redirects.MaxHops, "cap_exceeded")))
   }
 
   test("a chain exactly at the hop budget resolves; one past it is " +
