@@ -127,7 +127,7 @@ object Warc {
     * `inflate()` returns 0 with `needsInput` FALSE in that state, so
     * a truncation-only check would spin forever on one hostile
     * record. */
-  private def inflate(b: Array[Byte], raw: Boolean,
+  private[graft] def inflate(b: Array[Byte], raw: Boolean,
       limit: Long = MaxInflatedBytes): Array[Byte] = {
     val inf = new java.util.zip.Inflater(raw)
     inf.setInput(b)

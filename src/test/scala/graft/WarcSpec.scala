@@ -150,6 +150,34 @@ class WarcSpec extends SparkSpecBase {
     assert(rs(2).error.isEmpty && java.util.Arrays.equals(rs(2).body, text))
   }
 
+  test("inflate hostile-stream arms: FDICT (preset dictionary) is " +
+      "refused instead of looped on, truncation throws, and a deflate " +
+      "bomb hits the size cap — all catchable Exceptions") {
+    val text = "x".getBytes("UTF-8")
+    // zlib header with the FDICT bit: CMF 0x78, FLG 0x20 (bit 5 set,
+    // (0x78*256+0x20) % 31 == 0), then a 4-byte dictionary id
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4) ++
+      Warc.zlibStored(text).drop(2)
+    val e1 = intercept[java.util.zip.DataFormatException](
+      Warc.inflate(fdict, raw = false))
+    assert(e1.getMessage.contains("preset dictionary"))
+    val e2 = intercept[java.util.zip.DataFormatException](
+      Warc.inflate(Warc.zlibStored(text).dropRight(6), raw = false))
+    assert(e2.getMessage.contains("truncated"))
+    // a real deflate bomb: 4 MB of zeros compress to ~4 KB; the cap
+    // stops inflation long before the buffer reaches the payload size
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(new Array[Byte](4 << 20)); deflater.finish()
+    val bomb = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      bomb.write(buf, 0, deflater.deflate(buf))
+    assert(bomb.size() < 8192)
+    val e3 = intercept[RuntimeException](
+      Warc.inflate(bomb.toByteArray, raw = false, limit = 65536))
+    assert(e3.getMessage.contains("exceeds 65536"))
+  }
+
   test("blob-level inflate faults quarantine, never crash: corrupt " +
       ".warc.gz bytes and an inflated-size cap breach each yield one " +
       "error row") {
