@@ -852,9 +852,12 @@ object Warc {
     * Scale: every step before the final aggregate is narrow (parse,
     * WET grouping of blob-contiguous runs, URL maps, token counts);
     * ONE hash aggregate on domain ends it. */
-  def crawlCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val wet = recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
-        Tables(spark, dir, "documents"))))).toDF()
+  /** The crawl-to-corpus rollup over any (blob_id, payload) archive
+    * frame — the reusable operator behind q162 and the streaming
+    * stage. Every column is ADDITIVE (counts and sums), so per-batch
+    * results merge by summation. Sort-free. */
+  def crawlCorpusOf(blobs: DataFrame): DataFrame = {
+    val wet = recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
       .select(col("target_uri").as("url"),
         col("body").cast("string").as("text"))
     val gated = Shards.withQualityGate(wet)
@@ -868,8 +871,11 @@ object Warc {
         sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
         sum(when(col("admitted"), col("_toks")).otherwise(0L))
           .as("tok_admitted"))
-      .orderBy(col("domain"))
   }
+
+  def crawlCorpus(spark: SparkSession, dir: String): DataFrame =
+    crawlCorpusOf(synthesizeWarcBlobsOf(Tables(spark, dir, "documents")))
+      .orderBy(col("domain")) // oracle determinism only
 
   /** Oracle for q162 [[crawlCorpus]] — the fetch-gate id set, the
     * integer quality gate, and the curate chain replayed. */
