@@ -67,6 +67,42 @@ class StreamingCrawlSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("refusing"))
   }
 
+  test("restart from checkpoint replays the batch whose offset was " +
+      "never committed — the scorecard must not double count") {
+    import spark.implicits._
+    val blobs = blobRows().take(6)
+    val dir = Files.createTempDirectory("graft-scrawl-rec").toFile
+    def seg(i: Int): Unit = {
+      val (b, bytes) = blobs(i)
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"seg-$b.warc.gz").toPath, Warc.gzip(bytes))
+    }
+    val (out, ck) = (tmp(), tmp())
+    def startQ() = StreamingCrawl.start(
+      Warc.readWarcStream(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = 1), out, ck)
+    seg(0)
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rollup(out) == want(blobs.take(1)))
+    // crash window: batch 1's side effect commits, its offset does not
+    seg(1)
+    StreamingCrawl.processBatch(
+      Seq(blobs(1)).toDF("blob_id", "payload"), 1L, out)
+    assert(rollup(out) == want(blobs.take(2)))
+    // restart: seg 1 is re-delivered as batch 1 and must rewrite
+    // byte-identically; the recovered query keeps processing new data
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(rollup(out) == want(blobs.take(2)), "replay must be a no-op")
+      (2 until 6).foreach(seg)
+      q2.processAllAvailable()
+      assert(rollup(out) == want(blobs))
+    } finally q2.stop()
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
   test("end to end through the real file-source stream: segments on " +
       "disk to the per-domain scorecard") {
     val blobs = blobRows().take(6)

@@ -89,6 +89,30 @@ class StreamingRedirectsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("refusing"))
   }
 
+  test("restart from checkpoint replays the batch whose offset was " +
+      "never committed — the index must not double count fetches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (out, ck) = (tmp(), tmp())
+    val input = MemoryStream[(String, Int, Option[String])]
+    def startQ() = StreamingRedirects.start(
+      input.toDF().toDF("url", "http_status", "location"), out, ck)
+    input.addData(corpus.take(2): _*)
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // crash window: batch 1's side effect commits, its offset does not
+    input.addData(corpus.drop(2): _*)
+    push(out, 1L, corpus.drop(2))
+    assert(snap(out) == wantBatch(corpus))
+    // restart: batch 1 is re-delivered and must rewrite identically
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(snap(out) == wantBatch(corpus), "replay must be a no-op")
+    } finally q2.stop()
+  }
+
   test("end to end through a real MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
