@@ -76,7 +76,12 @@ object Redirects {
       val j = pending
         .join(t, col("_next") === col("_t_url"), "left")
         .localCheckpoint() // pending-sized; keeps round lineage flat
+      // null _t_status (a transport-failed fetch recorded without an
+      // HTTP status) is DANGLING: without this arm the row passes none
+      // of the three filters (tRedirect is SQL null) and the chain
+      // would silently vanish — the filters must be exhaustive
       val dangling = j.filter(col("_t_url").isNull ||
+          col("_t_status").isNull ||
           (tRedirect && col("_t_loc").isNull))
         .select(col("origin"),
           coalesce(col("_t_url"), col("_next")).as("final_url"),
@@ -84,7 +89,8 @@ object Redirects {
           (col("n_hops") + when(col("_t_url").isNull, 0).otherwise(1))
             .as("n_hops"),
           lit("dangling").as("outcome"))
-      val landed = j.filter(col("_t_url").isNotNull && !tRedirect)
+      val landed = j.filter(col("_t_url").isNotNull &&
+        col("_t_status").isNotNull && !tRedirect)
         .select(col("origin"), col("_t_url").as("final_url"),
           col("_t_status").cast("int").as("final_status"),
           (col("n_hops") + 1).as("n_hops"), lit("resolved").as("outcome"))
@@ -158,6 +164,12 @@ object Redirects {
          WHERE outcome IS NOT NULL)
        SELECT uo.url AS origin,
          coalesce(uf.url, ${UrlCurate.urlExprSql("f.cur")}) AS final_url,
+         /* cap_exceeded reports the last status OBSERVED on the chain;
+            the literal is valid because synthesis plants ONLY 301
+            redirects (statusOf: id % 10 = 7 -> 301) — if other 3xx
+            codes are ever planted, replace it with the last-followed
+            record's code or this oracle silently diverges from
+            resolveOf's _last_status */
          CAST(CASE WHEN f.outcome = 'dangling' THEN NULL
               WHEN f.outcome = 'cap_exceeded' THEN 301
               ELSE r2.code END AS INT) AS final_status,

@@ -81,14 +81,6 @@ object Shards {
     m
   }
 
-  /** q145: the composed RELEASE pipeline — exact dedup (q21's keep-first
-    * digest groupBy) → quality gate (pure-integer thresholds: ≥ 20
-    * tokens and a ≥ 2% stopword share, so no float ever enters the
-    * filter) → shard manifest of the survivors. The delivery shape
-    * every training-data release runs, as ONE oracled query: three slim
-    * shuffles (32-byte digest groupBy, doc_id semi join, shard_id
-    * aggregate), each carrying ids/digests/longs — never text.
-    * ORDER BY = oracle determinism only. */
   /** The release quality gate shared by q145/q162/q163: appends exact
     * integer token and stopword counts over `text` and the `admitted`
     * verdict (≥ 20 tokens, ≥ 2% stopword share — no float enters the
@@ -104,6 +96,14 @@ object Shards {
         col("_stops") * 100 >= col("_toks") * 2)
   }
 
+  /** q145: the composed RELEASE pipeline — exact dedup (q21's keep-first
+    * digest groupBy) → quality gate (pure-integer thresholds: ≥ 20
+    * tokens and a ≥ 2% stopword share, so no float ever enters the
+    * filter) → shard manifest of the survivors. The delivery shape
+    * every training-data release runs, as ONE oracled query: three slim
+    * shuffles (32-byte digest groupBy, doc_id semi join, shard_id
+    * aggregate), each carrying ids/digests/longs — never text.
+    * ORDER BY = oracle determinism only. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val keepers = docs

@@ -839,23 +839,17 @@ object Warc {
        WHERE doc_id % 5 <> 4
        ORDER BY doc_id"""
 
-  /** q162: the crawl-to-corpus composition — raw archive blobs to an
-    * admitted training corpus, per registrable domain: parse (q153,
-    * Content-Encoding decoded) → fetch gate (q154) → WET text
-    * derivation (q155) → the q145 integer quality gate (≥ 20 tokens,
-    * ≥ 2% stopword share — no float enters the filter) → per-domain
-    * fetched / admitted / token counts. This is the whole front door
-    * in ONE query: the text being gated went through synthesize →
-    * WARC framing → HTTP envelope → content encoding → WET rewrite →
-    * gzip → parse-back before a single token was counted.
+  /** The crawl-to-corpus rollup over any (blob_id, payload) archive
+    * frame — the reusable operator behind q162 and the streaming
+    * stage: parse (q153, Content-Encoding decoded) → fetch gate
+    * (q154) → WET text derivation (q155) → the q145 integer quality
+    * gate → per-domain fetched / admitted / token counts. Every
+    * output column is ADDITIVE (counts and sums), so per-batch
+    * results merge by summation. Sort-free.
     *
     * Scale: every step before the final aggregate is narrow (parse,
     * WET grouping of blob-contiguous runs, URL maps, token counts);
     * ONE hash aggregate on domain ends it. */
-  /** The crawl-to-corpus rollup over any (blob_id, payload) archive
-    * frame — the reusable operator behind q162 and the streaming
-    * stage. Every column is ADDITIVE (counts and sums), so per-batch
-    * results merge by summation. Sort-free. */
   def crawlCorpusOf(blobs: DataFrame): DataFrame = {
     val wet = recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
       .select(col("target_uri").as("url"),
@@ -873,9 +867,14 @@ object Warc {
           .as("tok_admitted"))
   }
 
+  /** q162: [[crawlCorpusOf]] over the synthesized archives — the whole
+    * front door in ONE oracled query: the text being gated went
+    * through synthesize → WARC framing → HTTP envelope → content
+    * encoding → WET rewrite → gzip → parse-back before a single token
+    * was counted. ORDER BY = oracle determinism only. */
   def crawlCorpus(spark: SparkSession, dir: String): DataFrame =
     crawlCorpusOf(synthesizeWarcBlobsOf(Tables(spark, dir, "documents")))
-      .orderBy(col("domain")) // oracle determinism only
+      .orderBy(col("domain"))
 
   /** Oracle for q162 [[crawlCorpus]] — the fetch-gate id set, the
     * integer quality gate, and the curate chain replayed. */

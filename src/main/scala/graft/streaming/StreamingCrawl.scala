@@ -41,19 +41,9 @@ object StreamingCrawl {
     * Package-visible for direct testing without a streaming harness. */
   private[graft] def processBatch(blobs: DataFrame, batchId: Long,
       outDir: String): Unit = {
-    val spark = blobs.sparkSession
-    val p = new org.apache.hadoop.fs.Path(outDir, s"batch_id=$batchId")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    DeltaIndex.deleteBatchPartition(blobs.sparkSession, outDir, batchId)
     if (blobs.isEmpty) return
-    Warc.crawlCorpusOf(blobs)
-      .withColumn("src_batch", lit(batchId))
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outDir)
+    DeltaIndex.writeDelta(Warc.crawlCorpusOf(blobs), batchId, outDir)
   }
 
   /** The CURRENT per-domain corpus scorecard: sum of all committed
@@ -61,32 +51,13 @@ object StreamingCrawl {
     * missing or only-just-bootstrapped dir is EMPTY, anything other
     * than batch_id= partitions with the delta schema is refused —
     * never silently summed. */
-  def currentCorpus(spark: SparkSession, outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries =
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
-      else Array.empty[String]
-    val raw = if (!entries.exists(_.startsWith("batch_id="))) {
-      val stray = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
-      require(stray.isEmpty,
-        s"crawl-corpus deltas at $outDir have no batch_id= partitions " +
-          s"but contain ${stray.mkString(", ")} — refusing to read as empty")
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], deltaSchema)
-    } else {
-      val onDisk = spark.read.parquet(outDir).schema.fieldNames.toSet
-      val missing = deltaSchema.fieldNames.filterNot(onDisk)
-      require(missing.isEmpty,
-        s"crawl-corpus deltas at $outDir are missing column(s) " +
-          s"${missing.mkString(", ")} — not a StreamingCrawl index")
-      spark.read.schema(deltaSchema).parquet(outDir)
-    }
-    raw.groupBy(col("domain"))
+  def currentCorpus(spark: SparkSession, outDir: String): DataFrame =
+    DeltaIndex.readDeltas(spark, outDir, deltaSchema,
+        "crawl-corpus delta index")
+      .groupBy(col("domain"))
       .agg(sum(col("n_fetched")).as("n_fetched"),
         sum(col("n_admitted")).as("n_admitted"),
         sum(col("tok_admitted")).as("tok_admitted"))
-  }
 
   /** Start the accounting sink over a streaming (blob_id, payload)
     * frame — [[graft.ext.Warc.readWarcStream]] in production. */

@@ -41,57 +41,36 @@ object StreamingRedirects {
     * Package-visible for direct testing without a streaming harness. */
   private[graft] def processBatch(fetches: DataFrame, batchId: Long,
       outDir: String): Unit = {
-    val spark = fetches.sparkSession
-    val p = new org.apache.hadoop.fs.Path(outDir, s"batch_id=$batchId")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    DeltaIndex.deleteBatchPartition(fetches.sparkSession, outDir, batchId)
     if (fetches.isEmpty) return
-    fetches
-      .select(col("url"), col("http_status").cast("int"),
-        col("location").cast("string"))
-      .withColumn("src_batch", lit(batchId))
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outDir)
+    DeltaIndex.writeDelta(
+      fetches.select(col("url"), col("http_status").cast("int"),
+        col("location").cast("string")),
+      batchId, outDir)
   }
 
   /** The fetch index accumulated so far. Shared read contract: a
     * missing or just-bootstrapped dir is EMPTY; anything other than
     * batch_id= partitions with the fetch schema is refused. */
-  def readFetches(spark: SparkSession, outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries =
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
-      else Array.empty[String]
-    if (!entries.exists(_.startsWith("batch_id="))) {
-      val stray = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
-      require(stray.isEmpty,
-        s"fetch index at $outDir has no batch_id= partitions but " +
-          s"contains ${stray.mkString(", ")} — refusing to read as empty")
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], fetchSchema)
-    } else {
-      val onDisk = spark.read.parquet(outDir).schema.fieldNames.toSet
-      val missing = fetchSchema.fieldNames.filterNot(onDisk)
-      require(missing.isEmpty,
-        s"fetch index at $outDir is missing column(s) " +
-          s"${missing.mkString(", ")} — not a StreamingRedirects index")
-      spark.read.schema(fetchSchema).parquet(outDir)
-    }
-  }
+  def readFetches(spark: SparkSession, outDir: String): DataFrame =
+    DeltaIndex.readDeltas(spark, outDir, fetchSchema, "fetch index")
 
   /** Resolve every chain against the index accumulated so far — the
-    * batch operator over the streamed state. */
+    * batch operator over the streamed state. A URL re-fetched in a
+    * later batch (a crawler revisit — routine) supersedes its earlier
+    * observation: the walk assumes one row per URL, so without this
+    * latest-wins dedup a revisited URL would fan every chain through
+    * it into duplicate (or contradictory) rows per origin. */
   def snapshot(spark: SparkSession, outDir: String,
-      maxHops: Int = Redirects.MaxHops): DataFrame =
-    Redirects.resolveOf(
-      readFetches(spark, outDir)
-        .select(col("url"), col("http_status"), col("location")),
-      maxHops)
+      maxHops: Int = Redirects.MaxHops): DataFrame = {
+    val latest = readFetches(spark, outDir)
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+          .orderBy(col("batch_id").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("url"), col("http_status"), col("location"))
+    Redirects.resolveOf(latest, maxHops)
+  }
 
   /** Start the fetch-index sink over a streaming (url, http_status,
     * location) frame. */

@@ -63,6 +63,24 @@ class RedirectsSpec extends SparkSpecBase {
     assert(g7("p") == (("p", Some(307), Redirects.MaxHops, "cap_exceeded")))
   }
 
+  test("a target fetched WITHOUT an HTTP status (transport failure) " +
+      "is dangling — the verdict filters are exhaustive, no chain " +
+      "silently vanishes") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Some(301), Some("b")), ("b", None, None), // failed fetch of b
+      ("c", Some(301), Some("d")), ("d", Some(200), None))
+    val got = graft.ext.Redirects.resolveOf(
+        rows.toDF("url", "http_status", "location")).collect()
+      .map(r => r.getAs[String]("origin") ->
+        ((r.getAs[String]("final_url"),
+          Option(r.getAs[Any]("final_status")),
+          r.getAs[String]("outcome")))).toMap
+    assert(got.keySet == Set("a", "c"), s"a chain vanished: $got")
+    assert(got("a") == (("b", None, "dangling")))
+    assert(got("c") == (("d", Some(200), "resolved")))
+  }
+
   test("a chain exactly at the hop budget resolves; one past it is " +
       "refused (the boundary is hops FOLLOWED, not URLs seen)") {
     // chain of k redirects then a 200: resolving needs k hops

@@ -113,6 +113,21 @@ class StreamingRedirectsSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("a URL re-fetched in a later batch supersedes its earlier " +
+      "observation: one row per origin, the newer status decides") {
+    val out = tmp()
+    push(out, 0L, Seq(("a", 301, Some("b")), ("b", 200, None)))
+    assert(snap(out)("a") == (("b", 1, "resolved")))
+    // revisit: b is now itself a redirect to a fetched 200
+    push(out, 1L, Seq(("b", 301, Some("c")), ("c", 200, None)))
+    val rows = StreamingRedirects.snapshot(spark, out).collect()
+    assert(rows.count(_.getAs[String]("origin") == "a") == 1,
+      "duplicate origin rows from the revisit")
+    val s = snap(out)
+    assert(s("a") == (("c", 2, "resolved")))
+    assert(s("b") == (("c", 1, "resolved")))
+  }
+
   test("end to end through a real MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
