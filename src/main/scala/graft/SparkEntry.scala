@@ -293,6 +293,8 @@ object SparkEntry {
       graft.ext.Warc.crawlShards(s, d)),
     "q164_nb_calibration" -> ((s: SparkSession, d: String) =>
       graft.ext.TextAnalysis.nbCalibration(s, d)),
+    "q165_crawl_dedup" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlDedup(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -570,6 +572,7 @@ object SparkEntry {
     "q161_nb_eval" -> graft.ext.TextAnalysis.nbEvalOracle,
     "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle,
     "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle,
-    "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle
+    "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle,
+    "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle
   )
 }

@@ -190,7 +190,7 @@ object Curate {
     * still replay the full derivation independently); only the
     * re-derivation cost collapses. Keyed by session so tests with
     * their own sessions never see a stopped session's checkpoint. */
-  private def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def neardupPairs(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo(spark, s"neardup-pairs:$dir") {
       Dedup.ngramJaccardPairsOf(
           Dedup.shingleHashDfOf(Tables(spark, dir, "documents")), 0.8)

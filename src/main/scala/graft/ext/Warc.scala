@@ -952,4 +952,153 @@ object Warc {
          CAST(sum(fp) AS BIGINT) AS checksum
        FROM a GROUP BY shard_id ORDER BY shard_id"""
   }
+
+  /** The DEDUP stage composed into the crawl front — the refinery
+    * shape every web-scale curation pipeline runs (CCNet, RefinedWeb,
+    * FineWeb all dedup between extraction and delivery): the admitted
+    * WET corpus through exact content dedup (q21's keep-min digest
+    * groupBy) then near-dup clustering (q23's exact word-3-gram
+    * Jaccard ≥ 0.8 pairs → q48's connected components, keep the
+    * component representative), rolled up per registrable domain.
+    *
+    * `admitted` = (doc_id, domain, text, _toks); `pairs` = a near-dup
+    * pair index (a, b) derived over a SUPER-corpus of the admitted
+    * ids. Restricting the index to admitted-keeper endpoints is EXACT,
+    * not an approximation: n-gram Jaccard is pairwise, so the pair set
+    * of any sub-corpus is precisely the full pair set with both
+    * endpoints in the sub-corpus (CrawlDedupSpec proves the identity
+    * against a from-scratch derivation over the keepers alone). That
+    * is what makes the stage nearly free here: the session pair index
+    * (shared with q48/q53/q60/q103) is reused as two semi joins on
+    * long ids instead of re-deriving the dominant shingle self-join.
+    * The identity holds even when exact duplicates collapse before the
+    * restriction: identical texts have identical shingle sets, so a
+    * true Jaccard pair set over the super-corpus contains the same
+    * edges for every member of an exact-duplicate group — whichever
+    * copy survives keep-min, its edges are present.
+    *
+    * Scale: the digest groupBy ships 32-byte digests (map-side
+    * partial — exact-duplicate groups collapse before the exchange);
+    * the index restriction is two semi joins on longs; connected
+    * components runs over the restricted edge list (pairs, not
+    * corpus, sized); the final rollup joins carry ids and longs only —
+    * text never enters an exchange after the digest hash. */
+  def crawlDedupOf(admitted: DataFrame, pairs: DataFrame): DataFrame = {
+    val keep = admitted
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("_ek"))
+    val subPairs = pairs
+      .join(keep.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val dropped = Curate.connectedComponents(subPairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"), lit(1).as("_nd"))
+    admitted
+      .join(keep, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(when(col("_ek") === 1, 1L).otherwise(0L))
+          .as("n_exact_unique"),
+        sum(when(col("_ek") === 1 && col("_nd").isNull, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("_ek") === 1 && col("_nd").isNull, col("_toks"))
+          .otherwise(0L)).as("tok_kept"))
+  }
+
+  /** The q162 admission set (fetch gate → WET → blocklist → quality
+    * gate), shaped for [[crawlDedupOf]]: (doc_id, domain, text,
+    * _toks). WET bodies are byte-exact round trips of the source text
+    * (q155-pinned), so the `documents`-derived pair index applies to
+    * the crawl-front corpus verbatim. */
+  private[graft] def crawlAdmittedOf(blobs: DataFrame): DataFrame = {
+    val wet = recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
+      .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
+        col("target_uri").as("url"),
+        col("body").cast("string").as("text"))
+    Shards.withQualityGate(
+        UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
+          UrlCurate.canonicalizeOf(wet))))
+      .filter(!col("blocked") && col("host").isNotNull && col("admitted"))
+      .withColumn("domain",
+        coalesce(col("registrable_domain"), col("host")))
+      .select(col("doc_id"), col("domain"), col("text"), col("_toks"))
+  }
+
+  /** q165: crawl-front dedup accounting — the admitted corpus through
+    * exact + near-dup dedup, per domain: how many fetched documents
+    * were admitted, how many distinct contents remain after exact
+    * dedup, how many survive near-dup representative selection, and
+    * the surviving token mass (what delivery would actually ship).
+    * The corpus has no exact duplicates (every text distinct), so the
+    * exact stage passes through structurally here — its drop behavior
+    * is fixture-proven in CrawlDedupSpec — while the near-dup stage
+    * drops real pairs. ORDER BY = oracle determinism only. */
+  def crawlDedup(spark: SparkSession, dir: String): DataFrame =
+    crawlDedupOf(
+        crawlAdmittedOf(synthesizeWarcBlobsOf(
+          Tables(spark, dir, "documents"))),
+        Curate.neardupPairs(spark, dir))
+      .orderBy(col("domain"))
+
+  /** Oracle for q165 [[crawlDedup]] — the q162 admission CTEs, exact
+    * keep-min over the admitted texts, the q23 pair derivation
+    * RESTRICTED to the exact keepers (the pairwise-Jaccard identity
+    * the Spark side exploits via the shared index), and the q48
+    * recursive transitive closure for representative selection. */
+  lazy val crawlDedupOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2),
+       adm AS (SELECT s.doc_id, s.toks,
+           coalesce(b.registrable_domain, b.host) AS domain
+         FROM blk b JOIN st s ON s.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL
+           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
+       ek AS (SELECT min(d.doc_id) AS doc_id
+         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
+         GROUP BY md5(d.text)),
+       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos
+         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
+       dd AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+         GROUP BY 1, 2),
+       prs AS (SELECT a, b FROM com
+         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
+         GROUP BY node),
+       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id)
+       SELECT a.domain,
+         CAST(count(*) AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_exact_unique,
+         CAST(sum(CASE WHEN ek.doc_id IS NOT NULL AND nd.doc_id IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN ek.doc_id IS NOT NULL AND nd.doc_id IS NULL
+           THEN a.toks ELSE 0 END) AS BIGINT) AS tok_kept
+       FROM adm a
+         LEFT JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+       GROUP BY a.domain ORDER BY a.domain"""
+  }
 }
