@@ -295,6 +295,8 @@ object SparkEntry {
       graft.ext.TextAnalysis.nbCalibration(s, d)),
     "q165_crawl_dedup" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlDedup(s, d)),
+    "q166_crawl_release" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlRelease(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -573,6 +575,7 @@ object SparkEntry {
     "q162_crawl_corpus" -> graft.ext.Warc.crawlCorpusOracle,
     "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle,
     "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle,
-    "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle
+    "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle,
+    "q166_crawl_release" -> graft.ext.Warc.crawlReleaseOracle
   )
 }

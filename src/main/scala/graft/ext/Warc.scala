@@ -850,11 +850,15 @@ object Warc {
     * Scale: every step before the final aggregate is narrow (parse,
     * WET grouping of blob-contiguous runs, URL maps, token counts);
     * ONE hash aggregate on domain ends it. */
-  def crawlCorpusOf(blobs: DataFrame): DataFrame = {
-    val wet = recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
+  def crawlCorpusOf(blobs: DataFrame): DataFrame =
+    crawlCorpusOfWet(recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
       .select(col("target_uri").as("url"),
-        col("body").cast("string").as("text"))
-    val gated = Shards.withQualityGate(wet)
+        col("body").cast("string").as("text")))
+
+  /** [[crawlCorpusOf]] from an already-derived WET frame (url, text) —
+    * the form the registered q162 runs over the session WET memo. */
+  def crawlCorpusOfWet(wet: DataFrame): DataFrame = {
+    val gated = Shards.withQualityGate(wet.select(col("url"), col("text")))
     UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
         UrlCurate.canonicalizeOf(gated)))
       .filter(!col("blocked") && col("host").isNotNull)
@@ -873,8 +877,28 @@ object Warc {
     * encoding → WET rewrite → gzip → parse-back before a single token
     * was counted. ORDER BY = oracle determinism only. */
   def crawlCorpus(spark: SparkSession, dir: String): DataFrame =
-    crawlCorpusOf(synthesizeWarcBlobsOf(Tables(spark, dir, "documents")))
+    crawlCorpusOfWet(wetDocs(spark, dir))
       .orderBy(col("domain"))
+
+  /** The parsed crawl-front WET frame (doc_id, url, text) over the
+    * synthesized archives, materialized ONCE PER SESSION: the four
+    * registered crawl queries (q162/q163/q165/q166) are downstream
+    * READS of one parse → fetch gate → WET derivation, exactly the
+    * shared-artifact shape the near-dup pair index set the policy for
+    * ([[Curate.neardupPairs]]) — a production front door parses each
+    * archive once and every consumer reads the extracted corpus. Each
+    * query's RESULT is identical with or without the memo
+    * (CrawlReleaseSpec pins registered ≡ pure-from-blobs for all
+    * three rollups); only the repeat parse cost collapses. */
+  private[graft] def wetDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"crawl-wet:$dir") {
+      recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
+          Tables(spark, dir, "documents"))))).toDF()
+        .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
+          col("target_uri").as("url"),
+          col("body").cast("string").as("text"))
+        .localCheckpoint()
+    }
 
   /** Oracle for q162 [[crawlCorpus]] — the fetch-gate id set, the
     * integer quality gate, and the curate chain replayed. */
@@ -909,20 +933,11 @@ object Warc {
     * document lands in is identical whether it arrived via the crawl
     * front or the curated-corpus path (q145) — delivery is
     * source-independent by construction. */
-  def crawlShards(spark: SparkSession, dir: String): DataFrame = {
-    val wet = recordsOf(wetBlobsOf(recordsOf(synthesizeWarcBlobsOf(
-        Tables(spark, dir, "documents"))))).toDF()
-      .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
-        col("target_uri").as("url"),
-        col("body").cast("string").as("text"))
-    val admitted = Shards.withQualityGate(
-        UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
-          UrlCurate.canonicalizeOf(wet))))
-      .filter(!col("blocked") && col("host").isNotNull && col("admitted"))
-      .select(col("doc_id"), col("text"))
-    Shards.manifestOf(Shards.shardAssignOf(admitted))
+  def crawlShards(spark: SparkSession, dir: String): DataFrame =
+    Shards.manifestOf(Shards.shardAssignOf(
+        crawlAdmittedOfWet(wetDocs(spark, dir))
+          .select(col("doc_id"), col("text"))))
       .orderBy(col("shard_id"))
-  }
 
   /** Oracle for q163 [[crawlShards]] — the q162 admission set fed to
     * the q143 manifest arithmetic. */
@@ -983,7 +998,25 @@ object Warc {
     * components runs over the restricted edge list (pairs, not
     * corpus, sized); the final rollup joins carry ids and longs only —
     * text never enters an exchange after the digest hash. */
-  def crawlDedupOf(admitted: DataFrame, pairs: DataFrame): DataFrame = {
+  def crawlDedupOf(admitted: DataFrame, pairs: DataFrame): DataFrame =
+    dedupFlagsOf(admitted, pairs)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(when(col("_ek") === 1, 1L).otherwise(0L))
+          .as("n_exact_unique"),
+        sum(when(col("_ek") === 1 && col("_nd").isNull, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("_ek") === 1 && col("_nd").isNull, col("_toks"))
+          .otherwise(0L)).as("tok_kept"))
+
+  /** The admitted frame with the two survivor flags appended — `_ek`
+    * (exact-dedup keeper: smallest id of its content-digest group) and
+    * `_nd` (near-dup non-representative: in a restricted-pair
+    * component whose minimum it is not). Shared by the q165 accounting
+    * and the q166 release path so the survivor definition can never
+    * diverge between them. */
+  private def dedupFlagsOf(admitted: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val keep = admitted
       .groupBy(md5(col("text").cast("binary")).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -997,26 +1030,30 @@ object Warc {
     admitted
       .join(keep, Seq("doc_id"), "left")
       .join(dropped, Seq("doc_id"), "left")
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_admitted"),
-        sum(when(col("_ek") === 1, 1L).otherwise(0L))
-          .as("n_exact_unique"),
-        sum(when(col("_ek") === 1 && col("_nd").isNull, 1L).otherwise(0L))
-          .as("n_kept"),
-        sum(when(col("_ek") === 1 && col("_nd").isNull, col("_toks"))
-          .otherwise(0L)).as("tok_kept"))
   }
+
+  /** The dedup SURVIVOR set itself — exact keepers that are their
+    * component's representative. What delivery ships. */
+  private[graft] def crawlKeptOf(admitted: DataFrame,
+      pairs: DataFrame): DataFrame =
+    dedupFlagsOf(admitted, pairs)
+      .filter(col("_ek") === 1 && col("_nd").isNull)
+      .drop("_ek", "_nd")
 
   /** The q162 admission set (fetch gate → WET → blocklist → quality
     * gate), shaped for [[crawlDedupOf]]: (doc_id, domain, text,
     * _toks). WET bodies are byte-exact round trips of the source text
     * (q155-pinned), so the `documents`-derived pair index applies to
     * the crawl-front corpus verbatim. */
-  private[graft] def crawlAdmittedOf(blobs: DataFrame): DataFrame = {
-    val wet = recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
+  private[graft] def crawlAdmittedOf(blobs: DataFrame): DataFrame =
+    crawlAdmittedOfWet(recordsOf(wetBlobsOf(recordsOf(blobs))).toDF()
       .select(extractedId(col("record_id"), "wet:(\\d+)").as("doc_id"),
         col("target_uri").as("url"),
-        col("body").cast("string").as("text"))
+        col("body").cast("string").as("text")))
+
+  /** [[crawlAdmittedOf]] from an already-derived WET frame (doc_id,
+    * url, text) — the form q163/q165/q166 run over the session memo. */
+  private[graft] def crawlAdmittedOfWet(wet: DataFrame): DataFrame =
     Shards.withQualityGate(
         UrlCurate.blocklistOf(UrlCurate.registrableDomainOf(
           UrlCurate.canonicalizeOf(wet))))
@@ -1024,7 +1061,6 @@ object Warc {
       .withColumn("domain",
         coalesce(col("registrable_domain"), col("host")))
       .select(col("doc_id"), col("domain"), col("text"), col("_toks"))
-  }
 
   /** q165: crawl-front dedup accounting — the admitted corpus through
     * exact + near-dup dedup, per domain: how many fetched documents
@@ -1036,9 +1072,7 @@ object Warc {
     * is fixture-proven in CrawlDedupSpec — while the near-dup stage
     * drops real pairs. ORDER BY = oracle determinism only. */
   def crawlDedup(spark: SparkSession, dir: String): DataFrame =
-    crawlDedupOf(
-        crawlAdmittedOf(synthesizeWarcBlobsOf(
-          Tables(spark, dir, "documents"))),
+    crawlDedupOf(crawlAdmittedOfWet(wetDocs(spark, dir)),
         Curate.neardupPairs(spark, dir))
       .orderBy(col("domain"))
 
@@ -1100,5 +1134,121 @@ object Warc {
          LEFT JOIN ek ON ek.doc_id = a.doc_id
          LEFT JOIN nd ON nd.doc_id = a.doc_id
        GROUP BY a.domain ORDER BY a.domain"""
+  }
+
+  /** The complete crawl-front RELEASE — q166, the last composition the
+    * refinery needs: the dedup survivor set ([[crawlKeptOf]]) loses
+    * benchmark members and benchmark-contaminated documents (q54's
+    * any-shared-5-gram rule against the house benchmark split, doc_id
+    * % 50 = 0), and what remains is laid out as the q143 DetMix shard
+    * manifest. Raw archives to a decontaminated, deduplicated,
+    * quality-gated training release in one oracled query — the full
+    * CCNet/RefinedWeb/FineWeb path.
+    *
+    * `bench` = the benchmark documents (doc_id, text); they are
+    * EXCLUDED from the release themselves (eval text must never ship)
+    * and their distinct 5-grams broadcast as the contamination probe.
+    *
+    * Scale: survivors and the benchmark are disjoint by construction
+    * (the % 50 filter precedes the union), so the decontamination
+    * stage is q54's broadcast-gram join — gram explosion stays narrow,
+    * only the tiny benchmark gram set ships to every executor; the
+    * manifest is one hash aggregate on shard_id. */
+  def crawlReleaseOf(admitted: DataFrame, pairs: DataFrame,
+      bench: DataFrame): DataFrame = {
+    val kept = crawlKeptOf(admitted, pairs)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val pool = kept.unionByName(bench.select(col("doc_id"), col("text")))
+    val contaminated = Curate.decontaminateOf(pool).select(col("doc_id"))
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    Shards.manifestOf(Shards.shardAssignOf(clean))
+  }
+
+  /** q166: [[crawlReleaseOf]] over the crawl front — the session WET
+    * memo, the session pair index, and the benchmark split of the
+    * source corpus. ORDER BY = oracle determinism only. */
+  def crawlRelease(spark: SparkSession, dir: String): DataFrame =
+    crawlReleaseOf(crawlAdmittedOfWet(wetDocs(spark, dir)),
+        Curate.neardupPairs(spark, dir),
+        Tables(spark, dir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("shard_id"))
+
+  /** Oracle for q166 [[crawlRelease]] — the q165 survivor CTEs, q54's
+    * string-5-gram contamination probe over survivors ∪ benchmark,
+    * and the q143 manifest arithmetic over the clean set. */
+  lazy val crawlReleaseOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2),
+       adm AS (SELECT s.doc_id, s.toks
+         FROM blk b JOIN st s ON s.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL
+           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
+       ek AS (SELECT min(d.doc_id) AS doc_id
+         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
+         GROUP BY md5(d.text)),
+       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos
+         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
+       dd AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+         GROUP BY 1, 2),
+       prs AS (SELECT a, b FROM com
+         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
+         GROUP BY node),
+       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
+       kept AS (SELECT a.doc_id FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL AND a.doc_id % 50 <> 0),
+       pool AS (SELECT doc_id FROM kept
+         UNION ALL
+         SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       gw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+         FROM documents d JOIN pool p ON p.doc_id = d.doc_id),
+       gi AS (SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
+         FROM gw),
+       g5 AS (SELECT DISTINCT doc_id,
+           array_to_string(ws[i:i+4], ' ') AS sh5 FROM gi),
+       bg AS (SELECT DISTINCT sh5 FROM g5 WHERE doc_id % 50 = 0),
+       cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (sh5)
+         WHERE g5.doc_id % 50 <> 0),
+       clean AS (SELECT k.doc_id FROM kept k
+         LEFT JOIN cont ON cont.doc_id = k.doc_id
+         WHERE cont.doc_id IS NULL),
+       asg AS (SELECT c3.doc_id, s.toks AS n_tokens,
+           CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
+             % ${Shards.NShards} AS INT) AS shard_id,
+           ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 1)}
+             AS fp
+         FROM clean c3 JOIN st s ON s.doc_id = c3.doc_id)
+       SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         CAST(sum(fp) AS BIGINT) AS checksum
+       FROM asg GROUP BY shard_id ORDER BY shard_id"""
   }
 }

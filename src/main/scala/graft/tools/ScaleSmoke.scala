@@ -292,7 +292,11 @@ object ScaleSmoke {
       "q163_crawl_shards" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlShards(s, d)),
       "q164_nb_calibration" -> ((s: SparkSession, d: String) =>
-        graft.ext.TextAnalysis.nbCalibration(s, d))
+        graft.ext.TextAnalysis.nbCalibration(s, d)),
+      "q165_crawl_dedup" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlDedup(s, d)),
+      "q166_crawl_release" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlRelease(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis
