@@ -297,6 +297,8 @@ object SparkEntry {
       graft.ext.Warc.crawlDedup(s, d)),
     "q166_crawl_release" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlRelease(s, d)),
+    "q167_crawl_languages" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlLanguages(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -576,6 +578,7 @@ object SparkEntry {
     "q163_crawl_shards" -> graft.ext.Warc.crawlShardsOracle,
     "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle,
     "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle,
-    "q166_crawl_release" -> graft.ext.Warc.crawlReleaseOracle
+    "q166_crawl_release" -> graft.ext.Warc.crawlReleaseOracle,
+    "q167_crawl_languages" -> graft.ext.Warc.crawlLanguagesOracle
   )
 }

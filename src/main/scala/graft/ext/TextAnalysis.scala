@@ -128,38 +128,44 @@ object TextAnalysis {
           .otherwise(least(confC, lit(1000000L))).as("conf_micro"))
   }
 
-  /** Oracle for q30 [[langId]]: the ranked profiles inlined as a VALUES
-    * CTE, the same normalize → trigram → integer-score pipeline in SQL. */
-  def langIdOracle: String = {
+  /** Reusable oracle fragment: per-document language prediction over
+    * `documents`, ending in `lg(doc_id, labeled_lang, pred_lang,
+    * conf_micro)` — the q30 derivation with `lg_`-prefixed CTE names
+    * so composed oracles (q167 stacks it on the crawl-survivor chain,
+    * whose curate CTEs already use `best`) can embed it without
+    * collisions. */
+  private[ext] def langIdCte: String = {
     import graft.functions.LangProfiles
-    s"""WITH prof(plang, tg, w) AS (VALUES
+    s"""prof(plang, tg, w) AS (VALUES
          ${LangProfiles.profilesSqlValues}),
        klang(plang, k) AS (VALUES ${LangProfiles.profileSizesSqlValues}),
-       d AS (SELECT doc_id, lang AS labeled_lang, text,
+       lg_d AS (SELECT doc_id, lang AS labeled_lang, text,
                ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))
                  || ' ' AS norm
              FROM documents),
-       dt AS (SELECT doc_id, norm,
+       lg_dt AS (SELECT doc_id, norm,
                 greatest(length(norm) - 2, 1) AS total,
                 length(text) -
                   length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
                   AS ncjk,
                 greatest(length(text), 1) AS nchars
-              FROM d),
-       g AS (SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tg
-             FROM dt, unnest(range(1, greatest(length(norm) - 1, 1))) AS u(i)),
-       s AS (SELECT g.doc_id, p.plang, sum(p.w) AS sw
-             FROM g JOIN prof p ON p.tg = g.tg GROUP BY 1, 2),
-       m AS (SELECT dt.doc_id, k.plang,
-               CAST((coalesce(s.sw, 0) * 1000000) // (k.k * dt.total) AS BIGINT)
-                 AS micro
-             FROM dt CROSS JOIN klang k
-               LEFT JOIN s ON s.doc_id = dt.doc_id AND s.plang = k.plang),
-       best AS (SELECT doc_id, plang, micro,
+              FROM lg_d),
+       lg_g AS (SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tg
+             FROM lg_dt,
+               unnest(range(1, greatest(length(norm) - 1, 1))) AS u(i)),
+       lg_s AS (SELECT lg_g.doc_id, p.plang, sum(p.w) AS sw
+             FROM lg_g JOIN prof p ON p.tg = lg_g.tg GROUP BY 1, 2),
+       lg_m AS (SELECT lg_dt.doc_id, k.plang,
+               CAST((coalesce(lg_s.sw, 0) * 1000000)
+                 // (k.k * lg_dt.total) AS BIGINT) AS micro
+             FROM lg_dt CROSS JOIN klang k
+               LEFT JOIN lg_s ON lg_s.doc_id = lg_dt.doc_id
+                 AND lg_s.plang = k.plang),
+       lg_best AS (SELECT doc_id, plang, micro,
                   row_number() OVER (PARTITION BY doc_id
                     ORDER BY micro DESC, plang ASC) AS rn
-                FROM m)
-       SELECT dt.doc_id, d.labeled_lang,
+                FROM lg_m),
+       lg AS (SELECT dt.doc_id, d.labeled_lang,
          CASE WHEN dt.ncjk * 5 > dt.nchars THEN 'zh'
               WHEN b.micro > 20000 THEN b.plang
               ELSE 'und' END AS pred_lang,
@@ -167,10 +173,17 @@ object TextAnalysis {
               THEN (dt.ncjk * 1000000) // dt.nchars
               WHEN b.micro > 20000 THEN least(b.micro, 1000000)
               ELSE 20000 END AS BIGINT) AS conf_micro
-       FROM dt JOIN d ON d.doc_id = dt.doc_id
-         JOIN best b ON b.doc_id = dt.doc_id AND b.rn = 1
-       ORDER BY dt.doc_id"""
+       FROM lg_dt dt JOIN lg_d d ON d.doc_id = dt.doc_id
+         JOIN lg_best b ON b.doc_id = dt.doc_id AND b.rn = 1)"""
   }
+
+  /** Oracle for q30 [[langId]]: the ranked profiles inlined as a VALUES
+    * CTE, the same normalize → trigram → integer-score pipeline in SQL
+    * ([[langIdCte]]). */
+  def langIdOracle: String =
+    s"""WITH $langIdCte
+       SELECT doc_id, labeled_lang, pred_lang, conf_micro FROM lg
+       ORDER BY doc_id"""
 
   /** Document fingerprints via the custom codegen'd rolling-hash
     * expression — content identity for exact dedup and caching layers.

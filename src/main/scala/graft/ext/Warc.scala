@@ -999,7 +999,11 @@ object Warc {
     * corpus, sized); the final rollup joins carry ids and longs only —
     * text never enters an exchange after the digest hash. */
   def crawlDedupOf(admitted: DataFrame, pairs: DataFrame): DataFrame =
-    dedupFlagsOf(admitted, pairs)
+    dedupRollupOf(dedupFlagsOf(admitted, pairs))
+
+  /** The q165 per-domain accounting over a flags frame. */
+  private def dedupRollupOf(flags: DataFrame): DataFrame =
+    flags
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_admitted"),
         sum(when(col("_ek") === 1, 1L).otherwise(0L))
@@ -1036,9 +1040,27 @@ object Warc {
     * component's representative. What delivery ships. */
   private[graft] def crawlKeptOf(admitted: DataFrame,
       pairs: DataFrame): DataFrame =
-    dedupFlagsOf(admitted, pairs)
+    keptFromFlags(dedupFlagsOf(admitted, pairs))
+
+  private def keptFromFlags(flags: DataFrame): DataFrame =
+    flags
       .filter(col("_ek") === 1 && col("_nd").isNull)
       .drop("_ek", "_nd")
+
+  /** The flags frame of the crawl front, materialized once per
+    * session: q165's rollup, q166's release, and q167's language
+    * accounting all read the same survivor flags — the shared-artifact
+    * policy one stage downstream of [[wetDocs]] (the connected-
+    * components pass and the digest groupBy run once, not per query).
+    * Result-invariance vs the pure forms is spec-pinned in
+    * CrawlReleaseSpec. */
+  private[graft] def crawlFlags(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"crawl-dedup-flags:$dir") {
+      dedupFlagsOf(crawlAdmittedOfWet(wetDocs(spark, dir)),
+          Curate.neardupPairs(spark, dir))
+        .localCheckpoint()
+    }
 
   /** The q162 admission set (fetch gate → WET → blocklist → quality
     * gate), shaped for [[crawlDedupOf]]: (doc_id, domain, text,
@@ -1072,8 +1094,7 @@ object Warc {
     * is fixture-proven in CrawlDedupSpec — while the near-dup stage
     * drops real pairs. ORDER BY = oracle determinism only. */
   def crawlDedup(spark: SparkSession, dir: String): DataFrame =
-    crawlDedupOf(crawlAdmittedOfWet(wetDocs(spark, dir)),
-        Curate.neardupPairs(spark, dir))
+    dedupRollupOf(crawlFlags(spark, dir))
       .orderBy(col("domain"))
 
   /** Oracle for q165 [[crawlDedup]] — the q162 admission CTEs, exact
@@ -1155,8 +1176,12 @@ object Warc {
     * only the tiny benchmark gram set ships to every executor; the
     * manifest is one hash aggregate on shard_id. */
   def crawlReleaseOf(admitted: DataFrame, pairs: DataFrame,
+      bench: DataFrame): DataFrame =
+    releaseFromKept(crawlKeptOf(admitted, pairs), bench)
+
+  private def releaseFromKept(keptIn: DataFrame,
       bench: DataFrame): DataFrame = {
-    val kept = crawlKeptOf(admitted, pairs)
+    val kept = keptIn
       .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("text"))
     val pool = kept.unionByName(bench.select(col("doc_id"), col("text")))
@@ -1169,8 +1194,7 @@ object Warc {
     * memo, the session pair index, and the benchmark split of the
     * source corpus. ORDER BY = oracle determinism only. */
   def crawlRelease(spark: SparkSession, dir: String): DataFrame =
-    crawlReleaseOf(crawlAdmittedOfWet(wetDocs(spark, dir)),
-        Curate.neardupPairs(spark, dir),
+    releaseFromKept(keptFromFlags(crawlFlags(spark, dir)),
         Tables(spark, dir, "documents")
           .filter(col("doc_id") % 50 === 0)
           .select(col("doc_id"), col("text")))
@@ -1250,5 +1274,93 @@ object Warc {
          min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
          CAST(sum(fp) AS BIGINT) AS checksum
        FROM asg GROUP BY shard_id ORDER BY shard_id"""
+  }
+
+  /** Per-language accounting of the dedup survivor corpus — q167, the
+    * CCNet split: every language-partitioned curation pipeline buckets
+    * the deduped corpus by PREDICTED language before per-language
+    * quality filtering, and publishes how far the predictor agrees
+    * with upstream labels. Per predicted language: surviving docs,
+    * surviving token mass, and the count where the q30 trigram
+    * prediction matches the source label.
+    *
+    * `kept` = the survivor frame (doc_id, …, text, _toks); `labels` =
+    * (doc_id, lang) source labels. Language ID is q30's narrow
+    * single-pass trigram scorer — no shuffle until the final
+    * language aggregate (the label join is id-keyed). */
+  def crawlLanguagesOf(kept: DataFrame, labels: DataFrame): DataFrame =
+    TextAnalysis.langIdOf(
+        kept.select(col("doc_id"), col("text"))
+          .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id")))
+      .join(kept.select(col("doc_id"), col("_toks")), Seq("doc_id"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_toks")).as("tok_kept"),
+        sum(when(col("labeled_lang") === col("pred_lang"), 1L)
+          .otherwise(0L)).as("n_label_agree"))
+
+  /** q167: [[crawlLanguagesOf]] over the crawl front's survivor flags
+    * and the source-corpus labels. ORDER BY = oracle determinism
+    * only. */
+  def crawlLanguages(spark: SparkSession, dir: String): DataFrame =
+    crawlLanguagesOf(keptFromFlags(crawlFlags(spark, dir)),
+        Tables(spark, dir, "documents"))
+      .orderBy(col("pred_lang"))
+
+  /** Oracle for q167 [[crawlLanguages]] — the q165 survivor CTEs and
+    * q30's language CTE ([[TextAnalysis.langIdCte]]) joined on the
+    * survivor ids. */
+  lazy val crawlLanguagesOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2),
+       adm AS (SELECT s.doc_id, s.toks
+         FROM blk b JOIN st s ON s.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL
+           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
+       ek AS (SELECT min(d.doc_id) AS doc_id
+         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
+         GROUP BY md5(d.text)),
+       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos
+         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
+       dd AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+         GROUP BY 1, 2),
+       prs AS (SELECT a, b FROM com
+         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
+         GROUP BY node),
+       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
+       kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL),
+       ${TextAnalysis.langIdCte}
+       SELECT l.pred_lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(k.toks) AS BIGINT) AS tok_kept,
+         CAST(sum(CASE WHEN l.labeled_lang = l.pred_lang
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
+       FROM kept k JOIN lg l ON l.doc_id = k.doc_id
+       GROUP BY l.pred_lang ORDER BY pred_lang"""
   }
 }
