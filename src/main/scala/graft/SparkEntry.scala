@@ -299,6 +299,8 @@ object SparkEntry {
       graft.ext.Warc.crawlRelease(s, d)),
     "q167_crawl_languages" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlLanguages(s, d)),
+    "q168_release_scorecard" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.releaseScorecard(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -579,6 +581,7 @@ object SparkEntry {
     "q164_nb_calibration" -> graft.ext.TextAnalysis.nbCalibrationOracle,
     "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle,
     "q166_crawl_release" -> graft.ext.Warc.crawlReleaseOracle,
-    "q167_crawl_languages" -> graft.ext.Warc.crawlLanguagesOracle
+    "q167_crawl_languages" -> graft.ext.Warc.crawlLanguagesOracle,
+    "q168_release_scorecard" -> graft.ext.Warc.releaseScorecardOracle
   )
 }

@@ -1213,28 +1213,53 @@ object TextAnalysis {
         graft.SessionMemo(docs.sparkSession, k)(nbTrainOf(tagged))
       case None => nbTrainOf(tagged)
     }
-    val (weights, kdiff, prior) = (model.weights, model.kdiff, model.prior)
-    val tok = tagged.select(col("doc_id"), col("split"), col("is_ref"),
-      explode(tokens(col("text"))).as("w"))
-    val tf = tok.groupBy(col("doc_id"), col("split"), col("is_ref"),
-        col("w"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(weights), Seq("w"), "left")
-      .groupBy(col("doc_id"), col("split"), col("is_ref"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * coalesce(col("dw"), lit(0L))).as("s_num"))
+    nbScoreOf(tagged, model)
+      .join(tagged.select(col("doc_id"), col("split"), col("is_ref")),
+        Seq("doc_id"))
       .select(col("doc_id"), col("split"), col("is_ref"), col("n_tokens"),
-        (col("s_num") - col("n_tokens") * lit(kdiff) + lit(prior))
-          .as("margin_micro"))
+        col("margin_micro"))
       .withColumn("margin", expr(DetLn.micro4Sql("margin_micro")))
       .withColumn("pred_ref", col("margin_micro") >= 0)
+  }
+
+  /** Score any (doc_id, text) frame with a trained [[NbModel]] — ONE
+    * definition of the margin arithmetic for the q160 family and the
+    * q168 delivery gate: per-(doc, word) tf counts joined to the
+    * BROADCAST weight table, one per-doc aggregate, then the exact
+    * integer margin in micro-nats. */
+  private[graft] def nbScoreOf(docs: DataFrame,
+      model: NbModel): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model.weights), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("dw"), lit(0L))).as("s_num"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s_num") - col("n_tokens") * lit(model.kdiff) +
+          lit(model.prior)).as("margin_micro"))
+  }
+
+  /** The corpus-trained NB model under the q160 session-memo key —
+    * the registered q160/q161/q164 derivation and the q168 delivery
+    * gate read the SAME trained artifact. */
+  private[graft] def nbModelFor(spark: SparkSession,
+      dir: String): NbModel = {
+    val tagged = Curate.splitAssign(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "graft", Curate.SplitFractions)
+      .withColumn("is_ref", col("source").isin("src0", "src1"))
+    graft.SessionMemo(spark, s"nbmodel:$dir:src0,src1")(nbTrainOf(tagged))
   }
 
   /** Shared oracle CTE chain for q160/q161 — the identical integer
     * pipeline: q102's split bands, per-word class counts, lnFix stages
     * for the weights and the four scalar constants, exact micro-nat
     * margins in a final `scored` CTE. */
-  private lazy val nbCte: String = {
+  private[ext] lazy val nbCte: String = {
     val (kStages, kFin) = DetLn.oracleLnStages("k0", "k",
       Seq("ap", "an", "npos", "nneg"),
       Seq("ln_ap" -> "ap", "ln_an" -> "an",
@@ -1258,7 +1283,7 @@ object TextAnalysis {
            CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
              AS cneg
          FROM tok WHERE split = 'train' GROUP BY 1),
-       sc AS (SELECT CAST(sum(cpos) AS BIGINT) AS totpos,
+       nbsc AS (SELECT CAST(sum(cpos) AS BIGINT) AS totpos,
            CAST(sum(cneg) AS BIGINT) AS totneg,
            CAST(count(*) AS BIGINT) AS v FROM cnt),
        dc AS (SELECT
@@ -1268,7 +1293,7 @@ object TextAnalysis {
              AS nneg
          FROM a WHERE split = 'train'),
        k0 AS (SELECT totpos + v AS ap, totneg + v AS an, npos, nneg
-         FROM sc CROSS JOIN dc)$kStages,
+         FROM nbsc CROSS JOIN dc)$kStages,
        kc AS (SELECT ${DetLn.microSql("ln_ap")} - ${DetLn.microSql("ln_an")}
              AS kdiff,
            ${DetLn.microSql("ln_pp")} - ${DetLn.microSql("ln_pn")}

@@ -1180,24 +1180,33 @@ object Warc {
     releaseFromKept(crawlKeptOf(admitted, pairs), bench)
 
   private def releaseFromKept(keptIn: DataFrame,
+      bench: DataFrame): DataFrame =
+    Shards.manifestOf(Shards.shardAssignOf(cleanFromKept(keptIn, bench)))
+
+  /** The released document set itself (doc_id, text): survivors minus
+    * benchmark members minus contaminated. q166 lays it out; q168
+    * scores it. */
+  private def cleanFromKept(keptIn: DataFrame,
       bench: DataFrame): DataFrame = {
     val kept = keptIn
       .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("text"))
     val pool = kept.unionByName(bench.select(col("doc_id"), col("text")))
     val contaminated = Curate.decontaminateOf(pool).select(col("doc_id"))
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
-    Shards.manifestOf(Shards.shardAssignOf(clean))
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  private def benchDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
 
   /** q166: [[crawlReleaseOf]] over the crawl front — the session WET
     * memo, the session pair index, and the benchmark split of the
     * source corpus. ORDER BY = oracle determinism only. */
   def crawlRelease(spark: SparkSession, dir: String): DataFrame =
     releaseFromKept(keptFromFlags(crawlFlags(spark, dir)),
-        Tables(spark, dir, "documents")
-          .filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id"), col("text")))
+        benchDocs(spark, dir))
       .orderBy(col("shard_id"))
 
   /** Oracle for q166 [[crawlRelease]] — the q165 survivor CTEs, q54's
@@ -1362,5 +1371,119 @@ object Warc {
            THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
        FROM kept k JOIN lg l ON l.doc_id = k.doc_id
        GROUP BY l.pred_lang ORDER BY pred_lang"""
+  }
+
+  /** Model-gated release scorecard — q168: the released shards (q166's
+    * clean set, q143's layout) scored by the TRAINED q160 classifier,
+    * per shard: documents, how many the model would keep (margin ≥ 0 —
+    * "looks like the reference corpus"), token mass, and the kept
+    * token mass. This is the model-based filter at its production
+    * position (CCNet applies the LM/classifier gate AFTER dedup and
+    * decontamination, per language/shard) — and because the model is
+    * the SAME session-memoized artifact q160/q161/q164 derive, the
+    * scorecard is the published evidence of what that classifier
+    * would do to the actual release.
+    *
+    * Scale: scoring is q160's shape — per-(doc, word) tf counts
+    * joined to the BROADCAST vocabulary-sized weight table, one
+    * per-doc aggregate; the scorecard is one hash aggregate on
+    * shard_id of id-keyed longs. */
+  def releaseScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val clean = cleanFromKept(keptFromFlags(crawlFlags(spark, dir)),
+      benchDocs(spark, dir))
+    val assigned = Shards.shardAssignOf(clean)
+    val scored = TextAnalysis.nbScoreOf(clean,
+      TextAnalysis.nbModelFor(spark, dir))
+    assigned
+      .join(scored.select(col("doc_id"), col("margin_micro")),
+        Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin_micro") >= 0, 1L).otherwise(0L))
+          .as("n_model_kept"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(when(col("margin_micro") >= 0, col("n_tokens"))
+          .otherwise(0L)).as("tok_model_kept"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Oracle for q168 [[releaseScorecard]] — the q166 clean-set CTEs,
+    * the q160 NB chain (whose per-doc `scored` margins cover every
+    * document), the q143 assignment arithmetic, and one shard
+    * rollup. */
+  lazy val releaseScorecardOracle: String = {
+    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       st AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains([$stops], x))) AS BIGINT) AS stops
+         FROM documents
+         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
+           AND doc_id % 100 <> 2),
+       adm AS (SELECT s.doc_id, s.toks
+         FROM blk b JOIN st s ON s.doc_id = b.doc_id
+         WHERE NOT b.blocked AND b.host IS NOT NULL
+           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
+       ek AS (SELECT min(d.doc_id) AS doc_id
+         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
+         GROUP BY md5(d.text)),
+       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos
+         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
+       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
+         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
+       dd AS (SELECT DISTINCT doc_id, sh FROM t),
+       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
+       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
+         GROUP BY 1, 2),
+       prs AS (SELECT a, b FROM com
+         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
+         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
+       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       nodes AS (SELECT DISTINCT a AS node FROM edges),
+       walk(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
+       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
+         GROUP BY node),
+       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
+       kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL AND a.doc_id % 50 <> 0),
+       pool AS (SELECT doc_id FROM kept
+         UNION ALL
+         SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       gw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+         FROM documents d JOIN pool p ON p.doc_id = d.doc_id),
+       gi AS (SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
+         FROM gw),
+       g5 AS (SELECT DISTINCT doc_id,
+           array_to_string(ws[i:i+4], ' ') AS sh5 FROM gi),
+       bg AS (SELECT DISTINCT sh5 FROM g5 WHERE doc_id % 50 = 0),
+       cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (sh5)
+         WHERE g5.doc_id % 50 <> 0),
+       clean AS (SELECT k.doc_id, k.toks FROM kept k
+         LEFT JOIN cont ON cont.doc_id = k.doc_id
+         WHERE cont.doc_id IS NULL),
+       ${TextAnalysis.nbCte},
+       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
+           CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
+             % ${Shards.NShards} AS INT) AS shard_id
+         FROM clean c3)
+       SELECT a2.shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN s2.margin_micro >= 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_model_kept,
+         CAST(sum(a2.n_tokens) AS BIGINT) AS tok_total,
+         CAST(sum(CASE WHEN s2.margin_micro >= 0 THEN a2.n_tokens
+           ELSE 0 END) AS BIGINT) AS tok_model_kept
+       FROM asg a2 JOIN scored s2 ON s2.doc_id = a2.doc_id
+       GROUP BY a2.shard_id ORDER BY a2.shard_id"""
   }
 }
