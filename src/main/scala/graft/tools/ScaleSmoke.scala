@@ -298,7 +298,9 @@ object ScaleSmoke {
       "q166_crawl_release" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlRelease(s, d)),
       "q167_crawl_languages" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.crawlLanguages(s, d))
+        graft.ext.Warc.crawlLanguages(s, d)),
+      "q168_release_scorecard" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.releaseScorecard(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

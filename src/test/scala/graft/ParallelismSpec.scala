@@ -68,7 +68,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q156_secrets_scan", "q157_manifest_diff", "q158_redirect_chains",
     "q159_warc_encodings", "q160_nb_quality", "q161_nb_eval",
     "q162_crawl_corpus", "q163_crawl_shards", "q164_nb_calibration",
-    "q165_crawl_dedup", "q166_crawl_release", "q167_crawl_languages")
+    "q165_crawl_dedup", "q166_crawl_release", "q167_crawl_languages",
+    "q168_release_scorecard")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
