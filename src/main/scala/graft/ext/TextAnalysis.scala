@@ -1140,9 +1140,29 @@ object TextAnalysis {
     * per-doc aggregate. No iteration, no optimizer state; the model
     * "artifact" is a DataFrame, swappable into q122's scoring join. */
   def nbQualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
-        memoKey = Some(s"nbmodel:$dir:src0,src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), NbRefSources,
+        memoKey = Some(nbMemoKey(dir)))
       .orderBy(col("doc_id")) // oracle determinism only
+
+  /** The q160 family's reference-source list, ONE definition: the
+    * registered q160/q161/q164 derivations and the q168 delivery gate
+    * must train under identical assumptions, and the session-memo key
+    * derives from this list so a future refSources change cannot
+    * leave two paths sharing a key while training different models. */
+  private val NbRefSources = Seq("src0", "src1")
+
+  private def nbMemoKey(dir: String): String =
+    s"nbmodel:$dir:${NbRefSources.mkString(",")}"
+
+  /** The tagged training frame — q102's deterministic split bands plus
+    * the reference-class tag — as the single construction both
+    * [[nbQualityOf]] and [[nbModelFor]] train from. */
+  private def nbTaggedOf(docs: DataFrame,
+      refSources: Seq[String]): DataFrame =
+    Curate.splitAssign(
+        docs.select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "graft", Curate.SplitFractions)
+      .withColumn("is_ref", col("source").isin(refSources: _*))
 
   /** A trained NB model: per-word weight table plus the two scalar
     * constants (the per-class denominator difference and the class
@@ -1204,10 +1224,7 @@ object TextAnalysis {
     * (specs, production use) leave it None and train fresh. */
   def nbQualityOf(docs: DataFrame, refSources: Seq[String],
       memoKey: Option[String] = None): DataFrame = {
-    val tagged = Curate.splitAssign(
-        docs.select(col("doc_id"), col("text"), col("source")),
-        "doc_id", "graft", Curate.SplitFractions)
-      .withColumn("is_ref", col("source").isin(refSources: _*))
+    val tagged = nbTaggedOf(docs, refSources)
     val model = memoKey match {
       case Some(k) =>
         graft.SessionMemo(docs.sparkSession, k)(nbTrainOf(tagged))
@@ -1246,14 +1263,9 @@ object TextAnalysis {
     * the registered q160/q161/q164 derivation and the q168 delivery
     * gate read the SAME trained artifact. */
   private[graft] def nbModelFor(spark: SparkSession,
-      dir: String): NbModel = {
-    val tagged = Curate.splitAssign(
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("text"), col("source")),
-        "doc_id", "graft", Curate.SplitFractions)
-      .withColumn("is_ref", col("source").isin("src0", "src1"))
-    graft.SessionMemo(spark, s"nbmodel:$dir:src0,src1")(nbTrainOf(tagged))
-  }
+      dir: String): NbModel =
+    graft.SessionMemo(spark, nbMemoKey(dir))(
+      nbTrainOf(nbTaggedOf(Tables(spark, dir, "documents"), NbRefSources)))
 
   /** Shared oracle CTE chain for q160/q161 — the identical integer
     * pipeline: q102's split bands, per-word class counts, lnFix stages
@@ -1334,8 +1346,8 @@ object TextAnalysis {
     * derivation; accuracy divides two exact integers once and
     * floor-quantizes (the house fix4 idiom). */
   def nbEvalReport(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
-        memoKey = Some(s"nbmodel:$dir:src0,src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), NbRefSources,
+        memoKey = Some(nbMemoKey(dir)))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_ref") && col("pred_ref"), 1L).otherwise(0L))
@@ -1365,8 +1377,8 @@ object TextAnalysis {
     * reference prior every margin is negative (the prior term), so the
     * informative range is a handful of nats below zero. */
   def nbCalibration(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), Seq("src0", "src1"),
-        memoKey = Some(s"nbmodel:$dir:src0,src1"))
+    nbQualityOf(Tables(spark, dir, "documents"), NbRefSources,
+        memoKey = Some(nbMemoKey(dir)))
       .withColumn("band", expr(
         "CAST(greatest(-12, least(12, " +
           "floor(CAST(margin_micro AS DOUBLE) / 5e5))) AS BIGINT)"))

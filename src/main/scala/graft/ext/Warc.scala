@@ -1097,23 +1097,31 @@ object Warc {
     dedupRollupOf(crawlFlags(spark, dir))
       .orderBy(col("domain"))
 
-  /** Oracle for q165 [[crawlDedup]] — the q162 admission CTEs, exact
-    * keep-min over the admitted texts, the q23 pair derivation
-    * RESTRICTED to the exact keepers (the pairwise-Jaccard identity
-    * the Spark side exploits via the shared index), and the q48
-    * recursive transitive closure for representative selection. */
-  lazy val crawlDedupOracle: String = {
+  /** Shared oracle fragment: the dedup survivor chain — q165's stages
+    * (token/stopword stats `st`, fetch-gate admission `adm`, exact
+    * keep-min `ek`, the 3-gram Jaccard pair derivation restricted to
+    * the exact keepers `w`..`prs`, and the recursive transitive
+    * closure `walk`/`ccd` ending at the non-representatives `nd`).
+    * Composed into all four crawl oracles (q165/q166/q167/q168) so
+    * the dedup semantics — the 0.8 threshold, the keep-min rule, the
+    * fetch-gate moduli — have exactly ONE SQL definition; callers
+    * append their own `kept` variant. `withDomain` adds q165's
+    * per-domain attribution column to `adm`. Expects
+    * [[UrlCurate.curateCte]] (for `blk`) ahead of it under a
+    * `WITH RECURSIVE` header (for `walk`). */
+  private def crawlSurvivorCte(withDomain: Boolean): String = {
     val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
-    s"""WITH RECURSIVE ${UrlCurate.curateCte},
-       st AS (SELECT doc_id,
+    val dom = if (withDomain)
+      ",\n           coalesce(b.registrable_domain, b.host) AS domain"
+    else ""
+    s"""st AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
            CAST(len(list_filter(string_split(text, ' '),
              x -> list_contains([$stops], x))) AS BIGINT) AS stops
          FROM documents
          WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
            AND doc_id % 100 <> 2),
-       adm AS (SELECT s.doc_id, s.toks,
-           coalesce(b.registrable_domain, b.host) AS domain
+       adm AS (SELECT s.doc_id, s.toks$dom
          FROM blk b JOIN st s ON s.doc_id = b.doc_id
          WHERE NOT b.blocked AND b.host IS NOT NULL
            AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
@@ -1142,7 +1150,46 @@ object Warc {
          SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
        ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
          GROUP BY node),
-       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id)
+       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id)"""
+  }
+
+  /** Shared oracle fragment: survivor set → release clean set — the
+    * benchmark exclusion (`doc_id % 50 <> 0` inside `kept`, which
+    * carries `toks` so downstream arithmetic needs no extra join) and
+    * q54's any-shared-5-gram decontamination against the benchmark
+    * split, ending at `clean(doc_id, toks)`. Composed into the
+    * q166/q168 oracles so the release definition is written once.
+    * Expects [[crawlSurvivorCte]] ahead of it. */
+  private def crawlCleanCte: String =
+    s"""kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL AND a.doc_id % 50 <> 0),
+       pool AS (SELECT doc_id FROM kept
+         UNION ALL
+         SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       gw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+         FROM documents d JOIN pool p ON p.doc_id = d.doc_id),
+       gi AS (SELECT doc_id, ws,
+           unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
+         FROM gw),
+       g5 AS (SELECT DISTINCT doc_id,
+           array_to_string(ws[i:i+4], ' ') AS sh5 FROM gi),
+       bg AS (SELECT DISTINCT sh5 FROM g5 WHERE doc_id % 50 = 0),
+       cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (sh5)
+         WHERE g5.doc_id % 50 <> 0),
+       clean AS (SELECT k.doc_id, k.toks FROM kept k
+         LEFT JOIN cont ON cont.doc_id = k.doc_id
+         WHERE cont.doc_id IS NULL)"""
+
+  /** Oracle for q165 [[crawlDedup]] — the q162 admission CTEs, exact
+    * keep-min over the admitted texts, the q23 pair derivation
+    * RESTRICTED to the exact keepers (the pairwise-Jaccard identity
+    * the Spark side exploits via the shared index), and the q48
+    * recursive transitive closure for representative selection. */
+  lazy val crawlDedupOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = true)}
        SELECT a.domain,
          CAST(count(*) AS BIGINT) AS n_admitted,
          CAST(sum(CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1155,7 +1202,6 @@ object Warc {
          LEFT JOIN ek ON ek.doc_id = a.doc_id
          LEFT JOIN nd ON nd.doc_id = a.doc_id
        GROUP BY a.domain ORDER BY a.domain"""
-  }
 
   /** The complete crawl-front RELEASE — q166, the last composition the
     * refinery needs: the dedup survivor set ([[crawlKeptOf]]) loses
@@ -1201,89 +1247,45 @@ object Warc {
       .filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
 
+  /** The crawl front's released clean set, materialized once per
+    * session — the third crawl memo, one stage downstream of
+    * [[crawlFlags]]: the decontamination gram join runs once, and
+    * q166's layout and q168's scorecard read the SAME release (two
+    * separate derivations could not diverge, and q168 no longer
+    * re-evaluates the gram join once per side of its self-join). */
+  private[graft] def crawlClean(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"crawl-clean:$dir") {
+      cleanFromKept(keptFromFlags(crawlFlags(spark, dir)),
+          benchDocs(spark, dir))
+        .localCheckpoint()
+    }
+
   /** q166: [[crawlReleaseOf]] over the crawl front — the session WET
     * memo, the session pair index, and the benchmark split of the
     * source corpus. ORDER BY = oracle determinism only. */
   def crawlRelease(spark: SparkSession, dir: String): DataFrame =
-    releaseFromKept(keptFromFlags(crawlFlags(spark, dir)),
-        benchDocs(spark, dir))
+    Shards.manifestOf(Shards.shardAssignOf(crawlClean(spark, dir)))
       .orderBy(col("shard_id"))
 
   /** Oracle for q166 [[crawlRelease]] — the q165 survivor CTEs, q54's
     * string-5-gram contamination probe over survivors ∪ benchmark,
     * and the q143 manifest arithmetic over the clean set. */
-  lazy val crawlReleaseOracle: String = {
-    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+  lazy val crawlReleaseOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
-       st AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-           CAST(len(list_filter(string_split(text, ' '),
-             x -> list_contains([$stops], x))) AS BIGINT) AS stops
-         FROM documents
-         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
-           AND doc_id % 100 <> 2),
-       adm AS (SELECT s.doc_id, s.toks
-         FROM blk b JOIN st s ON s.doc_id = b.doc_id
-         WHERE NOT b.blocked AND b.host IS NOT NULL
-           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
-       ek AS (SELECT min(d.doc_id) AS doc_id
-         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
-         GROUP BY md5(d.text)),
-       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
-           generate_subscripts(string_split(d.text, ' '), 1) AS pos
-         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
-       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
-         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
-                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
-       dd AS (SELECT DISTINCT doc_id, sh FROM t),
-       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
-       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
-         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
-         GROUP BY 1, 2),
-       prs AS (SELECT a, b FROM com
-         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
-         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
-       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-       nodes AS (SELECT DISTINCT a AS node FROM edges),
-       walk(node, r) AS (
-         SELECT node, node FROM nodes
-         UNION
-         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
-       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
-         GROUP BY node),
-       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
-       kept AS (SELECT a.doc_id FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL AND a.doc_id % 50 <> 0),
-       pool AS (SELECT doc_id FROM kept
-         UNION ALL
-         SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
-       gw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
-         FROM documents d JOIN pool p ON p.doc_id = d.doc_id),
-       gi AS (SELECT doc_id, ws,
-           unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
-         FROM gw),
-       g5 AS (SELECT DISTINCT doc_id,
-           array_to_string(ws[i:i+4], ' ') AS sh5 FROM gi),
-       bg AS (SELECT DISTINCT sh5 FROM g5 WHERE doc_id % 50 = 0),
-       cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (sh5)
-         WHERE g5.doc_id % 50 <> 0),
-       clean AS (SELECT k.doc_id FROM kept k
-         LEFT JOIN cont ON cont.doc_id = k.doc_id
-         WHERE cont.doc_id IS NULL),
-       asg AS (SELECT c3.doc_id, s.toks AS n_tokens,
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlCleanCte,
+       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
            CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
              % ${Shards.NShards} AS INT) AS shard_id,
            ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 1)}
              AS fp
-         FROM clean c3 JOIN st s ON s.doc_id = c3.doc_id)
+         FROM clean c3)
        SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
          CAST(sum(fp) AS BIGINT) AS checksum
        FROM asg GROUP BY shard_id ORDER BY shard_id"""
-  }
 
   /** Per-language accounting of the dedup survivor corpus — q167, the
     * CCNet split: every language-partitioned curation pipeline buckets
@@ -1319,46 +1321,9 @@ object Warc {
   /** Oracle for q167 [[crawlLanguages]] — the q165 survivor CTEs and
     * q30's language CTE ([[TextAnalysis.langIdCte]]) joined on the
     * survivor ids. */
-  lazy val crawlLanguagesOracle: String = {
-    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+  lazy val crawlLanguagesOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
-       st AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-           CAST(len(list_filter(string_split(text, ' '),
-             x -> list_contains([$stops], x))) AS BIGINT) AS stops
-         FROM documents
-         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
-           AND doc_id % 100 <> 2),
-       adm AS (SELECT s.doc_id, s.toks
-         FROM blk b JOIN st s ON s.doc_id = b.doc_id
-         WHERE NOT b.blocked AND b.host IS NOT NULL
-           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
-       ek AS (SELECT min(d.doc_id) AS doc_id
-         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
-         GROUP BY md5(d.text)),
-       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
-           generate_subscripts(string_split(d.text, ' '), 1) AS pos
-         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
-       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
-         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
-                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
-       dd AS (SELECT DISTINCT doc_id, sh FROM t),
-       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
-       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
-         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
-         GROUP BY 1, 2),
-       prs AS (SELECT a, b FROM com
-         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
-         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
-       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-       nodes AS (SELECT DISTINCT a AS node FROM edges),
-       walk(node, r) AS (
-         SELECT node, node FROM nodes
-         UNION
-         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
-       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
-         GROUP BY node),
-       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
+       ${crawlSurvivorCte(withDomain = false)},
        kept AS (SELECT a.doc_id, a.toks FROM adm a
          JOIN ek ON ek.doc_id = a.doc_id
          LEFT JOIN nd ON nd.doc_id = a.doc_id
@@ -1371,7 +1336,6 @@ object Warc {
            THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
        FROM kept k JOIN lg l ON l.doc_id = k.doc_id
        GROUP BY l.pred_lang ORDER BY pred_lang"""
-  }
 
   /** Model-gated release scorecard — q168: the released shards (q166's
     * clean set, q143's layout) scored by the TRAINED q160 classifier,
@@ -1389,8 +1353,7 @@ object Warc {
     * per-doc aggregate; the scorecard is one hash aggregate on
     * shard_id of id-keyed longs. */
   def releaseScorecard(spark: SparkSession, dir: String): DataFrame = {
-    val clean = cleanFromKept(keptFromFlags(crawlFlags(spark, dir)),
-      benchDocs(spark, dir))
+    val clean = crawlClean(spark, dir)
     val assigned = Shards.shardAssignOf(clean)
     val scored = TextAnalysis.nbScoreOf(clean,
       TextAnalysis.nbModelFor(spark, dir))
@@ -1411,66 +1374,10 @@ object Warc {
     * the q160 NB chain (whose per-doc `scored` margins cover every
     * document), the q143 assignment arithmetic, and one shard
     * rollup. */
-  lazy val releaseScorecardOracle: String = {
-    val stops = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+  lazy val releaseScorecardOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
-       st AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-           CAST(len(list_filter(string_split(text, ' '),
-             x -> list_contains([$stops], x))) AS BIGINT) AS stops
-         FROM documents
-         WHERE doc_id % 5 <> 4 AND doc_id % 10 NOT IN (3, 7)
-           AND doc_id % 100 <> 2),
-       adm AS (SELECT s.doc_id, s.toks
-         FROM blk b JOIN st s ON s.doc_id = b.doc_id
-         WHERE NOT b.blocked AND b.host IS NOT NULL
-           AND s.toks >= 20 AND s.stops * 100 >= s.toks * 2),
-       ek AS (SELECT min(d.doc_id) AS doc_id
-         FROM adm a JOIN documents d ON d.doc_id = a.doc_id
-         GROUP BY md5(d.text)),
-       w AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word,
-           generate_subscripts(string_split(d.text, ' '), 1) AS pos
-         FROM documents d JOIN ek ON ek.doc_id = d.doc_id),
-       t AS (SELECT a.doc_id, a.word||' '||b.word||' '||c2.word AS sh
-         FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
-                  JOIN w c2 ON a.doc_id=c2.doc_id AND c2.pos=a.pos+2),
-       dd AS (SELECT DISTINCT doc_id, sh FROM t),
-       sz AS (SELECT doc_id, count(*) n FROM dd GROUP BY 1),
-       com AS (SELECT x.doc_id a, y.doc_id b, count(*) c
-         FROM dd x JOIN dd y ON x.sh=y.sh AND x.doc_id<y.doc_id
-         GROUP BY 1, 2),
-       prs AS (SELECT a, b FROM com
-         JOIN sz sa ON sa.doc_id=a JOIN sz sb ON sb.doc_id=b
-         WHERE c*1.0/(sa.n+sb.n-c) >= 0.8),
-       edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-       nodes AS (SELECT DISTINCT a AS node FROM edges),
-       walk(node, r) AS (
-         SELECT node, node FROM nodes
-         UNION
-         SELECT wk.node, e.b FROM walk wk JOIN edges e ON e.a = wk.r),
-       ccd AS (SELECT node AS doc_id, min(r) AS rep FROM walk
-         GROUP BY node),
-       nd AS (SELECT doc_id FROM ccd WHERE rep <> doc_id),
-       kept AS (SELECT a.doc_id, a.toks FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL AND a.doc_id % 50 <> 0),
-       pool AS (SELECT doc_id FROM kept
-         UNION ALL
-         SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
-       gw AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
-         FROM documents d JOIN pool p ON p.doc_id = d.doc_id),
-       gi AS (SELECT doc_id, ws,
-           unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
-         FROM gw),
-       g5 AS (SELECT DISTINCT doc_id,
-           array_to_string(ws[i:i+4], ' ') AS sh5 FROM gi),
-       bg AS (SELECT DISTINCT sh5 FROM g5 WHERE doc_id % 50 = 0),
-       cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bg USING (sh5)
-         WHERE g5.doc_id % 50 <> 0),
-       clean AS (SELECT k.doc_id, k.toks FROM kept k
-         LEFT JOIN cont ON cont.doc_id = k.doc_id
-         WHERE cont.doc_id IS NULL),
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlCleanCte,
        ${TextAnalysis.nbCte},
        asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
            CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
@@ -1485,5 +1392,4 @@ object Warc {
            ELSE 0 END) AS BIGINT) AS tok_model_kept
        FROM asg a2 JOIN scored s2 ON s2.doc_id = a2.doc_id
        GROUP BY a2.shard_id ORDER BY a2.shard_id"""
-  }
 }
