@@ -301,6 +301,12 @@ object SparkEntry {
       graft.ext.Warc.crawlLanguages(s, d)),
     "q168_release_scorecard" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.releaseScorecard(s, d)),
+    "q169_ref_perplexity" -> ((s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.refPerplexity(s, d)),
+    "q170_ccnet_buckets" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.ccnetBuckets(s, d)),
+    "q171_token_layout" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlTokenLayout(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -582,6 +588,9 @@ object SparkEntry {
     "q165_crawl_dedup" -> graft.ext.Warc.crawlDedupOracle,
     "q166_crawl_release" -> graft.ext.Warc.crawlReleaseOracle,
     "q167_crawl_languages" -> graft.ext.Warc.crawlLanguagesOracle,
-    "q168_release_scorecard" -> graft.ext.Warc.releaseScorecardOracle
+    "q168_release_scorecard" -> graft.ext.Warc.releaseScorecardOracle,
+    "q169_ref_perplexity" -> graft.ext.TextAnalysis.refPerplexityOracle,
+    "q170_ccnet_buckets" -> graft.ext.Warc.ccnetBucketsOracle,
+    "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.DetMix
@@ -63,6 +64,51 @@ object Shards {
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     manifestOf(shardAssignOf(Tables(spark, dir, "documents")))
       .orderBy(col("shard_id"))
+
+  /** Fixed training-sequence length for the registered q171 layout. */
+  val SeqLen = 1024L
+
+  /** Concat-and-chunk token layout — q171's Of-form: the GPT-style
+    * delivery step AFTER shard assignment, where each shard's
+    * documents are concatenated in a deterministic shuffled order and
+    * cut into fixed `seqLen`-token training sequences. Per shard:
+    * docs, token total, sequence count (= ceil(tokens / seqLen)), how
+    * many documents STRADDLE a sequence boundary (their tokens split
+    * across two training examples — the cost of packing without
+    * padding every doc), and the pad tokens the final partial
+    * sequence carries.
+    *
+    * Order within a shard is `DetMix(doc_id, seed+2)` with a doc_id
+    * tiebreak — the deterministic training-order permutation (seed
+    * and seed+1 are taken by assignment and fingerprint), so the
+    * layout is reproducible and the oracle replays the cumulative-sum
+    * arithmetic exactly. All outputs are exact integers; divisions
+    * are `div` on non-negative BIGINTs (floor semantics in both
+    * engines).
+    *
+    * Scale: ONE window pass partitioned by shard — per-shard
+    * sequential layout is exactly what the shard writer does, and
+    * production fanouts (WebDataset: thousands of shards) give the
+    * window its parallelism; nothing else shuffles. */
+  def tokenLayoutOf(assigned: DataFrame, seqLen: Long = SeqLen,
+      seed: Long = Seed): DataFrame = {
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("_ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .withColumn("_ord", expr(DetMix.mixSql("doc_id", seed + 2)))
+      .withColumn("_end", sum(col("n_tokens")).over(w))
+      .withColumn("_start", col("_end") - col("n_tokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(
+          expr(s"(_start div $seqLen) <> ((_end - 1) div $seqLen)"), 1L)
+          .otherwise(0L)).as("n_boundary_docs"))
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("pad_tokens", expr(s"n_seqs * $seqLen - n_tokens"))
+  }
 
   /** Write the corpus as one parquet file per shard under
     * `outDir/data/shard_id=K/`, then the manifest under

@@ -1424,4 +1424,202 @@ object TextAnalysis {
          ${DetLn.fix4Sql("CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
            AS accuracy
        FROM ev ORDER BY split"""
+
+  // ----- reference-trained bigram LM (q169/q170) ---------------------
+  // CCNet's actual quality gate is perplexity under an LM trained on a
+  // REFERENCE corpus (wiki-trained KenLM), not a self-model: q107's
+  // bigram scores "does this text string words together like the
+  // corpus does"; this family scores "…like the REFERENCE does", which
+  // needs explicit smoothing because scored text contains words and
+  // transitions the reference never saw. Reference = the same
+  // sources/split the NB classifier trains on ([[NbRefSources]],
+  // q102's bands), so the two trained artifacts are comparable gates
+  // over identical training data.
+
+  /** A trained reference LM: bigram counts `(prev, w, c2)`, unigram
+    * counts `(w, c)`, and `m` = N + V + 1 — the add-one unigram
+    * denominator (N reference tokens, V reference vocabulary, one
+    * out-of-vocabulary slot). Both frames are REFERENCE-sized
+    * (bounded by the training corpus, not the scored crawl). */
+  private[graft] final case class RefLmModel(bigrams: DataFrame,
+      uni: DataFrame, m: Long)
+
+  private def refLmMemoKey(dir: String): String =
+    s"reflm:$dir:${NbRefSources.mkString(",")}"
+
+  /** The corpus's reference-trained LM under the session memo — q169's
+    * corpus score and q170's bucket split read the SAME artifact (the
+    * [[nbModelFor]] posture; a fresh session pays one derivation). */
+  private[graft] def refLmModelFor(spark: SparkSession,
+      dir: String): RefLmModel =
+    graft.SessionMemo(spark, refLmMemoKey(dir))(
+      refLmTrainOf(nbTaggedOf(Tables(spark, dir, "documents"),
+        NbRefSources)))
+
+  /** Train from a tagged frame ([[nbTaggedOf]]'s shape — the LM and
+    * the NB classifier share the reference/split definitions): unigram
+    * and bigram counts over the reference train docs, both
+    * checkpointed. The transitions derive narrowly via q107's
+    * shifted-slice zip, never a window over the exploded stream.
+    * Eager (the scalars collect), so an empty reference train split
+    * fails HERE, loudly, instead of scoring everything zero. */
+  private[graft] def refLmTrainOf(tagged: DataFrame): RefLmModel = {
+    val ref = tagged
+      .filter(col("split") === "train" && col("is_ref"))
+      .select(col("doc_id"), col("text"))
+    val uni = ref.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val t = uni.agg(sum(col("c")), count(lit(1))).head()
+    require(!t.isNullAt(0) && t.getLong(0) > 0,
+      "reference LM training split is empty")
+    val (n, v) = (t.getLong(0), t.getLong(1))
+    val bigrams = ref
+      .select(tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
+      .select(explode(zip_with(col("pv"), col("nx"),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
+      .select(col("t.prev").as("prev"), col("t.w").as("w"))
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    RefLmModel(bigrams, uni, n + v + 1)
+  }
+
+  /** Score any (doc_id, text) frame under a trained [[RefLmModel]]:
+    * mean transition log-probability with add-one unigram backoff,
+    *   p(w|prev) = 0.7·c2/cp + 0.3·(cw+1)/m     (cp > 0)
+    *             =            0.3·(cw+1)/m      (prev unseen)
+    * — each an exact integer ratio scored by [[DetLn]]'s lnFix in
+    * BIGINT micro-nats, so a word or transition the reference never
+    * saw gets a finite, engine-exact penalty instead of −∞ (the
+    * smoothing a self-model like q107 never needs). The branch
+    * condition is an exact integer compare, so both engines take
+    * identical branches. Docs need ≥ 2 tokens (no transition
+    * otherwise — q107's documented scope).
+    *
+    * Scale: transitions are the narrow shifted-slice zip; the model is
+    * reference-sized so BOTH model joins broadcast — the production
+    * CCNet posture (the KenLM artifact ships to every worker; the
+    * crawl-sized side never shuffles on a skewed token key); the only
+    * exchange is the per-doc aggregate. Count products fit BIGINT
+    * through ~10^8-token references; the 100 TB form widens them to
+    * DECIMAL(38,0). */
+  private[graft] def refPerplexityOf(docs: DataFrame,
+      model: RefLmModel): DataFrame = {
+    val docBig = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
+      .select(col("doc_id"),
+        explode(zip_with(col("pv"), col("nx"),
+          (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"),
+        col("t.w").as("w"))
+      .groupBy(col("doc_id"), col("prev"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val j = docBig
+      .join(broadcast(model.bigrams), Seq("prev", "w"), "left")
+      .join(broadcast(model.uni.select(col("w").as("prev"),
+        col("c").as("cp"))), Seq("prev"), "left")
+      .join(broadcast(model.uni.select(col("w"), col("c").as("cw"))),
+        Seq("w"), "left")
+      .na.fill(0L, Seq("c2", "cp", "cw"))
+      .withColumn("la_num", expr(
+        s"CASE WHEN cp > 0 THEN 7 * c2 * ${model.m} + 3 * (cw + 1) * cp" +
+          s" ELSE 3 * (cw + 1) END"))
+      .withColumn("la_den", expr(
+        s"CASE WHEN cp > 0 THEN 10 * cp * ${model.m}" +
+          s" ELSE 10 * ${model.m} END"))
+    DetLn.withLnFix(DetLn.withLnFix(j, "ln_a", "la_num"),
+        "ln_b", "la_den")
+      .withColumn("lp_micro", expr(DetLn.microSql("ln_a - ln_b")))
+      .select(col("doc_id"), col("k"),
+        (col("k") * col("lp_micro")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_transitions"),
+        sum(col("lp")).as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_transitions"), col("sum_lp_micro"),
+        expr(DetLn.avg4Sql("sum_lp_micro", "n_transitions"))
+          .as("avg_logprob"))
+  }
+
+  /** q169: every document (≥ 2 tokens) scored under the
+    * reference-trained LM — the corpus-wide perplexity table the
+    * head/middle/tail split (q170) cuts. ORDER BY = oracle
+    * determinism only. */
+  def refPerplexity(spark: SparkSession, dir: String): DataFrame =
+    refPerplexityOf(Tables(spark, dir, "documents"),
+        refLmModelFor(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle fragment for q169/q170 — `rl`-prefixed so it
+    * composes with the curate/survivor/langId chains: the q102 train
+    * band + reference-source filter, reference unigram/bigram counts,
+    * and the add-one interpolated transition scores for every doc in
+    * `scoreFrom` (any prior CTE/table exposing a doc_id column; text
+    * is read from documents). Ends at
+    * `rlppl(doc_id, n_transitions, sum_lp_micro)`. */
+  private[ext] def refLmCte(scoreFrom: String): String = {
+    val (stages, fin) = DetLn.oracleLnStages("rl0", "rl",
+      Seq("doc_id", "k", "xa", "xb"),
+      Seq("ln_a" -> "xa", "ln_b" -> "xb"))
+    s"""rla AS (SELECT d.doc_id, d.text
+         FROM documents d
+         WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)),
+             1, 2) < 'cc'
+           AND d.source IN ('src0', 'src1')),
+       rluni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM rla) u
+         GROUP BY 1),
+       rln AS (SELECT CAST(sum(c) AS BIGINT) + CAST(count(*) AS BIGINT)
+           + 1 AS m FROM rluni),
+       rlw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM rla),
+       rlb AS (SELECT a.w AS prev, b.w AS w,
+           CAST(count(*) AS BIGINT) AS c2
+         FROM rlw a JOIN rlw b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY 1, 2),
+       rlsw AS (SELECT s.doc_id, d.text FROM $scoreFrom s
+         JOIN documents d ON d.doc_id = s.doc_id),
+       rlst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM rlsw),
+       rltr AS (SELECT a.doc_id, a.w AS prev, b.w AS w,
+           CAST(count(*) AS BIGINT) AS k
+         FROM rlst a JOIN rlst b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY 1, 2, 3),
+       rl0 AS (SELECT t.doc_id, t.k,
+           CASE WHEN coalesce(cp.c, 0) > 0
+             THEN 7 * coalesce(b2.c2, 0) * rln.m
+               + 3 * (coalesce(cw.c, 0) + 1) * cp.c
+             ELSE 3 * (coalesce(cw.c, 0) + 1) END AS xa,
+           CASE WHEN coalesce(cp.c, 0) > 0 THEN 10 * cp.c * rln.m
+             ELSE 10 * rln.m END AS xb
+         FROM rltr t
+         LEFT JOIN rlb b2 ON b2.prev = t.prev AND b2.w = t.w
+         LEFT JOIN rluni cp ON cp.w = t.prev
+         LEFT JOIN rluni cw ON cw.w = t.w
+         CROSS JOIN rln)$stages,
+       rlsc AS (SELECT doc_id, k,
+           ${DetLn.microSql("ln_a - ln_b")} AS lp_micro FROM $fin),
+       rlppl AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_transitions,
+           CAST(sum(k * lp_micro) AS BIGINT) AS sum_lp_micro
+         FROM rlsc GROUP BY 1)"""
+  }
+
+  /** Oracle for q169 [[refPerplexity]]. */
+  lazy val refPerplexityOracle: String =
+    s"""WITH sdoc AS (SELECT doc_id FROM documents),
+       ${refLmCte("sdoc")}
+       SELECT doc_id, n_transitions, sum_lp_micro,
+         ${DetLn.avg4Sql("sum_lp_micro", "n_transitions")} AS avg_logprob
+       FROM rlppl ORDER BY doc_id"""
 }

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1392,4 +1393,122 @@ object Warc {
            ELSE 0 END) AS BIGINT) AS tok_model_kept
        FROM asg a2 JOIN scored s2 ON s2.doc_id = a2.doc_id
        GROUP BY a2.shard_id ORDER BY a2.shard_id"""
+
+  /** CCNet's head/middle/tail split — q170: the dedup survivor corpus
+    * scored under the REFERENCE-trained bigram LM
+    * ([[TextAnalysis.refLmModelFor]], the wiki-KenLM position), then
+    * cut into perplexity terciles WITHIN each predicted language (the
+    * exact CCNet mechanic: per-language cutoffs, because perplexity
+    * scales differ across languages), reported per (language, bucket)
+    * as docs + token mass. `head` = most reference-like third.
+    *
+    * Ordering is (avg_logprob DESC, doc_id) — the score is DetLn
+    * fix4-quantized and engine-exact, and the id tiebreak makes the
+    * tercile assignment fully deterministic, so ntile(3) replays
+    * bit-for-bit under the oracle.
+    *
+    * Scale: perplexity is [[TextAnalysis.refPerplexityOf]]'s
+    * broadcast-model scoring; language ID is the narrow q30 scorer;
+    * the tercile window partitions by language — the same
+    * per-language sort CCNet itself pays (and its parallelism axis);
+    * the rollup is a tiny hash aggregate. */
+  def ccnetBucketsOf(kept: DataFrame, labels: DataFrame,
+      model: TextAnalysis.RefLmModel): DataFrame = {
+    val ppl = TextAnalysis.refPerplexityOf(
+      kept.select(col("doc_id"), col("text")), model)
+    val lang = TextAnalysis.langIdOf(
+        kept.select(col("doc_id"), col("text"))
+          .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id")))
+      .select(col("doc_id"), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    kept.select(col("doc_id"), col("_toks"))
+      .join(ppl.select(col("doc_id"), col("avg_logprob")), Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .withColumn("_nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_nt") === 1, "head")
+          .when(col("_nt") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("pred_lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("tok_kept"))
+  }
+
+  /** q170: [[ccnetBucketsOf]] over the crawl front's survivor flags,
+    * the source-corpus labels, and the session LM. ORDER BY = oracle
+    * determinism only. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOf(keptFromFlags(crawlFlags(spark, dir)),
+        Tables(spark, dir, "documents"),
+        TextAnalysis.refLmModelFor(spark, dir))
+      .orderBy(col("pred_lang"), col("bucket"))
+
+  /** Oracle for q170 [[ccnetBuckets]] — the q165 survivor CTEs, the
+    * reference-LM chain ([[TextAnalysis.refLmCte]]) scoring the
+    * survivors, q30's language CTE, and the tercile window. */
+  lazy val ccnetBucketsOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL),
+       ${TextAnalysis.refLmCte("kept")},
+       ${TextAnalysis.langIdCte},
+       csc AS (SELECT k.doc_id, k.toks, l.pred_lang,
+           ${graft.functions.DetLn.avg4Sql("p.sum_lp_micro",
+             "p.n_transitions")} AS alp
+         FROM kept k JOIN rlppl p ON p.doc_id = k.doc_id
+         JOIN lg l ON l.doc_id = k.doc_id),
+       cbk AS (SELECT pred_lang, toks,
+           ntile(3) OVER (PARTITION BY pred_lang
+             ORDER BY alp DESC, doc_id) AS nt
+         FROM csc)
+       SELECT pred_lang,
+         CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           ELSE 'tail' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tok_kept
+       FROM cbk GROUP BY 1, 2 ORDER BY pred_lang, bucket"""
+
+  /** q171: the concat-and-chunk token layout of the released clean
+    * set ([[Shards.tokenLayoutOf]] over the q166 shards) — the final
+    * delivery answer: how many fixed-length training sequences each
+    * released shard yields, how many documents straddle a sequence
+    * boundary, and the padding the tail sequence carries. ORDER BY =
+    * oracle determinism only. */
+  def crawlTokenLayout(spark: SparkSession, dir: String): DataFrame =
+    Shards.tokenLayoutOf(Shards.shardAssignOf(crawlClean(spark, dir)))
+      .orderBy(col("shard_id"))
+
+  /** Oracle for q171 [[crawlTokenLayout]] — the q166 clean-set CTEs,
+    * the q143 assignment arithmetic plus the seed+2 order draw, one
+    * cumulative-sum window per shard, and the chunk arithmetic. */
+  lazy val crawlTokenLayoutOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlCleanCte,
+       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
+           CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
+             % ${Shards.NShards} AS INT) AS shard_id,
+           ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 2)}
+             AS ord
+         FROM clean c3),
+       cum AS (SELECT shard_id, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard_id
+             ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+         FROM asg),
+       sp AS (SELECT shard_id, n_tokens, e,
+           e - n_tokens AS s FROM cum)
+       SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST((sum(n_tokens) + ${Shards.SeqLen - 1}) // ${Shards.SeqLen}
+           AS BIGINT) AS n_seqs,
+         CAST(sum(CASE WHEN s // ${Shards.SeqLen}
+             <> (e - 1) // ${Shards.SeqLen} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_boundary_docs,
+         CAST(((sum(n_tokens) + ${Shards.SeqLen - 1}) // ${Shards.SeqLen})
+           * ${Shards.SeqLen} - sum(n_tokens) AS BIGINT) AS pad_tokens
+       FROM sp GROUP BY shard_id ORDER BY shard_id"""
 }

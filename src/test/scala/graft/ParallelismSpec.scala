@@ -69,7 +69,12 @@ class ParallelismSpec extends SparkSpecBase {
     "q159_warc_encodings", "q160_nb_quality", "q161_nb_eval",
     "q162_crawl_corpus", "q163_crawl_shards", "q164_nb_calibration",
     "q165_crawl_dedup", "q166_crawl_release", "q167_crawl_languages",
-    "q168_release_scorecard")
+    "q168_release_scorecard",
+    // round-12 session 3: the reference LM's micro-nat sums are exact
+    // integers; the tercile window and the token-layout cumulative sum
+    // are total-ordered by (score|mix, doc_id), so neither may move
+    // with partition count
+    "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

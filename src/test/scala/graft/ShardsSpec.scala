@@ -189,6 +189,39 @@ class ShardsSpec extends SparkSpecBase {
     assert(added.nonEmpty && removed.nonEmpty)
   }
 
+  test("q171 token layout: concat-and-chunk arithmetic hand-checked " +
+      "against an independent Scala walk of the same deterministic " +
+      "order") {
+    import graft.functions.DetMix
+    import spark.implicits._
+    val rows = Seq((1L, 7L, 0), (2L, 5L, 0), (3L, 10L, 0),
+      (4L, 3L, 1), (5L, 21L, 1), (6L, 9L, 1))
+    val assigned = rows.toDF("doc_id", "n_tokens", "shard_id")
+    val S = 10L
+    val got = Shards.tokenLayoutOf(assigned, seqLen = S)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // independent walk: same DetMix order, plain var arithmetic
+    val expected = rows.groupBy(_._3).toSeq.sortBy(_._1).map {
+      case (sid, rs) =>
+        val ordered = rs.sortBy(r =>
+          (DetMix.mixLong(r._1, Shards.Seed + 2), r._1))
+        var off = 0L; var boundary = 0L
+        for ((_, n, _) <- ordered) {
+          if (off / S != (off + n - 1) / S) boundary += 1
+          off += n
+        }
+        val nseqs = (off + S - 1) / S
+        (sid, rs.size.toLong, off, boundary, nseqs, nseqs * S - off)
+    }
+    assert(got == expected)
+    // the fixture exercises both sides: at least one straddling doc
+    // and at least one shard with tail padding
+    assert(got.map(_._4).sum > 0)
+    assert(got.map(_._6).sum > 0)
+  }
+
   test("plan shape: manifest is one hash exchange, sort-free") {
     val df = Shards.manifestOf(
       Shards.shardAssignOf(Tables(spark, sf0001, "documents")))
