@@ -300,7 +300,13 @@ object ScaleSmoke {
       "q167_crawl_languages" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlLanguages(s, d)),
       "q168_release_scorecard" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.releaseScorecard(s, d))
+        graft.ext.Warc.releaseScorecard(s, d)),
+      "q169_ref_perplexity" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.refPerplexity(s, d)),
+      "q170_ccnet_buckets" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.ccnetBuckets(s, d)),
+      "q171_token_layout" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlTokenLayout(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

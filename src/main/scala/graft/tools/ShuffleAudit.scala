@@ -44,13 +44,21 @@ object ShuffleAudit {
     val l = new MetricsListener
     spark.sparkContext.addSparkListener(l)
     println(f"${"query"}%-24s ${"shufW(MB)"}%10s ${"shufR(MB)"}%10s ${"spill(MB)"}%10s ${"sec"}%7s")
+    // materialize through the noop sink, NOT count(): under a count
+    // Catalyst prunes unused columns and eliminates cardinality-neutral
+    // left joins, so a query whose cost lives in a pruned branch (q169:
+    // three broadcast left joins + the lnFix tail) would audit as
+    // zero-shuffle while the real plan the oracle checks does shuffle —
+    // the same reasoning Bench documents for its sink choice
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     names.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, dir).count() // warm + JIT
+      exec(graft.SparkEntry.queries(n)(spark, dir)) // warm + JIT
       // listener bus is async and private; a short settle beats racing it
       Thread.sleep(1000)
       l.reset()
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
+      exec(graft.SparkEntry.queries(n)(spark, dir))
       Thread.sleep(1000)
       val sec = (System.nanoTime() - t0) / 1e9 - 1.0
       def mb(v: Long): Double = v / 1e6
