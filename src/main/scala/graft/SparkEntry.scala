@@ -307,6 +307,8 @@ object SparkEntry {
       graft.ext.Warc.ccnetBuckets(s, d)),
     "q171_token_layout" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlTokenLayout(s, d)),
+    "q172_sequence_index" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.crawlSequenceIndex(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -591,6 +593,7 @@ object SparkEntry {
     "q168_release_scorecard" -> graft.ext.Warc.releaseScorecardOracle,
     "q169_ref_perplexity" -> graft.ext.TextAnalysis.refPerplexityOracle,
     "q170_ccnet_buckets" -> graft.ext.Warc.ccnetBucketsOracle,
-    "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle
+    "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle,
+    "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle
   )
 }

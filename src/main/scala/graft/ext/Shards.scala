@@ -110,6 +110,43 @@ object Shards {
       .withColumn("pad_tokens", expr(s"n_seqs * $seqLen - n_tokens"))
   }
 
+  /** Per-SEQUENCE loader index — q172's Of-form, one level finer than
+    * [[tokenLayoutOf]]: for every fixed `seqLen`-token training
+    * sequence a shard yields, which documents fill it. Per (shard,
+    * sequence): contributing doc count, the first and last document in
+    * LAYOUT order (min_by/max_by on the exact start offset — offsets
+    * are strictly increasing within a shard, so the pick is
+    * deterministic), and the filled token count (= seqLen everywhere
+    * except each shard's tail). This is the sample-level index a
+    * WebDataset/Megatron-style loader seeks by: sequence k of shard s
+    * starts in doc `first_doc` at a computable offset.
+    *
+    * Derivation: the same one-window cumulative sum as the layout,
+    * then each doc explodes to the sequences its [start, end) span
+    * overlaps — narrow, and bounded: a doc adds at most
+    * ceil(len/seqLen)+1 rows. The rollup is one hash aggregate. */
+  def sequenceIndexOf(assigned: DataFrame, seqLen: Long = SeqLen,
+      seed: Long = Seed): DataFrame = {
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("_ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .withColumn("_ord", expr(DetMix.mixSql("doc_id", seed + 2)))
+      .withColumn("_end", sum(col("n_tokens")).over(w))
+      .withColumn("_start", col("_end") - col("n_tokens"))
+      .select(col("shard_id"), col("doc_id"), col("_start"), col("_end"),
+        explode(expr(
+          s"sequence(_start div $seqLen, (_end - 1) div $seqLen)"))
+          .as("seq_id"))
+      .groupBy(col("shard_id"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("_start")).as("first_doc"),
+        max_by(col("doc_id"), col("_start")).as("last_doc"),
+        sum(least(col("_end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("_start"), col("seq_id") * seqLen))
+          .as("n_tokens"))
+  }
+
   /** Write the corpus as one parquet file per shard under
     * `outDir/data/shard_id=K/`, then the manifest under
     * `outDir/manifest/` — AFTER the data, so manifest-present implies

@@ -1441,7 +1441,7 @@ object TextAnalysis {
     * denominator (N reference tokens, V reference vocabulary, one
     * out-of-vocabulary slot). Both frames are REFERENCE-sized
     * (bounded by the training corpus, not the scored crawl). */
-  private[graft] final case class RefLmModel(bigrams: DataFrame,
+  final case class RefLmModel(bigrams: DataFrame,
       uni: DataFrame, m: Long)
 
   private def refLmMemoKey(dir: String): String =

@@ -1511,4 +1511,47 @@ object Warc {
          CAST(((sum(n_tokens) + ${Shards.SeqLen - 1}) // ${Shards.SeqLen})
            * ${Shards.SeqLen} - sum(n_tokens) AS BIGINT) AS pad_tokens
        FROM sp GROUP BY shard_id ORDER BY shard_id"""
+
+  /** q172: the per-SEQUENCE loader index of the released clean set
+    * ([[Shards.sequenceIndexOf]] over the q166 shards) — one level
+    * finer than q171: for every fixed-length training sequence, the
+    * contributing documents and filled tokens. ORDER BY = oracle
+    * determinism only. */
+  def crawlSequenceIndex(spark: SparkSession, dir: String): DataFrame =
+    Shards.sequenceIndexOf(Shards.shardAssignOf(crawlClean(spark, dir)))
+      .orderBy(col("shard_id"), col("seq_id"))
+
+  /** Oracle for q172 [[crawlSequenceIndex]] — the q166 clean-set CTEs,
+    * the q171 cumulative-sum window, then each doc unnested to the
+    * sequences its span overlaps and one (shard, sequence) rollup. */
+  lazy val crawlSequenceIndexOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlCleanCte,
+       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
+           CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
+             % ${Shards.NShards} AS INT) AS shard_id,
+           ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 2)}
+             AS ord
+         FROM clean c3),
+       cum AS (SELECT shard_id, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard_id
+             ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+         FROM asg),
+       sp AS (SELECT shard_id, doc_id, n_tokens, e,
+           e - n_tokens AS s FROM cum),
+       sq AS (SELECT shard_id, doc_id, s, e,
+           unnest(generate_series(
+             CAST(s // ${Shards.SeqLen} AS BIGINT),
+             CAST((e - 1) // ${Shards.SeqLen} AS BIGINT))) AS seq_id
+         FROM sp)
+       SELECT shard_id, seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         arg_min(doc_id, s) AS first_doc,
+         arg_max(doc_id, s) AS last_doc,
+         CAST(sum(least(e, (seq_id + 1) * ${Shards.SeqLen})
+           - greatest(s, seq_id * ${Shards.SeqLen})) AS BIGINT)
+           AS n_tokens
+       FROM sq GROUP BY 1, 2 ORDER BY shard_id, seq_id"""
 }

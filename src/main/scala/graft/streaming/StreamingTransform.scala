@@ -101,6 +101,19 @@ object StreamingTransform {
     start(docs, outDir, checkpointDir,
       b => graft.ext.TextAnalysis.hashedLinearScoreOf(b, weights))
 
+  /** Streaming reference-LM perplexity scoring (the q169 operator)
+    * over a streaming (doc_id, text) frame: each micro-batch scores
+    * under the SUPPLIED trained [[graft.ext.TextAnalysis.RefLmModel]]
+    * — a trained model is config, like the robots rules and the q122
+    * weight table, so the stage is stateless; the reference-sized
+    * model broadcasts per micro-batch (the KenLM-artifact posture).
+    * Docs under two tokens are out of scope, exactly as in batch. */
+  def startPerplexityScore(docs: DataFrame,
+      model: graft.ext.TextAnalysis.RefLmModel, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    start(docs, outDir, checkpointDir,
+      b => graft.ext.TextAnalysis.refPerplexityOf(b, model))
+
   /** The composed streaming front door: parse archive blobs, gate on
     * well-formed HTTP-200 fetches, and run the q139 frontier policy on
     * the admitted URLs — raw crawl segments to robots verdicts in one

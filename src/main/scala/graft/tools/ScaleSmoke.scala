@@ -306,7 +306,9 @@ object ScaleSmoke {
       "q170_ccnet_buckets" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.ccnetBuckets(s, d)),
       "q171_token_layout" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.crawlTokenLayout(s, d))
+        graft.ext.Warc.crawlTokenLayout(s, d)),
+      "q172_sequence_index" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.crawlSequenceIndex(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

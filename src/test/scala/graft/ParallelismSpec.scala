@@ -74,7 +74,8 @@ class ParallelismSpec extends SparkSpecBase {
     // integers; the tercile window and the token-layout cumulative sum
     // are total-ordered by (score|mix, doc_id), so neither may move
     // with partition count
-    "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout")
+    "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout",
+    "q172_sequence_index")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -222,6 +222,52 @@ class ShardsSpec extends SparkSpecBase {
     assert(got.map(_._6).sum > 0)
   }
 
+  test("q172 sequence index: reconciles with the q171 layout and an " +
+      "independent per-sequence walk (first/last doc in layout order, " +
+      "full sequences exactly seqLen)") {
+    import graft.functions.DetMix
+    import spark.implicits._
+    val rows = Seq((1L, 7L, 0), (2L, 5L, 0), (3L, 10L, 0),
+      (4L, 3L, 1), (5L, 21L, 1), (6L, 9L, 1))
+    val assigned = rows.toDF("doc_id", "n_tokens", "shard_id")
+    val S = 10L
+    val idx = Shards.sequenceIndexOf(assigned, seqLen = S)
+      .orderBy("shard_id", "seq_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // independent walk producing the same index
+    var expected = Map.empty[(Int, Long), (Long, Long, Long, Long)]
+    for ((sid, rs) <- rows.groupBy(_._3)) {
+      var off = 0L
+      for ((id, n, _) <- rs.sortBy(r =>
+          (DetMix.mixLong(r._1, Shards.Seed + 2), r._1))) {
+        for (seq <- (off / S) to ((off + n - 1) / S)) {
+          val fill = math.min(off + n, (seq + 1) * S) -
+            math.max(off, seq * S)
+          expected.get((sid, seq)) match {
+            case None => expected += (sid, seq) -> (1L, id, id, fill)
+            case Some((c, f, _, t)) =>
+              expected += (sid, seq) -> (c + 1, f, id, t + fill)
+          }
+        }
+        off += n
+      }
+    }
+    assert(idx == expected)
+    // layout reconciliation: sequence counts and token sums per shard
+    val layout = Shards.tokenLayoutOf(assigned, seqLen = S).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(4))).toMap
+    for ((sid, (toks, nseqs)) <- layout) {
+      val seqs = idx.filter(_._1._1 == sid)
+      assert(seqs.size.toLong == nseqs, s"shard $sid seq count")
+      assert(seqs.values.map(_._4).sum == toks, s"shard $sid tokens")
+      // every sequence is full except the shard's last
+      val lastSeq = seqs.keys.map(_._2).max
+      for (((_, sq), (_, _, _, t)) <- seqs if sq != lastSeq)
+        assert(t == S, s"shard $sid seq $sq must be full, got $t")
+    }
+  }
+
   test("plan shape: manifest is one hash exchange, sort-free") {
     val df = Shards.manifestOf(
       Shards.shardAssignOf(Tables(spark, sf0001, "documents")))

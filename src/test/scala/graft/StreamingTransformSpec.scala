@@ -212,6 +212,40 @@ class StreamingTransformSpec extends SparkSpecBase {
     assert(rows(out, "keep").map(_.head).size == 2)
   }
 
+  test("streaming perplexity scoring equals batch q169 over the union " +
+      "of batches with the same trained model, and replay is " +
+      "idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.TextAnalysis
+    val out = tmp()
+    val model = TextAnalysis.refLmModelFor(spark, sf0001)
+    val docsAll = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val rowsAll = docsAll.as[(Long, String)].collect().toSeq
+    val (b0, b1) = rowsAll.splitAt(rowsAll.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTransform.startPerplexityScore(
+      input.toDF().toDF("doc_id", "text"), model, out,
+      checkpointDir = tmp())
+    input.addData(b0: _*)
+    q.processAllAvailable()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = TextAnalysis.refPerplexityOf(docsAll, model)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    val got = () => rows(out, "doc_id", "n_transitions",
+      "sum_lp_micro", "avg_logprob")
+    assert(got() == want)
+    // replaying a batch rewrites its partition byte-identically
+    StreamingTransform.processBatch(docs(b1: _*), 1L, out,
+      b => TextAnalysis.refPerplexityOf(b, model))
+    assert(got() == want)
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._
