@@ -91,14 +91,8 @@ object Shards {
     * production fanouts (WebDataset: thousands of shards) give the
     * window its parallelism; nothing else shuffles. */
   def tokenLayoutOf(assigned: DataFrame, seqLen: Long = SeqLen,
-      seed: Long = Seed): DataFrame = {
-    val w = Window.partitionBy(col("shard_id"))
-      .orderBy(col("_ord"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    assigned
-      .withColumn("_ord", expr(DetMix.mixSql("doc_id", seed + 2)))
-      .withColumn("_end", sum(col("n_tokens")).over(w))
-      .withColumn("_start", col("_end") - col("n_tokens"))
+      seed: Long = Seed): DataFrame =
+    withLayoutOffsets(assigned, seed)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -108,6 +102,30 @@ object Shards {
       .withColumn("n_seqs",
         expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
       .withColumn("pad_tokens", expr(s"n_seqs * $seqLen - n_tokens"))
+
+  /** The deterministic layout prelude shared by [[tokenLayoutOf]] and
+    * [[sequenceIndexOf]] — ONE definition of what "the layout" is:
+    * the DetMix(doc_id, seed+2) order draw, the (order, doc_id)
+    * tiebreak, and the per-shard cumulative [_start, _end) token
+    * spans. Zero-token documents occupy no span in the concatenated
+    * stream and are EXCLUDED here (both consumers would otherwise
+    * corrupt on them: a boundary-aligned empty doc would count as
+    * straddling in the layout and explode to a descending phantom
+    * range in the index, where the DuckDB twin's generate_series
+    * yields nothing — an engine divergence). The registered paths
+    * never produce one (the admission gate requires ≥ 20 tokens);
+    * arbitrary caller frames get the documented well-defined
+    * semantics instead of corruption. */
+  private def withLayoutOffsets(assigned: DataFrame,
+      seed: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("_ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .filter(col("n_tokens") > 0)
+      .withColumn("_ord", expr(DetMix.mixSql("doc_id", seed + 2)))
+      .withColumn("_end", sum(col("n_tokens")).over(w))
+      .withColumn("_start", col("_end") - col("n_tokens"))
   }
 
   /** Per-SEQUENCE loader index — q172's Of-form, one level finer than
@@ -126,14 +144,8 @@ object Shards {
     * overlaps — narrow, and bounded: a doc adds at most
     * ceil(len/seqLen)+1 rows. The rollup is one hash aggregate. */
   def sequenceIndexOf(assigned: DataFrame, seqLen: Long = SeqLen,
-      seed: Long = Seed): DataFrame = {
-    val w = Window.partitionBy(col("shard_id"))
-      .orderBy(col("_ord"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    assigned
-      .withColumn("_ord", expr(DetMix.mixSql("doc_id", seed + 2)))
-      .withColumn("_end", sum(col("n_tokens")).over(w))
-      .withColumn("_start", col("_end") - col("n_tokens"))
+      seed: Long = Seed): DataFrame =
+    withLayoutOffsets(assigned, seed)
       .select(col("shard_id"), col("doc_id"), col("_start"), col("_end"),
         explode(expr(
           s"sequence(_start div $seqLen, (_end - 1) div $seqLen)"))
@@ -145,7 +157,6 @@ object Shards {
         sum(least(col("_end"), (col("seq_id") + 1) * seqLen) -
           greatest(col("_start"), col("seq_id") * seqLen))
           .as("n_tokens"))
-  }
 
   /** Write the corpus as one parquet file per shard under
     * `outDir/data/shard_id=K/`, then the manifest under

@@ -427,28 +427,36 @@ object TextAnalysis {
     bigramLogprobOf(Tables(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
-  def bigramLogprobOf(docs: DataFrame, hotK: Int = 4096): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("w"))
-    // transitions derived NARROWLY: zip the token array against itself
-    // shifted by one (slices bound to their own projection first — HOF
-    // lambdas re-evaluate outer exprs per element). The obvious
-    // lag-over-(doc_id, pos) window form shuffles and sorts the entire
-    // exploded token stream just to pair neighbours that were already
-    // adjacent in the array — a full-corpus sort this form never pays.
-    val arr = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+  /** Token TRANSITIONS of a (doc_id, text) frame — (doc_id, prev, w),
+    * one row per adjacent pair, the single definition behind q107's
+    * self-model, the q169 reference LM's training, and its scoring.
+    * Derived NARROWLY: zip the token array against itself shifted by
+    * one (slices bound to their own projection first — HOF lambdas
+    * re-evaluate outer exprs per element). The obvious
+    * lag-over-(doc_id, pos) window form shuffles and sorts the entire
+    * exploded token stream just to pair neighbours that were already
+    * adjacent in the array — a full-corpus sort this form never pays.
+    * Docs under two tokens have no transition and drop here. */
+  private def transitionsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
         slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
-    val big = arr.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(zip_with(col("pv"), col("nx"),
           (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
-      .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
+      .select(col("doc_id"), col("t.prev").as("prev"),
+        col("t.w").as("w"))
+
+  def bigramLogprobOf(docs: DataFrame, hotK: Int = 4096): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
     // materialized once: read again by the corpus-level model build AND
     // the per-doc scoring join — without this the explode+shuffle runs
     // twice
-    val docBig = big.groupBy(col("doc_id"), col("prev"), col("w"))
+    val docBig = transitionsOf(docs)
+      .groupBy(col("doc_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint()
     val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1474,15 +1482,7 @@ object TextAnalysis {
     require(!t.isNullAt(0) && t.getLong(0) > 0,
       "reference LM training split is empty")
     val (n, v) = (t.getLong(0), t.getLong(1))
-    val bigrams = ref
-      .select(tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(
-        slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
-        slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
-      .select(explode(zip_with(col("pv"), col("nx"),
-        (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
-      .select(col("t.prev").as("prev"), col("t.w").as("w"))
+    val bigrams = transitionsOf(ref)
       .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
       .localCheckpoint()
     RefLmModel(bigrams, uni, n + v + 1)
@@ -1509,17 +1509,7 @@ object TextAnalysis {
     * DECIMAL(38,0). */
   private[graft] def refPerplexityOf(docs: DataFrame,
       model: RefLmModel): DataFrame = {
-    val docBig = docs
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        slice(col("ws"), lit(1), size(col("ws")) - 1).as("pv"),
-        slice(col("ws"), lit(2), size(col("ws")) - 1).as("nx"))
-      .select(col("doc_id"),
-        explode(zip_with(col("pv"), col("nx"),
-          (a, b) => struct(a.as("prev"), b.as("w")))).as("t"))
-      .select(col("doc_id"), col("t.prev").as("prev"),
-        col("t.w").as("w"))
+    val docBig = transitionsOf(docs)
       .groupBy(col("doc_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
     val j = docBig

@@ -1481,14 +1481,16 @@ object Warc {
     Shards.tokenLayoutOf(Shards.shardAssignOf(crawlClean(spark, dir)))
       .orderBy(col("shard_id"))
 
-  /** Oracle for q171 [[crawlTokenLayout]] — the q166 clean-set CTEs,
-    * the q143 assignment arithmetic plus the seed+2 order draw, one
-    * cumulative-sum window per shard, and the chunk arithmetic. */
-  lazy val crawlTokenLayoutOracle: String =
-    s"""WITH RECURSIVE ${UrlCurate.curateCte},
-       ${crawlSurvivorCte(withDomain = false)},
-       $crawlCleanCte,
-       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
+  /** Shared oracle fragment for q171/q172 — ONE SQL definition of the
+    * deterministic layout ([[Shards.sequenceIndexOf]]'s
+    * `withLayoutOffsets` twin): the q143 assignment arithmetic plus
+    * the seed+2 order draw over the release clean set, and the
+    * per-shard cumulative-sum window, ending at
+    * `sp(shard_id, doc_id, n_tokens, s, e)`. The clean set's toks are
+    * ≥ 20 by admission, so the Spark side's zero-token exclusion has
+    * nothing to match here. Expects [[crawlCleanCte]] ahead of it. */
+  private def crawlLayoutCte: String =
+    s"""asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
            CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
              % ${Shards.NShards} AS INT) AS shard_id,
            ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 2)}
@@ -1499,8 +1501,16 @@ object Warc {
              ORDER BY ord, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
          FROM asg),
-       sp AS (SELECT shard_id, n_tokens, e,
-           e - n_tokens AS s FROM cum)
+       sp AS (SELECT shard_id, doc_id, n_tokens, e,
+           e - n_tokens AS s FROM cum)"""
+
+  /** Oracle for q171 [[crawlTokenLayout]] — the q166 clean-set CTEs,
+    * the shared layout window, and the chunk arithmetic. */
+  lazy val crawlTokenLayoutOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlCleanCte,
+       $crawlLayoutCte
        SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          CAST((sum(n_tokens) + ${Shards.SeqLen - 1}) // ${Shards.SeqLen}
@@ -1522,25 +1532,13 @@ object Warc {
       .orderBy(col("shard_id"), col("seq_id"))
 
   /** Oracle for q172 [[crawlSequenceIndex]] — the q166 clean-set CTEs,
-    * the q171 cumulative-sum window, then each doc unnested to the
+    * the shared layout window, then each doc unnested to the
     * sequences its span overlaps and one (shard, sequence) rollup. */
   lazy val crawlSequenceIndexOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
        ${crawlSurvivorCte(withDomain = false)},
        $crawlCleanCte,
-       asg AS (SELECT c3.doc_id, c3.toks AS n_tokens,
-           CAST(${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed)}
-             % ${Shards.NShards} AS INT) AS shard_id,
-           ${graft.functions.DetMix.mixSql("c3.doc_id", Shards.Seed + 2)}
-             AS ord
-         FROM clean c3),
-       cum AS (SELECT shard_id, doc_id, n_tokens,
-           sum(n_tokens) OVER (PARTITION BY shard_id
-             ORDER BY ord, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
-         FROM asg),
-       sp AS (SELECT shard_id, doc_id, n_tokens, e,
-           e - n_tokens AS s FROM cum),
+       $crawlLayoutCte,
        sq AS (SELECT shard_id, doc_id, s, e,
            unnest(generate_series(
              CAST(s // ${Shards.SeqLen} AS BIGINT),
