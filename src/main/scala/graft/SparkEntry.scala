@@ -309,6 +309,8 @@ object SparkEntry {
       graft.ext.Warc.crawlTokenLayout(s, d)),
     "q172_sequence_index" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.crawlSequenceIndex(s, d)),
+    "q173_lang_perplexity" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.langPerplexity(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -594,6 +596,7 @@ object SparkEntry {
     "q169_ref_perplexity" -> graft.ext.TextAnalysis.refPerplexityOracle,
     "q170_ccnet_buckets" -> graft.ext.Warc.ccnetBucketsOracle,
     "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle,
-    "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle
+    "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle,
+    "q173_lang_perplexity" -> graft.ext.Warc.langPerplexityOracle
   )
 }

@@ -1612,4 +1612,176 @@ object TextAnalysis {
        SELECT doc_id, n_transitions, sum_lp_micro,
          ${DetLn.avg4Sql("sum_lp_micro", "n_transitions")} AS avg_logprob
        FROM rlppl ORDER BY doc_id"""
+
+  // ----- per-language reference LMs (q173) ---------------------------
+  // CCNet's production shape is not ONE reference LM but one PER
+  // LANGUAGE (a wiki-trained KenLM per language), because transition
+  // statistics do not transfer across languages — the same surface
+  // word can be common in one and noise in another. q169's single
+  // model is the mixed-reference baseline; this family trains the
+  // per-language models from the reference's TRUSTED labels and scores
+  // each document under the model of its PREDICTED language (q30) —
+  // exactly the CCNet wiring (curated labels in, predictions out).
+
+  /** Per-language trained reference LMs, all language-keyed frames:
+    * `bigrams` (lang, prev, w, c2), `uni` (lang, w, c), and `scal`
+    * (lang, m) with m = N_lang + V_lang + 1 — one add-one denominator
+    * per language. Reference-sized × the handful of reference
+    * languages; every frame broadcasts. */
+  final case class LangLmModel(bigrams: DataFrame, uni: DataFrame,
+      scal: DataFrame)
+
+  private def langLmMemoKey(dir: String): String =
+    s"langlm:$dir:${NbRefSources.mkString(",")}"
+
+  /** The corpus's per-language reference LMs under the session memo. */
+  private[graft] def langLmModelFor(spark: SparkSession,
+      dir: String): LangLmModel =
+    graft.SessionMemo(spark, langLmMemoKey(dir))(
+      langLmTrainOf(nbTaggedOf(Tables(spark, dir, "documents"),
+          NbRefSources),
+        Tables(spark, dir, "documents").select(col("doc_id"),
+          col("lang"))))
+
+  /** Train one LM per reference language: the reference train docs
+    * ([[nbTaggedOf]]'s split/source contract) carry their TRUSTED
+    * labels in, and every count keys on (lang, …). Checkpointed;
+    * eager, so an empty reference train split fails here, loudly. */
+  private[graft] def langLmTrainOf(tagged: DataFrame,
+      labels: DataFrame): LangLmModel = {
+    val ref = tagged
+      .filter(col("split") === "train" && col("is_ref"))
+      .select(col("doc_id"), col("text"))
+      .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val uni = ref
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val scal = uni.groupBy(col("lang"))
+      .agg((sum(col("c")) + count(lit(1)) + lit(1L)).as("m"))
+      .localCheckpoint()
+    require(scal.count() > 0, "reference LM training split is empty")
+    val bigrams = transitionsOf(ref)
+      .join(ref.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("prev"), col("w"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    LangLmModel(bigrams, uni, scal)
+  }
+
+  /** Score a (doc_id, text, pred_lang) frame, each document under the
+    * model of its predicted language — [[refPerplexityOf]]'s branch
+    * arithmetic with every model lookup keyed on (pred_lang, …) and
+    * the per-language `m` a JOINED column instead of a literal.
+    * Documents predicted a language the reference has no model for
+    * are EXCLUDED (the scal join is inner) — refuse, don't score
+    * under a foreign model; CCNet routes such docs to a fallback
+    * pipeline, not to a wrong LM. Same broadcast posture as q169 (the
+    * per-language models together are still reference-sized). */
+  private[graft] def langPerplexityOf(docs: DataFrame,
+      model: LangLmModel): DataFrame = {
+    val docBig = transitionsOf(docs)
+      .join(docs.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("pred_lang"), col("prev"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val j = docBig
+      .join(broadcast(model.scal
+        .select(col("lang").as("pred_lang"), col("m"))),
+        Seq("pred_lang"))
+      .join(broadcast(model.bigrams
+        .select(col("lang").as("pred_lang"), col("prev"), col("w"),
+          col("c2"))),
+        Seq("pred_lang", "prev", "w"), "left")
+      .join(broadcast(model.uni
+        .select(col("lang").as("pred_lang"), col("w").as("prev"),
+          col("c").as("cp"))),
+        Seq("pred_lang", "prev"), "left")
+      .join(broadcast(model.uni
+        .select(col("lang").as("pred_lang"), col("w"),
+          col("c").as("cw"))),
+        Seq("pred_lang", "w"), "left")
+      .na.fill(0L, Seq("c2", "cp", "cw"))
+      .withColumn("la_num", expr(
+        "CASE WHEN cp > 0 THEN 7 * c2 * m + 3 * (cw + 1) * cp" +
+          " ELSE 3 * (cw + 1) END"))
+      .withColumn("la_den", expr(
+        "CASE WHEN cp > 0 THEN 10 * cp * m ELSE 10 * m END"))
+    DetLn.withLnFix(DetLn.withLnFix(j, "ln_a", "la_num"),
+        "ln_b", "la_den")
+      .withColumn("lp_micro", expr(DetLn.microSql("ln_a - ln_b")))
+      .select(col("doc_id"), col("pred_lang"), col("k"),
+        (col("k") * col("lp_micro")).as("lp"))
+      .groupBy(col("doc_id"), col("pred_lang"))
+      .agg(sum(col("k")).as("n_transitions"),
+        sum(col("lp")).as("sum_lp_micro"))
+      .select(col("doc_id"), col("pred_lang"), col("n_transitions"),
+        col("sum_lp_micro"),
+        expr(DetLn.avg4Sql("sum_lp_micro", "n_transitions"))
+          .as("avg_logprob"))
+  }
+
+  /** Shared oracle fragment for q173 — `ll`-prefixed: reference train
+    * docs with labels, per-language unigram/bigram counts and add-one
+    * denominators, then the branch arithmetic with `m` joined per
+    * language, scoring every (doc_id, pred_lang) pair `scoreFrom`
+    * exposes. Ends at `llppl(doc_id, pred_lang, n_transitions,
+    * sum_lp_micro)`. */
+  private[ext] def langLmCte(scoreFrom: String): String = {
+    val (stages, fin) = DetLn.oracleLnStages("ll0", "ll",
+      Seq("doc_id", "pred_lang", "k", "xa", "xb"),
+      Seq("ln_a" -> "xa", "ln_b" -> "xb"))
+    s"""lla AS (SELECT d.doc_id, d.text, d.lang
+         FROM documents d
+         WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)),
+             1, 2) < 'cc'
+           AND d.source IN ('src0', 'src1')),
+       lluni AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+           FROM lla) u
+         GROUP BY 1, 2),
+       llscal AS (SELECT lang, CAST(sum(c) AS BIGINT)
+           + CAST(count(*) AS BIGINT) + 1 AS m
+         FROM lluni GROUP BY 1),
+       llw AS (SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM lla),
+       llb AS (SELECT a.lang, a.w AS prev, b.w AS w,
+           CAST(count(*) AS BIGINT) AS c2
+         FROM llw a JOIN llw b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY 1, 2, 3),
+       llsw AS (SELECT s.doc_id, s.pred_lang, d.text FROM $scoreFrom s
+         JOIN documents d ON d.doc_id = s.doc_id),
+       llst AS (SELECT doc_id, pred_lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM llsw),
+       lltr AS (SELECT a.doc_id, a.pred_lang, a.w AS prev, b.w AS w,
+           CAST(count(*) AS BIGINT) AS k
+         FROM llst a JOIN llst b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY 1, 2, 3, 4),
+       ll0 AS (SELECT t.doc_id, t.pred_lang, t.k,
+           CASE WHEN coalesce(cp.c, 0) > 0
+             THEN 7 * coalesce(b2.c2, 0) * s.m
+               + 3 * (coalesce(cw.c, 0) + 1) * cp.c
+             ELSE 3 * (coalesce(cw.c, 0) + 1) END AS xa,
+           CASE WHEN coalesce(cp.c, 0) > 0 THEN 10 * cp.c * s.m
+             ELSE 10 * s.m END AS xb
+         FROM lltr t
+         JOIN llscal s ON s.lang = t.pred_lang
+         LEFT JOIN llb b2 ON b2.lang = t.pred_lang
+           AND b2.prev = t.prev AND b2.w = t.w
+         LEFT JOIN lluni cp ON cp.lang = t.pred_lang
+           AND cp.w = t.prev
+         LEFT JOIN lluni cw ON cw.lang = t.pred_lang
+           AND cw.w = t.w)$stages,
+       llsc AS (SELECT doc_id, pred_lang, k,
+           ${DetLn.microSql("ln_a - ln_b")} AS lp_micro FROM $fin),
+       llppl AS (SELECT doc_id, pred_lang,
+           CAST(sum(k) AS BIGINT) AS n_transitions,
+           CAST(sum(k * lp_micro) AS BIGINT) AS sum_lp_micro
+         FROM llsc GROUP BY 1, 2)"""
+  }
 }

@@ -1471,6 +1471,47 @@ object Warc {
          CAST(sum(toks) AS BIGINT) AS tok_kept
        FROM cbk GROUP BY 1, 2 ORDER BY pred_lang, bucket"""
 
+  /** Per-language reference perplexity — q173: each crawl survivor
+    * scored under the LM of its PREDICTED language
+    * ([[TextAnalysis.langPerplexityOf]] over [[TextAnalysis
+    * .langLmModelFor]]'s per-language models, q30's predictions) —
+    * CCNet's production wiring: trusted labels train one model per
+    * language, predictions route each document to its model, and a
+    * document predicted a language the reference cannot model is
+    * refused rather than scored under a foreign LM. ORDER BY = oracle
+    * determinism only. */
+  def langPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keptFromFlags(crawlFlags(spark, dir))
+    val lang = TextAnalysis.langIdOf(
+        kept.select(col("doc_id"), col("text"))
+          .join(Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("lang")), Seq("doc_id")))
+      .select(col("doc_id"), col("pred_lang"))
+    TextAnalysis.langPerplexityOf(
+        kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
+        TextAnalysis.langLmModelFor(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q173 [[langPerplexity]] — the q165 survivor CTEs,
+    * q30's language CTE routing each survivor, and the per-language
+    * LM chain ([[TextAnalysis.langLmCte]]). */
+  lazy val langPerplexityOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL),
+       ${TextAnalysis.langIdCte},
+       ksc AS (SELECT k.doc_id, l.pred_lang
+         FROM kept k JOIN lg l ON l.doc_id = k.doc_id),
+       ${TextAnalysis.langLmCte("ksc")}
+       SELECT doc_id, pred_lang, n_transitions, sum_lp_micro,
+         ${graft.functions.DetLn.avg4Sql("sum_lp_micro",
+           "n_transitions")} AS avg_logprob
+       FROM llppl ORDER BY doc_id"""
+
   /** q171: the concat-and-chunk token layout of the released clean
     * set ([[Shards.tokenLayoutOf]] over the q166 shards) — the final
     * delivery answer: how many fixed-length training sequences each

@@ -308,7 +308,9 @@ object ScaleSmoke {
       "q171_token_layout" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlTokenLayout(s, d)),
       "q172_sequence_index" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.crawlSequenceIndex(s, d))
+        graft.ext.Warc.crawlSequenceIndex(s, d)),
+      "q173_lang_perplexity" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.langPerplexity(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -124,6 +124,79 @@ class RefLmSpec extends SparkSpecBase {
     assert(out.map(_.toString).toSeq == rebuilt.map(_.toString).toSeq)
   }
 
+  test("per-language models: the same surface word counts separately " +
+      "per language, and scoring routes by PREDICTED language") {
+    // "die" is a common article in de and a rare verb in en — the
+    // reason CCNet trains per-language models at all
+    val m = TextAnalysis.langLmTrainOf(
+      tagged(
+        (1L, "train", true, "die katze die maus die"),
+        (2L, "train", true, "die hard fans cheer loudly"),
+        (3L, "val", true, "die die die")),
+      Seq((1L, "de"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang"))
+    val uni = m.uni.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(uni(("de", "die")) == 3L && uni(("en", "die")) == 1L)
+    val scal = m.scal.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de: N=5 V=3 -> m=9; en: N=5 V=5 -> m=11
+    assert(scal == Map("de" -> 9L, "en" -> 11L))
+    // one text, two routings: (die, katze) is a seen de bigram
+    // (c2=1, cp=3, cw=1 under de) but fully unseen under en
+    // (cp=1, cw=0, c2=0)
+    val out = TextAnalysis.langPerplexityOf(
+      Seq((10L, "die katze", "de"), (11L, "die katze", "en"))
+        .toDF("doc_id", "text", "pred_lang"), m)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(10L) == lpMicro(7L * 1 * 9 + 3L * (1 + 1) * 3, 10L * 3 * 9))
+    assert(out(11L) == lpMicro(7L * 0 * 11 + 3L * (0 + 1) * 1, 10L * 1 * 11))
+    // a predicted language the reference cannot model is refused
+    val none = TextAnalysis.langPerplexityOf(
+      Seq((12L, "die katze", "xx")).toDF("doc_id", "text", "pred_lang"), m)
+    assert(none.count() == 0)
+  }
+
+  test("a single-language reference collapses to the q169 single " +
+      "model: identical scores") {
+    val rows = Seq(
+      (1L, "train", true, "a b a"),
+      (2L, "train", true, "a b c"),
+      (3L, "train", false, "z z z"))
+    val labels = rows.map(r => (r._1, "en")).toDF("doc_id", "lang")
+    val lm = TextAnalysis.langLmTrainOf(tagged(rows: _*), labels)
+    val docs = Seq((10L, "a b"), (11L, "q b"), (12L, "c a b q"))
+      .toDF("doc_id", "text")
+    val single = TextAnalysis.refPerplexityOf(docs, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val perLang = TextAnalysis.langPerplexityOf(
+        docs.withColumn("pred_lang", lit("en")), lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(single == perLang)
+  }
+
+  test("q173 reconciles with q167: exactly the survivors whose " +
+      "predicted language the reference models, each scored once") {
+    val out = Warc.langPerplexity(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val modeled = TextAnalysis.langLmModelFor(spark, sf0001)
+      .scal.collect().map(_.getString(0)).toSet
+    val perLang = Warc.crawlLanguages(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.length.toLong
+    }
+    // every scored language is reference-modeled, and its doc count
+    // equals q167's survivor count for that language (survivors all
+    // clear the >= 20-token gate, so none drop for lack of a
+    // transition)
+    assert(got.keySet.subsetOf(modeled))
+    for ((l, n) <- got) assert(n == perLang(l), s"$l count")
+    assert(got.keySet == perLang.keySet.intersect(modeled))
+  }
+
   test("plan shape: scoring joins the model by BROADCAST only — " +
       "three broadcast joins, zero sort-merge joins") {
     val df = TextAnalysis.refPerplexityOf(
