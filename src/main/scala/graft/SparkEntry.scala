@@ -311,6 +311,8 @@ object SparkEntry {
       graft.ext.Warc.crawlSequenceIndex(s, d)),
     "q173_lang_perplexity" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.langPerplexity(s, d)),
+    "q174_ccnet_lang_buckets" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.ccnetLangBuckets(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -597,6 +599,7 @@ object SparkEntry {
     "q170_ccnet_buckets" -> graft.ext.Warc.ccnetBucketsOracle,
     "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle,
     "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle,
-    "q173_lang_perplexity" -> graft.ext.Warc.langPerplexityOracle
+    "q173_lang_perplexity" -> graft.ext.Warc.langPerplexityOracle,
+    "q174_ccnet_lang_buckets" -> graft.ext.Warc.ccnetLangBucketsOracle
   )
 }

@@ -1512,6 +1512,67 @@ object Warc {
            "n_transitions")} AS avg_logprob
        FROM llppl ORDER BY doc_id"""
 
+  /** CCNet terciles under the per-language models — q174: q170's
+    * head/middle/tail mechanic with each survivor scored by ITS
+    * predicted language's LM (q173) instead of the mixed-reference
+    * model — the full CCNet stack (per-language models, per-language
+    * cutoffs). Survivors whose predicted language the reference
+    * cannot model are refused upstream and so carry no bucket — the
+    * honest output for a pipeline that routes them elsewhere. ORDER
+    * BY = oracle determinism only. */
+  def ccnetLangBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keptFromFlags(crawlFlags(spark, dir))
+    val lang = TextAnalysis.langIdOf(
+        kept.select(col("doc_id"), col("text"))
+          .join(Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("lang")), Seq("doc_id")))
+      .select(col("doc_id"), col("pred_lang"))
+    val ppl = TextAnalysis.langPerplexityOf(
+      kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
+      TextAnalysis.langLmModelFor(spark, dir))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    kept.select(col("doc_id"), col("_toks"))
+      .join(ppl.select(col("doc_id"), col("pred_lang"),
+        col("avg_logprob")), Seq("doc_id"))
+      .withColumn("_nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_nt") === 1, "head")
+          .when(col("_nt") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("pred_lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("tok_kept"))
+      .orderBy(col("pred_lang"), col("bucket"))
+  }
+
+  /** Oracle for q174 [[ccnetLangBuckets]] — the q173 chain plus the
+    * q170 tercile window. */
+  lazy val ccnetLangBucketsOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL),
+       ${TextAnalysis.langIdCte},
+       ksc AS (SELECT k.doc_id, l.pred_lang
+         FROM kept k JOIN lg l ON l.doc_id = k.doc_id),
+       ${TextAnalysis.langLmCte("ksc")},
+       csc AS (SELECT k.doc_id, k.toks, p.pred_lang,
+           ${graft.functions.DetLn.avg4Sql("p.sum_lp_micro",
+             "p.n_transitions")} AS alp
+         FROM kept k JOIN llppl p ON p.doc_id = k.doc_id),
+       cbk AS (SELECT pred_lang, toks,
+           ntile(3) OVER (PARTITION BY pred_lang
+             ORDER BY alp DESC, doc_id) AS nt
+         FROM csc)
+       SELECT pred_lang,
+         CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           ELSE 'tail' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tok_kept
+       FROM cbk GROUP BY 1, 2 ORDER BY pred_lang, bucket"""
+
   /** q171: the concat-and-chunk token layout of the released clean
     * set ([[Shards.tokenLayoutOf]] over the q166 shards) — the final
     * delivery answer: how many fixed-length training sequences each

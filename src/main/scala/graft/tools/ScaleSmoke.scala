@@ -310,7 +310,9 @@ object ScaleSmoke {
       "q172_sequence_index" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.crawlSequenceIndex(s, d)),
       "q173_lang_perplexity" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.langPerplexity(s, d))
+        graft.ext.Warc.langPerplexity(s, d)),
+      "q174_ccnet_lang_buckets" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.ccnetLangBuckets(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -75,7 +75,8 @@ class ParallelismSpec extends SparkSpecBase {
     // are total-ordered by (score|mix, doc_id), so neither may move
     // with partition count
     "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout",
-    "q172_sequence_index", "q173_lang_perplexity")
+    "q172_sequence_index", "q173_lang_perplexity",
+    "q174_ccnet_lang_buckets")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -197,6 +197,44 @@ class RefLmSpec extends SparkSpecBase {
     assert(got.keySet == perLang.keySet.intersect(modeled))
   }
 
+  test("q174 equals an independent Scala tercile walk over q173's " +
+      "per-doc scores, with token mass reconciled against the " +
+      "survivor flags") {
+    val ppl = Warc.langPerplexity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    val keptToks = Warc.crawlLanguages(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // independent walk: per language, sort (score desc, doc_id) and
+    // deal ntile(3) buckets (first n mod 3 buckets one larger)
+    var expected = Map.empty[(String, String), (Long, Long)]
+    val docToks = Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((lang, rs) <- ppl.groupBy(_._2)) {
+      val ordered = rs.sortBy(r => (-r._3, r._1))
+      val n = ordered.length
+      val base = n / 3; val extra = n % 3
+      var i = 0
+      for ((b, name) <- Seq(1 -> "head", 2 -> "middle", 3 -> "tail")) {
+        val sz = base + (if (b <= extra) 1 else 0)
+        val slice = ordered.slice(i, i + sz); i += sz
+        if (slice.nonEmpty)
+          expected += (lang, name) ->
+            (slice.length.toLong, slice.map(r => docToks(r._1)).sum)
+      }
+    }
+    val got = Warc.ccnetLangBuckets(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // languages the reference models carry ALL their q167 survivor
+    // token mass into buckets (nothing lost but the refused languages)
+    for ((lang, _) <- ppl.groupBy(_._2))
+      assert(got.filter(_._1._1 == lang).values.map(_._2).sum ==
+        keptToks(lang), s"$lang token mass")
+  }
+
   test("plan shape: scoring joins the model by BROADCAST only — " +
       "three broadcast joins, zero sort-merge joins") {
     val df = TextAnalysis.refPerplexityOf(
