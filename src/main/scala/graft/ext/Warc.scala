@@ -1161,6 +1161,24 @@ object Warc {
     * split, ending at `clean(doc_id, toks)`. Composed into the
     * q166/q168 oracles so the release definition is written once.
     * Expects [[crawlSurvivorCte]] ahead of it. */
+  /** Shared oracle fragment: the survivor set itself —
+    * `kept(doc_id, toks)`, exact keepers that are near-dup
+    * representatives — as composed by the q167/q170/q173/q174
+    * oracles. ([[crawlCleanCte]] inlines its own benchmark-filtered
+    * variant.) Expects [[crawlSurvivorCte]] ahead of it. */
+  /** Shared oracle fragment: each survivor with its q30-predicted
+    * language — the scoring route q173/q174 share. Expects
+    * [[crawlKeptCte]] and [[TextAnalysis.langIdCte]] ahead of it. */
+  private def crawlKscCte: String =
+    s"""ksc AS (SELECT k.doc_id, l.pred_lang
+         FROM kept k JOIN lg l ON l.doc_id = k.doc_id)"""
+
+  private def crawlKeptCte: String =
+    s"""kept AS (SELECT a.doc_id, a.toks FROM adm a
+         JOIN ek ON ek.doc_id = a.doc_id
+         LEFT JOIN nd ON nd.doc_id = a.doc_id
+         WHERE nd.doc_id IS NULL)"""
+
   private def crawlCleanCte: String =
     s"""kept AS (SELECT a.doc_id, a.toks FROM adm a
          JOIN ek ON ek.doc_id = a.doc_id
@@ -1325,10 +1343,7 @@ object Warc {
   lazy val crawlLanguagesOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
        ${crawlSurvivorCte(withDomain = false)},
-       kept AS (SELECT a.doc_id, a.toks FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL),
+       $crawlKeptCte,
        ${TextAnalysis.langIdCte}
        SELECT l.pred_lang,
          CAST(count(*) AS BIGINT) AS n_docs,
@@ -1449,10 +1464,7 @@ object Warc {
   lazy val ccnetBucketsOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
        ${crawlSurvivorCte(withDomain = false)},
-       kept AS (SELECT a.doc_id, a.toks FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL),
+       $crawlKeptCte,
        ${TextAnalysis.refLmCte("kept")},
        ${TextAnalysis.langIdCte},
        csc AS (SELECT k.doc_id, k.toks, l.pred_lang,
@@ -1480,17 +1492,27 @@ object Warc {
     * document predicted a language the reference cannot model is
     * refused rather than scored under a foreign LM. ORDER BY = oracle
     * determinism only. */
-  def langPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  def langPerplexity(spark: SparkSession, dir: String): DataFrame =
+    survivorLangPpl(spark, dir)._2
+      .orderBy(col("doc_id"))
+
+  /** Survivors scored under the per-language session models — ONE
+    * definition of the routing (q30 predictions over the corpus
+    * labels, refusal on unmodeled languages) shared by q173's per-doc
+    * output and q174's tercile rollup, so the two cannot diverge.
+    * Returns (kept survivors, per-doc scores); sort-free. */
+  private def survivorLangPpl(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val kept = keptFromFlags(crawlFlags(spark, dir))
     val lang = TextAnalysis.langIdOf(
         kept.select(col("doc_id"), col("text"))
           .join(Tables(spark, dir, "documents")
             .select(col("doc_id"), col("lang")), Seq("doc_id")))
       .select(col("doc_id"), col("pred_lang"))
-    TextAnalysis.langPerplexityOf(
-        kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
-        TextAnalysis.langLmModelFor(spark, dir))
-      .orderBy(col("doc_id"))
+    val ppl = TextAnalysis.langPerplexityOf(
+      kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
+      TextAnalysis.langLmModelFor(spark, dir))
+    (kept, ppl)
   }
 
   /** Oracle for q173 [[langPerplexity]] — the q165 survivor CTEs,
@@ -1499,13 +1521,9 @@ object Warc {
   lazy val langPerplexityOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
        ${crawlSurvivorCte(withDomain = false)},
-       kept AS (SELECT a.doc_id, a.toks FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL),
+       $crawlKeptCte,
        ${TextAnalysis.langIdCte},
-       ksc AS (SELECT k.doc_id, l.pred_lang
-         FROM kept k JOIN lg l ON l.doc_id = k.doc_id),
+       $crawlKscCte,
        ${TextAnalysis.langLmCte("ksc")}
        SELECT doc_id, pred_lang, n_transitions, sum_lp_micro,
          ${graft.functions.DetLn.avg4Sql("sum_lp_micro",
@@ -1521,15 +1539,7 @@ object Warc {
     * honest output for a pipeline that routes them elsewhere. ORDER
     * BY = oracle determinism only. */
   def ccnetLangBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val kept = keptFromFlags(crawlFlags(spark, dir))
-    val lang = TextAnalysis.langIdOf(
-        kept.select(col("doc_id"), col("text"))
-          .join(Tables(spark, dir, "documents")
-            .select(col("doc_id"), col("lang")), Seq("doc_id")))
-      .select(col("doc_id"), col("pred_lang"))
-    val ppl = TextAnalysis.langPerplexityOf(
-      kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
-      TextAnalysis.langLmModelFor(spark, dir))
+    val (kept, ppl) = survivorLangPpl(spark, dir)
     val w = Window.partitionBy(col("pred_lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
     kept.select(col("doc_id"), col("_toks"))
@@ -1550,13 +1560,9 @@ object Warc {
   lazy val ccnetLangBucketsOracle: String =
     s"""WITH RECURSIVE ${UrlCurate.curateCte},
        ${crawlSurvivorCte(withDomain = false)},
-       kept AS (SELECT a.doc_id, a.toks FROM adm a
-         JOIN ek ON ek.doc_id = a.doc_id
-         LEFT JOIN nd ON nd.doc_id = a.doc_id
-         WHERE nd.doc_id IS NULL),
+       $crawlKeptCte,
        ${TextAnalysis.langIdCte},
-       ksc AS (SELECT k.doc_id, l.pred_lang
-         FROM kept k JOIN lg l ON l.doc_id = k.doc_id),
+       $crawlKscCte,
        ${TextAnalysis.langLmCte("ksc")},
        csc AS (SELECT k.doc_id, k.toks, p.pred_lang,
            ${graft.functions.DetLn.avg4Sql("p.sum_lp_micro",
