@@ -313,6 +313,8 @@ object SparkEntry {
       graft.ext.Warc.langPerplexity(s, d)),
     "q174_ccnet_lang_buckets" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.ccnetLangBuckets(s, d)),
+    "q175_routed_perplexity" -> ((s: SparkSession, d: String) =>
+      graft.ext.Warc.routedPerplexity(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
       Curate.mixtureSchedule(s, d))
   )
@@ -600,6 +602,7 @@ object SparkEntry {
     "q171_token_layout" -> graft.ext.Warc.crawlTokenLayoutOracle,
     "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle,
     "q173_lang_perplexity" -> graft.ext.Warc.langPerplexityOracle,
-    "q174_ccnet_lang_buckets" -> graft.ext.Warc.ccnetLangBucketsOracle
+    "q174_ccnet_lang_buckets" -> graft.ext.Warc.ccnetLangBucketsOracle,
+    "q175_routed_perplexity" -> graft.ext.Warc.routedPerplexityOracle
   )
 }

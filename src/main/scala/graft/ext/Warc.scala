@@ -1493,16 +1493,17 @@ object Warc {
     * refused rather than scored under a foreign LM. ORDER BY = oracle
     * determinism only. */
   def langPerplexity(spark: SparkSession, dir: String): DataFrame =
-    survivorLangPpl(spark, dir)._2
+    survivorLangPpl(spark, dir)._3
       .orderBy(col("doc_id"))
 
   /** Survivors scored under the per-language session models — ONE
     * definition of the routing (q30 predictions over the corpus
     * labels, refusal on unmodeled languages) shared by q173's per-doc
-    * output and q174's tercile rollup, so the two cannot diverge.
-    * Returns (kept survivors, per-doc scores); sort-free. */
+    * output, q174's tercile rollup, and q175's fallback route, so
+    * none can diverge. Returns (kept survivors, predictions, per-doc
+    * scores); sort-free. */
   private def survivorLangPpl(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val kept = keptFromFlags(crawlFlags(spark, dir))
     val lang = TextAnalysis.langIdOf(
         kept.select(col("doc_id"), col("text"))
@@ -1512,8 +1513,58 @@ object Warc {
     val ppl = TextAnalysis.langPerplexityOf(
       kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
       TextAnalysis.langLmModelFor(spark, dir))
-    (kept, ppl)
+    (kept, lang, ppl)
   }
+
+  /** Routed perplexity — q175, the fallback q173's refusal demands:
+    * every survivor scored exactly once, under its predicted
+    * language's LM when the reference models it (`model_kind` =
+    * 'lang'), otherwise under the MIXED reference model (q169's, the
+    * honest fallback — all reference mass rather than a wrong
+    * language's counts), with the provenance column saying which.
+    * Refuse-then-route: no document is lost, and no document's score
+    * silently comes from a model that never saw its language family's
+    * statistics. ORDER BY = oracle determinism only. */
+  def routedPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val (kept, lang, ppl) = survivorLangPpl(spark, dir)
+    val unmodeled = kept.select(col("doc_id"), col("text"))
+      .join(ppl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val mixed = TextAnalysis.refPerplexityOf(unmodeled,
+        TextAnalysis.refLmModelFor(spark, dir))
+      .join(lang, Seq("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("n_transitions"),
+        col("sum_lp_micro"), col("avg_logprob"))
+    ppl.withColumn("model_kind", lit("lang"))
+      .unionByName(mixed.withColumn("model_kind", lit("mixed")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q175 [[routedPerplexity]] — the q173 chain, the
+    * unscored remainder, and the q169 chain over that remainder; the
+    * `rl`/`ll` fragments compose under one WITH. */
+  lazy val routedPerplexityOracle: String =
+    s"""WITH RECURSIVE ${UrlCurate.curateCte},
+       ${crawlSurvivorCte(withDomain = false)},
+       $crawlKeptCte,
+       ${TextAnalysis.langIdCte},
+       $crawlKscCte,
+       ${TextAnalysis.langLmCte("ksc")},
+       mdoc AS (SELECT s.doc_id FROM ksc s
+         LEFT JOIN llppl p ON p.doc_id = s.doc_id
+         WHERE p.doc_id IS NULL),
+       ${TextAnalysis.refLmCte("mdoc")}
+       SELECT doc_id, pred_lang, n_transitions, sum_lp_micro,
+         ${graft.functions.DetLn.avg4Sql("sum_lp_micro",
+           "n_transitions")} AS avg_logprob,
+         'lang' AS model_kind
+       FROM llppl
+       UNION ALL
+       SELECT r.doc_id, s.pred_lang, r.n_transitions, r.sum_lp_micro,
+         ${graft.functions.DetLn.avg4Sql("r.sum_lp_micro",
+           "r.n_transitions")} AS avg_logprob,
+         'mixed' AS model_kind
+       FROM rlppl r JOIN ksc s ON s.doc_id = r.doc_id
+       ORDER BY doc_id"""
 
   /** Oracle for q173 [[langPerplexity]] — the q165 survivor CTEs,
     * q30's language CTE routing each survivor, and the per-language
@@ -1539,7 +1590,7 @@ object Warc {
     * honest output for a pipeline that routes them elsewhere. ORDER
     * BY = oracle determinism only. */
   def ccnetLangBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val (kept, ppl) = survivorLangPpl(spark, dir)
+    val (kept, _, ppl) = survivorLangPpl(spark, dir)
     val w = Window.partitionBy(col("pred_lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
     kept.select(col("doc_id"), col("_toks"))

@@ -312,7 +312,9 @@ object ScaleSmoke {
       "q173_lang_perplexity" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.langPerplexity(s, d)),
       "q174_ccnet_lang_buckets" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.ccnetLangBuckets(s, d))
+        graft.ext.Warc.ccnetLangBuckets(s, d)),
+      "q175_routed_perplexity" -> ((s: SparkSession, d: String) =>
+        graft.ext.Warc.routedPerplexity(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -76,7 +76,7 @@ class ParallelismSpec extends SparkSpecBase {
     // with partition count
     "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout",
     "q172_sequence_index", "q173_lang_perplexity",
-    "q174_ccnet_lang_buckets")
+    "q174_ccnet_lang_buckets", "q175_routed_perplexity")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

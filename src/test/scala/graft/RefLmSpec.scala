@@ -235,6 +235,28 @@ class RefLmSpec extends SparkSpecBase {
         keptToks(lang), s"$lang token mass")
   }
 
+  test("q175 routes every survivor exactly once: 'lang' rows equal " +
+      "q173 verbatim, 'mixed' rows equal q169's scores for those " +
+      "docs, and coverage equals the q167 survivor total") {
+    val out = Warc.routedPerplexity(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val total = Warc.crawlLanguages(spark, sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(out.length.toLong == total)
+    val (langRows, mixedRows) =
+      out.partition(_.getString(5) == "lang")
+    assert(mixedRows.nonEmpty, "fixture must exercise the fallback")
+    val q173rows = Warc.langPerplexity(spark, sf0001).collect()
+      .map(r => r.toSeq).toSet
+    assert(langRows.map(_.toSeq.dropRight(1)).toSet == q173rows)
+    val q169scores = TextAnalysis.refPerplexity(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (r <- mixedRows)
+      assert(q169scores(r.getLong(0)) == (r.getLong(2), r.getLong(3)),
+        s"doc ${r.getLong(0)} mixed score")
+  }
+
   test("plan shape: scoring joins the model by BROADCAST only — " +
       "three broadcast joins, zero sort-merge joins") {
     val df = TextAnalysis.refPerplexityOf(
