@@ -1527,8 +1527,19 @@ object Warc {
     * statistics. ORDER BY = oracle determinism only. */
   def routedPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val (kept, lang, ppl) = survivorLangPpl(spark, dir)
+    // route on membership in the (tiny, broadcast) modeled-language
+    // set, NOT by anti-joining ppl's doc_ids: Spark does not dedup
+    // common subtrees, so the ppl form would re-run the whole
+    // per-language scoring chain once per side of the union.
+    // Score-equivalent: langPerplexityOf's inner scal join means
+    // "scored" ≡ "pred_lang ∈ scal" for every survivor (all clear the
+    // ≥ 20-token admission gate, so none lack a transition).
+    val modeledLangs = TextAnalysis.langLmModelFor(spark, dir)
+      .scal.select(col("lang").as("pred_lang"))
     val unmodeled = kept.select(col("doc_id"), col("text"))
-      .join(ppl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(lang, Seq("doc_id"))
+      .join(broadcast(modeledLangs), Seq("pred_lang"), "left_anti")
+      .select(col("doc_id"), col("text"))
     val mixed = TextAnalysis.refPerplexityOf(unmodeled,
         TextAnalysis.refLmModelFor(spark, dir))
       .join(lang, Seq("doc_id"))
