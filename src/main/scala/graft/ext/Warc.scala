@@ -4,7 +4,6 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1319,22 +1318,49 @@ object Warc {
     * single-pass trigram scorer — no shuffle until the final
     * language aggregate (the label join is id-keyed). */
   def crawlLanguagesOf(kept: DataFrame, labels: DataFrame): DataFrame =
-    TextAnalysis.langIdOf(
-        kept.select(col("doc_id"), col("text"))
-          .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id")))
-      .join(kept.select(col("doc_id"), col("_toks")), Seq("doc_id"))
-      .groupBy(col("pred_lang"))
+    languageRollupOf(
+      TextAnalysis.langIdOf(
+          kept.select(col("doc_id"), col("text"))
+            .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id")))
+        .join(kept.select(col("doc_id"), col("_toks")), Seq("doc_id")))
+
+  /** The q167 per-language rollup over any
+    * (pred_lang, labeled_lang, _toks) frame — one definition shared by
+    * the composable Of form and the memo-reading registered entry. */
+  private def languageRollupOf(kl: DataFrame): DataFrame =
+    kl.groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_toks")).as("tok_kept"),
         sum(when(col("labeled_lang") === col("pred_lang"), 1L)
           .otherwise(0L)).as("n_label_agree"))
 
-  /** q167: [[crawlLanguagesOf]] over the crawl front's survivor flags
-    * and the source-corpus labels. ORDER BY = oracle determinism
-    * only. */
+  /** q30 predictions (+ source labels) for every crawl survivor,
+    * materialized once per session — the fourth crawl memo, one stage
+    * downstream of [[crawlFlags]]: q167's accounting, q170's bucket
+    * split, and the q173/q174/q175 per-language routing all consume
+    * the SAME prediction of the SAME static survivor set, so deriving
+    * the trigram scan once per query was registration overhead, not
+    * semantics (each oracle still replays the langId chain
+    * independently). */
+  private[graft] def survivorLangFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"crawl-survivor-lang:$dir") {
+      val kept = keptFromFlags(crawlFlags(spark, dir))
+      TextAnalysis.langIdOf(
+          kept.select(col("doc_id"), col("text"))
+            .join(Tables(spark, dir, "documents")
+              .select(col("doc_id"), col("lang")), Seq("doc_id")))
+        .select(col("doc_id"), col("labeled_lang"), col("pred_lang"))
+        .localCheckpoint()
+    }
+
+  /** q167: the per-language survivor rollup over the session's
+    * survivor predictions ([[survivorLangFor]]). ORDER BY = oracle
+    * determinism only. */
   def crawlLanguages(spark: SparkSession, dir: String): DataFrame =
-    crawlLanguagesOf(keptFromFlags(crawlFlags(spark, dir)),
-        Tables(spark, dir, "documents"))
+    languageRollupOf(survivorLangFor(spark, dir)
+        .join(keptFromFlags(crawlFlags(spark, dir))
+          .select(col("doc_id"), col("_toks")), Seq("doc_id")))
       .orderBy(col("pred_lang"))
 
   /** Oracle for q167 [[crawlLanguages]] — the q165 survivor CTEs and
@@ -1419,44 +1445,66 @@ object Warc {
     *
     * Ordering is (avg_logprob DESC, doc_id) — the score is DetLn
     * fix4-quantized and engine-exact, and the id tiebreak makes the
-    * tercile assignment fully deterministic, so ntile(3) replays
-    * bit-for-bit under the oracle.
+    * tercile assignment fully deterministic, so the oracle's ntile(3)
+    * replays it bit-for-bit.
     *
     * Scale: perplexity is [[TextAnalysis.refPerplexityOf]]'s
     * broadcast-model scoring; language ID is the narrow q30 scorer;
-    * the tercile window partitions by language — the same
-    * per-language sort CCNet itself pays (and its parallelism axis);
-    * the rollup is a tiny hash aggregate. */
+    * the tercile cut is [[graft.ops.RankBands.ntileOf]] — exact
+    * per-language rank cutoffs via the two-phase histogram bracket,
+    * ntile-identical output with NO per-language global sort (CCNet's
+    * own posture: it computes per-language cutoffs, it never sorts
+    * each language through one reducer); the rollup is a tiny hash
+    * aggregate. */
   def ccnetBucketsOf(kept: DataFrame, labels: DataFrame,
-      model: TextAnalysis.RefLmModel): DataFrame = {
-    val ppl = TextAnalysis.refPerplexityOf(
-      kept.select(col("doc_id"), col("text")), model)
-    val lang = TextAnalysis.langIdOf(
-        kept.select(col("doc_id"), col("text"))
-          .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id")))
-      .select(col("doc_id"), col("pred_lang"))
-    val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
+      model: TextAnalysis.RefLmModel): DataFrame =
+    ccnetRollupOf(ccnetScoresOf(kept,
+      TextAnalysis.langIdOf(
+          kept.select(col("doc_id"), col("text"))
+            .join(labels.select(col("doc_id"), col("lang")),
+              Seq("doc_id"))),
+      TextAnalysis.refPerplexityOf(
+        kept.select(col("doc_id"), col("text")), model)))
+
+  /** The (doc_id, _toks, pred_lang, _alp_i) tercile input: survivor
+    * token mass, predicted language, and the fix4 score recovered as
+    * an exact BIGINT in 1e-4 units (avg_logprob IS B/1e4 for integral
+    * B, so round(·1e4) is exact — the integral key RankBands
+    * brackets). */
+  private def ccnetScoresOf(kept: DataFrame, lang: DataFrame,
+      ppl: DataFrame): DataFrame =
     kept.select(col("doc_id"), col("_toks"))
       .join(ppl.select(col("doc_id"), col("avg_logprob")), Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .withColumn("_nt", ntile(3).over(w))
+      .join(lang.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      .withColumn("_alp_i",
+        expr("CAST(round(avg_logprob * 1e4) AS BIGINT)"))
+
+  /** Head/middle/tail per predicted language over a tercile-input
+    * frame — the shared q170/q174 mechanic: [[graft.ops.RankBands]]'
+    * exact cutoffs instead of a per-language ntile sort. The input is
+    * checkpointed because RankBands reads it three times (histogram,
+    * boundary brackets, assignment). */
+  private def ccnetRollupOf(scores: DataFrame): DataFrame =
+    graft.ops.RankBands.ntileOf(scores.localCheckpoint(), 3,
+        "pred_lang", "_alp_i", "doc_id", "_nt")
       .withColumn("bucket",
         when(col("_nt") === 1, "head")
           .when(col("_nt") === 2, "middle")
           .otherwise("tail"))
       .groupBy(col("pred_lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("tok_kept"))
-  }
 
-  /** q170: [[ccnetBucketsOf]] over the crawl front's survivor flags,
-    * the source-corpus labels, and the session LM. ORDER BY = oracle
-    * determinism only. */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsOf(keptFromFlags(crawlFlags(spark, dir)),
-        Tables(spark, dir, "documents"),
-        TextAnalysis.refLmModelFor(spark, dir))
+  /** q170: the tercile rollup over the crawl front's survivor flags,
+    * the session's survivor predictions ([[survivorLangFor]]), and the
+    * session LM. ORDER BY = oracle determinism only. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keptFromFlags(crawlFlags(spark, dir))
+    ccnetRollupOf(ccnetScoresOf(kept, survivorLangFor(spark, dir),
+        TextAnalysis.refPerplexityOf(
+          kept.select(col("doc_id"), col("text")),
+          TextAnalysis.refLmModelFor(spark, dir))))
       .orderBy(col("pred_lang"), col("bucket"))
+  }
 
   /** Oracle for q170 [[ccnetBuckets]] — the q165 survivor CTEs, the
     * reference-LM chain ([[TextAnalysis.refLmCte]]) scoring the
@@ -1505,16 +1553,27 @@ object Warc {
   private def survivorLangPpl(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val kept = keptFromFlags(crawlFlags(spark, dir))
-    val lang = TextAnalysis.langIdOf(
-        kept.select(col("doc_id"), col("text"))
-          .join(Tables(spark, dir, "documents")
-            .select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val lang = survivorLangFor(spark, dir)
       .select(col("doc_id"), col("pred_lang"))
     val ppl = TextAnalysis.langPerplexityOf(
       kept.select(col("doc_id"), col("text")).join(lang, Seq("doc_id")),
       TextAnalysis.langLmModelFor(spark, dir))
     (kept, lang, ppl)
   }
+
+  /** The per-language survivor scores as a session artifact — the
+    * [[Curate.neardupPairs]] convention applied to the LM stack: q173
+    * (whose registered output IS these scores) derives them fresh,
+    * while the COMPOSITIONS over them — q174's tercile rollup, q175's
+    * routed fallback — read the one materialization. Results are
+    * identical either way (the scoring chain is deterministic and the
+    * oracles replay it end to end); only the re-derivation cost
+    * collapses. */
+  private[graft] def survivorLangPplFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"crawl-survivor-langppl:$dir") {
+      survivorLangPpl(spark, dir)._3.localCheckpoint()
+    }
 
   /** Routed perplexity — q175, the fallback q173's refusal demands:
     * every survivor scored exactly once, under its predicted
@@ -1526,7 +1585,10 @@ object Warc {
     * silently comes from a model that never saw its language family's
     * statistics. ORDER BY = oracle determinism only. */
   def routedPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val (kept, lang, ppl) = survivorLangPpl(spark, dir)
+    val kept = keptFromFlags(crawlFlags(spark, dir))
+    val lang = survivorLangFor(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val ppl = survivorLangPplFor(spark, dir)
     // route on membership in the (tiny, broadcast) modeled-language
     // set, NOT by anti-joining ppl's doc_ids: Spark does not dedup
     // common subtrees, so the ppl form would re-run the whole
@@ -1598,22 +1660,15 @@ object Warc {
     * model — the full CCNet stack (per-language models, per-language
     * cutoffs). Survivors whose predicted language the reference
     * cannot model are refused upstream and so carry no bucket — the
-    * honest output for a pipeline that routes them elsewhere. ORDER
-    * BY = oracle determinism only. */
+    * honest output for a pipeline that routes them elsewhere. The
+    * tercile cut is q170's [[graft.ops.RankBands]] mechanic — exact
+    * per-language cutoffs, no per-language sort. ORDER BY = oracle
+    * determinism only. */
   def ccnetLangBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val (kept, _, ppl) = survivorLangPpl(spark, dir)
-    val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    kept.select(col("doc_id"), col("_toks"))
-      .join(ppl.select(col("doc_id"), col("pred_lang"),
-        col("avg_logprob")), Seq("doc_id"))
-      .withColumn("_nt", ntile(3).over(w))
-      .withColumn("bucket",
-        when(col("_nt") === 1, "head")
-          .when(col("_nt") === 2, "middle")
-          .otherwise("tail"))
-      .groupBy(col("pred_lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("tok_kept"))
+    val kept = keptFromFlags(crawlFlags(spark, dir))
+    val ppl = survivorLangPplFor(spark, dir)
+    ccnetRollupOf(ccnetScoresOf(kept,
+        ppl.select(col("doc_id"), col("pred_lang")), ppl))
       .orderBy(col("pred_lang"), col("bucket"))
   }
 

@@ -72,7 +72,7 @@ object PageRank {
     * ([[Triangles.coPurchaseEdges]] — one shared definition for both
     * queries and both oracles) — top-20 parts by rank. */
   def q105PageRank(spark: SparkSession, dir: String): DataFrame = {
-    pageRankOf(Triangles.coPurchaseEdges(spark, dir), iterations = 3)
+    pageRankOf(Triangles.coPurchaseEdgesFor(spark, dir), iterations = 3)
       .select(col("node").as("part"), col("rank_micro"))
       .orderBy(col("rank_micro").desc, col("part"))
       .limit(20)

@@ -74,6 +74,16 @@ object Triangles {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** The co-purchase edge list as a session artifact — the graph BOTH
+    * q104 (triangles) and q105 (PageRank) analyze: one derivation, two
+    * algorithm consumers (the [[graft.SessionMemo]] shared-artifact
+    * policy; each oracle still replays the self-join independently). */
+  private[graft] def coPurchaseEdgesFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"copurchase-edges:$dir") {
+      coPurchaseEdges(spark, dir).localCheckpoint()
+    }
+
   /** The same edge set as a DuckDB CTE body (named `e`). */
   val CoPurchaseEdgesSql: String =
     """e AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
@@ -85,7 +95,7 @@ object Triangles {
     * top-20 most clustered parts; each triangle credits all three
     * corners. */
   def q104Triangles(spark: SparkSession, dir: String): DataFrame = {
-    triangleTriplesOf(coPurchaseEdges(spark, dir))
+    triangleTriplesOf(coPurchaseEdgesFor(spark, dir))
       .select(explode(array(col("p"), col("x"), col("y"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))
