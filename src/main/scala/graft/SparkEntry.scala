@@ -316,7 +316,11 @@ object SparkEntry {
     "q175_routed_perplexity" -> ((s: SparkSession, d: String) =>
       graft.ext.Warc.routedPerplexity(s, d)),
     "q118_mixture_schedule" -> ((s: SparkSession, d: String) =>
-      Curate.mixtureSchedule(s, d))
+      Curate.mixtureSchedule(s, d)),
+    "q176_ivf_assign" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAssignExact(s, d)),
+    "q177_pq_codes" -> ((s: SparkSession, d: String) =>
+      Similarity.pqCodesExact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -603,6 +607,9 @@ object SparkEntry {
     "q172_sequence_index" -> graft.ext.Warc.crawlSequenceIndexOracle,
     "q173_lang_perplexity" -> graft.ext.Warc.langPerplexityOracle,
     "q174_ccnet_lang_buckets" -> graft.ext.Warc.ccnetLangBucketsOracle,
-    "q175_routed_perplexity" -> graft.ext.Warc.routedPerplexityOracle
+    "q175_routed_perplexity" -> graft.ext.Warc.routedPerplexityOracle,
+    "q33_media_features" -> Multimodal.featureSummaryOracle,
+    "q176_ivf_assign" -> Similarity.ivfAssignExactOracle,
+    "q177_pq_codes" -> Similarity.pqCodesExactOracle
   )
 }

@@ -45,6 +45,21 @@ object IvfIndex {
     best
   }
 
+  /** DetMix integer centroids in embedding micro-units — the q176
+    * cross-engine gate's index definition: every coordinate is
+    * `DetMix(l·dim + i + 1, seed) % 1200001 − 600000` ∈ [−6·10⁵,
+    * 6·10⁵], the same magnitude as a micro-quantized embedding
+    * coordinate, and exactly representable in a double. Against
+    * micro-quantized vectors the [[nearestList]] L2² accumulates
+    * products ≤ (1.2·10⁶)²·64 ≈ 10¹⁴ < 2⁵³ — every double operation
+    * is EXACT integer arithmetic, so the REAL assignment code path
+    * is replayable by a DuckDB BIGINT oracle bit for bit. */
+  private[ext] def detCentroids(nLists: Int, dim: Int,
+      seed: Long): Array[Array[Double]] =
+    Array.tabulate(nLists)(l => Array.tabulate(dim)(i =>
+      (graft.functions.DetMix.mixLong(l.toLong * dim + i + 1, seed)
+        % 1200001L - 600000L).toDouble))
+
   /** Deterministic distributed Lloyd: centroids seeded from the first
     * nLists vectors by vec_id rank (bounded driver pull), refined with
     * a fixed number of assign+mean passes (each one mapPartitions →

@@ -151,16 +151,64 @@ object Multimodal {
     }
   }
 
-  /** Feature-extract summary over the decoded stub features: rows-only
-    * driver check (the stub's fake dimensions are engine-specific). */
-  def featureSummary(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir)
-      .groupBy(col("format"))
+  /** q33: per-format feature summary of the REAL decoded corpus —
+    * files, decoded geometry extrema, and total content units (pixels
+    * for rasters — including JPEG, whose GEOMETRY decode is exact even
+    * though its pixel values are codec-approximate — and PCM frames
+    * for audio). Every number comes off [[MediaCodecs]]' real decoders
+    * over the synthesized corpus, and every number is an integer the
+    * oracle re-derives from `documents.text` alone (the q110
+    * byte-replay idiom), so a corrupted header field anywhere in any
+    * codec flips the rollup. Narrow decode map + one tiny hash
+    * aggregate. */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, p) =>
+        MediaCodecs.decodeImage(p) match {
+          case Some(img) =>
+            Iterator((img.format, "image", Some(img.width),
+              Some(img.height),
+              img.width.toLong * img.height * img.channels))
+          case None => MediaCodecs.decodeWav(p).iterator.map { a =>
+            ("wav", "audio", Option.empty[Int], Option.empty[Int],
+              a.nFrames.toLong * a.channels)
+          }
+        }
+      })
+      .toDF("format", "kind", "w", "h", "units")
+      .groupBy(col("format"), col("kind"))
       .agg(count(lit(1)).as("n"),
-        sum(col("n_bytes")).as("total_bytes"),
-        max(col("width")).as("max_width"),
-        max(col("frame_count")).as("max_frames"))
+        max(col("w")).as("max_width"),
+        max(col("h")).as("max_height"),
+        sum(col("units")).as("total_units"))
       .orderBy(col("format"))
+  }
+
+  /** Oracle for q33 [[featureSummary]]: the synthesis arithmetic
+    * (geometry from text length, mod-6 format arm, WAV sample count)
+    * replayed from `documents.text`. */
+  val featureSummaryOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE octet_length(encode(text)) END AS len
+       FROM documents),
+       u AS (SELECT
+           CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+             WHEN 3 THEN 'wav' WHEN 4 THEN 'png' ELSE 'jpeg' END AS format,
+           CASE WHEN m = 3 THEN 'audio' ELSE 'image' END AS kind,
+           CASE WHEN m = 3 THEN NULL ELSE 8 + len % 9 END AS w,
+           CASE WHEN m = 3 THEN NULL ELSE 6 + len % 7 END AS h,
+           CASE WHEN m = 3 THEN least(2048, len * 4)
+                ELSE (8 + len % 9) * (6 + len % 7) *
+                  (CASE WHEN m = 2 THEN 1 ELSE 3 END) END AS units
+         FROM d)
+       SELECT format, kind, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(w) AS INT) AS max_width,
+         CAST(max(h) AS INT) AS max_height,
+         CAST(sum(units) AS BIGINT) AS total_units
+       FROM u GROUP BY 1, 2 ORDER BY format"""
 
   // ------------------------------------------------- real content decode
 

@@ -43,6 +43,20 @@ object PqIndex {
     best
   }
 
+  /** DetMix integer codebooks in embedding micro-units — q177's index
+    * definition ([[IvfIndex.detCentroids]]' recipe per subspace):
+    * entry (s, c, i) = `DetMix((s·ksub + c)·sub + i + 1, seed)
+    * % 1200001 − 600000`. Against micro-quantized vectors the real
+    * [[nearestSub]] accumulates ≤ (1.2·10⁶)²·sub ≈ 10¹³ < 2⁵³ per
+    * subspace — exact doubles, DuckDB-replayable in BIGINT. */
+  private[ext] def detCodebooks(m: Int, ksub: Int, sub: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+      Array.tabulate(sub)(i =>
+        (graft.functions.DetMix.mixLong(
+            (s.toLong * ksub + c) * sub + i + 1, seed)
+          % 1200001L - 600000L).toDouble)))
+
   /** Deterministic distributed Lloyd over all m subspaces in one corpus
     * pass per iteration (per-partition (sum, count) accumulators,
     * merged associatively; bounded driver state). */

@@ -540,6 +540,114 @@ object Similarity {
          round(c, 4) AS cosine
        FROM r WHERE rank <= $k ORDER BY q_id, rank"""
 
+  // --- integer-exact ANN assignment gates (q176/q177) ----------------------
+
+  /** Micro-quantized embedding corpus: every coordinate becomes
+    * floor(x·10⁶ + 0.5) carried as a Float — exact, because |x| < 0.6
+    * keeps the integer below 2²⁴ (a Float's exact-integer range), and
+    * the float→double product x·10⁶ is itself exact (24-bit mantissa ×
+    * 20-bit constant < 2⁵³). The q115 quantization applied to the
+    * whole vector, so the REAL index code paths run on
+    * integer-valued floats. */
+  private def quantVecs(spark: SparkSession,
+      dir: String): Dataset[Vec] = {
+    import spark.implicits._
+    vecs(spark, dir).map { v =>
+      require(v.embedding.length == EmbDim,
+        s"q176/q177 oracles are pinned to dim $EmbDim, " +
+          s"got ${v.embedding.length}")
+      Vec(v.vec_id, v.embedding.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toFloat))
+    }
+  }
+
+  private val EmbDim = 64
+  private val IvfExactLists = 16
+  private val IvfExactSeed = 11L
+  private val PqExactM = 8
+  private val PqExactKsub = 16
+  private val PqExactSeed = 13L
+
+  /** q176: the IVF ASSIGNMENT gate — [[IvfIndex.assign]] (the exact
+    * code path q42 and every incremental ingest batch run) over the
+    * micro-quantized corpus and [[IvfIndex.detCentroids]]' integer
+    * centroids. Float Lloyd training is unordered-sum nondeterministic
+    * by design (and so rows-only gated in q42); the ASSIGNMENT — the
+    * part that touches every vector forever after — is pure integer
+    * arithmetic here, and the DuckDB oracle replays it bit for bit
+    * (the q115 recipe applied to a centroid argmin). ORDER BY =
+    * oracle determinism only.
+    *
+    * Scale: centroids broadcast; one narrow map; no shuffle before
+    * the output sort. */
+  def ivfAssignExact(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.assign(quantVecs(spark, dir),
+        IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
+      .orderBy(col("vec_id"))
+
+  lazy val ivfAssignExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      "(ll.range * 64 + ii.range)", IvfExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cent AS (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       d AS (SELECT q.vec_id, cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+       a AS (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id
+           ORDER BY d2, l) AS rn FROM d)
+       SELECT vec_id, CAST(l AS INT) AS list_id
+       FROM a WHERE rn = 1 ORDER BY vec_id"""
+  }
+
+  /** q177: the PQ ENCODE gate — [[PqIndex.encode]] (q69's exact code
+    * path, the per-ingest-batch step that turns 256 raw bytes into 8
+    * code bytes) over the micro-quantized corpus and
+    * [[PqIndex.detCodebooks]]' integer codebooks, one row per
+    * (vector, subspace). The per-subspace argmin is exact integer
+    * arithmetic; the DuckDB oracle replays every code. ORDER BY =
+    * oracle determinism only. */
+  def pqCodesExact(spark: SparkSession, dir: String): DataFrame =
+    PqIndex.encode(quantVecs(spark, dir),
+        PqIndex.detCodebooks(PqExactM, PqExactKsub,
+          EmbDim / PqExactM, PqExactSeed))
+      .select(col("vec_id"), posexplode(col("code")))
+      .toDF("vec_id", "subspace", "code")
+      .orderBy(col("vec_id"), col("subspace"))
+
+  lazy val pqCodesExactOracle: String = {
+    val sub = EmbDim / PqExactM
+    val mix = graft.functions.DetMix.mixSql(
+      s"((ss.range * $PqExactKsub + cc.range) * $sub + ii.range)",
+      PqExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cb AS (SELECT ss.range AS s, cc.range AS c, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS v
+         FROM range($PqExactM) ss, range($PqExactKsub) cc,
+           range(1, ${sub + 1}) ii),
+       qq AS (SELECT vec_id, (i - 1) // $sub AS s,
+           (i - 1) % $sub + 1 AS i0, qx FROM q),
+       d AS (SELECT qq.vec_id, qq.s, cb.c,
+           CAST(sum((qx - v) * (qx - v)) AS BIGINT) AS d2
+         FROM qq JOIN cb ON cb.s = qq.s AND cb.i = qq.i0
+         GROUP BY 1, 2, 3),
+       a AS (SELECT vec_id, s, c, row_number() OVER (
+           PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM d)
+       SELECT vec_id, CAST(s AS INT) AS subspace, CAST(c AS INT) AS code
+       FROM a WHERE rn = 1 ORDER BY vec_id, subspace"""
+  }
+
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {
     val mix = graft.functions.DetMix.mixSql("(j * 64 + i)", seed)
     s"""WITH dims AS (SELECT vec_id,
