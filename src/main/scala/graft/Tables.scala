@@ -32,8 +32,15 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // SessionMemo's sweep, mirrored: entries of stopped sessions only
+    // pin dead plan state — drop them whenever the cache is touched, so
+    // a long-lived JVM cycling sessions (the test runner) cannot
+    // accumulate them
+    cache.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(cache.remove)
     cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

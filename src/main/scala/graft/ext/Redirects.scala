@@ -49,7 +49,14 @@ object Redirects {
   /** Resolve every redirect chain in a fetch table.
     *
     * `fetches`: one row per fetched URL — (`url`, `http_status`,
-    * `location`), `location` null for non-redirects. Every 3xx row
+    * `location`), `location` null for non-redirects. ONE ROW PER URL
+    * is a precondition, not a hint: each hop left-joins the pending
+    * frontier against this table on url, so a duplicated url fans
+    * every chain passing through it into multiple (possibly
+    * contradictory) output rows per origin. Callers with revisit
+    * history dedup latest-wins first (the
+    * [[graft.streaming.StreamingRedirects.snapshot]] recipe: distinct,
+    * then a deterministic row_number). Every 3xx row
     * seeds a chain. One output row per seed: (`origin`, `final_url`,
     * `final_status`, `n_hops`, `outcome`) with outcome ∈
     * resolved | dangling | cap_exceeded. */

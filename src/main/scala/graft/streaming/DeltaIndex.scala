@@ -61,6 +61,16 @@ private[streaming] object DeltaIndex {
           s"${stray.mkString(", ")} — refusing to read as empty")
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
+      // the refuse-foreign-state contract holds on the populated side
+      // too: stray non-partition entries at the index root would be
+      // silently folded into the rollup by spark.read.parquet (or
+      // surface as a confusing partition-discovery failure)
+      val stray = entries.filterNot(n =>
+        n.startsWith("batch_id=") || n.startsWith("_") || n.startsWith("."))
+      require(stray.isEmpty,
+        s"$what at $outDir contains non-partition entries " +
+          s"${stray.mkString(", ")} next to its batch_id= partitions — " +
+          "refusing to fold foreign files into the index")
       val onDisk = spark.read.parquet(outDir).schema.fieldNames.toSet
       val missing = schema.fieldNames.filterNot(onDisk)
       require(missing.isEmpty,

@@ -99,6 +99,14 @@ object StreamingShards {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], deltaSchema)
     } else {
+      // populated-side refuse-foreign-state: stray non-partition files
+      // next to batch_id= partitions must refuse, never silently sum
+      val stray = entries.filterNot(n =>
+        n.startsWith("batch_id=") || n.startsWith("_") || n.startsWith("."))
+      require(stray.isEmpty,
+        s"shard manifest at $dir contains non-partition entries " +
+          s"${stray.mkString(", ")} next to its batch_id= partitions — " +
+          "refusing to fold foreign files into the manifest")
       val onDisk = spark.read.parquet(dir).schema.fieldNames.toSet
       val missing = deltaSchema.fieldNames.filterNot(onDisk)
       require(missing.isEmpty,
