@@ -320,7 +320,9 @@ object SparkEntry {
     "q176_ivf_assign" -> ((s: SparkSession, d: String) =>
       Similarity.ivfAssignExact(s, d)),
     "q177_pq_codes" -> ((s: SparkSession, d: String) =>
-      Similarity.pqCodesExact(s, d))
+      Similarity.pqCodesExact(s, d)),
+    "q178_semdedup_exact" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupExact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -610,6 +612,9 @@ object SparkEntry {
     "q175_routed_perplexity" -> graft.ext.Warc.routedPerplexityOracle,
     "q33_media_features" -> Multimodal.featureSummaryOracle,
     "q176_ivf_assign" -> Similarity.ivfAssignExactOracle,
-    "q177_pq_codes" -> Similarity.pqCodesExactOracle
+    "q177_pq_codes" -> Similarity.pqCodesExactOracle,
+    "q178_semdedup_exact" -> Similarity.semDedupExactOracle,
+    "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
+    "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )
 }

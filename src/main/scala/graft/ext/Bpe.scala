@@ -202,4 +202,131 @@ object Bpe {
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_words"),
         size(col("toks")).cast("long").as("n_bpe_tokens"))
+
+  // ------------------------------------------------------------ oracles
+  //
+  // The training loop LOOKED inexpressible (iterative, data-dependent
+  // argmax), but each round is pure relational algebra: a weighted pair
+  // count, a 1-row argmax, and a leftmost-greedy merge — and the greedy
+  // scan (merge at i, skip i+1) is set-based because merges can only
+  // chain inside RUNS of consecutive match positions (which requires
+  // l = r), where greedy keeps exactly the even offsets of each run.
+  // Sixteen rounds unroll into a static CTE chain, the q119 state-
+  // machine-replay idea without the recursion.
+  //
+  // The encode side replays the merges in RANK ORDER, one full greedy
+  // pass each — equivalent to BpeOps.encodeWord's lowest-rank-first
+  // priority loop because a merge can never create a pair of LOWER
+  // rank: the symbol it creates was created at that rank in training,
+  // so every training pair containing it has a higher rank (and a
+  // pair's own re-creation would need its merged symbol as an operand).
+
+  /** One merge round's CTE block over `src` (key columns + `syms`
+    * LIST + optional weight), producing `${out}`: positions → match
+    * flags vs `best` (guarded by the min-pair-count stop) → greedy
+    * run-parity merge selection → reassembled symbol lists. */
+  private def roundCte(src: String, out: String, best: String,
+      keys: Seq[String], carry: Seq[String], minPair: Long,
+      tag: String): String = {
+    val k = keys.mkString(", ")
+    val kq = keys.map(c => s"x.$c").mkString(", ")
+    val cy = (keys ++ carry).mkString(", ")
+    s"""x$tag AS (SELECT $cy, syms,
+           unnest(range(1, len(syms) + 1)) AS i FROM $src),
+       m$tag AS (SELECT $cy, syms, i,
+           CASE WHEN i < len(syms) AND b.l IS NOT NULL
+               AND b.c >= $minPair
+               AND syms[i] = b.l AND syms[i + 1] = b.r
+             THEN 1 ELSE 0 END AS hit
+         FROM x$tag x LEFT JOIN $best b ON TRUE),
+       g$tag AS (SELECT $cy, syms, i, hit,
+           CASE WHEN hit = 1 AND (i - min(i) OVER (
+               PARTITION BY $k, hit, grp)) % 2 = 0
+             THEN 1 ELSE 0 END AS mrg
+         FROM (SELECT *, i - row_number() OVER (
+             PARTITION BY $k, hit ORDER BY i) AS grp FROM m$tag)),
+       $out AS MATERIALIZED (SELECT $k,${carry.map(c => s" any_value($c) AS $c,")
+        .mkString} list(sym ORDER BY i) AS syms FROM (
+           SELECT $cy, i,
+             CASE WHEN mrg = 1 THEN syms[i] || syms[i + 1]
+               ELSE syms[i] END AS sym,
+             mrg, lag(mrg, 1, 0) OVER (PARTITION BY $k ORDER BY i)
+               AS pmrg
+           FROM g$tag)
+         WHERE mrg = 1 OR pmrg = 0 GROUP BY $k)"""
+  }
+
+  /** The trained-merge CTE chain: `wc`/`v0` (word counts → symbol
+    * lists), then per round r: weighted pair counts `pc_r`, the 1-row
+    * argmax `b_r` (count desc, pair lex asc — the exact JVM tiebreak),
+    * and the merged vocabulary `v_r`. */
+  private def trainCtes(rounds: Int, minPair: Long): String = {
+    val b = new StringBuilder
+    b ++= s"""wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w),
+       v_0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY w) AS wid, n,
+           list_concat(string_split(w, ''), ['$EndMark']) AS syms
+         FROM wc)"""
+    for (r <- 1 to rounds) {
+      b ++= s""",
+       pc_$r AS (SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
+           SELECT n, syms[i] AS l, syms[i + 1] AS r
+           FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                 FROM v_${r - 1})) GROUP BY 1, 2),
+       b_$r AS MATERIALIZED (SELECT l, r, c FROM pc_$r ORDER BY c DESC, l, r
+         LIMIT 1),
+       ${roundCte(s"v_${r - 1}", s"v_$r", s"b_$r", Seq("wid"),
+          Seq("n"), minPair, s"v_$r")}"""
+    }
+    b.toString
+  }
+
+  /** Oracle for q82 [[mergeTable]]: the unrolled training chain, then
+    * the chosen rows in rank order (a sub-min-count argmax stops the
+    * JVM loop; here it simply merges nothing and repeats, and the
+    * c-filter drops those rows — identical output). */
+  lazy val mergeTableOracle: String = {
+    val rounds = 16
+    val picks = (1 to rounds).map(r =>
+      s"""SELECT ${r - 1} AS rank, l, r, c FROM b_$r WHERE c >= 2""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${trainCtes(rounds, 2L)}
+       SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+         c AS pair_count
+       FROM ($picks) ORDER BY rank"""
+  }
+
+  /** Oracle for q83 [[encodeCorpus]]: the training chain's `b_r`
+    * merges replayed over every document's words in rank order (one
+    * greedy pass per rank — see the equivalence note above), then
+    * per-doc token counts. `n_words` counts split fields INCLUDING
+    * empties (Spark's size(split())); the symbol walk excludes them
+    * (BpeOps skips empty words). */
+  lazy val encodeCorpusOracle: String = {
+    val rounds = 16
+    val b = new StringBuilder
+    b ++= trainCtes(rounds, 2L)
+    b ++= s""",
+       w_0 AS MATERIALIZED (SELECT doc_id, wseq,
+           list_concat(string_split(w, ''), ['$EndMark']) AS syms
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS wseq
+             FROM documents)
+         WHERE w <> '')"""
+    for (r <- 1 to rounds) {
+      b ++= s""",
+       ${roundCte(s"w_${r - 1}", s"w_$r", s"b_$r",
+          Seq("doc_id", "wseq"), Seq.empty, 2L, s"w_$r")}"""
+    }
+    s"""WITH ${b.toString},
+       tok AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS t
+         FROM w_$rounds GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         coalesce(t.t, 0) AS n_bpe_tokens
+       FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
 }

@@ -648,6 +648,102 @@ object Similarity {
        FROM a WHERE rn = 1 ORDER BY vec_id, subspace"""
   }
 
+  /** q178: the SemDeDup DECISION gate — q88's cluster-then-prune
+    * pipeline made integer-exact end to end: the REAL
+    * [[IvfIndex.assign]] over the micro-quantized corpus and q176's
+    * DetMix centroids, then the within-cluster ≥ tau prune evaluated
+    * as pure integer arithmetic — for tau = 2/5,
+    * cos(a,b) ≥ tau ⟺ dot > 0 ∧ 25·dot² ≥ 4·|a|²·|b|² — in
+    * DECIMAL(38,0) (dot ≤ 64·(1.2·10⁶)² ≈ 10¹⁴, squared ≈ 10²⁸ ≪
+    * 10³⁸), which DuckDB replays in HUGEINT. Keep/drop per vector is
+    * therefore hash-gated cross-engine; q88 remains the production
+    * form (float Lloyd centroids, BucketCap'd clusters, rows-only +
+    * spec-replayed). This is the oracle-scale twin: no cluster cap
+    * (clusters at oracle SF sit far below any cap) and the quadratic
+    * stays within clusters exactly as the paper bounds it. ORDER BY =
+    * oracle determinism only. */
+  def semDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val qv = quantVecs(spark, dir)
+    val assigned = IvfIndex.assign(qv,
+        IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
+      .localCheckpoint() // reused: pair join (twice) + verdict join
+    // the quantized coordinates as BIGINT arrays (floats are integral
+    // by construction, so the cast is exact) + integer norms
+    val qarr = qv.toDF().select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+      .localCheckpoint()
+    val qn = qarr.select(col("vec_id"),
+      expr("aggregate(e, 0L, (acc, v) -> acc + v * v)").as("nrm"))
+    val pairs = assigned.select(col("vec_id").as("a"), col("list_id"))
+      .join(assigned.select(col("vec_id").as("b"), col("list_id")),
+        Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val dropped = pairs
+      .join(qarr.select(col("vec_id").as("a"), col("e").as("ea")),
+        Seq("a"))
+      .join(qarr.select(col("vec_id").as("b"), col("e").as("eb")),
+        Seq("b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L," +
+          " (acc, v) -> acc + v)"))
+      .join(qn.select(col("vec_id").as("a"), col("nrm").as("na")),
+        Seq("a"))
+      .join(qn.select(col("vec_id").as("b"), col("nrm").as("nb")),
+        Seq("b"))
+      .filter(col("dot") > 0 && expr(
+        "25 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
+          "4 * CAST(na AS DECIMAL(38,0)) * nb"))
+      .select(col("b").as("vec_id"))
+      .distinct()
+      .withColumn("_dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        when(col("_dropped").isNotNull, "drop").otherwise("keep")
+          .as("action"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val semDedupExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      "(ll.range * 64 + ii.range)", IvfExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cent AS (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       dd AS (SELECT q.vec_id, cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd) WHERE rn = 1),
+       n AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nrm
+         FROM q GROUP BY 1),
+       pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+         FROM asg x JOIN asg y
+           ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
+       dt AS (SELECT pr.a, pr.b,
+           CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
+         FROM pr JOIN q qa ON qa.vec_id = pr.a
+           JOIN q qb ON qb.vec_id = pr.b AND qb.i = qa.i
+         GROUP BY 1, 2),
+       dr AS (SELECT DISTINCT dt.b AS vec_id FROM dt
+         JOIN n na ON na.vec_id = dt.a
+         JOIN n nb ON nb.vec_id = dt.b
+         WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
+           >= 4 * CAST(na.nrm AS HUGEINT) * nb.nrm)
+       SELECT asg.vec_id, CAST(asg.list_id AS INT) AS list_id,
+         CASE WHEN dr.vec_id IS NULL THEN 'keep' ELSE 'drop' END
+           AS action
+       FROM asg LEFT JOIN dr ON dr.vec_id = asg.vec_id
+       ORDER BY asg.vec_id"""
+  }
+
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {
     val mix = graft.functions.DetMix.mixSql("(j * 64 + i)", seed)
     s"""WITH dims AS (SELECT vec_id,
