@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomBuildAgg, BloomMightContain, CosineSimilarity, Fingerprint64, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, ShingleHashesMd5, SimHashAgg, TrigramLangScores, TrigramLangScoreSums}
+import graft.functions.{BloomBuildAgg, BloomMightContain, CosineSimilarity, Fingerprint64, IntDot, KmvAgg, MinHashAgg, MisraGriesAgg, NfcNormalize, ShingleHashes, ShingleHashesMd5, SimHashAgg, TrigramLangScores, TrigramLangScoreSums}
 import graft.plans.AsOfJoinStrategy
 
 /** SparkSessionExtensions entry point — makes the engine's custom
@@ -21,7 +21,8 @@ import graft.plans.AsOfJoinStrategy
   * `shingle_hashes_md5(text[, k])` (the engine-portable md5-60bit
   * variant), `nfc_normalize(text)`, `trigram_lang_scores(text)`,
   * `trigram_lang_score_sums(text)` (integer sums + trigram count),
-  * `cosine_similarity(a, b)` — and the sketch
+  * `cosine_similarity(a, b)`, `int_dot(a, b)` (exact BIGINT dot for
+  * micro-quantized vectors) — and the sketch
   * AGGREGATES — `minhash_sketch(hash[, k])`, `simhash_sketch(hash)`,
   * `kmv_sketch(hash[, k])`, `misra_gries(token[, k])`,
   * `bloom_build(hash[, bits, hashes])` with its probe
@@ -101,6 +102,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSimilarity(a, b)
         case _ => throw new IllegalArgumentException(
           "cosine_similarity(a: array<float>, b: array<float>)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "int_dot(a: array<bigint>, b: array<bigint>)")
       }))
 
     // sketch aggregates: a builder may return the bare AggregateFunction —

@@ -668,12 +668,15 @@ object Similarity {
         IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
       .localCheckpoint() // reused: pair join (twice) + verdict join
     // the quantized coordinates as BIGINT arrays (floats are integral
-    // by construction, so the cast is exact) + integer norms
+    // by construction, so the cast is exact) + integer norms; dot and
+    // norm run through the codegen'd int_dot kernel, not interpreted
+    // higher-order lambdas
+    import graft.functions.IntDot.int_dot
     val qarr = qv.toDF().select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
       .localCheckpoint()
     val qn = qarr.select(col("vec_id"),
-      expr("aggregate(e, 0L, (acc, v) -> acc + v * v)").as("nrm"))
+      int_dot(col("e"), col("e")).as("nrm"))
     val pairs = assigned.select(col("vec_id").as("a"), col("list_id"))
       .join(assigned.select(col("vec_id").as("b"), col("list_id")),
         Seq("list_id"))
@@ -684,9 +687,7 @@ object Similarity {
         Seq("a"))
       .join(qarr.select(col("vec_id").as("b"), col("e").as("eb")),
         Seq("b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L," +
-          " (acc, v) -> acc + v)"))
+      .withColumn("dot", int_dot(col("ea"), col("eb")))
       .join(qn.select(col("vec_id").as("a"), col("nrm").as("na")),
         Seq("a"))
       .join(qn.select(col("vec_id").as("b"), col("nrm").as("nb")),

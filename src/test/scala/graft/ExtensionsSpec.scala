@@ -66,6 +66,15 @@ class ExtensionsSpec extends SparkSpecBase {
                                     array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))""")
         .collect()(0).getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-15)
+      // exact integer dot: 2*4 + 3*5 = 23, and the kernel matches a
+      // hand-summed reference on larger values near the micro-unit range
+      val d = s2.sql("SELECT int_dot(array(2L, 3L), array(4L, 5L))")
+        .collect()(0).getLong(0)
+      assert(d == 23L)
+      val big = s2.sql(
+        "SELECT int_dot(array(600000L, -599999L), array(600000L, 600000L))")
+        .collect()(0).getLong(0)
+      assert(big == 600000L * 600000L - 599999L * 600000L)
     }
   }
 
