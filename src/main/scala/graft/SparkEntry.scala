@@ -123,8 +123,10 @@ object SparkEntry {
     "q80_weighted_sample" -> ((s: SparkSession, d: String) =>
       Curate.weightedSample(s, d)),
     "q81_datacard" -> (Curate.dataCard(_, _)),
-    // q82/q83: BPE is iterative — no SQL oracle exists; gated by BpeSpec's
-    // reference-implementation equality (see oracleSql omission contract)
+    // q82/q83: oracled since r13 — the merge rounds unroll into
+    // materialized CTEs (Bpe.mergeTableOracle/encodeCorpusOracle);
+    // BpeSpec's reference-implementation equality remains as the
+    // JVM-side gate
     "q82_bpe_merges" -> ((s: SparkSession, d: String) =>
       Bpe.mergeTable(s, d)),
     "q83_bpe_tokens" -> ((s: SparkSession, d: String) =>

@@ -220,6 +220,15 @@ object Bpe {
   // rank: the symbol it creates was created at that rank in training,
   // so every training pair containing it has a higher rank (and a
   // pair's own re-creation would need its merged symbol as an operand).
+  //
+  // Domain bound, stated rather than hidden: the cross-engine identity
+  // holds for text whose characters order the same under UTF-16 code
+  // units (the JVM tuple tiebreak) and UTF-8 bytes (DuckDB's binary
+  // collation), and split the same by code unit (JVM) and code point
+  // (DuckDB) — i.e. ASCII/BMP-below-U+E000 text. The corpus is pure
+  // ASCII (verified: max codepoint 0x79); astral characters would
+  // diverge between the engines — and between the JVM's own split
+  // paths — before any oracle question arises.
 
   /** One merge round's CTE block over `src` (key columns + `syms`
     * LIST + optional weight), producing `${out}`: positions → match

@@ -587,7 +587,7 @@ object Similarity {
 
   lazy val ivfAssignExactOracle: String = {
     val mix = graft.functions.DetMix.mixSql(
-      "(ll.range * 64 + ii.range)", IvfExactSeed)
+      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
     s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
            generate_subscripts(embedding, 1) AS i
          FROM embeddings),
@@ -707,7 +707,7 @@ object Similarity {
 
   lazy val semDedupExactOracle: String = {
     val mix = graft.functions.DetMix.mixSql(
-      "(ll.range * 64 + ii.range)", IvfExactSeed)
+      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
     s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
            generate_subscripts(embedding, 1) AS i
          FROM embeddings),

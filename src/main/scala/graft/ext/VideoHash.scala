@@ -102,7 +102,14 @@ object VideoHash {
         .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, p) =>
           MediaCodecs.decodeGifFrames(p).toSeq.flatMap { g =>
-            g.frames.indices.map { f =>
+            // a parseable GIF with zero image descriptors still gets a
+            // sentinel row (frame_idx −1, zero sums, no hash) so q136
+            // reports the zero-frame video instead of silently losing
+            // the doc; q137's null-hash filter excludes it
+            if (g.frames.isEmpty)
+              Seq((id, -1, 0, g.width, g.height, 0L, 0L,
+                Option.empty[Long], Option.empty[Long]))
+            else g.frames.indices.map { f =>
               val fr = g.frames(f)
               var s = 0L
               var i = 0

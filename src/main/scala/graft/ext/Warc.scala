@@ -1481,11 +1481,10 @@ object Warc {
 
   /** Head/middle/tail per predicted language over a tercile-input
     * frame — the shared q170/q174 mechanic: [[graft.ops.RankBands]]'
-    * exact cutoffs instead of a per-language ntile sort. The input is
-    * checkpointed because RankBands reads it three times (histogram,
-    * boundary brackets, assignment). */
+    * exact cutoffs instead of a per-language ntile sort (the operator
+    * materializes its input itself). */
   private def ccnetRollupOf(scores: DataFrame): DataFrame =
-    graft.ops.RankBands.ntileOf(scores.localCheckpoint(), 3,
+    graft.ops.RankBands.ntileOf(scores, 3,
         "pred_lang", "_alp_i", "doc_id", "_nt")
       .withColumn("bucket",
         when(col("_nt") === 1, "head")

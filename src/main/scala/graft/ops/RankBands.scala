@@ -40,12 +40,16 @@ import org.apache.spark.sql.functions._
   * (every row of a group in one bucket) degrades to the naive window
   * over that group, never to a wrong answer.
   *
-  * Contract: `scoreCol` is an integral column (BIGINT-safe); `idCol`
-  * is unique within each group (the tiebreak that makes the order
-  * strict); bands are 1..k ordered by (score DESC, id ASC) — band 1
-  * is the highest-score third for k = 3. Both driver collects are
-  * bounded (histogram rows, then k−1 cutoffs per group), the
-  * documented exception to the no-collect rule (q35's precedent). */
+  * Contract: `groupCol` is STRING and non-null (a null group is
+  * refused loudly — the window form would band it, the cutoff join
+  * here would silently drop it); `scoreCol` and `idCol` are BIGINT,
+  * `idCol` unique within each group (the tiebreak that makes the
+  * order strict); bands are 1..k ordered by (score DESC, id ASC) —
+  * band 1 is the highest-score third for k = 3. The input is
+  * materialized internally (it is read three times, and phase 2 must
+  * see exactly phase 1's rows). Both driver collects are bounded
+  * (histogram rows, then k−1 cutoffs per group), the documented
+  * exception to the no-collect rule (q35's precedent). */
 object RankBands {
 
   /** Append `bandCol` (1..k, ntile-identical) to `df`.
@@ -57,14 +61,34 @@ object RankBands {
       scoreCol: String, idCol: String, bandCol: String,
       coarse: Long = 1000L): DataFrame = {
     require(k >= 1, s"ntileOf needs k >= 1, got $k")
+    // fail loudly on contract breaches a Row getter would otherwise
+    // turn into a ClassCastException three stages later
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val sch = df.schema
+    require(sch(groupCol).dataType == StringType,
+      s"ntileOf: $groupCol must be STRING, got ${sch(groupCol).dataType}")
+    Seq(scoreCol, idCol).foreach { c =>
+      require(sch(c).dataType == LongType,
+        s"ntileOf: $c must be BIGINT, got ${sch(c).dataType}")
+    }
     if (k == 1) return df.withColumn(bandCol, lit(1))
-    val spark = df.sparkSession
-    val bucketed = df.withColumn("_rb_bkt",
+    // the operator reads its input three times (histogram, boundary
+    // brackets, assignment): materialize HERE so a nondeterministic
+    // input (fresh shuffle, sample) cannot hand phase 2 rows that
+    // disagree with phase 1's counts
+    val stable = df.localCheckpoint()
+    val spark = stable.sparkSession
+    val bucketed = stable.withColumn("_rb_bkt",
       expr(s"$scoreCol div $coarse"))
     // phase 1: coarse histogram (groups × bounded buckets), driver-side
     val hist = bucketed.groupBy(col(groupCol), col("_rb_bkt"))
       .agg(count(lit(1)).as("_rb_c")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the window form bands a NULL-group partition; the cutoff join
+    // here would silently DROP those rows instead — refuse, don't lose
+    require(!hist.exists(_._1 == null),
+      s"ntileOf: $groupCol contains NULLs — band them explicitly " +
+        "(coalesce to a sentinel group) before calling")
     // rank R_j lives in the first bucket (score DESC) whose cumulative
     // count reaches it; offset = rows in strictly-higher buckets
     def locate(sorted: Seq[(Long, Long)], r: Long): (Long, Long) = {
@@ -92,7 +116,7 @@ object RankBands {
         (g, i + 1, bkt, offset, rank)
       }
     }
-    if (targets.isEmpty) return df.withColumn(bandCol, lit(1))
+    if (targets.isEmpty) return stable.withColumn(bandCol, lit(1))
     import spark.implicits._
     val tdf = targets.toDF(groupCol, "_rb_j", "_rb_bkt", "_rb_off",
       "_rb_rank")
@@ -132,7 +156,7 @@ object RankBands {
             col(idCol) <= col(s"_rb_ci$j")), lit(j))
           .otherwise(rest)
     }
-    df.join(broadcast(cutDf), Seq(groupCol))
+    stable.join(broadcast(cutDf), Seq(groupCol))
       .withColumn(bandCol, band)
       .drop(cutCols: _*)
   }

@@ -314,7 +314,15 @@ object ScaleSmoke {
       "q174_ccnet_lang_buckets" -> ((s: SparkSession, d: String) =>
         graft.ext.Warc.ccnetLangBuckets(s, d)),
       "q175_routed_perplexity" -> ((s: SparkSession, d: String) =>
-        graft.ext.Warc.routedPerplexity(s, d))
+        graft.ext.Warc.routedPerplexity(s, d)),
+      "q176_ivf_assign" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfAssignExact(s, d)),
+      "q177_pq_codes" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.pqCodesExact(s, d)),
+      "q178_semdedup_exact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.semDedupExact(s, d)),
+      "q33_media_features" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.featureSummary(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis
