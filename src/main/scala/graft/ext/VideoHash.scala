@@ -129,27 +129,6 @@ object VideoHash {
         .localCheckpoint()
     }
 
-  /** The q128 corpus recipe on videos: every document's video plus, for
-    * doc_id % 10 = 0, a planted near-identical twin (id + [[PerturbId]])
-    * re-synthesized from [[ImageHash.perturb]]ed source bytes — same
-    * length, so same geometry and frame count, sparsely bumped pixel
-    * values in every frame. */
-  def perturbedVideoPayloads(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val base = Iterator((id, synthesizeVideo(id, text)))
-        if (id % 10 == 0) {
-          val src = if (text.isEmpty) Array[Byte](42) else text
-          base ++ Iterator(
-            (id + PerturbId, synthesizeVideo(id, ImageHash.perturb(src))))
-        } else base
-      })
-      .toDF("doc_id", "payload")
-  }
-
   /** q136: per-video frame statistics straight off the DECODED
     * container — frame count from the demuxer (not metadata), geometry,
     * and the integer pixel sum over every frame. The codec gate: one
@@ -240,12 +219,38 @@ object VideoHash {
     * once: the pair derivation reads them four times (band self-join +
     * both verify sides), and ~24 B/sampled frame is vastly cheaper to
     * materialize than to demux the video corpus again — the posture a
-    * 100 TB pipeline would take (hash once, join the hashes). ORDER BY
-    * = oracle determinism only. */
-  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
-    videoNearDupPairsOf(
-        fingerprintsOf(perturbedVideoPayloads(spark, dir)).localCheckpoint())
+    * 100 TB pipeline would take (hash once, join the hashes). The
+    * perturbed corpus's fingerprints COMPOSE: base videos come from
+    * the session's decode-once frame products (the q137 rows), only
+    * the planted twins (10% of docs) are synthesized and demuxed
+    * here — fingerprintsOf is a row-wise narrow map, so mapping a
+    * union is the union of the maps, and the incremental posture
+    * (hash only what's new) is exactly how a twin batch would land
+    * at 100 TB. ORDER BY = oracle determinism only. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = frameProductsFor(spark, dir)
+      .filter(col("frame_idx") % SampleEvery === 0 &&
+        col("dhash_h").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("dhash_h"), col("dhash_v"))
+    // the q128 twin recipe on videos: for doc_id % 10 = 0, a planted
+    // near-identical twin (id + PerturbId) re-synthesized from
+    // ImageHash.perturb'ed source bytes — same length, so same
+    // geometry and frame count, sparsely bumped pixels in every frame
+    val twins = fingerprintsOf(
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, text) =>
+          val src = if (text.isEmpty) Array[Byte](42) else text
+          (id + PerturbId, synthesizeVideo(id, ImageHash.perturb(src)))
+        })
+        .toDF("doc_id", "payload"))
+    videoNearDupPairsOf(base.unionByName(twins).localCheckpoint())
       .orderBy(col("a"), col("b"))
+  }
 
   // -------------------------------------------------------- oracles
 
