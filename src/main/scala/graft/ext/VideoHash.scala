@@ -168,12 +168,19 @@ object VideoHash {
     * per-video temporal signature that feeds the near-dup join. ORDER
     * BY = oracle determinism only. */
   def videoFingerprint(spark: SparkSession, dir: String): DataFrame =
-    frameProductsFor(spark, dir)
+    sampledFingerprintsOf(frameProductsFor(spark, dir))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** The sampled-frame fingerprint projection of a frame-product
+    * frame — ONE definition of "which frames carry the signature"
+    * shared by q137's output and q138's base side, so the sampling
+    * predicate cannot silently diverge between them. Sort-free. */
+  private def sampledFingerprintsOf(products: DataFrame): DataFrame =
+    products
       .filter(col("frame_idx") % SampleEvery === 0 &&
         col("dhash_h").isNotNull)
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
         col("dhash_h"), col("dhash_v"))
-      .orderBy(col("doc_id"), col("frame_idx"))
 
   /** Temporal near-dup pairs over any fingerprint frame: candidates
     * share a 16-bit band of one sampled frame's hash AT THE SAME
@@ -229,11 +236,7 @@ object VideoHash {
     * at 100 TB. ORDER BY = oracle determinism only. */
   def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = frameProductsFor(spark, dir)
-      .filter(col("frame_idx") % SampleEvery === 0 &&
-        col("dhash_h").isNotNull)
-      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-        col("dhash_h"), col("dhash_v"))
+    val base = sampledFingerprintsOf(frameProductsFor(spark, dir))
     // the q128 twin recipe on videos: for doc_id % 10 = 0, a planted
     // near-identical twin (id + PerturbId) re-synthesized from
     // ImageHash.perturb'ed source bytes — same length, so same

@@ -71,7 +71,14 @@ object RankBands {
       require(sch(c).dataType == LongType,
         s"ntileOf: $c must be BIGINT, got ${sch(c).dataType}")
     }
-    if (k == 1) return df.withColumn(bandCol, lit(1))
+    if (k == 1) {
+      // same null-group contract as the k >= 2 path — a caller must
+      // not learn at k = 3 what k = 1 silently accepted
+      require(df.filter(col(groupCol).isNull).limit(1).isEmpty,
+        s"ntileOf: $groupCol contains NULLs — band them explicitly " +
+          "(coalesce to a sentinel group) before calling")
+      return df.withColumn(bandCol, lit(1))
+    }
     // the operator reads its input three times (histogram, boundary
     // brackets, assignment): materialize HERE so a nondeterministic
     // input (fresh shuffle, sample) cannot hand phase 2 rows that

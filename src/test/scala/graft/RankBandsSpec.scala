@@ -73,6 +73,29 @@ class RankBandsSpec extends SparkSpecBase {
     assert((7L to 9L).forall(got("a", _) == 3))
   }
 
+  test("contract refusals: NULL groups (k = 1 AND k >= 2) and " +
+      "mistyped columns fail loudly, not silently") {
+    import spark.implicits._
+    val withNull = Seq((Option("a"), 5L, 1L), (Option.empty[String], 3L, 2L))
+      .toDF("g", "score", "id")
+    for (k <- Seq(1, 3)) {
+      val e = intercept[IllegalArgumentException] {
+        RankBands.ntileOf(withNull, k, "g", "score", "id", "nt").collect()
+      }
+      assert(e.getMessage.contains("NULL"), s"k=$k: ${e.getMessage}")
+    }
+    val intScore = Seq(("a", 5, 1L)).toDF("g", "score", "id")
+    val e2 = intercept[IllegalArgumentException] {
+      RankBands.ntileOf(intScore, 3, "g", "score", "id", "nt")
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+    val intGroup = Seq((7, 5L, 1L)).toDF("g", "score", "id")
+    val e3 = intercept[IllegalArgumentException] {
+      RankBands.ntileOf(intGroup, 3, "g", "score", "id", "nt")
+    }
+    assert(e3.getMessage.contains("STRING"))
+  }
+
   test("q170/q174 final plans carry no ntile window (the per-language " +
       "single-reducer sort is gone); the remaining window brackets " +
       "only the boundary buckets") {
