@@ -1483,7 +1483,7 @@ object Warc {
     * frame — the shared q170/q174 mechanic: [[graft.ops.RankBands]]'
     * exact cutoffs instead of a per-language ntile sort (the operator
     * materializes its input itself). */
-  private def ccnetRollupOf(scores: DataFrame): DataFrame =
+  private[graft] def ccnetRollupOf(scores: DataFrame): DataFrame =
     graft.ops.RankBands.ntileOf(scores, 3,
         "pred_lang", "_alp_i", "doc_id", "_nt")
       .withColumn("bucket",
