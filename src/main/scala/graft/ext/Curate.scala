@@ -197,6 +197,24 @@ object Curate {
         .select(col("a"), col("b")).localCheckpoint()
     }
 
+  /** The cluster assignment one level above [[neardupPairs]] — the
+    * same convention applied to the CC stage: q48 (whose registered
+    * output IS the clusters) derives it fresh, while the COMPOSITIONS
+    * over it — q53's resolution, q60's verdict — read the one
+    * materialization. The iterative star rounds are the dominant cost
+    * after the pair index; a curation stack labels components once. */
+  private[ext] def clustersFor(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"neardup-clusters:$dir") {
+      dedupClustersOf(neardupPairs(spark, dir)).localCheckpoint()
+    }
+
+  /** Per-doc quality scores as a session artifact — q52 (own output)
+    * derives fresh; the q53/q60 compositions read the memo. */
+  private[ext] def qualityFor(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"quality-scores:$dir") {
+      qualityScoreOf(docs(spark, dir)).localCheckpoint()
+    }
+
   /** Pure form over a precomputed pair list — pass a `localCheckpoint`'ed
     * pairs DataFrame to share the (dominant) pair-derivation cost across
     * clustering, resolution, and the composed verdict in one pipeline. */
@@ -499,9 +517,9 @@ object Curate {
     * partitions stay tiny at any corpus size. The near-dup pair set is
     * derived once (localCheckpoint) and shared into clustering. */
   def dedupResolution(spark: SparkSession, dir: String): DataFrame =
-    // sort = oracle determinism only; composes the sort-free Of forms
-    dedupResolutionOf(dedupClustersOf(neardupPairs(spark, dir)),
-      qualityScoreOf(docs(spark, dir)))
+    // sort = oracle determinism only; composes the session artifacts
+    // (clusters + quality — q53 is a READ over both)
+    dedupResolutionOf(clustersFor(spark, dir), qualityFor(spark, dir))
       .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Pure form over precomputed clusters (q48 shape) and quality scores
@@ -786,11 +804,11 @@ object Curate {
     * each exactly once (CurateSpec proves the composition equals the
     * standalone operators row-for-row). */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // every stage composes SORT-FREE Of forms; the single ORDER BY below
+    // every stage composes SORT-FREE Of forms over the session
+    // artifacts (pairs → clusters, quality); the single ORDER BY below
     // exists only for the registered entry's oracle hash determinism
-    val quality = qualityScoreOf(docs(spark, dir)).localCheckpoint()
-    val resolution = dedupResolutionOf(
-      dedupClustersOf(neardupPairs(spark, dir)), quality)
+    val quality = qualityFor(spark, dir)
+    val resolution = dedupResolutionOf(clustersFor(spark, dir), quality)
     curationPipelineOf(quality, resolution, decontaminateOf(docs(spark, dir)))
       .orderBy(col("doc_id"))
   }

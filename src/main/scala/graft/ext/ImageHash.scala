@@ -220,17 +220,26 @@ object ImageHash {
     imageNearDupPairsOf(perturbedHashes(spark, dir))
       .orderBy(col("a"), col("b"))
 
+  /** The image near-dup pair set as a session artifact — the
+    * [[Curate.neardupPairs]] convention on the image side: q128 (whose
+    * registered output IS the pairs) derives them fresh; the q133
+    * clustering composition reads the one materialization. */
+  private def neardupPairsFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"image-neardup-pairs:$dir") {
+      imageNearDupPairsOf(perturbedHashes(spark, dir))
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+
   /** q133: image duplicate CLUSTERS — the q128 pair set resolved into
     * connected components ([[Curate.dedupClustersOf]], the
     * large-star/small-star CC), so chains of near-identical images
     * (original ↔ noisy re-save ↔ second re-save) collapse to one
     * canonical representative — the image-side twin of the text q48.
-    * Pairs are checkpointed once; the CC rounds read the
+    * Pairs come from the session artifact; the CC rounds read the
     * materialization. ORDER BY = oracle determinism only. */
   def imageClusters(spark: SparkSession, dir: String): DataFrame =
-    Curate.dedupClustersOf(
-        imageNearDupPairsOf(perturbedHashes(spark, dir))
-          .select(col("a"), col("b")).localCheckpoint())
+    Curate.dedupClustersOf(neardupPairsFor(spark, dir))
       .orderBy(col("doc_id"))
 
   /** Shared oracle scaffold: per-image 8×4 cell sums/counts and the two
