@@ -324,7 +324,17 @@ object SparkEntry {
     "q177_pq_codes" -> ((s: SparkSession, d: String) =>
       Similarity.pqCodesExact(s, d)),
     "q178_semdedup_exact" -> ((s: SparkSession, d: String) =>
-      Similarity.semDedupExact(s, d))
+      Similarity.semDedupExact(s, d)),
+    "q179_ivf_train" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTrainExact(s, d)),
+    "q180_pq_adc_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.pqAdcExact(s, d)),
+    "q181_ivf_forget" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfForgetExact(s, d)),
+    "q182_ivf_drift" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfDriftExact(s, d)),
+    "q183_ivf_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecallExact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -616,6 +626,11 @@ object SparkEntry {
     "q176_ivf_assign" -> Similarity.ivfAssignExactOracle,
     "q177_pq_codes" -> Similarity.pqCodesExactOracle,
     "q178_semdedup_exact" -> Similarity.semDedupExactOracle,
+    "q179_ivf_train" -> Similarity.ivfTrainExactOracle,
+    "q180_pq_adc_topk" -> Similarity.pqAdcExactOracle,
+    "q181_ivf_forget" -> Similarity.ivfForgetExactOracle,
+    "q182_ivf_drift" -> Similarity.ivfDriftExactOracle,
+    "q183_ivf_recall" -> Similarity.ivfRecallExactOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

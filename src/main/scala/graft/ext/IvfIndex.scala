@@ -54,7 +54,7 @@ object IvfIndex {
     * products ≤ (1.2·10⁶)²·64 ≈ 10¹⁴ < 2⁵³ — every double operation
     * is EXACT integer arithmetic, so the REAL assignment code path
     * is replayable by a DuckDB BIGINT oracle bit for bit. */
-  private[ext] def detCentroids(nLists: Int, dim: Int,
+  private[graft] def detCentroids(nLists: Int, dim: Int,
       seed: Long): Array[Array[Double]] =
     Array.tabulate(nLists)(l => Array.tabulate(dim)(i =>
       (graft.functions.DetMix.mixLong(l.toLong * dim + i + 1, seed)
@@ -105,6 +105,74 @@ object IvfIndex {
       it += 1
     }
     centroids
+  }
+
+  /** Deterministic-by-construction Lloyd over a micro-quantized corpus
+    * (q179's engine path): the float [[train]] above is
+    * unordered-sum nondeterministic — two runs over different
+    * partitionings of the SAME data can produce different centroids,
+    * because float addition is not associative. On integer-valued
+    * embeddings (micro-units, the q176 quantization) the same loop
+    * becomes order-independent exactly: per-partition partials
+    * accumulate in Long (associative + commutative), the centroid
+    * update is truncating Long division (matching the oracle's `//`),
+    * and assignment reuses the REAL [[nearestList]] code path, whose
+    * double arithmetic is exact below 2⁵³ on micro-unit inputs. The
+    * result is bit-identical across cluster topologies, retries, and
+    * engines — the reproducibility a 100 TB re-train actually needs
+    * (a recall-equivalent but bit-different index invalidates every
+    * cached posting diff downstream).
+    *
+    * Centroids start from [[detCentroids]] (no corpus pull at all);
+    * an empty list keeps its previous centroid, exactly as [[train]]
+    * does. Returns the final centroids (still integer-valued doubles)
+    * and the list sizes of the LAST assignment pass — together the
+    * whole training transcript a verifier needs.
+    *
+    * Scale: per iteration one broadcast (nLists · dim doubles), one
+    * narrow mapPartitions emitting a single (nLists · dim) Long
+    * partial per partition, one driver reduce of those partials —
+    * the corpus never shuffles and is never collected. */
+  def trainExact(ds: Dataset[Vec], nLists: Int, dim: Int,
+      iters: Int, seed: Long): (Array[Array[Double]], Array[Long]) = {
+    val spark = ds.sparkSession
+    var centroids: Array[Array[Double]] = detCentroids(nLists, dim, seed)
+    var counts = new Array[Long](nLists)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, cnt) = ds.mapPartitions { vs =>
+        val cs = bc.value
+        val acc = Array.fill(nLists)(new Array[Long](dim))
+        val n = new Array[Long](nLists)
+        vs.foreach { v =>
+          val c = nearestList(cs, v.embedding)
+          n(c) += 1
+          var i = 0
+          // integral floats by the quantization contract: toLong exact
+          while (i < dim) { acc(c)(i) += v.embedding(i).toLong; i += 1 }
+        }
+        Iterator.single((acc, n))
+      }(org.apache.spark.sql.Encoders.kryo[(Array[Array[Long]], Array[Long])])
+        .reduce { (a, b) =>
+          var c = 0
+          while (c < nLists) {
+            var i = 0
+            while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
+            a._2(c) += b._2(c)
+            c += 1
+          }
+          a
+        }
+      centroids = Array.tabulate(nLists) { c =>
+        if (cnt(c) == 0) centroids(c)
+        // Long `/` truncates toward zero — the oracle's `//` does too
+        else sums(c).map(s => (s / cnt(c)).toDouble)
+      }
+      counts = cnt
+      it += 1
+    }
+    (centroids, counts)
   }
 
   /** Persist centroids as a (list_id, centroid array<double>) parquet
@@ -177,4 +245,68 @@ object IvfIndex {
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Index-health drift monitor (q182's engine path): per list, the
+    * population and exact integer statistics of the assigned vectors'
+    * L2² distance to their centroid — sum, truncating mean, and max in
+    * micro-units². Rising per-list means/maxima against a baseline
+    * snapshot are THE re-train signal the class doc waves at ("stale
+    * centroids after heavy drift degrade recall"): drift shows up as
+    * distance inflation long before recall measurably decays, and this
+    * costs one narrow pass + one nLists-row aggregate, vs a recall
+    * probe's full candidate scoring. Assignment is the REAL
+    * [[nearestList]]; on micro-quantized inputs every d2 is an exact
+    * integer, so the whole scorecard is DuckDB-replayable. The d2 sum
+    * aggregates in DECIMAL(38,0): Long would overflow past ~10⁵
+    * max-magnitude vectors per list, well inside 100 TB populations.
+    * Empty lists don't appear (nothing assigned, nothing to drift). */
+  def driftOf(ds: Dataset[Vec],
+      centroids: Array[Array[Double]]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val bc = ds.sparkSession.sparkContext.broadcast(centroids)
+    ds.map { v =>
+      val cs = bc.value
+      val c = nearestList(cs, v.embedding)
+      var d = 0.0
+      var i = 0
+      while (i < v.embedding.length) {
+        val diff = v.embedding(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      (c, d.toLong) // exact integral double by the quantization contract
+    }.toDF("list_id", "d2")
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(38,0)")).as("_s"),
+        max(col("d2")).as("max_d2"))
+      .withColumn("avg_d2", expr("CAST(_s div n AS BIGINT)"))
+      .select(col("list_id"), col("n"), col("avg_d2"), col("max_d2"))
+  }
+
+  /** Erasure impact on the postings table (the ANN side of the q146
+    * shard-forget scorecard): per list, how many postings a forget set
+    * removes and the order-independent DetMix id checksums before and
+    * after — enough for a verifier to confirm the erasure against just
+    * the forgotten ids (checksum_before − checksum_after =
+    * Σ fp(forgotten)), without rereading vectors. Because postings are
+    * (vec_id, list_id) pairs, GDPR erasure is an anti-join rewrite of
+    * the postings alone: centroids hold no per-vector data and the
+    * raw vectors live with the corpus, so no re-train and no
+    * re-assign of survivors is ever needed. One hash aggregate over
+    * the postings; never touches embeddings. */
+  def forgetImpactOf(postings: DataFrame,
+      forget: org.apache.spark.sql.Column, fpSeed: Long): DataFrame =
+    postings
+      .withColumn("_f", forget)
+      .withColumn("_fp",
+        expr(graft.functions.DetMix.mixSql("vec_id", fpSeed)))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("n_forgotten"),
+        sum(col("_fp")).as("checksum_before"),
+        sum(when(!col("_f"), col("_fp"))).as("checksum_after"))
+      .withColumn("n_after", col("n_before") - col("n_forgotten"))
+      .withColumn("needs_rewrite", col("n_forgotten") > 0)
+      .select(col("list_id"), col("n_before"), col("n_forgotten"),
+        col("n_after"), col("checksum_before"), col("checksum_after"),
+        col("needs_rewrite"))
 }

@@ -160,6 +160,35 @@ object PqIndex {
     }.toDF("vec_id", "code", "rnorm")
   }
 
+  /** Per-query ADC table: `table(s)(c)` = dot product of the query's
+    * subspace-s slice with codebook entry c — the m·ksub lookups that
+    * replace a full-dimension dot per corpus vector. On micro-unit
+    * integer-valued inputs every product and sum stays below 2⁵³, so
+    * the table is exact integer arithmetic (the q180 gate's claim). */
+  private[graft] def adcTable(emb: Array[Float],
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val sub = codebooks(0)(0).length
+    Array.tabulate(codebooks.length) { s =>
+      Array.tabulate(codebooks(s).length) { c =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          d += emb(s * sub + i) * codebooks(s)(c)(i); i += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** A corpus vector's ADC score: m table lookups, one per subspace. */
+  private[graft] def adcOf(t: Array[Array[Double]],
+      code: Seq[Int]): Double = {
+    var d = 0.0
+    var s = 0
+    while (s < t.length) { d += t(s)(code(s)); s += 1 }
+    d
+  }
+
   /** Asymmetric-distance probe over an encoded corpus: per query an
     * (m × ksub) table of subspace dot products is precomputed once and
     * broadcast; a corpus vector's approximate cosine is m table
@@ -174,19 +203,9 @@ object PqIndex {
       k: Int = 5, shortlist: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    val kk = codebooks(0).length
     val tables: Map[Long, (Array[Array[Double]], Double)] = queries.map { q =>
-      val t = Array.tabulate(m) { s =>
-        Array.tabulate(kk) { c =>
-          var d = 0.0
-          var i = 0
-          while (i < sub) { d += q.embedding(s * sub + i) * codebooks(s)(c)(i); i += 1 }
-          d
-        }
-      }
-      q.vec_id -> (t, Similarity.norm(q.embedding))
+      q.vec_id -> (adcTable(q.embedding, codebooks),
+        Similarity.norm(q.embedding))
     }.toMap
     val bcT = spark.sparkContext.broadcast(tables)
     import graft.functions.TopK.top_k_by_score
@@ -194,9 +213,7 @@ object PqIndex {
       .as[(Long, Seq[Int], Double)]
       .flatMap { case (vid, code, rnorm) =>
         bcT.value.iterator.collect { case (qid, (t, qnorm)) if qid != vid =>
-          var d = 0.0
-          var s = 0
-          while (s < m) { d += t(s)(code(s)); s += 1 }
+          val d = adcOf(t, code)
           (qid, vid, if (rnorm > 0 && qnorm > 0) d / (rnorm * qnorm) else 0.0)
         }
       }.toDF("q_id", "neighbor_id", "approx_cos")

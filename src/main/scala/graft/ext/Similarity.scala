@@ -567,6 +567,13 @@ object Similarity {
   private val PqExactM = 8
   private val PqExactKsub = 16
   private val PqExactSeed = 13L
+  private val IvfTrainSeed = 17L
+  private val IvfTrainIters = 3
+  private val AdcQueries = 8
+  private val AdcK = 5
+  private val IvfForgetFpSeed = 19L
+  private val RecallK = 10
+  private val RecallNProbe = 4
 
   /** q176: the IVF ASSIGNMENT gate — [[IvfIndex.assign]] (the exact
     * code path q42 and every incremental ingest batch run) over the
@@ -743,6 +750,369 @@ object Similarity {
            AS action
        FROM asg LEFT JOIN dr ON dr.vec_id = asg.vec_id
        ORDER BY asg.vec_id"""
+  }
+
+  /** q179: the IVF TRAINING gate — [[IvfIndex.trainExact]]'s full
+    * Lloyd loop (3 iterations, DetMix init, truncating-Long-division
+    * centroid updates) over the micro-quantized corpus, with the REAL
+    * [[IvfIndex.nearestList]] assignment inside every iteration.
+    * Where q176 gates the forever-after per-batch step, this gates the
+    * training transcript itself: integer sums are order-independent,
+    * so the trained index is bit-identical across partitionings AND
+    * engines — the DuckDB oracle unrolls the three assign+update
+    * rounds as materialized CTEs (the q82 BPE idiom) and reproduces
+    * every centroid coordinate and final list size. Float Lloyd
+    * ([[IvfIndex.train]], q42) remains the recall-tuned production
+    * default; this is the reproducible re-train a 100 TB corpus swap
+    * wants. Output is the index definition itself (nLists·dim rows),
+    * assembled on the driver from the bounded training result. */
+  def ivfTrainExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cs, ns) = IvfIndex.trainExact(quantVecs(spark, dir),
+      IvfExactLists, EmbDim, IvfTrainIters, IvfTrainSeed)
+    val rows = for {
+      l <- cs.indices
+      i <- 0 until EmbDim
+    } yield (l, i + 1, cs(l)(i).toLong, ns(l))
+    rows.toDF("list_id", "i", "coord", "list_n")
+      .orderBy(col("list_id"), col("i"))
+  }
+
+  lazy val ivfTrainExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      s"(ll.range * $EmbDim + ii.range)", IvfTrainSeed)
+    val rounds = (1 to IvfTrainIters).map { r =>
+      val prev = s"c${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT q.vec_id, $prev.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN $prev ON $prev.i = q.i GROUP BY 1, 2),
+       a$r AS MATERIALIZED (SELECT vec_id, l FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM d$r) WHERE rn = 1),
+       s$r AS (SELECT a$r.l, q.i, sum(q.qx) AS s, count(*) AS cnt
+         FROM q JOIN a$r ON a$r.vec_id = q.vec_id GROUP BY 1, 2),
+       c$r AS MATERIALIZED (SELECT $prev.l, $prev.i,
+           COALESCE(CAST(s$r.s // s$r.cnt AS BIGINT), $prev.c) AS c
+         FROM $prev LEFT JOIN s$r
+           ON s$r.l = $prev.l AND s$r.i = $prev.i)"""
+    }.mkString(",\n       ")
+    val last = s"c$IvfTrainIters"
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings)),
+       c0 AS MATERIALIZED (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       $rounds,
+       n AS (SELECT l, CAST(count(*) AS BIGINT) AS list_n
+         FROM a$IvfTrainIters GROUP BY 1)
+       SELECT CAST($last.l AS INT) AS list_id, CAST($last.i AS INT) AS i,
+         $last.c AS coord,
+         CAST(COALESCE(n.list_n, 0) AS BIGINT) AS list_n
+       FROM $last LEFT JOIN n ON n.l = $last.l
+       ORDER BY list_id, i"""
+  }
+
+  /** q180: the PQ SEARCH gate — asymmetric-distance top-k through the
+    * REAL ADC machinery ([[PqIndex.adcTable]] build + [[PqIndex.adcOf]]
+    * lookups, the exact code [[PqIndex.probe]] runs) over q177's
+    * integer codebooks and the real [[PqIndex.encode]] codes. Ranking
+    * is by the raw integer ADC dot (every table entry and lookup sum
+    * is exact integer arithmetic below 2⁵³), so DuckDB replays the
+    * whole search — encode, tables, lookups, top-k with (adc desc, id)
+    * tiebreak — bit for bit. q69's probe stays the production form
+    * (cosine normalization + exact re-rank, float by nature); this
+    * gates the lookup pipeline those floats flow through.
+    *
+    * Scale: queries are a bounded driver set (the interactive side of
+    * ANN — same contract as [[PqIndex.probe]]); the corpus side is two
+    * narrow passes over the codes table (score into the bounded TopK
+    * heap, then recover the winners' scores under a broadcast of the
+    * nQueries·k winner ids). No corpus shuffle, no window. */
+  def pqAdcExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = quantVecs(spark, dir)
+    val cbs = PqIndex.detCodebooks(PqExactM, PqExactKsub,
+      EmbDim / PqExactM, PqExactSeed)
+    val codes = PqIndex.encode(ds, cbs)
+    val queries = ds.orderBy(col("vec_id")).limit(AdcQueries).collect()
+    val tables: Map[Long, Array[Array[Double]]] =
+      queries.map(q => q.vec_id -> PqIndex.adcTable(q.embedding, cbs)).toMap
+    val bcT = spark.sparkContext.broadcast(tables)
+    val scored = codes.select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (vid, code) =>
+        bcT.value.iterator.collect { case (qid, t) if qid != vid =>
+          // integral double by construction: toLong exact
+          (qid, vid, PqIndex.adcOf(t, code).toLong)
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    val winners = scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("adc").cast("double"), col("neighbor_id"), AdcK).as("top"))
+      .select(col("q_id"), inline(col("top")))
+      .withColumnRenamed("id", "neighbor_id")
+    scored.join(broadcast(winners), Seq("q_id", "neighbor_id"))
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  lazy val pqAdcExactOracle: String = {
+    val sub = EmbDim / PqExactM
+    val mix = graft.functions.DetMix.mixSql(
+      s"((ss.range * $PqExactKsub + cc.range) * $sub + ii.range)",
+      PqExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cb AS (SELECT ss.range AS s, cc.range AS c, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS v
+         FROM range($PqExactM) ss, range($PqExactKsub) cc,
+           range(1, ${sub + 1}) ii),
+       qq AS (SELECT vec_id, (i - 1) // $sub AS s,
+           (i - 1) % $sub + 1 AS i0, qx FROM q),
+       d AS (SELECT qq.vec_id, qq.s, cb.c,
+           CAST(sum((qx - v) * (qx - v)) AS BIGINT) AS d2
+         FROM qq JOIN cb ON cb.s = qq.s AND cb.i = qq.i0
+         GROUP BY 1, 2, 3),
+       enc AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c)
+             AS rn FROM d) WHERE rn = 1),
+       qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT $AdcQueries),
+       tab AS (SELECT qq.vec_id AS q_id, cb.s, cb.c,
+           CAST(sum(qq.qx * cb.v) AS BIGINT) AS dot
+         FROM qq JOIN cb ON cb.s = qq.s AND cb.i = qq.i0
+         WHERE qq.vec_id IN (SELECT vec_id FROM qs)
+         GROUP BY 1, 2, 3),
+       adc AS (SELECT tab.q_id, enc.vec_id AS neighbor_id,
+           CAST(sum(tab.dot) AS BIGINT) AS adc
+         FROM enc JOIN tab ON tab.s = enc.s AND tab.c = enc.c
+           AND tab.q_id <> enc.vec_id
+         GROUP BY 1, 2),
+       r AS (SELECT q_id, neighbor_id, adc, row_number() OVER (
+           PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rn
+         FROM adc)
+       SELECT q_id, CAST(rn AS INT) AS rank, neighbor_id, adc
+       FROM r WHERE rn <= $AdcK ORDER BY q_id, rank"""
+  }
+
+  /** q181: ANN-index erasure scorecard — the REAL [[IvfIndex.assign]]
+    * postings under q176's centroids, put through
+    * [[IvfIndex.forgetImpactOf]] with the q146 forget predicate
+    * (vec_id % 13 = 0): per list, counts and order-independent DetMix
+    * checksums before/after erasure. The checksum algebra
+    * (checksum_before − checksum_after = Σ fp(forgotten)) is what
+    * lets a consumer verify a postings rewrite against just the
+    * forgotten ids. ORDER BY = oracle determinism only. */
+  def ivfForgetExact(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.forgetImpactOf(
+        IvfIndex.assign(quantVecs(spark, dir),
+          IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed)),
+        col("vec_id") % 13 === 0, IvfForgetFpSeed)
+      .orderBy(col("list_id"))
+
+  lazy val ivfForgetExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
+    val fp = graft.functions.DetMix.mixSql("vec_id", IvfForgetFpSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cent AS (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       dd AS (SELECT q.vec_id, cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd) WHERE rn = 1),
+       f AS (SELECT vec_id, CAST(list_id AS INT) AS list_id,
+           vec_id % 13 = 0 AS forgotten, $fp AS fp
+         FROM asg)
+       SELECT list_id,
+         CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN forgotten THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_forgotten,
+         CAST(count(*) - sum(CASE WHEN forgotten THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_after,
+         CAST(sum(fp) AS BIGINT) AS checksum_before,
+         CAST(sum(CASE WHEN NOT forgotten THEN fp END) AS BIGINT)
+           AS checksum_after,
+         sum(CASE WHEN forgotten THEN 1 ELSE 0 END) > 0
+           AS needs_rewrite
+       FROM f GROUP BY list_id ORDER BY list_id"""
+  }
+
+  /** q182: index-health drift scorecard — [[IvfIndex.driftOf]] over the
+    * micro-quantized corpus and q176's centroids: per list, population
+    * plus exact truncating-mean and max assigned L2² in micro-units².
+    * The monitoring half of the index lifecycle (watch these numbers
+    * rise against a baseline snapshot → re-train), priced at one
+    * narrow pass + an nLists-row aggregate. ORDER BY = oracle
+    * determinism only. */
+  def ivfDriftExact(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.driftOf(quantVecs(spark, dir),
+        IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
+      .orderBy(col("list_id"))
+
+  lazy val ivfDriftExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cent AS (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       dd AS (SELECT q.vec_id, cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id, l, d2 FROM (SELECT vec_id, l, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd) WHERE rn = 1)
+       SELECT CAST(l AS INT) AS list_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2,
+         max(d2) AS max_d2
+       FROM asg GROUP BY l ORDER BY list_id"""
+  }
+
+  /** q183: ANN recall scorecard — the evaluation operator of the
+    * lifecycle: per query, how many of the exact integer-dot top-k
+    * ground-truth neighbors the IVF index (q176 centroids, nProbe
+    * probe lists) retains, plus the candidate count the probe actually
+    * scored (the honest cost axis: recall means nothing without the
+    * fraction of corpus scanned). Both rankings use the raw integer
+    * dot with the (dot desc, id) tiebreak, so ground truth, probe
+    * selection, candidate restriction, and both top-k's replay exactly
+    * in DuckDB. Queries are a bounded driver set (the q180 contract);
+    * ground truth is the oracle-scale exact scan (the q25 convention —
+    * at 100 TB you'd ground-truth a sample the same way). ORDER BY =
+    * oracle determinism only. */
+  def ivfRecallExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IntDot.int_dot
+    import graft.functions.TopK.top_k_by_score
+    val qv = quantVecs(spark, dir)
+    val cs = IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed)
+    val assigned = IvfIndex.assign(qv, cs)
+    val qarr = qv.toDF().select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+    val queries = qarr.orderBy(col("vec_id")).limit(AdcQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("ea"))
+    // probe lists per query: the nProbe nearest centroids, derived on
+    // the driver from the bounded query set (same tiebreak as probe)
+    val probePairs = qv.orderBy(col("vec_id")).limit(AdcQueries)
+      .collect()
+      .flatMap { qvec =>
+        val dists = cs.indices.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < qvec.embedding.length) {
+            val diff = qvec.embedding(i) - cs(c)(i); d += diff * diff
+            i += 1
+          }
+          (c, d)
+        }
+        dists.sortBy(x => (x._2, x._1)).take(RecallNProbe)
+          .map { case (c, _) => (qvec.vec_id, c) }
+      }.toSeq.toDF("q_id", "list_id")
+    val dots = qarr.select(col("vec_id").as("neighbor_id"),
+        col("e").as("eb"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("dot", int_dot(col("ea"), col("eb")))
+      .select(col("q_id"), col("neighbor_id"), col("dot"))
+    val gt = dots.groupBy(col("q_id"))
+      .agg(top_k_by_score(col("dot").cast("double"), col("neighbor_id"),
+        RecallK).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+    val cand = dots
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(probePairs), Seq("q_id", "list_id"))
+      .select(col("q_id"), col("neighbor_id"), col("dot"))
+    val ivf = cand.groupBy(col("q_id"))
+      .agg(top_k_by_score(col("dot").cast("double"), col("neighbor_id"),
+        RecallK).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+    val hits = gt.join(ivf, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val nCand = cand.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    queries.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      .orderBy(col("q_id"))
+  }
+
+  lazy val ivfRecallExactOracle: String = {
+    val mix = graft.functions.DetMix.mixSql(
+      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
+    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS MATERIALIZED (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims),
+       cent AS (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+       dd AS MATERIALIZED (SELECT q.vec_id, cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd) WHERE rn = 1),
+       qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT $AdcQueries),
+       dt AS MATERIALIZED (SELECT qa.vec_id AS q_id, qb.vec_id
+           AS neighbor_id, CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
+         FROM q qa JOIN q qb
+           ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+         WHERE qa.vec_id IN (SELECT vec_id FROM qs)
+         GROUP BY 1, 2),
+       gt AS (SELECT q_id, neighbor_id FROM (SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY dot DESC, neighbor_id) AS rn FROM dt)
+         WHERE rn <= $RecallK),
+       pl AS (SELECT vec_id AS q_id, l FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd WHERE vec_id IN (SELECT vec_id FROM qs))
+         WHERE rn <= $RecallNProbe),
+       cand AS (SELECT dt.q_id, dt.neighbor_id, dt.dot
+         FROM dt JOIN asg ON asg.vec_id = dt.neighbor_id
+           JOIN pl ON pl.q_id = dt.q_id AND pl.l = asg.list_id),
+       ivf AS (SELECT q_id, neighbor_id FROM (SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY dot DESC, neighbor_id) AS rn FROM cand)
+         WHERE rn <= $RecallK),
+       h AS (SELECT gt.q_id, count(*) AS hits FROM gt
+         JOIN ivf ON ivf.q_id = gt.q_id
+           AND ivf.neighbor_id = gt.neighbor_id
+         GROUP BY 1),
+       nc AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY 1)
+       SELECT qs.vec_id AS q_id,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand
+       FROM qs LEFT JOIN h ON h.q_id = qs.vec_id
+         LEFT JOIN nc ON nc.q_id = qs.vec_id
+       ORDER BY q_id"""
   }
 
   def srpCodesOracle(nBits: Int = 16, seed: Long = 5): String = {

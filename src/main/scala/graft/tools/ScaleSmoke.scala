@@ -321,6 +321,16 @@ object ScaleSmoke {
         graft.ext.Similarity.pqCodesExact(s, d)),
       "q178_semdedup_exact" -> ((s: SparkSession, d: String) =>
         graft.ext.Similarity.semDedupExact(s, d)),
+      "q179_ivf_train" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfTrainExact(s, d)),
+      "q180_pq_adc_topk" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.pqAdcExact(s, d)),
+      "q181_ivf_forget" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfForgetExact(s, d)),
+      "q182_ivf_drift" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfDriftExact(s, d)),
+      "q183_ivf_recall" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfRecallExact(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.featureSummary(s, d))
     )

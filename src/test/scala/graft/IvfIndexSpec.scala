@@ -58,4 +58,73 @@ class IvfIndexSpec extends SparkSpecBase {
     val got = IvfIndex.probe(all, all, postings, centroids, 4, 5)
     assert(got.filter(col("neighbor_id") % 2 =!= 0).count() > 0)
   }
+
+  private def quantCorpus() =
+    corpus().map(v => Similarity.Vec(v.vec_id,
+      v.embedding.map(x => math.floor(x.toDouble * 1e6 + 0.5).toFloat)))
+
+  test("trainExact is partitioning-invariant bit for bit " +
+      "(float train is not guaranteed to be)") {
+    val ds = quantCorpus().localCheckpoint()
+    val (c1, n1) = IvfIndex.trainExact(ds.repartition(1), nLists = 8,
+      dim = 64, iters = 3, seed = 17L)
+    val (c7, n7) = IvfIndex.trainExact(ds.repartition(7), nLists = 8,
+      dim = 64, iters = 3, seed = 17L)
+    assert(n1.toList == n7.toList)
+    c1.zip(c7).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // and it learned something: at least one centroid moved off init
+    val init = IvfIndex.detCentroids(8, 64, 17L)
+    assert(c1.zip(init).exists { case (a, b) => !a.sameElements(b) })
+  }
+
+  test("trainExact: an empty list keeps its init centroid and reports " +
+      "size 0") {
+    import spark.implicits._
+    // two identical-ish vectors, four lists: at most two lists populated
+    val tiny = Seq(
+      Similarity.Vec(1L, Array.fill(4)(100f)),
+      Similarity.Vec(2L, Array.fill(4)(101f))).toDS()
+    val (cs, ns) = IvfIndex.trainExact(tiny, nLists = 4, dim = 4,
+      iters = 2, seed = 5L)
+    val init = IvfIndex.detCentroids(4, 4, 5L)
+    assert(ns.count(_ == 0) >= 2)
+    ns.zipWithIndex.filter(_._1 == 0).foreach { case (_, l) =>
+      assert(cs(l).sameElements(init(l)))
+    }
+    assert(ns.sum == 2)
+  }
+
+  test("trainExact centroid update truncates toward zero, matching the " +
+      "oracle's integer division") {
+    import spark.implicits._
+    val tiny = Seq(
+      Similarity.Vec(1L, Array(-3f)),
+      Similarity.Vec(2L, Array(-4f))).toDS()
+    // one list: both vectors assigned to it; mean = -3.5 → trunc = -3
+    val (cs, _) = IvfIndex.trainExact(tiny, nLists = 1, dim = 1,
+      iters = 1, seed = 5L)
+    assert(cs(0)(0) == -3.0)
+  }
+
+  test("forgetImpactOf checksum algebra: before − after = Σ fp(forgotten)") {
+    val ds = quantCorpus().localCheckpoint()
+    val centroids = IvfIndex.detCentroids(16, 64, 11L)
+    val postings = IvfIndex.assign(ds, centroids).localCheckpoint()
+    val impact = IvfIndex.forgetImpactOf(postings,
+      col("vec_id") % 13 === 0, fpSeed = 19L).collect()
+    val fpOfForgotten = postings
+      .filter(col("vec_id") % 13 === 0)
+      .select(col("list_id"),
+        expr(graft.functions.DetMix.mixSql("vec_id", 19L)).as("fp"))
+      .groupBy(col("list_id")).agg(sum(col("fp")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    impact.foreach { r =>
+      val list = r.getInt(0)
+      val before = r.getLong(4)
+      val after = if (r.isNullAt(5)) 0L else r.getLong(5)
+      assert(before - after == fpOfForgotten.getOrElse(list, 0L))
+      assert(r.getBoolean(6) == (r.getLong(2) > 0))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
 }

@@ -76,7 +76,13 @@ class ParallelismSpec extends SparkSpecBase {
     // with partition count
     "q169_ref_perplexity", "q170_ccnet_buckets", "q171_token_layout",
     "q172_sequence_index", "q173_lang_perplexity",
-    "q174_ccnet_lang_buckets", "q175_routed_perplexity")
+    "q174_ccnet_lang_buckets", "q175_routed_perplexity",
+    // round-13: the ANN gates are integer-exact by construction, so
+    // partition count must not move a single bit — trainExact's whole
+    // claim is order-independence of its Long partial sums
+    "q176_ivf_assign", "q177_pq_codes", "q178_semdedup_exact",
+    "q179_ivf_train", "q180_pq_adc_topk", "q181_ivf_forget",
+    "q182_ivf_drift", "q183_ivf_recall")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -58,4 +58,24 @@ class PqIndexSpec extends SparkSpecBase {
     val got = PqIndex.probe(queries, codes, cb, all, k = 5)
     assert(got.filter(col("neighbor_id") % 2 =!= 0).count() > 0)
   }
+
+  test("adcTable + adcOf equal the dot product against the decoded " +
+      "(reconstructed) vector") {
+    val ds = corpus().localCheckpoint()
+    val cb = PqIndex.train(ds, m = 8, ksub = 16, lloydIters = 2)
+    val sub = cb(0)(0).length
+    val vecs = ds.filter(_.vec_id < 6).collect().sortBy(_.vec_id)
+    val codes = PqIndex.encode(ds.filter(_.vec_id < 6), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for (q <- vecs; r <- vecs if q.vec_id != r.vec_id) {
+      val t = PqIndex.adcTable(q.embedding, cb)
+      val viaTable = PqIndex.adcOf(t, codes(r.vec_id))
+      val recon = codes(r.vec_id).zipWithIndex.flatMap {
+        case (c, s) => cb(s)(c)
+      }.toArray
+      val direct = q.embedding.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(viaTable - direct) < 1e-6,
+        s"q=${q.vec_id} r=${r.vec_id}: $viaTable vs $direct")
+    }
+  }
 }
