@@ -334,7 +334,13 @@ object SparkEntry {
     "q182_ivf_drift" -> ((s: SparkSession, d: String) =>
       Similarity.ivfDriftExact(s, d)),
     "q183_ivf_recall" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfRecallExact(s, d))
+      Similarity.ivfRecallExact(s, d)),
+    "q184_tokenizer_scorecard" -> ((s: SparkSession, d: String) =>
+      graft.ext.Bpe.tokenizerScorecard(s, d)),
+    "q185_unigram_vocab" -> ((s: SparkSession, d: String) =>
+      graft.ext.Unigram.vocabTable(s, d)),
+    "q186_unigram_tokens" -> ((s: SparkSession, d: String) =>
+      graft.ext.Unigram.encodeCorpus(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -631,6 +637,9 @@ object SparkEntry {
     "q181_ivf_forget" -> Similarity.ivfForgetExactOracle,
     "q182_ivf_drift" -> Similarity.ivfDriftExactOracle,
     "q183_ivf_recall" -> Similarity.ivfRecallExactOracle,
+    "q184_tokenizer_scorecard" -> graft.ext.Bpe.tokenizerScorecardOracle,
+    "q185_unigram_vocab" -> graft.ext.Unigram.vocabTableOracle,
+    "q186_unigram_tokens" -> graft.ext.Unigram.encodeCorpusOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

@@ -203,6 +203,39 @@ object Bpe {
       .select(col("doc_id"), col("n_words"),
         size(col("toks")).cast("long").as("n_bpe_tokens"))
 
+  /** q184: per-source tokenizer delivery scorecard — the trained
+    * tokenizer (q82's merges, memoized model read like q83) applied to
+    * every source's documents, reporting the numbers a tokenizer
+    * evaluation actually compares across corpora: docs, words, BPE
+    * tokens, characters, fertility (tokens per word) and compression
+    * (chars per token), both as truncating integer ppm so the
+    * scorecard stays engine-exact. A source whose fertility drifts up
+    * between releases is the signal the tokenizer no longer fits the
+    * mix (new language, new markup). One narrow encode pass + one
+    * source-keyed aggregate; the shuffle carries a handful of longs
+    * per source. */
+  def tokenizerScorecard(spark: SparkSession, dir: String,
+      merges: Int = 16): DataFrame = {
+    val ranks = trainFor(spark, dir, merges).map { case (l, r, _) => (l, r) }
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(BpeOps.bpe_encode(col("text"), ranks, EndMark))
+          .cast("long").as("t"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        expr("CAST(1000000 * n_tokens div n_words AS BIGINT)"))
+      .withColumn("chars_per_token_ppm",
+        expr("CAST(CASE WHEN n_tokens > 0 " +
+          "THEN 1000000 * n_chars div n_tokens END AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------ oracles
   //
   // The training loop LOOKED inexpressible (iterative, data-dependent
@@ -337,5 +370,41 @@ object Bpe {
          coalesce(t.t, 0) AS n_bpe_tokens
        FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
        ORDER BY d.doc_id"""
+  }
+
+  /** Oracle for q184 [[tokenizerScorecard]]: the q83 replay chain,
+    * aggregated per source instead of per document. */
+  lazy val tokenizerScorecardOracle: String = {
+    val rounds = 16
+    val b = new StringBuilder
+    b ++= trainCtes(rounds, 2L)
+    b ++= s""",
+       w_0 AS MATERIALIZED (SELECT doc_id, wseq,
+           list_concat(string_split(w, ''), ['$EndMark']) AS syms
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS wseq
+             FROM documents)
+         WHERE w <> '')"""
+    for (r <- 1 to rounds) {
+      b ++= s""",
+       ${roundCte(s"w_${r - 1}", s"w_$r", s"b_$r",
+          Seq("doc_id", "wseq"), Seq.empty, 2L, s"w_$r")}"""
+    }
+    s"""WITH ${b.toString},
+       tok AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS t
+         FROM w_$rounds GROUP BY doc_id)
+       SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(t.t, 0)) AS BIGINT) AS n_tokens,
+         CAST(sum(len(d.text)) AS BIGINT) AS n_chars,
+         CAST(1000000 * sum(coalesce(t.t, 0))
+           // sum(len(string_split(d.text, ' '))) AS BIGINT)
+           AS fertility_ppm,
+         CAST(CASE WHEN sum(coalesce(t.t, 0)) > 0
+           THEN 1000000 * sum(len(d.text)) // sum(coalesce(t.t, 0)) END
+           AS BIGINT) AS chars_per_token_ppm
+       FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+       GROUP BY d.source ORDER BY d.source"""
   }
 }

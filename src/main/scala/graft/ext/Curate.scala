@@ -612,15 +612,31 @@ object Curate {
   /** Same over any (doc_id, text) DataFrame — the sort-free form a
     * composed pipeline (q60) consumes. */
   def decontaminateOf(d0: DataFrame, k: Int = 5): DataFrame = {
-    val grams = d0
-      .select(col("doc_id"), explode(shingle_hashes(col("text"), k)).as("gh"))
-    val bench = grams.filter(col("doc_id") % 50 === 0)
-      .select(col("gh")).distinct()
-    grams.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(bench), "gh")
+    val grams = gramsOf(d0, k)
+    contaminationOf(
+      grams.filter(col("doc_id") % 50 =!= 0),
+      grams.filter(col("doc_id") % 50 === 0)
+        .select(col("gh")).distinct())
+  }
+
+  /** A corpus frame's k-gram hashes, one row per (doc_id, gram
+    * occurrence). */
+  private[graft] def gramsOf(d0: DataFrame, k: Int = 5): DataFrame =
+    d0.select(col("doc_id"),
+      explode(shingle_hashes(col("text"), k)).as("gh"))
+
+  /** Contamination counts of pre-exploded gram rows against a
+    * benchmark gram-hash set — the composable half of
+    * [[decontaminateOf]], and the per-batch step of the STREAMING
+    * stage (where the benchmark is supplied config, broadcast once,
+    * and each micro-batch is scored statelessly). Documents sharing
+    * nothing with the benchmark produce no row, exactly as in batch. */
+  private[graft] def contaminationOf(grams: DataFrame,
+      benchGh: DataFrame): DataFrame =
+    grams
+      .join(broadcast(benchGh), "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-  }
 
   val decontaminateOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

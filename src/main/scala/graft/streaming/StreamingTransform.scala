@@ -114,6 +114,19 @@ object StreamingTransform {
     start(docs, outDir, checkpointDir,
       b => graft.ext.TextAnalysis.refPerplexityOf(b, model))
 
+  /** Streaming benchmark decontamination (the q54 operator with the
+    * benchmark as SUPPLIED config): each micro-batch's documents are
+    * scored for k-gram-hash overlap against the broadcast benchmark
+    * gram set — the held-out eval suite is a fixed artifact like the
+    * q122 weight table, so the stage is stateless and each doc's
+    * n_shared verdict is final on arrival. Benchmark-sized state only;
+    * docs sharing nothing emit no row, exactly as in batch. */
+  def startDecontaminate(docs: DataFrame, benchGh: DataFrame,
+      outDir: String, checkpointDir: String, k: Int = 5): StreamingQuery =
+    start(docs, outDir, checkpointDir,
+      b => graft.ext.Curate.contaminationOf(
+        graft.ext.Curate.gramsOf(b, k), benchGh))
+
   /** The composed streaming front door: parse archive blobs, gate on
     * well-formed HTTP-200 fetches, and run the q139 frontier policy on
     * the admitted URLs — raw crawl segments to robots verdicts in one

@@ -331,6 +331,12 @@ object ScaleSmoke {
         graft.ext.Similarity.ivfDriftExact(s, d)),
       "q183_ivf_recall" -> ((s: SparkSession, d: String) =>
         graft.ext.Similarity.ivfRecallExact(s, d)),
+      "q184_tokenizer_scorecard" -> ((s: SparkSession, d: String) =>
+        graft.ext.Bpe.tokenizerScorecard(s, d)),
+      "q185_unigram_vocab" -> ((s: SparkSession, d: String) =>
+        graft.ext.Unigram.vocabTable(s, d)),
+      "q186_unigram_tokens" -> ((s: SparkSession, d: String) =>
+        graft.ext.Unigram.encodeCorpus(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.featureSummary(s, d))
     )

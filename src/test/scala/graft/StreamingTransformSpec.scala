@@ -246,6 +246,50 @@ class StreamingTransformSpec extends SparkSpecBase {
     assert(got() == want)
   }
 
+  test("streaming decontamination equals batch q54 over the union of " +
+      "batches; clean docs emit no row") {
+    import graft.ext.Curate
+    val out = tmp()
+    // doc 0 and 50 are the benchmark (the q54 % 50 convention); doc 1
+    // shares a full 5-gram with doc 0, doc 2 with doc 50 twice, doc 3
+    // shares nothing
+    val bench = docs(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      50L -> "pack my box with five dozen liquor jugs")
+    val b0 = Seq(
+      1L -> "prefix the quick brown fox jumps suffix",
+      3L -> "completely unrelated words in this document here")
+    val b1 = Seq(
+      2L -> "pack my box with five dozen and pack my box with five jugs")
+    val benchGh = Curate.gramsOf(bench).select(col("gh")).distinct()
+      .localCheckpoint()
+    def step(b: Seq[(Long, String)], id: Long) =
+      StreamingTransform.processBatch(docs(b: _*), id, out,
+        d => Curate.contaminationOf(Curate.gramsOf(d), benchGh))
+    step(b0, 0L); step(b1, 1L)
+    val want = Curate.contaminationOf(
+        Curate.gramsOf(docs((b0 ++ b1): _*)), benchGh)
+      .collect().map(_.toSeq).toSet
+    assert(rows(out, "doc_id", "n_shared") == want)
+    // doc 1 flagged, doc 2 flagged with both gram occurrences counted,
+    // doc 3 absent (no row ≠ a zero row — the batch contract)
+    val got = rows(out, "doc_id", "n_shared")
+      .map(s => s.head.asInstanceOf[Long] -> s(1).asInstanceOf[Long])
+      .toMap
+    assert(got.contains(1L) && got(2L) >= 2L && !got.contains(3L))
+    // and the wrapper composes the same pieces through a real stream
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out2 = tmp()
+    val q = StreamingTransform.startDecontaminate(
+      input.toDF().toDF("doc_id", "text"), benchGh, out2, tmp())
+    input.addData(b0 ++ b1)
+    q.processAllAvailable(); q.stop()
+    assert(rows(out2, "doc_id", "n_shared") == want)
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._
