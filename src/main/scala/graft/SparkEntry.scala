@@ -340,7 +340,9 @@ object SparkEntry {
     "q185_unigram_vocab" -> ((s: SparkSession, d: String) =>
       graft.ext.Unigram.vocabTable(s, d)),
     "q186_unigram_tokens" -> ((s: SparkSession, d: String) =>
-      graft.ext.Unigram.encodeCorpus(s, d))
+      graft.ext.Unigram.encodeCorpus(s, d)),
+    "q187_label_prop" -> ((s: SparkSession, d: String) =>
+      graft.ops.LabelProp.q187LabelProp(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,6 +642,7 @@ object SparkEntry {
     "q184_tokenizer_scorecard" -> graft.ext.Bpe.tokenizerScorecardOracle,
     "q185_unigram_vocab" -> graft.ext.Unigram.vocabTableOracle,
     "q186_unigram_tokens" -> graft.ext.Unigram.encodeCorpusOracle,
+    "q187_label_prop" -> graft.ops.LabelProp.oracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

@@ -337,6 +337,8 @@ object ScaleSmoke {
         graft.ext.Unigram.vocabTable(s, d)),
       "q186_unigram_tokens" -> ((s: SparkSession, d: String) =>
         graft.ext.Unigram.encodeCorpus(s, d)),
+      "q187_label_prop" -> ((s: SparkSession, d: String) =>
+        graft.ops.LabelProp.q187LabelProp(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.featureSummary(s, d))
     )
