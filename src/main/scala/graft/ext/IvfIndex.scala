@@ -60,6 +60,26 @@ object IvfIndex {
       (graft.functions.DetMix.mixLong(l.toLong * dim + i + 1, seed)
         % 1200001L - 600000L).toDouble))
 
+  /** Merge two per-partition Lloyd partials ((sums, counts)) in place —
+    * shared by [[train]] and [[trainExact]] so the two variants cannot
+    * drift; runs once per partition pair on the driver reduce, never in
+    * the per-row hot loop, so the generic `add` costs nothing that
+    * matters. */
+  private def mergePartials[T](a: (Array[Array[T]], Array[Long]),
+      b: (Array[Array[T]], Array[Long]),
+      add: (T, T) => T): (Array[Array[T]], Array[Long]) = {
+    var c = 0
+    while (c < a._1.length) {
+      var i = 0
+      while (i < a._1(c).length) {
+        a._1(c)(i) = add(a._1(c)(i), b._1(c)(i)); i += 1
+      }
+      a._2(c) += b._2(c)
+      c += 1
+    }
+    a
+  }
+
   /** Deterministic distributed Lloyd: centroids seeded from the first
     * nLists vectors by vec_id rank (bounded driver pull), refined with
     * a fixed number of assign+mean passes (each one mapPartitions →
@@ -88,16 +108,7 @@ object IvfIndex {
         }
         Iterator.single((acc, cnt))
       }(org.apache.spark.sql.Encoders.kryo[(Array[Array[Double]], Array[Long])])
-        .reduce { (a, b) =>
-          var c = 0
-          while (c < nLists) {
-            var i = 0
-            while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
-            a._2(c) += b._2(c)
-            c += 1
-          }
-          a
-        }
+        .reduce(mergePartials[Double](_, _, _ + _))
       centroids = Array.tabulate(nLists) { c =>
         if (sums._2(c) == 0) centroids(c)
         else sums._1(c).map(_ / sums._2(c))
@@ -135,6 +146,8 @@ object IvfIndex {
     * the corpus never shuffles and is never collected. */
   def trainExact(ds: Dataset[Vec], nLists: Int, dim: Int,
       iters: Int, seed: Long): (Array[Array[Double]], Array[Long]) = {
+    require(!ds.isEmpty,
+      "cannot train an IVF index on an empty corpus")
     val spark = ds.sparkSession
     var centroids: Array[Array[Double]] = detCentroids(nLists, dim, seed)
     var counts = new Array[Long](nLists)
@@ -154,16 +167,7 @@ object IvfIndex {
         }
         Iterator.single((acc, n))
       }(org.apache.spark.sql.Encoders.kryo[(Array[Array[Long]], Array[Long])])
-        .reduce { (a, b) =>
-          var c = 0
-          while (c < nLists) {
-            var i = 0
-            while (i < dim) { a._1(c)(i) += b._1(c)(i); i += 1 }
-            a._2(c) += b._2(c)
-            c += 1
-          }
-          a
-        }
+        .reduce(mergePartials[Long](_, _, _ + _))
       centroids = Array.tabulate(nLists) { c =>
         if (cnt(c) == 0) centroids(c)
         // Long `/` truncates toward zero — the oracle's `//` does too
@@ -296,7 +300,10 @@ object IvfIndex {
   def forgetImpactOf(postings: DataFrame,
       forget: org.apache.spark.sql.Column, fpSeed: Long): DataFrame =
     postings
-      .withColumn("_f", forget)
+      // a NULL predicate row must count as kept AND keep its fp in
+      // checksum_after — without the coalesce it was counted as kept
+      // but dropped from the checksum, breaking the verifier algebra
+      .withColumn("_f", coalesce(forget, lit(false)))
       .withColumn("_fp",
         expr(graft.functions.DetMix.mixSql("vec_id", fpSeed)))
       .groupBy(col("list_id"))

@@ -575,6 +575,59 @@ object Similarity {
   private val RecallK = 10
   private val RecallNProbe = 4
 
+  /** Shared oracle fragments (the CoPurchaseEdgesSql convention): ONE
+    * definition of the micro-quantization, the DetMix centroid table,
+    * and the assignment argmin, so the eight ANN gates cannot drift
+    * from each other or from the index definition. */
+  private def quantVecsSql(materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""dims AS (SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       q AS$m (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
+         FROM dims)"""
+  }
+
+  /** The DetMix integer centroid table as CTE `name` (l, i, c). */
+  private def detCentSql(name: String, seed: Long,
+      materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    val mix = graft.functions.DetMix.mixSql(
+      s"(ll.range * $EmbDim + ii.range)", seed)
+    s"""$name AS$m (SELECT ll.range AS l, ii.range AS i,
+           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
+         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii)"""
+  }
+
+  /** Per-(vector, list) L2² (`dd`) and the assignment argmin (`asg`:
+    * vec_id, l [, d2]) against centroid CTE `cent`. */
+  private def ivfAssignSql(cent: String, ddMaterialized: Boolean = false,
+      keepD2: Boolean = false): String = {
+    val m = if (ddMaterialized) " MATERIALIZED" else ""
+    val d2 = if (keepD2) ", d2" else ""
+    s"""dd AS$m (SELECT q.vec_id, $cent.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN $cent ON $cent.i = q.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id, l$d2 FROM (SELECT vec_id, l, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dd) WHERE rn = 1)"""
+  }
+
+  /** The q176 index's assignment artifact, memoized (the shared-
+    * artifact policy): q178/q181/q183 are READS of the same postings
+    * the q176 gate registers, so they reuse one derivation per
+    * session; q176 itself derives fresh (a query never memoizes its
+    * own result). Every oracle still replays the assignment
+    * independently. */
+  private def exactAssignFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"ivf-exact-assign:$dir") {
+      IvfIndex.assign(quantVecs(spark, dir),
+          IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
+        .localCheckpoint()
+    }
+
   /** q176: the IVF ASSIGNMENT gate — [[IvfIndex.assign]] (the exact
     * code path q42 and every incremental ingest batch run) over the
     * micro-quantized corpus and [[IvfIndex.detCentroids]]' integer
@@ -592,26 +645,12 @@ object Similarity {
         IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
       .orderBy(col("vec_id"))
 
-  lazy val ivfAssignExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
-    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-           generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
-       q AS (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM dims),
-       cent AS (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
-       d AS (SELECT q.vec_id, cent.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
-       a AS (SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id
-           ORDER BY d2, l) AS rn FROM d)
+  lazy val ivfAssignExactOracle: String =
+    s"""WITH ${quantVecsSql()},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent")}
        SELECT vec_id, CAST(l AS INT) AS list_id
-       FROM a WHERE rn = 1 ORDER BY vec_id"""
-  }
+       FROM asg ORDER BY vec_id"""
 
   /** q177: the PQ ENCODE gate — [[PqIndex.encode]] (q69's exact code
     * path, the per-ingest-batch step that turns 256 raw bytes into 8
@@ -671,9 +710,8 @@ object Similarity {
     * oracle determinism only. */
   def semDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val qv = quantVecs(spark, dir)
-    val assigned = IvfIndex.assign(qv,
-        IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed))
-      .localCheckpoint() // reused: pair join (twice) + verdict join
+    // shared artifact, reused: pair join (twice) + verdict join
+    val assigned = exactAssignFor(spark, dir)
     // the quantized coordinates as BIGINT arrays (floats are integral
     // by construction, so the cast is exact) + integer norms; dot and
     // norm run through the codegen'd int_dot kernel, not interpreted
@@ -713,27 +751,14 @@ object Similarity {
   }
 
   lazy val semDedupExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
-    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-           generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
-       q AS (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM dims),
-       cent AS (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
-       dd AS (SELECT q.vec_id, cent.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
-       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dd) WHERE rn = 1),
+    s"""WITH ${quantVecsSql()},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent")},
+       asg2 AS (SELECT vec_id, l AS list_id FROM asg),
        n AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nrm
          FROM q GROUP BY 1),
        pr AS (SELECT x.vec_id AS a, y.vec_id AS b
-         FROM asg x JOIN asg y
+         FROM asg2 x JOIN asg2 y
            ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
        dt AS (SELECT pr.a, pr.b,
            CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
@@ -745,11 +770,11 @@ object Similarity {
          JOIN n nb ON nb.vec_id = dt.b
          WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
            >= 4 * CAST(na.nrm AS HUGEINT) * nb.nrm)
-       SELECT asg.vec_id, CAST(asg.list_id AS INT) AS list_id,
+       SELECT asg2.vec_id, CAST(asg2.list_id AS INT) AS list_id,
          CASE WHEN dr.vec_id IS NULL THEN 'keep' ELSE 'drop' END
            AS action
-       FROM asg LEFT JOIN dr ON dr.vec_id = asg.vec_id
-       ORDER BY asg.vec_id"""
+       FROM asg2 LEFT JOIN dr ON dr.vec_id = asg2.vec_id
+       ORDER BY asg2.vec_id"""
   }
 
   /** q179: the IVF TRAINING gate — [[IvfIndex.trainExact]]'s full
@@ -779,8 +804,6 @@ object Similarity {
   }
 
   lazy val ivfTrainExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfTrainSeed)
     val rounds = (1 to IvfTrainIters).map { r =>
       val prev = s"c${r - 1}"
       s"""d$r AS MATERIALIZED (SELECT q.vec_id, $prev.l,
@@ -797,13 +820,8 @@ object Similarity {
            ON s$r.l = $prev.l AND s$r.i = $prev.i)"""
     }.mkString(",\n       ")
     val last = s"c$IvfTrainIters"
-    s"""WITH q AS MATERIALIZED (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM (SELECT vec_id, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS i FROM embeddings)),
-       c0 AS MATERIALIZED (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
+    s"""WITH ${quantVecsSql(materialized = true)},
+       ${detCentSql("c0", IvfTrainSeed, materialized = true)},
        $rounds,
        n AS (SELECT l, CAST(count(*) AS BIGINT) AS list_n
          FROM a$IvfTrainIters GROUP BY 1)
@@ -910,32 +928,16 @@ object Similarity {
     * lets a consumer verify a postings rewrite against just the
     * forgotten ids. ORDER BY = oracle determinism only. */
   def ivfForgetExact(spark: SparkSession, dir: String): DataFrame =
-    IvfIndex.forgetImpactOf(
-        IvfIndex.assign(quantVecs(spark, dir),
-          IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed)),
+    IvfIndex.forgetImpactOf(exactAssignFor(spark, dir),
         col("vec_id") % 13 === 0, IvfForgetFpSeed)
       .orderBy(col("list_id"))
 
   lazy val ivfForgetExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
     val fp = graft.functions.DetMix.mixSql("vec_id", IvfForgetFpSeed)
-    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-           generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
-       q AS (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM dims),
-       cent AS (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
-       dd AS (SELECT q.vec_id, cent.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
-       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dd) WHERE rn = 1),
-       f AS (SELECT vec_id, CAST(list_id AS INT) AS list_id,
+    s"""WITH ${quantVecsSql()},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent")},
+       f AS (SELECT vec_id, CAST(l AS INT) AS list_id,
            vec_id % 13 = 0 AS forgotten, $fp AS fp
          FROM asg)
        SELECT list_id,
@@ -965,23 +967,9 @@ object Similarity {
       .orderBy(col("list_id"))
 
   lazy val ivfDriftExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
-    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-           generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
-       q AS (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM dims),
-       cent AS (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
-       dd AS (SELECT q.vec_id, cent.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
-       asg AS (SELECT vec_id, l, d2 FROM (SELECT vec_id, l, d2,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dd) WHERE rn = 1)
+    s"""WITH ${quantVecsSql()},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent", keepD2 = true)}
        SELECT CAST(l AS INT) AS list_id,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2,
@@ -1007,15 +995,18 @@ object Similarity {
     import graft.functions.TopK.top_k_by_score
     val qv = quantVecs(spark, dir)
     val cs = IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed)
-    val assigned = IvfIndex.assign(qv, cs)
+    val assigned = exactAssignFor(spark, dir)
     val qarr = qv.toDF().select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
-    val queries = qarr.orderBy(col("vec_id")).limit(AdcQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("ea"))
+    // ONE bounded pull of the query set feeds both the join side and
+    // the driver-derived probe lists
+    val qVecs = qv.orderBy(col("vec_id")).limit(AdcQueries).collect()
+    val queries = qVecs.toSeq.toDS().toDF()
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("ea"))
     // probe lists per query: the nProbe nearest centroids, derived on
     // the driver from the bounded query set (same tiebreak as probe)
-    val probePairs = qv.orderBy(col("vec_id")).limit(AdcQueries)
-      .collect()
+    val probePairs = qVecs
       .flatMap { qvec =>
         val dists = cs.indices.map { c =>
           var d = 0.0
@@ -1062,23 +1053,10 @@ object Similarity {
   }
 
   lazy val ivfRecallExactOracle: String = {
-    val mix = graft.functions.DetMix.mixSql(
-      s"(ll.range * $EmbDim + ii.range)", IvfExactSeed)
-    s"""WITH dims AS (SELECT vec_id, unnest(embedding) AS x,
-           generate_subscripts(embedding, 1) AS i
-         FROM embeddings),
-       q AS MATERIALIZED (SELECT vec_id, i,
-           CAST(floor(CAST(x AS DOUBLE) * 1e6 + 5e-1) AS BIGINT) AS qx
-         FROM dims),
-       cent AS (SELECT ll.range AS l, ii.range AS i,
-           CAST($mix % 1200001 - 600000 AS BIGINT) AS c
-         FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii),
-       dd AS MATERIALIZED (SELECT q.vec_id, cent.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
-       asg AS (SELECT vec_id, l AS list_id FROM (SELECT vec_id, l,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dd) WHERE rn = 1),
+    s"""WITH ${quantVecsSql(materialized = true)},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent", ddMaterialized = true)},
+       asg2 AS (SELECT vec_id, l AS list_id FROM asg),
        qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id
          LIMIT $AdcQueries),
        dt AS MATERIALIZED (SELECT qa.vec_id AS q_id, qb.vec_id
@@ -1096,8 +1074,8 @@ object Similarity {
          FROM dd WHERE vec_id IN (SELECT vec_id FROM qs))
          WHERE rn <= $RecallNProbe),
        cand AS (SELECT dt.q_id, dt.neighbor_id, dt.dot
-         FROM dt JOIN asg ON asg.vec_id = dt.neighbor_id
-           JOIN pl ON pl.q_id = dt.q_id AND pl.l = asg.list_id),
+         FROM dt JOIN asg2 ON asg2.vec_id = dt.neighbor_id
+           JOIN pl ON pl.q_id = dt.q_id AND pl.l = asg2.list_id),
        ivf AS (SELECT q_id, neighbor_id FROM (SELECT q_id, neighbor_id,
            row_number() OVER (PARTITION BY q_id
              ORDER BY dot DESC, neighbor_id) AS rn FROM cand)

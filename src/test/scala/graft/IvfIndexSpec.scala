@@ -106,6 +106,34 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(cs(0)(0) == -3.0)
   }
 
+  test("forgetImpactOf treats a NULL forget verdict as kept — counts " +
+      "AND checksum agree") {
+    import spark.implicits._
+    // vec 1 forgotten, vec 2 kept, vec 3 NULL verdict (must act kept)
+    val postings = Seq((1L, 0), (2L, 0), (3L, 0))
+      .toDF("vec_id", "list_id")
+    val verdicts = Seq((1L, true), (2L, false))
+      .toDF("vec_id", "_v") // vec 3 absent → NULL after left join
+    val joined = postings.join(verdicts, Seq("vec_id"), "left")
+    val r = IvfIndex.forgetImpactOf(joined, col("_v"), fpSeed = 19L)
+      .head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 2L)
+    val fpOf = (id: Long) => graft.functions.DetMix.mixLong(id, 19L)
+    assert(r.getLong(4) == fpOf(1L) + fpOf(2L) + fpOf(3L))
+    // NULL row's fp stays in checksum_after: the verifier algebra holds
+    assert(r.getLong(5) == fpOf(2L) + fpOf(3L))
+    assert(r.getLong(4) - r.getLong(5) == fpOf(1L))
+  }
+
+  test("trainExact refuses an empty corpus with a clear message") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.trainExact(spark.emptyDataset[Similarity.Vec],
+        nLists = 4, dim = 8, iters = 1, seed = 5L)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("forgetImpactOf checksum algebra: before − after = Σ fp(forgotten)") {
     val ds = quantCorpus().localCheckpoint()
     val centroids = IvfIndex.detCentroids(16, 64, 11L)

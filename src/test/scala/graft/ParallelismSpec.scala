@@ -79,7 +79,12 @@ class ParallelismSpec extends SparkSpecBase {
     "q174_ccnet_lang_buckets", "q175_routed_perplexity",
     // round-13: the ANN gates are integer-exact by construction, so
     // partition count must not move a single bit — trainExact's whole
-    // claim is order-independence of its Long partial sums
+    // claim is order-independence of its Long partial sums. q82 is
+    // pinned here because q83/q184 read the memoized BPE model (one
+    // training per session), so only the fresh-training q82 entry can
+    // surface a training-path partition sensitivity; same reasoning
+    // puts q185 (fresh unigram training) next to the memo-reading q186
+    "q82_bpe_merges",
     "q176_ivf_assign", "q177_pq_codes", "q178_semdedup_exact",
     "q179_ivf_train", "q180_pq_adc_topk", "q181_ivf_forget",
     "q182_ivf_drift", "q183_ivf_recall", "q184_tokenizer_scorecard",
