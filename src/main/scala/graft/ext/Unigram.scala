@@ -160,12 +160,18 @@ object Unigram {
     counts
   }
 
+  /** Train on any (doc_id, text) frame and return the encode model (a
+    * vocab-sized score table — the artifact a streaming stage or a
+    * later session carries as config). */
+  def trainModelOf(docs: DataFrame): Map[String, Long] =
+    scoresOf(trainCounts(docs))
+
   /** Trained encode model, memoized (q83's model-read convention): the
     * q185 training replayed once per session, scores collected. */
   private def modelFor(spark: SparkSession, dir: String)
       : Map[String, Long] =
     graft.SessionMemo(spark, s"unigram-model:$dir") {
-      scoresOf(trainCounts(Tables(spark, dir, "documents")))
+      trainModelOf(Tables(spark, dir, "documents"))
     }
 
   /** q185: the trained unigram vocabulary — pieces that earned usage
@@ -178,13 +184,13 @@ object Unigram {
       .select(col("p").as("piece"), col("c").as("n_uses"))
       .orderBy(col("piece"))
 
-  /** q186: tokenize every document under the trained model — per-doc
-    * whitespace-word and subword-piece counts (the q83 shape, unigram
-    * model). One narrow map under the broadcast score table. */
-  def encodeCorpus(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(modelFor(spark, dir))
-    Tables(spark, dir, "documents")
+  /** Tokenize any (doc_id, text) frame under a supplied score table —
+    * one narrow map, model broadcast; the form the STREAMING stage
+    * wraps (a trained tokenizer is config). */
+  def encodeOf(docs: DataFrame, model: Map[String, Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split(" ", -1)
@@ -193,8 +199,14 @@ object Unigram {
         (id, words.length.toLong, nPieces)
       }
       .toDF("doc_id", "n_words", "n_pieces")
-      .orderBy(col("doc_id"))
   }
+
+  /** q186: tokenize every document under the trained model — per-doc
+    * whitespace-word and subword-piece counts (the q83 shape, unigram
+    * model). */
+  def encodeCorpus(spark: SparkSession, dir: String): DataFrame =
+    encodeOf(Tables(spark, dir, "documents"), modelFor(spark, dir))
+      .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ oracles
   //

@@ -127,6 +127,16 @@ object StreamingTransform {
       b => graft.ext.Curate.contaminationOf(
         graft.ext.Curate.gramsOf(b, k), benchGh))
 
+  /** Streaming unigram tokenization (the q186 operator) over a
+    * streaming (doc_id, text) frame under the SUPPLIED trained score
+    * table — a trained tokenizer is config like the q169 LM, so the
+    * stage is stateless and each doc's token counts are final on
+    * arrival. */
+  def startUnigramEncode(docs: DataFrame, model: Map[String, Long],
+      outDir: String, checkpointDir: String): StreamingQuery =
+    start(docs, outDir, checkpointDir,
+      b => graft.ext.Unigram.encodeOf(b, model))
+
   /** The composed streaming front door: parse archive blobs, gate on
     * well-formed HTTP-200 fetches, and run the q139 frontier policy on
     * the admitted URLs — raw crawl segments to robots verdicts in one

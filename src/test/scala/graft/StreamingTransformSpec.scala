@@ -290,6 +290,36 @@ class StreamingTransformSpec extends SparkSpecBase {
     assert(rows(out2, "doc_id", "n_shared") == want)
   }
 
+  test("streaming unigram tokenization equals batch encodeOf over the " +
+      "union of batches with the same trained model") {
+    import graft.ext.Unigram
+    val out = tmp()
+    val train = docs(
+      100L -> "the cat sat on the mat the cat sat",
+      101L -> "the dog sat on the mat the dog ran")
+    val model = Unigram.trainModelOf(train)
+    val b0 = Seq(1L -> "the cat ran", 2L -> "")
+    val b1 = Seq(3L -> "mat dog mat")
+    def step(b: Seq[(Long, String)], id: Long) =
+      StreamingTransform.processBatch(docs(b: _*), id, out,
+        d => Unigram.encodeOf(d, model))
+    step(b0, 0L); step(b1, 1L)
+    val want = Unigram.encodeOf(docs((b0 ++ b1): _*), model)
+      .collect().map(_.toSeq).toSet
+    assert(rows(out, "doc_id", "n_words", "n_pieces") == want)
+    // the wrapper wires the same pieces
+    val out2 = tmp()
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingTransform.startUnigramEncode(
+      input.toDF().toDF("doc_id", "text"), model, out2, tmp())
+    input.addData(b0 ++ b1)
+    q.processAllAvailable(); q.stop()
+    assert(rows(out2, "doc_id", "n_words", "n_pieces") == want)
+  }
+
   test("end-to-end through writeStream: the PII stage scrubs across " +
       "real micro-batches") {
     import spark.implicits._
