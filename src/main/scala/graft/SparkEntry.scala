@@ -342,7 +342,9 @@ object SparkEntry {
     "q186_unigram_tokens" -> ((s: SparkSession, d: String) =>
       graft.ext.Unigram.encodeCorpus(s, d)),
     "q187_label_prop" -> ((s: SparkSession, d: String) =>
-      graft.ops.LabelProp.q187LabelProp(s, d))
+      graft.ops.LabelProp.q187LabelProp(s, d)),
+    "q188_ivf_retrain_diff" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRetrainDiff(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -643,6 +645,7 @@ object SparkEntry {
     "q185_unigram_vocab" -> graft.ext.Unigram.vocabTableOracle,
     "q186_unigram_tokens" -> graft.ext.Unigram.encodeCorpusOracle,
     "q187_label_prop" -> graft.ops.LabelProp.oracle,
+    "q188_ivf_retrain_diff" -> Similarity.ivfRetrainDiffOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

@@ -803,8 +803,10 @@ object Similarity {
       .orderBy(col("list_id"), col("i"))
   }
 
-  lazy val ivfTrainExactOracle: String = {
-    val rounds = (1 to IvfTrainIters).map { r =>
+  /** The q179 Lloyd rounds as CTEs `d/a/s/c{1..iters}` over `q` and
+    * `c0` — shared by the training gate and the retrain-diff gate. */
+  private def trainRoundsSql: String =
+    (1 to IvfTrainIters).map { r =>
       val prev = s"c${r - 1}"
       s"""d$r AS MATERIALIZED (SELECT q.vec_id, $prev.l,
            CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
@@ -819,6 +821,9 @@ object Similarity {
          FROM $prev LEFT JOIN s$r
            ON s$r.l = $prev.l AND s$r.i = $prev.i)"""
     }.mkString(",\n       ")
+
+  lazy val ivfTrainExactOracle: String = {
+    val rounds = trainRoundsSql
     val last = s"c$IvfTrainIters"
     s"""WITH ${quantVecsSql(materialized = true)},
        ${detCentSql("c0", IvfTrainSeed, materialized = true)},
@@ -830,6 +835,58 @@ object Similarity {
          CAST(COALESCE(n.list_n, 0) AS BIGINT) AS list_n
        FROM $last LEFT JOIN n ON n.l = $last.l
        ORDER BY list_id, i"""
+  }
+
+  /** The q179 trained centroids, memoized (q188 is a READ of the
+    * training artifact; q179 itself derives fresh). */
+  private def exactTrainFor(spark: SparkSession,
+      dir: String): Array[Array[Double]] =
+    graft.SessionMemo(spark, s"ivf-exact-train:$dir") {
+      IvfIndex.trainExact(quantVecs(spark, dir), IvfExactLists, EmbDim,
+        IvfTrainIters, IvfTrainSeed)._1
+    }
+
+  /** q188: the retrain MIGRATION report — what swapping the index
+    * definition actually shuffles: every vector assigned under the
+    * CURRENT index (q176's centroids) and under the CANDIDATE retrain
+    * (q179's trained centroids), reported as per-(old_list, new_list)
+    * transition counts. The stayed-fraction prices the posting rewrite
+    * a re-train triggers (the class doc's "re-assign offline, swap the
+    * postings table" has a bill; this is it), and rows off the
+    * diagonal say WHERE the drift went. Both assignments are the REAL
+    * code path on integer-exact inputs, so the whole report replays in
+    * DuckDB. Transition rows are ≤ nLists², broadcast-sized. ORDER BY
+    * = oracle determinism only. */
+  def ivfRetrainDiff(spark: SparkSession, dir: String): DataFrame = {
+    val oldAsg = exactAssignFor(spark, dir)
+      .select(col("vec_id"), col("list_id").as("old_list"))
+    val newAsg = IvfIndex.assign(quantVecs(spark, dir),
+        exactTrainFor(spark, dir))
+      .select(col("vec_id"), col("list_id").as("new_list"))
+    oldAsg.join(newAsg, Seq("vec_id"))
+      .groupBy(col("old_list"), col("new_list"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("old_list"), col("new_list"))
+  }
+
+  lazy val ivfRetrainDiffOracle: String = {
+    s"""WITH ${quantVecsSql(materialized = true)},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent")},
+       ${detCentSql("c0", IvfTrainSeed, materialized = true)},
+       $trainRoundsSql,
+       dn AS (SELECT q.vec_id, c$IvfTrainIters.l,
+           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
+         FROM q JOIN c$IvfTrainIters ON c$IvfTrainIters.i = q.i
+         GROUP BY 1, 2),
+       asgn AS (SELECT vec_id, l AS new_l FROM (SELECT vec_id, l,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+         FROM dn) WHERE rn = 1)
+       SELECT CAST(asg.l AS INT) AS old_list,
+         CAST(asgn.new_l AS INT) AS new_list,
+         CAST(count(*) AS BIGINT) AS n
+       FROM asg JOIN asgn ON asgn.vec_id = asg.vec_id
+       GROUP BY 1, 2 ORDER BY old_list, new_list"""
   }
 
   /** q180: the PQ SEARCH gate — asymmetric-distance top-k through the

@@ -339,6 +339,8 @@ object ScaleSmoke {
         graft.ext.Unigram.encodeCorpus(s, d)),
       "q187_label_prop" -> ((s: SparkSession, d: String) =>
         graft.ops.LabelProp.q187LabelProp(s, d)),
+      "q188_ivf_retrain_diff" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.ivfRetrainDiff(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.featureSummary(s, d))
     )

@@ -88,7 +88,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q176_ivf_assign", "q177_pq_codes", "q178_semdedup_exact",
     "q179_ivf_train", "q180_pq_adc_topk", "q181_ivf_forget",
     "q182_ivf_drift", "q183_ivf_recall", "q184_tokenizer_scorecard",
-    "q185_unigram_vocab", "q186_unigram_tokens", "q187_label_prop")
+    "q185_unigram_vocab", "q186_unigram_tokens", "q187_label_prop",
+    "q188_ivf_retrain_diff")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

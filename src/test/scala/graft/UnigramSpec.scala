@@ -76,6 +76,37 @@ class UnigramSpec extends SparkSpecBase {
     assert(a.map(_._2).sum > 0L)
   }
 
+  test("property: DP cost equals brute-force enumeration over all " +
+      "segmentations, and pieces reassemble the word") {
+    // deterministic pseudo-random cost tables over a 3-letter alphabet;
+    // enumeration of a length-8 word has at most 2^7 = 128 splits
+    val rng = new scala.util.Random(13)
+    def enumerate(w: String): Iterator[List[String]] =
+      if (w.isEmpty) Iterator(Nil)
+      else (1 to math.min(Unigram.MaxPiece, w.length)).iterator
+        .flatMap(l => enumerate(w.drop(l)).map(w.take(l) :: _))
+    for (trial <- 1 to 40) {
+      val w = Seq.fill(3 + rng.nextInt(6))("abc" (rng.nextInt(3))).mkString
+      val pieces = (for {
+        i <- 0 until w.length
+        l <- 1 to math.min(Unigram.MaxPiece, w.length - i)
+      } yield w.substring(i, i + l)).distinct
+      // drop ~30% of multi-char pieces; single chars stay (the vocab rule)
+      val cost: Map[String, Long] = pieces.collect {
+        case p if p.length == 1 || rng.nextDouble() > 0.3 =>
+          p -> (1L + rng.nextInt(1000))
+      }.toMap
+      val got = Unigram.segment(w, cost)
+      assert(got.mkString == w, s"trial $trial: pieces don't reassemble")
+      val gotCost = got.map(cost).sum
+      val bestCost = enumerate(w)
+        .filter(_.forall(cost.contains))
+        .map(_.map(cost).sum).min
+      assert(gotCost == bestCost,
+        s"trial $trial: DP $gotCost vs enumeration $bestCost for '$w'")
+    }
+  }
+
   test("scoresOf costs are positive micro-nats and monotone in count " +
       "(rarer piece costs more)") {
     val counts = Seq(("aa", 100L), ("bb", 1L)).toDF("p", "c")
