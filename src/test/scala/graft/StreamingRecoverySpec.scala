@@ -110,4 +110,39 @@ class StreamingRecoverySpec extends SparkSpecBase {
           (2L, 2, "y", 1)))
     } finally q2.stop()
   }
+
+  test("StreamingIvf: restart from checkpoint replays the batch whose " +
+      "offset was never committed, and the postings still converge") {
+    import graft.ext.IvfIndex
+    import graft.streaming.StreamingIvf
+    val (src, ck, dir) = (tmp(), tmp(), tmp())
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    val centroids = IvfIndex.detCentroids(4, 2, 17L)
+    def startQ() = StreamingIvf.start(
+      spark.readStream.schema(schema).json(src), centroids, dir, ck)
+    def state(): List[Long] =
+      StreamingIvf.snapshot(spark, dir)
+        .orderBy(col("vec_id")).collect().map(_.getLong(0)).toList
+
+    writeJsonl(src, "a.json",
+      Seq("""{"vec_id":1,"embedding":[100.0,0.0]}"""))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state() == List(1L))
+
+    // crash window: batch 1's postings partition commits, the offset
+    // does not — simulate by applying the batch body directly
+    writeJsonl(src, "b.json",
+      Seq("""{"vec_id":2,"embedding":[0.0,100.0]}"""))
+    StreamingIvf.processBatch(
+      spark.read.schema(schema).json(src + "/b.json"),
+      centroids, 1L, dir)
+    assert(state() == List(1L, 2L))
+
+    // restart: Spark re-delivers batch 1; delete-own-partition makes
+    // the replay byte-identical, so the snapshot must not change
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == List(1L, 2L))
+  }
 }
