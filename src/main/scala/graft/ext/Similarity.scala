@@ -600,18 +600,21 @@ object Similarity {
          FROM range($IvfExactLists) ll, range(1, ${EmbDim + 1}) ii)"""
   }
 
-  /** Per-(vector, list) L2² (`dd`) and the assignment argmin (`asg`:
-    * vec_id, l [, d2]) against centroid CTE `cent`. */
+  /** Per-(vector, list) L2² (`$dd`) and the assignment argmin (`$asg`:
+    * vec_id, l [, d2]) against centroid CTE `cent`. Output CTE names
+    * parameterized so one definition serves every assignment replay —
+    * including oracles that assign under TWO centroid sets (q188). */
   private def ivfAssignSql(cent: String, ddMaterialized: Boolean = false,
-      keepD2: Boolean = false): String = {
+      keepD2: Boolean = false, dd: String = "dd",
+      asg: String = "asg"): String = {
     val m = if (ddMaterialized) " MATERIALIZED" else ""
     val d2 = if (keepD2) ", d2" else ""
-    s"""dd AS$m (SELECT q.vec_id, $cent.l,
+    s"""$dd AS$m (SELECT q.vec_id, $cent.l,
            CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
          FROM q JOIN $cent ON $cent.i = q.i GROUP BY 1, 2),
-       asg AS (SELECT vec_id, l$d2 FROM (SELECT vec_id, l, d2,
+       $asg AS (SELECT vec_id, l$d2 FROM (SELECT vec_id, l, d2,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dd) WHERE rn = 1)"""
+         FROM $dd) WHERE rn = 1)"""
   }
 
   /** The q176 index's assignment artifact, memoized (the shared-
@@ -855,15 +858,24 @@ object Similarity {
     * postings table" has a bill; this is it), and rows off the
     * diagonal say WHERE the drift went. Both assignments are the REAL
     * code path on integer-exact inputs, so the whole report replays in
-    * DuckDB. Transition rows are ≤ nLists², broadcast-sized. ORDER BY
-    * = oracle determinism only. */
+    * DuckDB. Transition rows are ≤ nLists², broadcast-sized.
+    *
+    * Scale: both centroid sets broadcast; ONE narrow map emits
+    * (old_list, new_list) per vector — joining two corpus-sized
+    * postings frames on vec_id would shuffle the corpus twice for a
+    * report this aggregate-sized. ORDER BY = oracle determinism
+    * only. */
   def ivfRetrainDiff(spark: SparkSession, dir: String): DataFrame = {
-    val oldAsg = exactAssignFor(spark, dir)
-      .select(col("vec_id"), col("list_id").as("old_list"))
-    val newAsg = IvfIndex.assign(quantVecs(spark, dir),
-        exactTrainFor(spark, dir))
-      .select(col("vec_id"), col("list_id").as("new_list"))
-    oldAsg.join(newAsg, Seq("vec_id"))
+    import spark.implicits._
+    val oldCs = IvfIndex.detCentroids(IvfExactLists, EmbDim,
+      IvfExactSeed)
+    val newCs = exactTrainFor(spark, dir)
+    val bcOld = spark.sparkContext.broadcast(oldCs)
+    val bcNew = spark.sparkContext.broadcast(newCs)
+    quantVecs(spark, dir)
+      .map(v => (IvfIndex.nearestList(bcOld.value, v.embedding),
+        IvfIndex.nearestList(bcNew.value, v.embedding)))
+      .toDF("old_list", "new_list")
       .groupBy(col("old_list"), col("new_list"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("old_list"), col("new_list"))
@@ -875,15 +887,9 @@ object Similarity {
        ${ivfAssignSql("cent")},
        ${detCentSql("c0", IvfTrainSeed, materialized = true)},
        $trainRoundsSql,
-       dn AS (SELECT q.vec_id, c$IvfTrainIters.l,
-           CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS d2
-         FROM q JOIN c$IvfTrainIters ON c$IvfTrainIters.i = q.i
-         GROUP BY 1, 2),
-       asgn AS (SELECT vec_id, l AS new_l FROM (SELECT vec_id, l,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
-         FROM dn) WHERE rn = 1)
+       ${ivfAssignSql(s"c$IvfTrainIters", dd = "dn", asg = "asgn")}
        SELECT CAST(asg.l AS INT) AS old_list,
-         CAST(asgn.new_l AS INT) AS new_list,
+         CAST(asgn.l AS INT) AS new_list,
          CAST(count(*) AS BIGINT) AS n
        FROM asg JOIN asgn ON asgn.vec_id = asg.vec_id
        GROUP BY 1, 2 ORDER BY old_list, new_list"""
