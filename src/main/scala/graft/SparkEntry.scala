@@ -646,6 +646,7 @@ object SparkEntry {
     "q186_unigram_tokens" -> graft.ext.Unigram.encodeCorpusOracle,
     "q187_label_prop" -> graft.ops.LabelProp.oracle,
     "q188_ivf_retrain_diff" -> Similarity.ivfRetrainDiffOracle,
+    "q31_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fingerprint64
 import graft.functions.Fingerprint64.fingerprint64
 import graft.functions.DetLn
 
@@ -203,6 +204,42 @@ object TextAnalysis {
     * containing one. This explicit class means the same five characters
     * in both engines. */
   private[graft] val WsClass = "[ \\t\\n\\r\\f]+"
+
+  /** Oracle for q31 [[fingerprints]] — the codegen'd rolling hash
+    * replayed byte for byte: DuckDB folds the code points through the
+    * same `h·PRIME + b` recurrence in HUGEINT with an explicit mod 2⁶⁴
+    * (the JVM wraps for free), then converts the unsigned result to
+    * the signed Long the engine emits. `list_reduce` seeds from the
+    * first element, so SEED is prepended. Domain bound (the q82
+    * statement): code points equal UTF-8 bytes only for ASCII — the
+    * corpus is pure ASCII; a multi-byte character would diverge here
+    * before any oracle question arises. For years this row was
+    * rows-only with the q70 md5 twin gating only the NORMALIZATION;
+    * this gates the hash itself. */
+  lazy val fingerprintsOracle: String = {
+    val seed = Fingerprint64.Seed
+    val prime = Fingerprint64.Prime
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    def fold(x: String) =
+      s"""CASE WHEN len($x) = 0 THEN CAST($seed AS HUGEINT)
+         ELSE list_reduce(
+           list_prepend(CAST($seed AS HUGEINT),
+             [CAST(unicode(ch) AS HUGEINT) for ch in string_split($x, '')]),
+           (h, b) -> (h * $prime + b) % $two64) END"""
+    def signed(h: String) =
+      s"""CAST(CASE WHEN $h >= $two63 THEN $h - $two64 ELSE $h END
+         AS BIGINT)"""
+    s"""WITH f AS (SELECT doc_id, text,
+           lower(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'))
+             AS norm
+         FROM documents),
+       h AS (SELECT doc_id, ${fold("text")} AS hr, ${fold("norm")} AS hn
+         FROM f)
+       SELECT doc_id, ${signed("hr")} AS fingerprint,
+         ${signed("hn")} AS normalized_fingerprint
+       FROM h ORDER BY doc_id"""
+  }
 
   /** q70: oracle twin of [[fingerprints]] — the same
     * normalize-then-fingerprint pipeline with an md5-derived 64-bit
