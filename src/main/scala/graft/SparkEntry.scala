@@ -344,7 +344,9 @@ object SparkEntry {
     "q187_label_prop" -> ((s: SparkSession, d: String) =>
       graft.ops.LabelProp.q187LabelProp(s, d)),
     "q188_ivf_retrain_diff" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfRetrainDiff(s, d))
+      Similarity.ivfRetrainDiff(s, d)),
+    "q189_modularity" -> ((s: SparkSession, d: String) =>
+      graft.ops.LabelProp.q189Modularity(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -647,6 +649,7 @@ object SparkEntry {
     "q187_label_prop" -> graft.ops.LabelProp.oracle,
     "q188_ivf_retrain_diff" -> Similarity.ivfRetrainDiffOracle,
     "q31_fingerprints" -> TextAnalysis.fingerprintsOracle,
+    "q189_modularity" -> graft.ops.LabelProp.modularityOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
   )

@@ -80,10 +80,11 @@ object LabelProp {
       .orderBy(col("part"))
   }
 
-  /** Oracle: the edge CTE shared with q104/q105, then [[Rounds]]
-    * unrolled vote+argmax rounds (the oracle may window per node —
+  /** The edge CTE shared with q104/q105 plus [[Rounds]] unrolled
+    * vote+argmax rounds, ending at `lbl_$Rounds` (node, lbl) — shared
+    * by the q187 and q189 oracles (the oracle may window per node —
     * that is DuckDB's plan, not the engine's). */
-  lazy val oracle: String = {
+  private def lpaChainSql: String = {
     val b = new StringBuilder
     b ++= s"""${Triangles.CoPurchaseEdgesSql},
        adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e
@@ -102,11 +103,94 @@ object LabelProp {
              ORDER BY c DESC, lbl) AS rn FROM votes_$r)
          WHERE rn = 1)"""
     }
-    s"""WITH ${b.toString},
+    b.toString
+  }
+
+  lazy val oracle: String =
+    s"""WITH $lpaChainSql,
        sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
          FROM lbl_$Rounds GROUP BY 1)
        SELECT l.node AS part, l.lbl AS community, sz.community_size
        FROM lbl_$Rounds l JOIN sz ON sz.lbl = l.lbl
        ORDER BY part"""
+
+  /** The q187 label table, memoized (q189 is a READ of the community
+    * artifact; q187 derives fresh). */
+  private def labelsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo(spark, s"lpa-labels:$dir") {
+      propagateOf(Triangles.coPurchaseEdgesFor(spark, dir))
+        .localCheckpoint()
+    }
+
+  /** Per-community modularity contributions over an undirected edge
+    * list and a (node, lbl) partition — EXACT integers: with m total
+    * edges, e_c intra-community edges and D_c the community degree
+    * sum, Newman's Q = Σ_c [e_c/m − (D_c/2m)²] = Σ_c q_num_4m2 / 4m²
+    * where q_num_4m2 = 4m·e_c − D_c². Reporting the numerators keeps
+    * the scorecard engine-exact (the q105 integer-fixed-point
+    * reasoning applied to partition quality); the reader divides once.
+    * Magnitudes: ≤ 4m² per community — BIGINT to ~1.5·10⁹ edges; the
+    * 100 TB form widens the two products to DECIMAL(38,0), same shape.
+    *
+    * Scale: one count, two edge-sized keyed joins against the
+    * node-sized label frame, two aggregates — no window, no driver
+    * state beyond m. */
+  def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val m = edges.count()
+    val lbl = labels
+    val intra = edges
+      .join(lbl.select(col("node").as("a"), col("lbl").as("ca")),
+        Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("lbl").as("cb")),
+        Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dsum = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .join(lbl.select(col("node").as("n"), col("lbl")), Seq("n"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("d")).as("degree_sum"),
+        count(lit(1)).as("n_nodes"))
+    dsum.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L * m) * coalesce(col("intra_edges"), lit(0L))
+          - col("degree_sum") * col("degree_sum")).as("q_num_4m2"))
   }
+
+  /** q189: modularity scorecard of the q187 communities — the graph
+    * family's evaluation operator (is this partition actually
+    * community-like, per community?). ORDER BY = oracle determinism
+    * only. */
+  def q189Modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(Triangles.coPurchaseEdgesFor(spark, dir),
+        labelsFor(spark, dir))
+      .orderBy(col("community"))
+
+  lazy val modularityOracle: String =
+    s"""WITH $lpaChainSql,
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       intra AS (SELECT la.lbl AS community,
+           CAST(count(*) AS BIGINT) AS intra_edges
+         FROM e JOIN lbl_$Rounds la ON la.node = e.a
+           JOIN lbl_$Rounds lb ON lb.node = e.b
+         WHERE la.lbl = lb.lbl GROUP BY 1),
+       deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+           SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+         GROUP BY 1),
+       dsum AS (SELECT l.lbl AS community,
+           CAST(sum(deg.d) AS BIGINT) AS degree_sum,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg JOIN lbl_$Rounds l ON l.node = deg.n GROUP BY 1)
+       SELECT dsum.community, dsum.n_nodes,
+         CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+         dsum.degree_sum,
+         CAST(4 * mm.m * COALESCE(intra.intra_edges, 0)
+           - dsum.degree_sum * dsum.degree_sum AS BIGINT) AS q_num_4m2
+       FROM dsum CROSS JOIN mm
+         LEFT JOIN intra ON intra.community = dsum.community
+       ORDER BY dsum.community"""
 }

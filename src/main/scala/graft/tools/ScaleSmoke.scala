@@ -341,6 +341,8 @@ object ScaleSmoke {
         graft.ops.LabelProp.q187LabelProp(s, d)),
       "q188_ivf_retrain_diff" -> ((s: SparkSession, d: String) =>
         graft.ext.Similarity.ivfRetrainDiff(s, d)),
+      "q189_modularity" -> ((s: SparkSession, d: String) =>
+        graft.ops.LabelProp.q189Modularity(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
         graft.ext.Multimodal.featureSummary(s, d))
     )

@@ -89,7 +89,7 @@ class ParallelismSpec extends SparkSpecBase {
     "q179_ivf_train", "q180_pq_adc_topk", "q181_ivf_forget",
     "q182_ivf_drift", "q183_ivf_recall", "q184_tokenizer_scorecard",
     "q185_unigram_vocab", "q186_unigram_tokens", "q187_label_prop",
-    "q188_ivf_retrain_diff")
+    "q188_ivf_retrain_diff", "q189_modularity")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
