@@ -63,6 +63,15 @@ object StreamingGraph {
         col("community_size"))
   }
 
+  /** Modularity scorecard of the graph so far — the q189 read over the
+    * streamed edge set and its derived communities (both global:
+    * derived at snapshot, never accumulated). */
+  def modularity(spark: SparkSession, outDir: String): DataFrame = {
+    val edges = snapshotEdges(spark, outDir).localCheckpoint()
+    graft.ops.LabelProp.modularityOf(edges,
+      graft.ops.LabelProp.propagateOf(edges))
+  }
+
   /** Start the edge sink over a streaming (a, b) frame. */
   def start(edges: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =

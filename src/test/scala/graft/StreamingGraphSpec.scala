@@ -76,6 +76,21 @@ class StreamingGraphSpec extends SparkSpecBase {
     assert(snap(out) == wantBatch(g.take(4)))
   }
 
+  test("streamed modularity equals the batch q189 composition over " +
+      "the union") {
+    val out = tmp()
+    push(out, 0L, g.take(4)); push(out, 1L, g.drop(4))
+    val got = StreamingGraph.modularity(spark, out)
+      .collect().map(_.toSeq).toSet
+    val e = edgesDf(g).select(col("a"), col("b")).distinct()
+      .localCheckpoint()
+    val want = LabelProp.modularityOf(e, LabelProp.propagateOf(e))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the two triangles carry positive contributions (community-like)
+    assert(got.count(_.last.asInstanceOf[Long] > 0L) >= 2)
+  }
+
   test("bootstrapped-empty index yields an empty snapshot") {
     val out = tmp()
     push(out, 0L, Seq.empty)
