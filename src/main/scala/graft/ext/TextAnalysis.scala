@@ -231,8 +231,7 @@ object TextAnalysis {
       s"""CAST(CASE WHEN $h >= $two63 THEN $h - $two64 ELSE $h END
          AS BIGINT)"""
     s"""WITH f AS (SELECT doc_id, text,
-           lower(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'))
-             AS norm
+           lower(regexp_replace(text, '$WsClass', ' ', 'g')) AS norm
          FROM documents),
        h AS (SELECT doc_id, ${fold("text")} AS hr, ${fold("norm")} AS hn
          FROM f)

@@ -69,15 +69,22 @@ object LabelProp {
   /** q187: communities of the part co-purchase graph — per node its
     * final label, plus the community size (a broadcast-joinable
     * label-count frame). ORDER BY = oracle determinism only. */
-  def q187LabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val labels = propagateOf(
-      Triangles.coPurchaseEdgesFor(spark, dir)).localCheckpoint()
+  def q187LabelProp(spark: SparkSession, dir: String): DataFrame =
+    communityReport(propagateOf(
+        Triangles.coPurchaseEdgesFor(spark, dir)).localCheckpoint())
+      .withColumnRenamed("node", "part")
+      .orderBy(col("part"))
+
+  /** The community report over a (node, lbl) label table — node,
+    * label, and community size (one rollup definition for the batch
+    * q187 and the streaming snapshot). Sizes are label-count rows,
+    * broadcast back. */
+  def communityReport(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("community_size"))
     labels.join(broadcast(sizes), Seq("lbl"))
-      .select(col("node").as("part"), col("lbl").as("community"),
+      .select(col("node"), col("lbl").as("community"),
         col("community_size"))
-      .orderBy(col("part"))
   }
 
   /** The edge CTE shared with q104/q105 plus [[Rounds]] unrolled

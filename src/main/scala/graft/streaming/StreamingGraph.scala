@@ -35,9 +35,13 @@ object StreamingGraph {
       outDir: String): Unit = {
     DeltaIndex.deleteBatchPartition(edges.sparkSession, outDir, batchId)
     if (edges.isEmpty) return
+    // cast FIRST: least/greatest on a string-typed source would order
+    // lexicographically ("10" < "2") and break the a < b invariant
     val norm = edges
-      .select(least(col("a"), col("b")).cast("long").as("a"),
-        greatest(col("a"), col("b")).cast("long").as("b"))
+      .select(col("a").cast("long").as("_a"),
+        col("b").cast("long").as("_b"))
+      .select(least(col("_a"), col("_b")).as("a"),
+        greatest(col("_a"), col("_b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     DeltaIndex.writeDelta(norm, batchId, outDir)
@@ -51,17 +55,13 @@ object StreamingGraph {
   def snapshotEdges(spark: SparkSession, outDir: String): DataFrame =
     readEdges(spark, outDir).select(col("a"), col("b")).distinct()
 
-  /** Communities of the graph so far — the batch q187 report shape
-    * (node, label, community size) over the streamed edge set. */
-  def communities(spark: SparkSession, outDir: String): DataFrame = {
-    val labels = graft.ops.LabelProp
-      .propagateOf(snapshotEdges(spark, outDir)).localCheckpoint()
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), Seq("lbl"))
-      .select(col("node"), col("lbl").as("community"),
-        col("community_size"))
-  }
+  /** Communities of the graph so far — the batch q187 report (ONE
+    * rollup definition, [[graft.ops.LabelProp.communityReport]]) over
+    * the streamed edge set. */
+  def communities(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.LabelProp.communityReport(
+      graft.ops.LabelProp.propagateOf(snapshotEdges(spark, outDir))
+        .localCheckpoint())
 
   /** Modularity scorecard of the graph so far — the q189 read over the
     * streamed edge set and its derived communities (both global:
