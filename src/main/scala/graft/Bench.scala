@@ -19,12 +19,29 @@ import org.apache.spark.sql.SparkSession
   * under a count Catalyst prunes every column and drops sorts, so
   * per-row transform queries would benchmark little more than a scan.
   * The noop write evaluates the full plan the oracle checks and discards
-  * rows at the sink. */
+  * rows at the sink.
+  *
+  * The artifact self-adjudicates machine weather: hypervisor steal is
+  * measured (tools.StealProbe — spin all cores, read the /proc/stat
+  * steal delta) BEFORE and AFTER the run, and the three canary medians
+  * (q115 pure-codegen floor, q23 shuffle-bound, q71 decode-bound — all
+  * untouched for many rounds) ride along in the JSON. A total that
+  * moves while the canaries scale with it and steal_pct is double
+  * digits is co-tenancy, not a plan regression; round 13 recorded a
+  * face-value 168.7 s gate breach (quiet posture 94–104 s) that took a
+  * manual adjudication to clear because the artifact carried no
+  * weather. */
 object Bench {
+  private val CanaryQueries =
+    Seq("q115_srp_codes", "q23_ngram_jaccard", "q71_media_content_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // weather first: steal accrues only under load, so probe before the
+    // Spark session exists (the probe's own spin is the load)
+    val stealPre = tools.StealProbe.measureDefault()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,6 +71,7 @@ object Bench {
       val median = ts(ts.length / 2)
       (name, median, ts.head, ts.last, rs.forall(_._2))
     }
+    val stealPost = tools.StealProbe.measureDefault()
     val failed = results.filterNot(_._5).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.length} queries FAILED " +
@@ -65,21 +83,31 @@ object Bench {
       "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.filter(_._5).map(_._2).sum
+    def fmt1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val canaryJson = {
+      val byName = results.map(r => r._1 -> r._2).toMap
+      CanaryQueries.flatMap(c => byName.get(c).map(m =>
+        "\"" + c + "\":" + BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
+        .mkString("{", ",", "}")
+    }
+    val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson"""
     // The driver records only the LAST ~2000 chars of output (r5 proved
     // it: a headline printed FIRST was cut, "parsed" came back null), so
     // ordering is: the full line with spreads first (humans, full
     // captures), then LAST a line guaranteed to survive a tail capture
     // and parse — per-query medians if that fits the tail budget,
     // otherwise just the headline total.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_failed":${failed.length},"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_failed":${failed.length},$weather,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt2(med) }
       .mkString("{", ",", "}")
-    val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs2,"sf":"$sfDir"}"""
+    val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,$weather,"queries":$qs2,"sf":"$sfDir"}"""
     // tail budget: 2000-char capture minus sbt's trailing "[success]
-    // Total time" line (~60 chars) leaves ~1930 for the final line
+    // Total time" line (~60 chars) leaves ~1930 for the final line.
+    // weather stays in EVERY variant — the steal fields are the whole
+    // point of the artifact self-adjudicating.
     println(if (mediansLine.length <= 1900) mediansLine
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.length},"sf":"$sfDir"}""")
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,$weather,"n_queries":${results.length},"sf":"$sfDir"}""")
     // The driver's tail capture has never fit the 108-query medians map
     // ("parsed": null in every round), so per-query history would be
     // invisible without a committed artifact: write the full detail to a
@@ -99,6 +127,9 @@ object Bench {
   "cpus": $cpus,
   "total_sec": ${fmt(total)},
   "n_failed": ${failed.length},
+  "steal_pct_pre": ${fmt1(stealPre)},
+  "steal_pct_post": ${fmt1(stealPost)},
+  "canaries": $canaryJson,
   "queries": {
 $detail
   }

@@ -346,7 +346,11 @@ object SparkEntry {
     "q188_ivf_retrain_diff" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRetrainDiff(s, d)),
     "q189_modularity" -> ((s: SparkSession, d: String) =>
-      graft.ops.LabelProp.q189Modularity(s, d))
+      graft.ops.LabelProp.q189Modularity(s, d)),
+    "q190_semantic_decontam" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDecontaminate(s, d)),
+    "q191_contamination_verdict" -> ((s: SparkSession, d: String) =>
+      Similarity.contaminationVerdict(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +655,8 @@ object SparkEntry {
     "q31_fingerprints" -> TextAnalysis.fingerprintsOracle,
     "q189_modularity" -> graft.ops.LabelProp.modularityOracle,
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
-    "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle
+    "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle,
+    "q190_semantic_decontam" -> Similarity.semanticDecontaminateOracle,
+    "q191_contamination_verdict" -> Similarity.contaminationVerdictOracle
   )
 }

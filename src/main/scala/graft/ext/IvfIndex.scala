@@ -168,6 +168,9 @@ object IvfIndex {
         Iterator.single((acc, n))
       }(org.apache.spark.sql.Encoders.kryo[(Array[Array[Long]], Array[Long])])
         .reduce(mergePartials[Long](_, _, _ + _))
+      // the reduce is an action, so this round's broadcast is spent —
+      // release it instead of accumulating one per iteration
+      bc.destroy()
       centroids = Array.tabulate(nLists) { c =>
         if (cnt(c) == 0) centroids(c)
         // Long `/` truncates toward zero — the oracle's `//` does too
@@ -309,8 +312,15 @@ object IvfIndex {
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_before"),
         sum(when(col("_f"), 1L).otherwise(0L)).as("n_forgotten"),
-        sum(col("_fp")).as("checksum_before"),
-        sum(when(!col("_f"), col("_fp"))).as("checksum_after"))
+        // aggregate in DECIMAL(38,0), then narrow: a Long sum of
+        // 31-bit fps silently wraps past ~2^32 postings per list while
+        // the oracle's HUGEINT→BIGINT cast raises — a scale-dependent
+        // engine/oracle divergence. The decimal sum + ANSI bigint cast
+        // raises on BOTH sides at the same bound (driftOf precedent).
+        sum(col("_fp").cast("decimal(38,0)")).cast("bigint")
+          .as("checksum_before"),
+        sum(when(!col("_f"), col("_fp")).cast("decimal(38,0)"))
+          .cast("bigint").as("checksum_after"))
       .withColumn("n_after", col("n_before") - col("n_forgotten"))
       .withColumn("needs_rewrite", col("n_forgotten") > 0)
       .select(col("list_id"), col("n_before"), col("n_forgotten"),

@@ -1178,4 +1178,160 @@ object Similarity {
          CAST(bit_count(srp_code) AS BIGINT) AS srp_bits
        FROM codes ORDER BY vec_id"""
   }
+
+  // --- semantic (embedding-level) decontamination (q190/q191) --------------
+
+  /** q54's benchmark convention lifted to the embedding table: vec_id
+    * % 50 = 0 members stand in for eval-suite documents (doc_id and
+    * vec_id are 1:1 in the fixtures), partitioned into named
+    * benchmarks by (vec_id div 50) mod 3 — the per-benchmark
+    * dimension a contamination report card actually carries. */
+  private val SemDecBenchMod = 50L
+  private val SemDecBenches = 3L
+
+  /** q190: semantic (embedding-level) decontamination — flag corpus
+    * documents whose embedding is ≥ tau-cosine-close to any eval-set
+    * member sharing its IVF list, reported per benchmark with the
+    * count of contaminating eval neighbors. Dataset cards increasingly
+    * report exactly this next to n-gram overlap (q54): paraphrased or
+    * re-rendered eval leakage shares no 5-gram but survives embedding
+    * similarity.
+    *
+    * Composed entirely from already-oracled parts: the q176 assignment
+    * artifact (memoized postings — candidate generation is
+    * IVF-bucketed, never corpus×eval brute force), and q178's integer
+    * cosine gate — for tau = 2/5, cos(a,b) ≥ tau ⟺ dot > 0 ∧
+    * 25·dot² ≥ 4·|a|²·|b|² in DECIMAL(38,0) through the codegen'd
+    * [[graft.functions.IntDot]] kernel — so keep/flag decisions are
+    * bit-identical cross-engine.
+    *
+    * Scale: the eval set is benchmark-sized (thousands of documents
+    * against a 100 TB corpus), so its postings AND its quantized
+    * vectors broadcast; the corpus side is touched once, restricted to
+    * same-list pairs (corpus_rows × eval_members_per_list, the IVF
+    * bound), and the only shuffle is the final per-(doc, benchmark)
+    * count. Missing lists cost nothing — a corpus doc whose list holds
+    * no eval member generates no pair. ORDER BY = oracle determinism
+    * only. */
+  def semanticDecontaminate(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val assigned = exactAssignFor(spark, dir)
+    val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+    val isEval = col("vec_id") % SemDecBenchMod === 0
+    val evalSide = assigned.filter(isEval)
+      .withColumn("benchmark", concat(lit("bench"),
+        (expr(s"vec_id div $SemDecBenchMod") % SemDecBenches)
+          .cast("string")))
+      .join(qarr, Seq("vec_id"))
+      .select(col("vec_id").as("ev"), col("list_id"), col("benchmark"),
+        col("e").as("ee"),
+        int_dot(col("e"), col("e")).as("ne"))
+    val corpus = assigned.filter(!isEval)
+      .join(qarr, Seq("vec_id"))
+      .select(col("vec_id"), col("list_id"), col("e"),
+        int_dot(col("e"), col("e")).as("n"))
+    corpus
+      .join(broadcast(evalSide), Seq("list_id"))
+      .withColumn("dot", int_dot(col("e"), col("ee")))
+      .filter(col("dot") > 0 && expr(
+        "25 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
+          "4 * CAST(n AS DECIMAL(38,0)) * ne"))
+      .groupBy(col("vec_id"), col("benchmark"))
+      .agg(count(lit(1)).as("n_sem"))
+      .orderBy(col("vec_id"), col("benchmark"))
+  }
+
+  /** The q190 CTE chain up to per-(doc, benchmark) flag counts —
+    * shared verbatim by the q190 oracle and q191's composed verdict
+    * so the two cannot drift. */
+  private def semDecSql: String =
+    s"""${quantVecsSql()},
+       ${detCentSql("cent", IvfExactSeed)},
+       ${ivfAssignSql("cent")},
+       asg2 AS (SELECT vec_id, l AS list_id FROM asg),
+       n AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nrm
+         FROM q GROUP BY 1),
+       ev AS (SELECT vec_id AS ev, list_id,
+           'bench' || CAST((vec_id // $SemDecBenchMod) % $SemDecBenches
+             AS VARCHAR) AS benchmark
+         FROM asg2 WHERE vec_id % $SemDecBenchMod = 0),
+       cp AS (SELECT vec_id, list_id FROM asg2
+         WHERE vec_id % $SemDecBenchMod <> 0),
+       pr AS (SELECT cp.vec_id, ev.ev, ev.benchmark
+         FROM cp JOIN ev USING (list_id)),
+       dt AS (SELECT pr.vec_id, pr.ev, pr.benchmark,
+           CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
+         FROM pr JOIN q qa ON qa.vec_id = pr.vec_id
+           JOIN q qb ON qb.vec_id = pr.ev AND qb.i = qa.i
+         GROUP BY 1, 2, 3),
+       sem AS (SELECT dt.vec_id, dt.benchmark,
+           CAST(count(*) AS BIGINT) AS n_sem
+         FROM dt JOIN n na ON na.vec_id = dt.vec_id
+           JOIN n nb ON nb.vec_id = dt.ev
+         WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
+           >= 4 * CAST(na.nrm AS HUGEINT) * nb.nrm
+         GROUP BY 1, 2)"""
+
+  lazy val semanticDecontaminateOracle: String =
+    s"""WITH $semDecSql
+       SELECT vec_id, benchmark, n_sem
+       FROM sem ORDER BY vec_id, benchmark"""
+
+  /** q191: the composed contamination VERDICT — every corpus document
+    * flagged by EITHER filter, carrying q54's shared-5-gram count,
+    * q190's semantic-neighbor count (summed over benchmarks), and the
+    * verdict `both`/`ngram`/`semantic`. The shape a training-mix
+    * release audit publishes: the n-gram column catches verbatim
+    * leakage, the semantic column catches paraphrase, and the `both`
+    * rows are the high-confidence removals. doc_id ≡ vec_id by the
+    * fixture contract; each side's eval exclusion is its own (q54
+    * drops %50 docs, q190's corpus side drops %50 vecs — same set).
+    *
+    * Scale: the union of two flag frames, each already
+    * benchmark-bounded (contaminated docs are a sliver of the
+    * corpus); the outer join keys on doc_id longs. */
+  def contaminationVerdict(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ngram = Curate.decontaminate(spark, dir)
+      .select(col("doc_id"), col("n_shared"))
+    val sem = semanticDecontaminate(spark, dir)
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(sum(col("n_sem")).as("n_sem"))
+    ngram.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_sem"), lit(0L)).as("n_sem"),
+        when(col("n_shared").isNotNull && col("n_sem").isNotNull, "both")
+          .when(col("n_shared").isNotNull, "ngram")
+          .otherwise("semantic").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val contaminationVerdictOracle: String =
+    s"""WITH $semDecSql,
+       semdoc AS (SELECT vec_id AS doc_id,
+           CAST(sum(n_sem) AS BIGINT) AS n_sem
+         FROM sem GROUP BY 1),
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       gi AS (SELECT doc_id, ws, unnest(generate_series(1,
+           greatest(len(ws) - 4, 0))) AS i FROM w),
+       g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+         FROM gi),
+       d AS (SELECT DISTINCT doc_id, sh FROM g),
+       bench AS (SELECT DISTINCT sh FROM d WHERE doc_id % 50 = 0),
+       ng AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM d JOIN bench USING (sh)
+         WHERE d.doc_id % 50 <> 0 GROUP BY 1)
+       SELECT COALESCE(ng.doc_id, semdoc.doc_id) AS doc_id,
+         COALESCE(ng.n_shared, 0) AS n_shared,
+         COALESCE(semdoc.n_sem, 0) AS n_sem,
+         CASE WHEN ng.doc_id IS NOT NULL AND semdoc.doc_id IS NOT NULL
+             THEN 'both'
+           WHEN ng.doc_id IS NOT NULL THEN 'ngram'
+           ELSE 'semantic' END AS verdict
+       FROM ng FULL OUTER JOIN semdoc ON semdoc.doc_id = ng.doc_id
+       ORDER BY doc_id"""
 }

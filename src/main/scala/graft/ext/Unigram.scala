@@ -141,9 +141,15 @@ object Unigram {
       .flatMap { case (w, n) => segment(w, bc.value).map(p => (p, n)) }
       .toDF("p", "n")
       .groupBy(col("p")).agg(sum(col("n")).as("u"))
-    vocab.select(col("p"))
+    // materialize inside the round (eager localCheckpoint) so this
+    // round's model broadcast can be released instead of accumulating
+    // one per EM round
+    val out = vocab.select(col("p"))
       .join(used, Seq("p"), "left")
       .select(col("p"), coalesce(col("u"), lit(0L)).as("c"))
+      .localCheckpoint()
+    bc.destroy()
+    out
   }
 
   /** Final usage counts over the full seed vocabulary (zeros kept —
@@ -154,7 +160,7 @@ object Unigram {
     var counts = vocab
     var r = 0
     while (r < Rounds) {
-      counts = emRound(wc, vocab, counts).localCheckpoint()
+      counts = emRound(wc, vocab, counts) // checkpointed inside the round
       r += 1
     }
     counts

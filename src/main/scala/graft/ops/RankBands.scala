@@ -56,10 +56,18 @@ object RankBands {
     *
     * @param coarse histogram bucket width in score units (trunc
     *   division — monotone and contiguous, which is all phase 1
-    *   needs). */
+    *   needs).
+    * @param histCap hard ceiling on phase-1 histogram rows collected
+    *   to the driver. The histogram is bounded by groups × (score
+    *   domain ÷ coarse) — ~200 buckets/language for every current
+    *   caller — but that bound is a property of the CALLER's score
+    *   domain, not of this operator: an adversarial domain (raw
+    *   micro-nats with coarse = 1000) would collect millions of rows.
+    *   The collect is capped at histCap + 1 rows so a breach fails
+    *   loudly (widen `coarse`) instead of OOMing the driver. */
   def ntileOf(df: DataFrame, k: Int, groupCol: String,
       scoreCol: String, idCol: String, bandCol: String,
-      coarse: Long = 1000L): DataFrame = {
+      coarse: Long = 1000L, histCap: Int = 100000): DataFrame = {
     require(k >= 1, s"ntileOf needs k >= 1, got $k")
     // fail loudly on contract breaches a Row getter would otherwise
     // turn into a ClassCastException three stages later
@@ -87,9 +95,17 @@ object RankBands {
     val spark = stable.sparkSession
     val bucketed = stable.withColumn("_rb_bkt",
       expr(s"$scoreCol div $coarse"))
-    // phase 1: coarse histogram (groups × bounded buckets), driver-side
-    val hist = bucketed.groupBy(col(groupCol), col("_rb_bkt"))
-      .agg(count(lit(1)).as("_rb_c")).collect()
+    // phase 1: coarse histogram (groups × bounded buckets), driver-side.
+    // The collect itself is the guard: limit(histCap + 1) bounds driver
+    // memory no matter the score domain, and length > histCap is the
+    // loud contract breach (requireDimSized precedent, ops/Enrich).
+    val histRows = bucketed.groupBy(col(groupCol), col("_rb_bkt"))
+      .agg(count(lit(1)).as("_rb_c")).limit(histCap + 1).collect()
+    require(histRows.length <= histCap,
+      s"ntileOf: phase-1 histogram exceeds histCap=$histCap rows — " +
+        s"the score domain of $scoreCol is too fine for coarse=" +
+        s"$coarse; widen `coarse` (or raise histCap deliberately)")
+    val hist = histRows
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // the window form bands a NULL-group partition; the cutoff join
     // here would silently DROP those rows instead — refuse, don't lose

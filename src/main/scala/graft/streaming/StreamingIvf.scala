@@ -101,8 +101,11 @@ object StreamingIvf {
       .select(col("vec_id"), col("list_id"), col("index_fp"),
         col("batch_id"))
       .distinct()
+    // distinct fp count is tiny by construction (one per index
+    // definition ever written here) — collect them ALL so the refusal
+    // message reports the true mix size, not a limit(3) artifact
     val fps = all.select(col("index_fp")).distinct()
-      .limit(3).collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).sorted
     require(fps.length <= 1,
       s"IVF postings at $outDir mix ${fps.length} index definitions " +
         s"(fps ${fps.mkString(", ")}) — postings of different centroid " +

@@ -351,8 +351,17 @@ object ScaleSmoke {
     val selected =
       if (args.isEmpty) cases
       else cases.filter { case (n, _) => args.exists(n.startsWith) }
-    println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s")
-    selected.foreach { case (name, q) =>
+    // the 10x ratios have historically needed manual "quiet window"
+    // caveats — stamp each row with measured hypervisor steal so a
+    // contaminated row self-identifies (steal probe = spin all cores,
+    // read /proc/stat steal delta; -1.0 = unmeasurable).
+    // Probing per row would add ~2 s x 189; probe once before, once
+    // after, and every ~20 rows.
+    var lastSteal = StealProbe.measure(
+      Runtime.getRuntime.availableProcessors(), 2000L)
+    println(f"[scale] steal_pct at start: $lastSteal%.1f")
+    println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s ${"steal%%"}%7s")
+    selected.zipWithIndex.foreach { case ((name, q), i) =>
       // warm BOTH dirs so session-memoized shared artifacts (pair
       // index, WET parse, NB model) are excluded from both sides —
       // the ratio measures steady-state scaling, not one-time
@@ -361,8 +370,13 @@ object ScaleSmoke {
       time(name, big)(q) // warm
       val a = time(name, base)(q)
       val b = time(name, big)(q)
-      println(f"$name%-24s $a%8.2f $b%8.2f ${b / a}%6.1f")
+      if (i % 20 == 19) lastSteal = StealProbe.measure(
+        Runtime.getRuntime.availableProcessors(), 2000L)
+      println(f"$name%-24s $a%8.2f $b%8.2f ${b / a}%6.1f $lastSteal%7.1f")
     }
+    val stealEnd = StealProbe.measure(
+      Runtime.getRuntime.availableProcessors(), 2000L)
+    println(f"[scale] steal_pct at end: $stealEnd%.1f")
     spark.stop()
   }
 }

@@ -96,6 +96,25 @@ class RankBandsSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("STRING"))
   }
 
+  test("histCap guard: a score domain too fine for `coarse` fails " +
+      "loudly instead of collecting an unbounded histogram") {
+    // 50 distinct buckets at coarse=1 (scores 0..-49); histCap=10 must
+    // refuse, and the message must name the remedy
+    val rows = (0 until 50).map(i => ("a", -i.toLong, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      RankBands.ntileOf(fixture(rows), 3, "g", "score", "id", "nt",
+        coarse = 1L, histCap = 10).collect()
+    }
+    assert(e.getMessage.contains("histCap"))
+    assert(e.getMessage.contains("coarse"))
+    // same data passes untouched once coarse absorbs the domain
+    val got = RankBands.ntileOf(fixture(rows), 3, "g", "score", "id",
+        "nt", coarse = 1L, histCap = 50)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getInt(3))
+      .toMap
+    assert(got == ntileExpected(rows, 3))
+  }
+
   test("q170/q174 final plans carry no ntile window (the per-language " +
       "single-reducer sort is gone); the remaining window brackets " +
       "only the boundary buckets") {
