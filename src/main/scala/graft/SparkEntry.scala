@@ -350,7 +350,17 @@ object SparkEntry {
     "q190_semantic_decontam" -> ((s: SparkSession, d: String) =>
       Similarity.semanticDecontaminate(s, d)),
     "q191_contamination_verdict" -> ((s: SparkSession, d: String) =>
-      Similarity.contaminationVerdict(s, d))
+      Similarity.contaminationVerdict(s, d)),
+    "q192_resize_exact" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeStatsExact(s, d)),
+    "q193_conversation_threads" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.conversationThreads(s, d)),
+    "q194_preference_pairs" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.preferencePairs(s, d)),
+    "q195_prompt_decontam" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.promptDecontaminate(s, d)),
+    "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.sftReleaseCard(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -657,6 +667,13 @@ object SparkEntry {
     "q82_bpe_merges" -> graft.ext.Bpe.mergeTableOracle,
     "q83_bpe_tokens" -> graft.ext.Bpe.encodeCorpusOracle,
     "q190_semantic_decontam" -> Similarity.semanticDecontaminateOracle,
-    "q191_contamination_verdict" -> Similarity.contaminationVerdictOracle
+    "q191_contamination_verdict" -> Similarity.contaminationVerdictOracle,
+    "q192_resize_exact" -> Multimodal.resizeStatsExactOracle,
+    "q193_conversation_threads" ->
+      graft.ext.SftAssembly.conversationThreadsOracle,
+    "q194_preference_pairs" -> graft.ext.SftAssembly.preferencePairsOracle,
+    "q195_prompt_decontam" ->
+      graft.ext.SftAssembly.promptDecontaminateOracle,
+    "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle
   )
 }

@@ -470,6 +470,100 @@ object Multimodal {
          CAST(sum(v) AS BIGINT) AS px_sum, CAST(count(*) AS BIGINT) AS n_px
        FROM b GROUP BY doc_id, format, w, h, ch ORDER BY doc_id"""
 
+  /** q192: integer-exact ORACLED twin of q72 (resize) for the LOSSLESS
+    * raster formats — the last decode-family operator that had no
+    * oracled twin. The resample kernel is the REAL
+    * [[MediaCodecs.resizeImage]] q72 executes: pure integer box-filter
+    * arithmetic (floor-division box edges `x·W div nw`, rounded
+    * integer division `(sum + n div 2) div n` per output sample), so a
+    * DuckDB oracle replays every resized pixel from `documents.text`
+    * alone and the output reports exact integer sufficient statistics
+    * (Σ resized pixel bytes + count) plus both geometries. The one
+    * deliberate difference from q72: the TARGET geometry here is
+    * integer floor division (`w·maxSide div max(w,h)`) instead of
+    * q72's float scale-and-truncate, so the gate never rests on
+    * cross-engine IEEE rounding at scale boundaries — q72 remains the
+    * production form, and MultimodalSpec pins the two geometries equal
+    * on the synthesized corpus. JPEG stays excluded (codec-approximate
+    * decode, the q110 rule).
+    *
+    * Scale: narrow mapPartitions batch decode+resample, no shuffle
+    * before the doc-count-sized final sort — the q109/q110 posture. */
+  def resizeStatsExact(spark: SparkSession, dir: String,
+      maxSide: Int = 8): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeImage(p)
+          .filter(_.format != "jpeg")
+          .map { img =>
+            val md = math.max(img.width, img.height)
+            val (nw, nh) =
+              if (md <= maxSide) (img.width, img.height)
+              else (math.max(1, img.width * maxSide / md),
+                math.max(1, img.height * maxSide / md))
+            val r = MediaCodecs.resizeImage(img, nw, nh)
+            var s = 0L
+            var i = 0
+            while (i < r.pixels.length) { s += r.pixels(i) & 0xff; i += 1 }
+            (id, img.format, img.width, img.height, nw, nh,
+              img.channels, s, r.pixels.length.toLong)
+          }
+      })
+      .toDF("doc_id", "format", "src_width", "src_height", "width",
+        "height", "channels", "px_sum", "n_px")
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeStatsExactOracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m,
+         CASE WHEN octet_length(encode(text)) = 0 THEN '2A'
+              ELSE hex(encode(text)) END AS hx,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE octet_length(encode(text)) END AS len
+       FROM documents WHERE doc_id % 6 IN (0, 1, 2, 4)),
+       geo AS (SELECT doc_id, hx, len,
+           8 + len % 9 AS w, 6 + len % 7 AS h,
+           CASE WHEN m = 2 THEN 1 ELSE 3 END AS ch,
+           CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+             ELSE 'png' END AS format,
+           greatest(8 + len % 9, 6 + len % 7) AS md
+         FROM d),
+       g2 AS (SELECT doc_id, hx, len, w, h, ch, format,
+           CASE WHEN md <= 8 THEN w ELSE greatest(1, w * 8 // md) END
+             AS nw,
+           CASE WHEN md <= 8 THEN h ELSE greatest(1, h * 8 // md) END
+             AS nh
+         FROM geo),
+       opx AS (SELECT doc_id, hx, len, w, h, ch, nw, nh,
+           i // (nw * ch) AS y, (i // ch) % nw AS x, i % ch AS c
+         FROM g2, unnest(range(0, nw * nh * ch)) AS t(i)),
+       box AS (SELECT doc_id, hx, len, w, ch, y, x, c,
+           y * h // nh AS y0,
+           greatest(y * h // nh + 1, (y + 1) * h // nh) AS y1,
+           x * w // nw AS x0,
+           greatest(x * w // nw + 1, (x + 1) * w // nw) AS x1
+         FROM opx),
+       sv AS (SELECT doc_id, y, x, c,
+           (y1 - y0) * (x1 - x0) AS n,
+           CAST(('0x' || substr(hx,
+             ((((sy * w + sx) * ch + c) % len) * 2) + 1, 2))::INTEGER
+             AS BIGINT) AS v
+         FROM box, unnest(range(y0, y1)) AS a(sy),
+           unnest(range(x0, x1)) AS b(sx)),
+       o AS (SELECT doc_id, y, x, c, (sum(v) + n // 2) // n AS ov
+         FROM sv GROUP BY doc_id, y, x, c, n),
+       agg AS (SELECT doc_id, CAST(sum(ov) AS BIGINT) AS px_sum,
+           CAST(count(*) AS BIGINT) AS n_px
+         FROM o GROUP BY doc_id)
+       SELECT g2.doc_id, format, CAST(w AS INT) AS src_width,
+         CAST(h AS INT) AS src_height, CAST(nw AS INT) AS width,
+         CAST(nh AS INT) AS height, CAST(ch AS INT) AS channels,
+         px_sum, n_px
+       FROM g2 JOIN agg ON agg.doc_id = g2.doc_id
+       ORDER BY g2.doc_id"""
+
   /** q119: IMA-ADPCM round trip, integer-exact and ORACLED — the
     * compressed-audio path that replaces the last codec stub. Each WAV
     * document's decoded 16-bit PCM is encoded through the real

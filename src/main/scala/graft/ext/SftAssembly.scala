@@ -1,0 +1,274 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Post-pretraining (SFT / preference) data assembly — the shapes a
+  * production pipeline composes AFTER the pretraining delivery the
+  * rest of this library covers: conversation-turn threading with role
+  * alternation checks (q193), pairwise preference joins with
+  * deterministic tiebreaks (q194), rejection-sampling prompt-set
+  * decontamination (q195), and the composed per-user release card
+  * (q196).
+  *
+  * Modeling on the fixture tables: `events` stands in for a turn log
+  * (user_id = conversation owner, calendar day = thread boundary,
+  * event_type → role: the human-action types `click/view/signup` are
+  * `user` turns, `purchase/error` are `assistant` turns) and for a
+  * reward log (`value` = per-response score, user_id = prompt pool);
+  * `documents` with the doc_id % 50 = 0 eval convention stands in for
+  * the SFT prompt set.
+  *
+  * Scale posture: every operator here is one map-side-combinable
+  * aggregation or one broadcast anti-join. Threads group on
+  * (user, day) — bounded groups (one user's day), so the
+  * collect_list is per-group-bounded, never corpus-sized; preference
+  * pairs are max_by/min_by aggregates (NO per-prompt window — an
+  * argmax under a total order is a partial-aggregable fold); the
+  * prompt digest set is benchmark-sized and broadcasts. Timestamps
+  * are exported as epoch-micros-derived day indexes, never raw (the
+  * events.ts house rule).
+  */
+object SftAssembly {
+
+  private val UsPerDay = 86400000000L
+
+  /** The role map: human-action event types are `user` turns. */
+  private val UserRoleTypes = Seq("click", "view", "signup")
+
+  private def turnEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("day", expr(s"us div $UsPerDay"))
+      .withColumn("role",
+        when(col("event_type").isin(UserRoleTypes: _*), lit("user"))
+          .otherwise(lit("assistant")))
+
+  /** q193: conversation threading — one row per (user, day) thread
+    * with the turn count, role composition, alternation check
+    * (adjacent same-role pairs = violations; an SFT exporter drops or
+    * repairs those), whether the thread opens with a user turn, and
+    * the md5 order pin of the full role:type sequence (the q114
+    * idiom — the oracle agrees on ORDER, not just membership).
+    *
+    * Scale: one groupBy(user, day) with a per-group-bounded
+    * collect_list; the alternation count is a narrow zip_with over
+    * the sorted turn array — no window, no self-join. ORDER BY =
+    * oracle determinism only. */
+  def conversationThreads(spark: SparkSession, dir: String): DataFrame =
+    conversationThreadsOf(turnEvents(spark, dir))
+      .orderBy(col("user_id"), col("day"))
+
+  /** Sort-free thread frame — the form q196 composes. */
+  private[ext] def conversationThreadsOf(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"), col("day"))
+      .agg(collect_list(struct(col("us"), col("event_id"), col("role"),
+        col("event_type"))).as("raw"))
+      // (us, event_id) is a unique prefix, so the lexicographic struct
+      // sort is a total order — the thread's canonical turn sequence
+      .withColumn("turns", expr("array_sort(raw)"))
+      .select(col("user_id"), col("day"),
+        expr("size(turns)").as("n_turns"),
+        expr("size(filter(turns, t -> t.role = 'user'))").as("n_user"),
+        expr("turns[0].role = 'user'").as("starts_with_user"),
+        expr("""size(filter(zip_with(
+            slice(transform(turns, t -> t.role), 1, size(turns) - 1),
+            slice(transform(turns, t -> t.role), 2, size(turns) - 1),
+            (a, b) -> a = b), x -> x))""").as("n_role_violations"),
+        md5(expr(
+          "array_join(transform(turns, t -> concat(t.role, ':', " +
+            "t.event_type)), ' ')").cast("binary")).as("thread_md5"))
+
+  val conversationThreadsOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           event_type,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day,
+           CAST(count(*) AS INT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT)
+             AS n_user,
+           CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS INT)
+             AS n_role_violations,
+           string_agg(role || ':' || event_type, ' '
+             ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2)
+       SELECT user_id, day, n_turns, n_user,
+         CAST(seq LIKE 'user:%' AS BOOLEAN) AS starts_with_user,
+         n_role_violations, md5(seq) AS thread_md5
+       FROM g ORDER BY user_id, day"""
+
+  /** q194: preference-pair assembly — per prompt (user_id pools the
+    * sampled responses; `value` is the reward score), the
+    * chosen/rejected pair under ONE total order: key = (value,
+    * −event_id), chosen = argmax (best score, lowest id on ties),
+    * rejected = argmin (worst score, highest id on ties — so a
+    * constant-score pool still yields a distinct, deterministic
+    * pair). Pools of one are dropped (no pair to make).
+    *
+    * Scale: max_by/min_by over a struct key is a partial-aggregable
+    * fold — map-side combine, one shuffle of one row per prompt, NO
+    * per-prompt window or sort. ORDER BY = oracle determinism
+    * only. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame =
+    preferencePairsOf(spark, dir).orderBy(col("prompt_id"))
+
+  private[ext] def preferencePairsOf(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id").as("prompt_id"), col("event_id"),
+        col("value"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(struct(col("event_id"), col("value")),
+          struct(col("value"), (-col("event_id")).as("nid"))).as("ch"),
+        min_by(struct(col("event_id"), col("value")),
+          struct(col("value"), (-col("event_id")).as("nid"))).as("rj"))
+      .filter(col("n_candidates") >= 2)
+      .select(col("prompt_id"), col("n_candidates"),
+        col("ch.event_id").as("chosen_id"),
+        col("rj.event_id").as("rejected_id"),
+        round(col("ch.value"), 2).as("chosen_value"),
+        round(col("rj.value"), 2).as("rejected_value"),
+        // diff of two 2-decimal doubles is mathematically 2-decimal,
+        // never near a .xx5 half-way point — round(, 2) is engine-safe
+        round(col("ch.value") - col("rj.value"), 2).as("margin"))
+
+  val preferencePairsOracle: String =
+    """WITH e AS (SELECT user_id AS prompt_id, event_id, value
+         FROM events),
+       r AS (SELECT prompt_id, event_id, value,
+           row_number() OVER (PARTITION BY prompt_id
+             ORDER BY value DESC, event_id) AS rc,
+           row_number() OVER (PARTITION BY prompt_id
+             ORDER BY value, event_id DESC) AS rr,
+           count(*) OVER (PARTITION BY prompt_id) AS n
+         FROM e),
+       c AS (SELECT prompt_id, event_id AS chosen_id,
+           value AS chosen_value, n FROM r WHERE rc = 1),
+       j AS (SELECT prompt_id, event_id AS rejected_id,
+           value AS rejected_value FROM r WHERE rr = 1)
+       SELECT c.prompt_id, CAST(n AS BIGINT) AS n_candidates,
+         chosen_id, rejected_id,
+         round(chosen_value, 2) AS chosen_value,
+         round(rejected_value, 2) AS rejected_value,
+         round(chosen_value - rejected_value, 2) AS margin
+       FROM c JOIN j USING (prompt_id) WHERE n >= 2
+       ORDER BY c.prompt_id"""
+
+  /** q195: prompt-set decontamination — the rejection-sampling hygiene
+    * step: corpus documents whose PROMPT PREFIX (first 4 words,
+    * lowercased — the part a sampler would have echoed verbatim)
+    * digest-matches any SFT prompt-set member are dropped by anti-join
+    * (the q61 incremental-dedup shape keyed on prompt hashes instead
+    * of full-document digests). Output is the surviving corpus with
+    * its prompt hash; a dropped document's ABSENCE is what the oracle
+    * pins.
+    *
+    * Scale: the prompt digest set is benchmark-sized → broadcast
+    * anti-join on a fixed-width 32-char key; the corpus side is one
+    * narrow prefix-hash map and never shuffles. ORDER BY = oracle
+    * determinism only. */
+  def promptDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    promptDecontaminateOf(spark, dir).orderBy(col("doc_id"))
+
+  private[ext] def promptDecontaminateOf(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("prompt_hash", md5(
+        expr("lower(array_join(slice(split(text, ' '), 1, 4), ' '))")
+          .cast("binary")))
+    val prompts = d.filter(col("doc_id") % 50 === 0)
+      .select(col("prompt_hash")).distinct()
+    d.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(prompts), Seq("prompt_hash"), "left_anti")
+      .select(col("doc_id"), col("prompt_hash"))
+  }
+
+  val promptDecontaminateOracle: String =
+    """WITH d AS (SELECT doc_id,
+         md5(lower(array_to_string((string_split(text, ' '))[1:4], ' ')))
+           AS prompt_hash
+       FROM documents),
+       p AS (SELECT DISTINCT prompt_hash FROM d WHERE doc_id % 50 = 0)
+       SELECT doc_id, prompt_hash
+       FROM d WHERE doc_id % 50 <> 0
+         AND prompt_hash NOT IN (SELECT prompt_hash FROM p)
+       ORDER BY doc_id"""
+
+  /** q196: the composed SFT release card — per user, thread inventory
+    * (total and VALID: zero alternation violations AND opens with a
+    * user turn) joined with the preference pair; only users
+    * contributing at least one valid thread and a pair appear. The
+    * per-user row an SFT+preference release manifest carries.
+    *
+    * Scale: composes the sort-free forms — two aggregates (user-sized
+    * frames) and one join on user_id longs. ORDER BY = oracle
+    * determinism only. */
+  def sftReleaseCard(spark: SparkSession, dir: String): DataFrame = {
+    // the thread and pair frames are shared artifacts (the q60
+    // convention): q193/q194 derive fresh, the composed card reads
+    // the memos
+    val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
+      conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
+    }
+    val pairs = graft.SessionMemo(spark, s"sft-pairs:$dir") {
+      preferencePairsOf(spark, dir).localCheckpoint()
+    }
+    val t = threads
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n_threads"),
+        sum(when(col("n_role_violations") === 0 &&
+          col("starts_with_user"), 1).otherwise(0)).cast("int")
+          .as("n_valid_threads"))
+      .filter(col("n_valid_threads") >= 1)
+    t.join(pairs, t("user_id") === col("prompt_id"))
+      .select(col("user_id"), col("n_threads"), col("n_valid_threads"),
+        col("chosen_id"), col("rejected_id"), col("margin"))
+      .orderBy(col("user_id"))
+  }
+
+  val sftReleaseCardOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           event_type, value,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2),
+       t AS (SELECT user_id, CAST(count(*) AS INT) AS n_threads,
+           CAST(sum(CASE WHEN viol = 0 AND seq LIKE 'user%' THEN 1
+             ELSE 0 END) AS INT) AS n_valid_threads
+         FROM g GROUP BY 1),
+       r AS (SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rc,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value, event_id DESC) AS rr,
+           count(*) OVER (PARTITION BY user_id) AS n
+         FROM e),
+       c AS (SELECT user_id, event_id AS chosen_id,
+           value AS chosen_value, n FROM r WHERE rc = 1),
+       j AS (SELECT user_id, event_id AS rejected_id,
+           value AS rejected_value FROM r WHERE rr = 1)
+       SELECT t.user_id, n_threads, n_valid_threads, chosen_id,
+         rejected_id,
+         round(chosen_value - rejected_value, 2) AS margin
+       FROM t JOIN c ON c.user_id = t.user_id
+         JOIN j ON j.user_id = t.user_id
+       WHERE n_valid_threads >= 1 AND n >= 2
+       ORDER BY t.user_id"""
+}

@@ -1214,6 +1214,19 @@ object Similarity {
     * no eval member generates no pair. ORDER BY = oracle determinism
     * only. */
   def semanticDecontaminate(spark: SparkSession,
+      dir: String): DataFrame =
+    semanticFlagsOf(spark, dir).orderBy(col("vec_id"), col("benchmark"))
+
+  /** The q190 flag frame, memoized for composed consumers (q191 reads
+    * it; q190 itself derives fresh — a query never memoizes its own
+    * result). */
+  private def semanticFlagsFor(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"sem-flags:$dir") {
+      semanticFlagsOf(spark, dir).localCheckpoint()
+    }
+
+  private def semanticFlagsOf(spark: SparkSession,
       dir: String): DataFrame = {
     import graft.functions.IntDot.int_dot
     val assigned = exactAssignFor(spark, dir)
@@ -1240,7 +1253,6 @@ object Similarity {
           "4 * CAST(n AS DECIMAL(38,0)) * ne"))
       .groupBy(col("vec_id"), col("benchmark"))
       .agg(count(lit(1)).as("n_sem"))
-      .orderBy(col("vec_id"), col("benchmark"))
   }
 
   /** The q190 CTE chain up to per-(doc, benchmark) flag counts —
@@ -1294,9 +1306,12 @@ object Similarity {
     * corpus); the outer join keys on doc_id longs. */
   def contaminationVerdict(spark: SparkSession,
       dir: String): DataFrame = {
-    val ngram = Curate.decontaminate(spark, dir)
-      .select(col("doc_id"), col("n_shared"))
-    val sem = semanticDecontaminate(spark, dir)
+    // both flag frames are shared artifacts (the q60 convention):
+    // q54/q190 derive fresh, the composed verdict reads the memos
+    val ngram = graft.SessionMemo(spark, s"ngram-contam:$dir") {
+      Curate.decontaminate(spark, dir).localCheckpoint()
+    }.select(col("doc_id"), col("n_shared"))
+    val sem = semanticFlagsFor(spark, dir)
       .groupBy(col("vec_id").as("doc_id"))
       .agg(sum(col("n_sem")).as("n_sem"))
     ngram.join(sem, Seq("doc_id"), "full_outer")

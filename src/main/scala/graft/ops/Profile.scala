@@ -121,9 +121,16 @@ object Profile {
     * frames — at 100 TB this is two table scans and a tiny join, and
     * each pass can independently use `approxDistinct`. */
   def drift(before: DataFrame, after: DataFrame,
-      approxDistinct: Boolean = false): DataFrame = {
-    def side(df: DataFrame, tag: String) =
-      profile(df, approxDistinct).select(
+      approxDistinct: Boolean = false): DataFrame =
+    driftOfProfiles(profile(before, approxDistinct),
+      profile(after, approxDistinct))
+
+  /** [[drift]] over ALREADY-COMPUTED profile frames — the form a
+    * composed caller with a memoized baseline profile uses (q111 reads
+    * the shared orders profile; q87 derives it fresh). */
+  def driftOfProfiles(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(p: DataFrame, tag: String) =
+      p.select(
         col("column_name"),
         col("null_count").as(s"null_$tag"),
         col("distinct_count").as(s"distinct_$tag"),
@@ -206,7 +213,14 @@ object Profile {
     * cached/CPU-bound (see the cost model there). */
   def q111ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
     val o = graft.Tables(spark, dir, "orders")
-    drift(o, o.filter(col("o_totalprice") > 10000.0))
+    // the baseline side is exactly q87's derivation — shared artifact
+    // (q87 derives fresh, the drift report reads the memo); the after
+    // side is this query's own filtered re-delivery, derived fresh
+    val baseline = graft.SessionMemo(spark, s"orders-profile:$dir") {
+      profile(o).localCheckpoint()
+    }
+    driftOfProfiles(baseline,
+      profile(o.filter(col("o_totalprice") > 10000.0)))
   }
 
   val q111Oracle: String =

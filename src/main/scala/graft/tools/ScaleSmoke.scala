@@ -344,7 +344,22 @@ object ScaleSmoke {
       "q189_modularity" -> ((s: SparkSession, d: String) =>
         graft.ops.LabelProp.q189Modularity(s, d)),
       "q33_media_features" -> ((s: SparkSession, d: String) =>
-        graft.ext.Multimodal.featureSummary(s, d))
+        graft.ext.Multimodal.featureSummary(s, d)),
+      // round-14 operators
+      "q190_semantic_decontam" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.semanticDecontaminate(s, d)),
+      "q191_contamination_verdict" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.contaminationVerdict(s, d)),
+      "q192_resize_exact" -> ((s: SparkSession, d: String) =>
+        graft.ext.Multimodal.resizeStatsExact(s, d)),
+      "q193_conversation_threads" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.conversationThreads(s, d)),
+      "q194_preference_pairs" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.preferencePairs(s, d)),
+      "q195_prompt_decontam" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.promptDecontaminate(s, d)),
+      "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.sftReleaseCard(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -307,6 +307,25 @@ class MultimodalSpec extends SparkSpecBase {
       .get.pixels.sameElements(resized.pixels))
   }
 
+  test("q192 twin geometry: the integer floor-division target equals " +
+      "q72's float scale-and-truncate on the synthesized corpus") {
+    // the exact twin deliberately computes (nw, nh) with integer
+    // division; this pin is the evidence the two forms agree wherever
+    // both run, so q192 gates q72's kernel and not a different shape
+    val q72 = graft.ext.Multimodal.resizeStats(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5))).toMap
+    val q192 = graft.ext.Multimodal.resizeStatsExact(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5))).toMap
+    assert(q192.nonEmpty)
+    // q72 covers jpeg too; on the shared (lossless) ids the geometries
+    // must be identical
+    q192.foreach { case (id, wh) =>
+      assert(q72(id) == wh, s"doc $id: q72 ${q72(id)} vs q192 $wh")
+    }
+  }
+
   test("resamplePcm: exact linear interpolation, duration preserved, identity at same rate") {
     import graft.ext.MediaCodecs
     // ramp 0, 0.2, 0.4, 0.6 at 4 Hz -> 8 Hz: midpoints interpolate,

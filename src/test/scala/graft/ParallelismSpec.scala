@@ -89,7 +89,14 @@ class ParallelismSpec extends SparkSpecBase {
     "q179_ivf_train", "q180_pq_adc_topk", "q181_ivf_forget",
     "q182_ivf_drift", "q183_ivf_recall", "q184_tokenizer_scorecard",
     "q185_unigram_vocab", "q186_unigram_tokens", "q187_label_prop",
-    "q188_ivf_retrain_diff", "q189_modularity")
+    "q188_ivf_retrain_diff", "q189_modularity",
+    // round-14: semantic decontamination rides the memoized assignment
+    // + a broadcast; the SFT family is aggregates and an anti-join;
+    // the resize twin is a narrow decode map
+    "q190_semantic_decontam", "q191_contamination_verdict",
+    "q192_resize_exact", "q193_conversation_threads",
+    "q194_preference_pairs", "q195_prompt_decontam",
+    "q196_sft_release_card")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

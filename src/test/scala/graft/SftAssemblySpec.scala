@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.SftAssembly
+
+/** SftAssembly: each operator must equal an independent local replay
+  * of its rule on the sf0.001 fixtures, and the scale postures must
+  * hold in the executed plans (no per-prompt window in the preference
+  * fold; broadcast anti-join in prompt decontamination). */
+class SftAssemblySpec extends SparkSpecBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** (user_id, us, event_id, event_type, value) rows of the fixture. */
+  private lazy val events: Seq[(Long, Long, Long, String, Double)] =
+    Tables(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  private def role(t: String): String =
+    if (Set("click", "view", "signup")(t)) "user" else "assistant"
+
+  test("q193 threads equal a local replay: counts, alternation " +
+      "violations, first role, and the md5 order pin") {
+    val got = SftAssembly.conversationThreads(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getBoolean(4), r.getInt(5),
+          r.getString(6))))
+      .toMap
+    val want = events
+      .groupBy(e => (e._1, e._2 / 86400000000L))
+      .map { case (k, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val roles = sorted.map(e => role(e._4))
+        val viol = roles.zip(roles.drop(1)).count { case (a, b) => a == b }
+        val seq = sorted.map(e => s"${role(e._4)}:${e._4}").mkString(" ")
+        k -> ((sorted.length, roles.count(_ == "user"),
+          roles.head == "user", viol, md5hex(seq)))
+      }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the alternation check must actually fire somewhere on real data
+    assert(got.values.exists(_._4 > 0), "no violations in fixture")
+    // no window anywhere: the thread rollup is one aggregate + narrow
+    // array ops
+    val plan = SftAssembly.conversationThreads(spark, sf0001)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"))
+  }
+
+  test("q194 preference pairs equal a local argmax/argmin replay " +
+      "under the single (value, -event_id) total order, window-free") {
+    val got = SftAssembly.preferencePairs(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6))))
+      .toMap
+    val want = events.groupBy(_._1).collect {
+      case (u, es) if es.length >= 2 =>
+        val chosen = es.maxBy(e => (e._5, -e._3))
+        val rejected = es.minBy(e => (e._5, -e._3))
+        u -> ((es.length.toLong, chosen._3, rejected._3,
+          BigDecimal(chosen._5 - rejected._5)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == want)
+    // the pair is distinct even for constant-score pools by the
+    // opposed id tiebreaks
+    assert(got.values.forall(v => v._2 != v._3))
+    val plan = SftAssembly.preferencePairs(spark, sf0001)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"),
+      "preference fold must be a max_by aggregate, not a window")
+  }
+
+  test("q195 prompt decontamination: survivors equal the local " +
+      "prefix-hash anti-join, drops fire, and the prompt set broadcasts") {
+    val docsRows = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def prefixHash(t: String): String =
+      md5hex(t.split(" ", -1).take(4).mkString(" ").toLowerCase)
+    val promptSet = docsRows.filter(_._1 % 50 == 0)
+      .map(d => prefixHash(d._2)).toSet
+    val wantKept = docsRows.filter(_._1 % 50 != 0)
+      .filterNot(d => promptSet(prefixHash(d._2))).map(_._1).toSet
+    val got = SftAssembly.promptDecontaminate(spark, sf0001)
+      .collect().map(_.getLong(1 - 1))
+    assert(got.toSet == wantKept)
+    val nCorpus = docsRows.count(_._1 % 50 != 0)
+    assert(got.length < nCorpus, "anti-join never fired — vacuous gate")
+    val plan = SftAssembly.promptDecontaminate(spark, sf0001)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"),
+      "prompt digest set must broadcast")
+  }
+
+  test("q196 release card is consistent with its parts and keeps " +
+      "only valid-thread users") {
+    val threads = SftAssembly.conversationThreads(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(4), r.getInt(5)))
+    val valid = threads.groupBy(_._1).map { case (u, ts) =>
+      u -> ts.count(t => t._3 == 0 && t._2)
+    }
+    val pairs = SftAssembly.preferencePairs(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val got = SftAssembly.sftReleaseCard(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getInt(2) == valid(u), s"user $u n_valid mismatch")
+      assert(r.getInt(2) >= 1)
+      assert(pairs(u) == ((r.getLong(3), r.getLong(4))))
+    }
+    // nothing valid is missing: every user with a valid thread AND a
+    // pair appears
+    val wantUsers = valid.filter(_._2 >= 1).keySet.intersect(pairs.keySet)
+    assert(got.map(_.getLong(0)).toSet == wantUsers)
+  }
+}

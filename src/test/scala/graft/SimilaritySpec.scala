@@ -189,6 +189,68 @@ class SimilaritySpec extends SparkSpecBase {
     assert(wantDropped.nonEmpty, "corpus should contain semantic dups")
   }
 
+  test("q190 semantic decontamination equals a local BigInt replay of " +
+      "the IVF-bucketed integer cosine gate; eval side broadcasts") {
+    import graft.ext.IvfIndex
+    val df = Similarity.semanticDecontaminate(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // local replay from the raw parquet: micro-quantize, assign with
+    // the REAL detCentroids/assign pair, then the exact integer rule
+    val vs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as(org.apache.spark.sql.Encoders.product[Similarity.Vec])
+      .collect().sortBy(_.vec_id)
+    val quant = vs.map(v => v.vec_id ->
+      v.embedding.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+      .toMap
+    val cents = IvfIndex.detCentroids(16, 64, 11L)
+    def nearest(q: Array[Long]): Int =
+      cents.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < q.length) {
+          val diff = q(i) - cents(c)(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }
+    val listOf = quant.map { case (id, q) => id -> nearest(q) }
+    def dotL(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i)) * b(i))
+    val evalIds = quant.keys.filter(_ % 50 == 0).toSeq.sorted
+    val want = (for {
+      c <- quant.keys.toSeq if c % 50 != 0
+      e <- evalIds if listOf(e) == listOf(c)
+      d = dotL(quant(c), quant(e))
+      if d > 0 && 25 * d * d >= 4 * dotL(quant(c), quant(c)) *
+        dotL(quant(e), quant(e))
+    } yield ((c, s"bench${(e / 50) % 3}"), 1L))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain semantic leakage")
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), "eval side must broadcast")
+  }
+
+  test("q191 verdict composes q54 and q190 without loss: flags, " +
+      "counts, and verdict labels agree with the parts") {
+    val sem = Similarity.semanticDecontaminate(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).sum }
+    val ng = graft.ext.Curate.decontaminate(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.contaminationVerdict(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet == sem.keySet ++ ng.keySet)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == ng.getOrElse(id, 0L))
+      assert(r.getLong(2) == sem.getOrElse(id, 0L))
+      val wantVerdict =
+        if (ng.contains(id) && sem.contains(id)) "both"
+        else if (ng.contains(id)) "ngram" else "semantic"
+      assert(r.getString(3) == wantVerdict)
+    }
+  }
+
   test("srpCodes: Hamming distance tracks cosine (Charikar property)") {
     // planted structure (the sf fixtures are near-orthogonal): 40 base
     // directions, each with a jittered twin at cos ~ 0.97
