@@ -38,15 +38,20 @@ object SftAssembly {
   /** The role map: human-action event types are `user` turns. */
   private val UserRoleTypes = Seq("click", "view", "signup")
 
-  private def turnEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events").select(
-        col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("us"),
-        col("event_id"), col("event_type"))
-      .withColumn("day", expr(s"us div $UsPerDay"))
+  /** Thread/role columns over any (user_id, us, event_id, event_type)
+    * frame — shared by the batch path and the streaming snapshot so
+    * the two cannot drift. */
+  private[graft] def turnColumnsOf(e: DataFrame): DataFrame =
+    e.withColumn("day", expr(s"us div $UsPerDay"))
       .withColumn("role",
         when(col("event_type").isin(UserRoleTypes: _*), lit("user"))
           .otherwise(lit("assistant")))
+
+  private def turnEvents(spark: SparkSession, dir: String): DataFrame =
+    turnColumnsOf(Tables(spark, dir, "events").select(
+      col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id"), col("event_type")))
 
   /** q193: conversation threading — one row per (user, day) thread
     * with the turn count, role composition, alternation check
@@ -63,8 +68,9 @@ object SftAssembly {
     conversationThreadsOf(turnEvents(spark, dir))
       .orderBy(col("user_id"), col("day"))
 
-  /** Sort-free thread frame — the form q196 composes. */
-  private[ext] def conversationThreadsOf(e: DataFrame): DataFrame =
+  /** Sort-free thread frame — the form q196 and the streaming
+    * snapshot compose. */
+  private[graft] def conversationThreadsOf(e: DataFrame): DataFrame =
     e.groupBy(col("user_id"), col("day"))
       .agg(collect_list(struct(col("us"), col("event_id"), col("role"),
         col("event_type"))).as("raw"))
@@ -123,8 +129,13 @@ object SftAssembly {
 
   private[ext] def preferencePairsOf(spark: SparkSession,
       dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .select(col("user_id").as("prompt_id"), col("event_id"),
+    preferencePairsOfEvents(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value")))
+
+  /** The pair fold over any (user_id, event_id, value) frame — shared
+    * by the batch path and the streaming snapshot. */
+  private[graft] def preferencePairsOfEvents(e: DataFrame): DataFrame =
+    e.select(col("user_id").as("prompt_id"), col("event_id"),
         col("value"))
       .groupBy(col("prompt_id"))
       .agg(count(lit(1)).as("n_candidates"),
@@ -223,6 +234,13 @@ object SftAssembly {
     val pairs = graft.SessionMemo(spark, s"sft-pairs:$dir") {
       preferencePairsOf(spark, dir).localCheckpoint()
     }
+    releaseCardOf(threads, pairs).orderBy(col("user_id"))
+  }
+
+  /** The card rollup over thread + pair frames — shared by the batch
+    * q196 and the streaming snapshot. */
+  private[graft] def releaseCardOf(threads: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val t = threads
       .groupBy(col("user_id"))
       .agg(count(lit(1)).cast("int").as("n_threads"),
@@ -233,7 +251,6 @@ object SftAssembly {
     t.join(pairs, t("user_id") === col("prompt_id"))
       .select(col("user_id"), col("n_threads"), col("n_valid_threads"),
         col("chosen_id"), col("rejected_id"), col("margin"))
-      .orderBy(col("user_id"))
   }
 
   val sftReleaseCardOracle: String =

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** SFT / preference assembly over an IN-FLIGHT turn log — the
+  * q193/q194/q196 mechanics as streaming state. Each micro-batch
+  * appends its normalized turn rows — (event_id, user_id, us,
+  * event_type, value) — to an additive [[DeltaIndex]] under the house
+  * recipe (delete-own-partition, src_batch provenance,
+  * refuse-foreign-state reads). The per-batch step is a pure
+  * normalization: no model, no global state, nothing to drift.
+  *
+  * Threads and preference pairs are derived at snapshot, never
+  * accumulated: a thread is a per-(user, day) aggregate whose
+  * violation count and md5 order pin can change whenever ANY turn of
+  * that day arrives late (streaming turn logs interleave — the whole
+  * reason SFT exporters re-thread at assembly time), and a preference
+  * pair is a per-pool argmax one late high-reward response can flip.
+  * [[snapshotThreads]] and [[snapshotCard]] run the SAME
+  * [[graft.ext.SftAssembly]] rollups the batch queries run (index
+  * additive, verdict derived — the StreamingRedirects posture).
+  *
+  * A re-delivered event_id (an upstream correction: edited payload,
+  * fixed reward) supersedes its earlier row latest-wins at snapshot,
+  * with a deterministic full-key tiebreak inside a batch so two
+  * snapshots of identical state always agree.
+  *
+  * State is one integer/double row per turn — bounded by log size,
+  * never by batch count; snapshot cost is the batch rollup itself. */
+object StreamingSft {
+
+  private val turnSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("us", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("src_batch", LongType),
+    StructField("batch_id", LongType)))
+
+  /** One micro-batch of (event_id, user_id, us, event_type, value)
+    * rows: normalize (drop null ids — an id-less turn can never be
+    * threaded or superseded) and append. Package-visible for direct
+    * testing without a streaming harness. */
+  private[graft] def processBatch(events: DataFrame, batchId: Long,
+      outDir: String): Unit = {
+    DeltaIndex.deleteBatchPartition(events.sparkSession, outDir, batchId)
+    if (events.isEmpty) return
+    val delta = events
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("us").cast("long"), col("event_type").cast("string"),
+        col("value").cast("double"))
+      .distinct()
+    DeltaIndex.writeDelta(delta, batchId, outDir)
+  }
+
+  /** All turn rows accumulated so far (shared read contract: missing /
+    * bootstrapped dir is EMPTY; foreign entries refused). */
+  def readTurns(spark: SparkSession, outDir: String): DataFrame =
+    DeltaIndex.readDeltas(spark, outDir, turnSchema, "SFT turn index")
+
+  /** The log's current turn set: latest-wins per event_id (an
+    * upstream re-delivery supersedes), exact duplicates collapsed
+    * first and same-batch conflicts tiebroken deterministically by the
+    * full row key. */
+  private def latestTurns(spark: SparkSession,
+      outDir: String): DataFrame =
+    readTurns(spark, outDir)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("event_type"), col("value"), col("batch_id"))
+      .distinct()
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("batch_id").desc, col("us"), col("user_id"),
+            col("event_type"), col("value"))))
+      .filter(col("_rk") === 1)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("event_type"), col("value"))
+
+  /** q193 over every turn streamed so far — the SAME thread rollup the
+    * batch query runs, applied to latest-wins state. */
+  def snapshotThreads(spark: SparkSession, outDir: String): DataFrame =
+    graft.ext.SftAssembly.conversationThreadsOf(
+        graft.ext.SftAssembly.turnColumnsOf(
+          latestTurns(spark, outDir)
+            .select(col("user_id"), col("us"), col("event_id"),
+              col("event_type"))))
+      .orderBy(col("user_id"), col("day"))
+
+  /** q196 over the streamed state: thread inventory ⋈ preference
+    * pairs, both derived at snapshot from the same latest-wins turn
+    * set. */
+  def snapshotCard(spark: SparkSession, outDir: String): DataFrame = {
+    val turns = latestTurns(spark, outDir).localCheckpoint()
+    graft.ext.SftAssembly.releaseCardOf(
+        graft.ext.SftAssembly.conversationThreadsOf(
+          graft.ext.SftAssembly.turnColumnsOf(
+            turns.select(col("user_id"), col("us"), col("event_id"),
+              col("event_type")))),
+        graft.ext.SftAssembly.preferencePairsOfEvents(
+          turns.select(col("user_id"), col("event_id"), col("value"))))
+      .orderBy(col("user_id"))
+  }
+
+  /** Start the turn-index sink over a streaming (event_id, user_id,
+    * us, event_type, value) frame. */
+  def start(events: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.SftAssembly
+import graft.streaming.StreamingSft
+
+/** Streaming SFT turn accumulation: thread and release-card snapshots
+  * equal the batch rollups over the union of batches, arrival order
+  * is immaterial, re-delivered events supersede latest-wins, replays
+  * (including emptied ones) are idempotent, and the empty/foreign
+  * bootstrap contracts hold. */
+class StreamingSftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ssft").toString
+
+  private type Turn = (Long, Long, Long, String, Double)
+
+  private def turnsDf(rows: Seq[Turn]) =
+    rows.toDF("event_id", "user_id", "us", "event_type", "value")
+
+  private def push(out: String, id: Long, rows: Seq[Turn]): Unit =
+    StreamingSft.processBatch(turnsDf(rows), id, out)
+
+  private def threadSnap(out: String) =
+    StreamingSft.snapshotThreads(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getInt(5), r.getString(6))).toSet
+
+  private def cardSnap(out: String) =
+    StreamingSft.snapshotCard(spark, out).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+
+  private def wantThreads(rows: Seq[Turn]) =
+    SftAssembly.conversationThreadsOf(SftAssembly.turnColumnsOf(
+        turnsDf(rows).select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getInt(5), r.getString(6))).toSet
+
+  private def wantCard(rows: Seq[Turn]) =
+    SftAssembly.releaseCardOf(
+        SftAssembly.conversationThreadsOf(SftAssembly.turnColumnsOf(
+          turnsDf(rows).select(col("user_id"), col("us"), col("event_id"),
+            col("event_type")))),
+        SftAssembly.preferencePairsOfEvents(
+          turnsDf(rows).select(col("user_id"), col("event_id"),
+            col("value"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+
+  private val day = 86400000000L
+  // user 1: a valid alternating day-0 thread (user first) + a day-1
+  // violation thread; user 2: assistant-first day-0 thread. Rewards
+  // spread so pairs are non-trivial.
+  private val log: Seq[Turn] = Seq(
+    (100L, 1L, 1000L, "click", 5.0),
+    (101L, 1L, 2000L, "error", 9.0),
+    (102L, 1L, 3000L, "view", 1.0),
+    (103L, 1L, 4000L, "purchase", 7.0),
+    (110L, 1L, day + 500L, "click", 2.0),
+    (111L, 1L, day + 600L, "view", 8.0),
+    (200L, 2L, 1500L, "error", 4.0),
+    (201L, 2L, 2500L, "signup", 4.0),
+    (202L, 2L, 3500L, "purchase", 4.0))
+
+  test("streamed thread and card snapshots equal the batch rollups " +
+      "over the union, both arrival orders") {
+    val (a, b) = log.splitAt(4)
+    val out1 = tmp()
+    push(out1, 0L, a); push(out1, 1L, b)
+    assert(threadSnap(out1) == wantThreads(log))
+    assert(cardSnap(out1) == wantCard(log))
+    val out2 = tmp()
+    push(out2, 0L, b); push(out2, 1L, a)
+    assert(threadSnap(out2) == wantThreads(log))
+    assert(cardSnap(out2) == wantCard(log))
+    assert(cardSnap(out1).nonEmpty)
+  }
+
+  test("a re-delivered event supersedes latest-wins: the corrected " +
+      "reward flips the preference pair") {
+    val out = tmp()
+    push(out, 0L, log)
+    // upstream correction: event 102's reward becomes the pool max —
+    // chosen for user 1 must flip from 101 to 102
+    push(out, 1L, Seq((102L, 1L, 3000L, "view", 99.0)))
+    val corrected = log.filterNot(_._1 == 102L) :+
+      ((102L, 1L, 3000L, "view", 99.0): Turn)
+    assert(cardSnap(out) == wantCard(corrected))
+    assert(threadSnap(out) == wantThreads(corrected))
+    // exact duplicate re-observation changes nothing
+    push(out, 2L, Seq((100L, 1L, 1000L, "click", 5.0)))
+    assert(cardSnap(out) == wantCard(corrected))
+  }
+
+  test("replays are idempotent, including an emptied replay clearing " +
+      "its stale rows") {
+    val out = tmp()
+    val (a, b) = log.splitAt(5)
+    push(out, 0L, a); push(out, 1L, b)
+    val before = (threadSnap(out), cardSnap(out))
+    push(out, 1L, b) // same batch re-delivered
+    assert((threadSnap(out), cardSnap(out)) == before)
+    push(out, 1L, Seq.empty) // emptied replay drops batch 1's rows
+    assert(threadSnap(out) == wantThreads(a))
+    push(out, 1L, b) // and re-delivery restores
+    assert((threadSnap(out), cardSnap(out)) == before)
+  }
+
+  test("empty bootstrap yields empty snapshots; foreign state refused") {
+    val out = tmp()
+    assert(StreamingSft.snapshotThreads(spark, out).isEmpty)
+    assert(StreamingSft.snapshotCard(spark, out).isEmpty)
+    // a null-id turn can never be threaded — dropped at ingest
+    push(out, 0L, Seq.empty)
+    StreamingSft.processBatch(
+      Seq((Option.empty[Long], Option(1L), 5L, "click", 1.0))
+        .toDF("event_id", "user_id", "us", "event_type", "value"),
+      1L, out)
+    assert(StreamingSft.snapshotThreads(spark, out).isEmpty)
+    val foreign = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(foreign, "stray.parquet"), "junk")
+    val e = intercept[IllegalArgumentException] {
+      StreamingSft.readTurns(spark, foreign).collect()
+    }
+    assert(e.getMessage.contains("SFT turn index"))
+  }
+}
