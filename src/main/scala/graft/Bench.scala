@@ -85,10 +85,17 @@ object Bench {
     val total = results.filter(_._5).map(_._2).sum
     def fmt1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val canaryJson = {
-      val byName = results.map(r => r._1 -> r._2).toMap
-      CanaryQueries.flatMap(c => byName.get(c).map(m =>
-        "\"" + c + "\":" + BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
-        .mkString("{", ",", "}")
+      // a crashed canary's time-to-crash must not masquerade as a
+      // fast quiet-posture reading (the headline total already
+      // excludes failures for the same reason) — only fully-passing
+      // canaries report a median; a failed one reports "failed" so
+      // the adjudication sees the gap instead of a phantom floor
+      val byName = results.map(r => r._1 -> (r._2, r._5)).toMap
+      CanaryQueries.flatMap(c => byName.get(c).map { case (m, ok) =>
+        "\"" + c + "\":" + (if (ok)
+          BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+        else "\"failed\"")
+      }).mkString("{", ",", "}")
     }
     val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson"""
     // The driver records only the LAST ~2000 chars of output (r5 proved

@@ -42,7 +42,14 @@ object SftAssembly {
     * frame — shared by the batch path and the streaming snapshot so
     * the two cannot drift. */
   private[graft] def turnColumnsOf(e: DataFrame): DataFrame =
-    e.withColumn("day", expr(s"us div $UsPerDay"))
+    // FLOOR division, not Spark's truncate-toward-zero `div`: the
+    // oracle's DuckDB `//` floors, so a pre-1970 timestamp (us < 0)
+    // would otherwise land in different day buckets on the two
+    // engines. Exact integer arithmetic — no double divide (ulp at
+    // 2024-epoch micros is coarser than 1, which could flip a
+    // midnight-boundary turn).
+    e.withColumn("day", expr(
+        s"us div $UsPerDay - (CASE WHEN us % $UsPerDay < 0 THEN 1 ELSE 0 END)"))
       .withColumn("role",
         when(col("event_type").isin(UserRoleTypes: _*), lit("user"))
           .otherwise(lit("assistant")))

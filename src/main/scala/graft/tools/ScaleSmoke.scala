@@ -375,7 +375,7 @@ object ScaleSmoke {
     var lastSteal = StealProbe.measure(
       Runtime.getRuntime.availableProcessors(), 2000L)
     println(f"[scale] steal_pct at start: $lastSteal%.1f")
-    println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s ${"steal%%"}%7s")
+    println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s ${"steal%"}%7s")
     selected.zipWithIndex.foreach { case ((name, q), i) =>
       // warm BOTH dirs so session-memoized shared artifacts (pair
       // index, WET parse, NB model) are excluded from both sides —

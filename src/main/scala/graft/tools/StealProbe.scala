@@ -58,7 +58,10 @@ object StealProbe {
         cpuJiffies() match {
           case Some(after) if after.length > 7 && before.length > 7 =>
             val delta = after.zip(before).map { case (a, b) => a - b }
-            val total = delta.sum.toDouble
+            // fields 0-7 only: guest/guest_nice (8, 9) are already
+            // included in user/nice, so summing all ten would double-
+            // count any nested-VM load and deflate the reported steal
+            val total = delta.take(8).sum.toDouble
             if (total <= 0) -1.0 else 100.0 * delta(7) / total
           case _ => -1.0
         }
