@@ -360,7 +360,9 @@ object SparkEntry {
     "q195_prompt_decontam" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.promptDecontaminate(s, d)),
     "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.sftReleaseCard(s, d))
+      graft.ext.SftAssembly.sftReleaseCard(s, d)),
+    "q197_response_dedup" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.responseDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -674,6 +676,7 @@ object SparkEntry {
     "q194_preference_pairs" -> graft.ext.SftAssembly.preferencePairsOracle,
     "q195_prompt_decontam" ->
       graft.ext.SftAssembly.promptDecontaminateOracle,
-    "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle
+    "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle,
+    "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle
   )
 }

@@ -222,6 +222,56 @@ object SftAssembly {
          AND prompt_hash NOT IN (SELECT prompt_hash FROM p)
        ORDER BY doc_id"""
 
+  /** q197: per-prompt response dedup — the rejection-sampling hygiene
+    * step BEFORE pairing: a sampler that returns the same response
+    * twice (same type, same reward — the content fingerprint here is
+    * md5 of type:reward-cents; a real pipeline hashes the response
+    * text) must not inflate the preference pool or let a duplicate
+    * become both chosen and rejected. Keep-first under (us, event_id)
+    * — the earliest observation is canonical — with the copy count
+    * kept for the sampler-degeneracy report (a prompt whose pool
+    * collapses to one fingerprint is a temperature bug, not data).
+    *
+    * Scale: one groupBy on (prompt, fingerprint) with min/count
+    * aggregates — map-side combinable, one row per distinct response
+    * shuffled, no window. ORDER BY = oracle determinism only. */
+  def responseDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id").as("prompt_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"),
+        // integer reward cents: double→string rendering differs
+        // across engines, integer arithmetic does not
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("response_fp",
+        md5(concat(col("event_type"), lit(":"),
+          col("cents").cast("string")).cast("binary")))
+      .groupBy(col("prompt_id"), col("response_fp"))
+      .agg(min(struct(col("us"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("prompt_id"), col("response_fp"),
+        col("first.event_id").as("keep_event_id"), col("n_copies"))
+      .orderBy(col("prompt_id"), col("response_fp"))
+
+  val responseDedupOracle: String =
+    """WITH e AS (SELECT user_id AS prompt_id, event_id,
+         epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+       FROM events),
+       f AS (SELECT prompt_id, event_id, us,
+           md5(event_type || ':' || CAST(cents AS VARCHAR))
+             AS response_fp
+         FROM e),
+       r AS (SELECT prompt_id, response_fp, event_id,
+           row_number() OVER (PARTITION BY prompt_id, response_fp
+             ORDER BY us, event_id) AS rn,
+           count(*) OVER (PARTITION BY prompt_id, response_fp) AS n
+         FROM f)
+       SELECT prompt_id, response_fp, event_id AS keep_event_id,
+         CAST(n AS BIGINT) AS n_copies
+       FROM r WHERE rn = 1
+       ORDER BY prompt_id, response_fp"""
+
   /** q196: the composed SFT release card — per user, thread inventory
     * (total and VALID: zero alternation violations AND opens with a
     * user turn) joined with the preference pair; only users

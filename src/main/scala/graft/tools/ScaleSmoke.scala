@@ -359,7 +359,9 @@ object ScaleSmoke {
       "q195_prompt_decontam" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.promptDecontaminate(s, d)),
       "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.sftReleaseCard(s, d))
+        graft.ext.SftAssembly.sftReleaseCard(s, d)),
+      "q197_response_dedup" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.responseDedup(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -103,6 +103,34 @@ class SftAssemblySpec extends SparkSpecBase {
       "prompt digest set must broadcast")
   }
 
+  test("q197 response dedup equals a local keep-first replay and " +
+      "actually collapses duplicates at oracle SF") {
+    // sf0.01: the fixture contains real duplicate (prompt, type,
+    // reward-cents) groups (sf0.001 has none — vacuous there)
+    val evs = Tables(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val want = evs
+      .groupBy(e => (e._1, e._4, math.round(e._5 * 100)))
+      .map { case ((u, _, _), es) =>
+        val first = es.minBy(e => (e._3, e._2))
+        (u, first._2, es.length.toLong)
+      }.toSet
+    val got = SftAssembly.responseDedup(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.exists(_._3 > 1), "no duplicate responses — vacuous gate")
+    val plan = SftAssembly.responseDedup(spark, sf001)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"),
+      "keep-first must be a min-of-struct aggregate, not a window")
+  }
+
   test("q196 release card is consistent with its parts and keeps " +
       "only valid-thread users") {
     val threads = SftAssembly.conversationThreads(spark, sf0001)
