@@ -1232,19 +1232,44 @@ object Similarity {
     val assigned = exactAssignFor(spark, dir)
     val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
-    val isEval = col("vec_id") % SemDecBenchMod === 0
-    val evalSide = assigned.filter(isEval)
-      .withColumn("benchmark", concat(lit("bench"),
-        (expr(s"vec_id div $SemDecBenchMod") % SemDecBenches)
-          .cast("string")))
-      .join(qarr, Seq("vec_id"))
-      .select(col("vec_id").as("ev"), col("list_id"), col("benchmark"),
-        col("e").as("ee"),
-        int_dot(col("e"), col("e")).as("ne"))
-    val corpus = assigned.filter(!isEval)
+    val corpus = assigned
+      .filter(col("vec_id") % SemDecBenchMod =!= 0)
       .join(qarr, Seq("vec_id"))
       .select(col("vec_id"), col("list_id"), col("e"),
         int_dot(col("e"), col("e")).as("n"))
+    semanticGateOf(corpus, semanticEvalArtifact(spark, dir))
+  }
+
+  /** The eval-side artifact of the q190 gate — (ev, list_id,
+    * benchmark, ee, ne), one row per eval-suite member: its posting,
+    * benchmark name, quantized integer coordinates, and norm.
+    * Benchmark-sized (thousands of rows against a 100 TB corpus), so
+    * it is the CONFIG a streaming stage carries, exactly like the
+    * q54 benchmark gram set; memoized per session. */
+  def semanticEvalArtifact(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo(spark, s"sem-eval-artifact:$dir") {
+      import graft.functions.IntDot.int_dot
+      val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+      exactAssignFor(spark, dir)
+        .filter(col("vec_id") % SemDecBenchMod === 0)
+        .withColumn("benchmark", concat(lit("bench"),
+          (expr(s"vec_id div $SemDecBenchMod") % SemDecBenches)
+            .cast("string")))
+        .join(qarr, Seq("vec_id"))
+        .select(col("vec_id").as("ev"), col("list_id"),
+          col("benchmark"), col("e").as("ee"),
+          int_dot(col("e"), col("e")).as("ne"))
+        .localCheckpoint()
+    }
+
+  /** The flag rollup over a prepared corpus frame (vec_id, list_id,
+    * e, n) against the broadcast eval side — ONE definition for the
+    * batch q190 and the streaming stage, so the two cannot drift. */
+  private[graft] def semanticGateOf(corpus: DataFrame,
+      evalSide: DataFrame): DataFrame = {
+    import graft.functions.IntDot.int_dot
     corpus
       .join(broadcast(evalSide), Seq("list_id"))
       .withColumn("dot", int_dot(col("e"), col("ee")))
@@ -1253,6 +1278,35 @@ object Similarity {
           "4 * CAST(n AS DECIMAL(38,0)) * ne"))
       .groupBy(col("vec_id"), col("benchmark"))
       .agg(count(lit(1)).as("n_sem"))
+  }
+
+  /** Per-batch semantic flags of any (vec_id, embedding) frame
+    * against a SUPPLIED index definition + eval artifact — the
+    * streaming form of q190: micro-quantize, assign through the REAL
+    * [[IvfIndex.assign]] path under the supplied centroids, drop
+    * vectors that ARE eval members (a suite member must not flag
+    * against itself — id membership comes from the artifact, not a
+    * fixture convention), then the SAME [[semanticGateOf]] rollup. */
+  def semanticFlagsOfBatch(batch: DataFrame,
+      centroids: Array[Array[Double]],
+      evalSide: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    import graft.functions.IntDot.int_dot
+    val ds = batch
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[Vec]
+      .map(v => Vec(v.vec_id, v.embedding.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toFloat)))
+    val assigned = IvfIndex.assign(ds, centroids)
+    val qarr = ds.toDF().select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+    val corpus = assigned
+      .join(broadcast(evalSide.select(col("ev").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .join(qarr, Seq("vec_id"))
+      .select(col("vec_id"), col("list_id"), col("e"),
+        int_dot(col("e"), col("e")).as("n"))
+    semanticGateOf(corpus, evalSide)
   }
 
   /** The q190 CTE chain up to per-(doc, benchmark) flag counts —

@@ -137,6 +137,26 @@ object StreamingTransform {
     start(docs, outDir, checkpointDir,
       b => graft.ext.Unigram.encodeOf(b, model))
 
+  /** Streaming SEMANTIC decontamination (the q190 operator with the
+    * index definition and eval artifact as SUPPLIED config): each
+    * micro-batch of (vec_id, embedding) rows is micro-quantized,
+    * assigned through the REAL [[graft.ext.IvfIndex.assign]] path
+    * under the supplied centroids, and gated against the broadcast
+    * eval-member artifact by the SAME integer-cosine rollup the batch
+    * query runs. The eval artifact is a fixed held-out suite exactly
+    * like [[startDecontaminate]]'s gram set — benchmark-sized,
+    * stateless, each doc's flag verdict final on arrival. `centroids`
+    * MUST be the index definition the artifact's postings were
+    * assigned under (the StreamingIvf index_fp contract, carried here
+    * as config discipline); vectors that ARE eval members emit no
+    * row. */
+  def startSemanticDecontaminate(vecs: DataFrame,
+      centroids: Array[Array[Double]], evalSide: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    start(vecs, outDir, checkpointDir,
+      b => graft.ext.Similarity.semanticFlagsOfBatch(b, centroids,
+        evalSide))
+
   /** The composed streaming front door: parse archive blobs, gate on
     * well-formed HTTP-200 fetches, and run the q139 frontier policy on
     * the admitted URLs — raw crawl segments to robots verdicts in one

@@ -290,6 +290,35 @@ class StreamingTransformSpec extends SparkSpecBase {
     assert(rows(out2, "doc_id", "n_shared") == want)
   }
 
+  test("streaming semantic decontamination equals batch q190 over the " +
+      "union of batches; eval members emit no row") {
+    import graft.ext.{IvfIndex, Similarity}
+    val out = tmp()
+    // the q190 index definition + eval artifact on the real fixture
+    // corpus (the gate needs real vectors, not toy strings)
+    val cents = IvfIndex.detCentroids(16, 64, 11L)
+    val artifact = Similarity.semanticEvalArtifact(spark, sf0001)
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    // two arbitrary batches covering the WHOLE corpus, eval members
+    // included — the stage must drop them, not flag them
+    val b0 = all.filter(col("vec_id") % 2 === 0)
+    val b1 = all.filter(col("vec_id") % 2 =!= 0)
+    def step(b: DataFrame, id: Long) =
+      StreamingTransform.processBatch(b, id, out,
+        d => Similarity.semanticFlagsOfBatch(d, cents, artifact))
+    step(b0, 0L); step(b1, 1L)
+    val want = Similarity.semanticDecontaminate(spark, sf0001)
+      .collect().map(r => Seq[Any](r.getLong(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(rows(out, "vec_id", "benchmark", "n_sem") == want)
+    assert(want.nonEmpty)
+    // no eval member (vec_id % 50 = 0 in this fixture) appears
+    assert(rows(out, "vec_id", "benchmark", "n_sem")
+      .forall(_.head.asInstanceOf[Long] % 50 != 0))
+  }
+
   test("streaming unigram tokenization equals batch encodeOf over the " +
       "union of batches with the same trained model") {
     import graft.ext.Unigram
