@@ -362,7 +362,9 @@ object SparkEntry {
     "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.sftReleaseCard(s, d)),
     "q197_response_dedup" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.responseDedup(s, d))
+      graft.ext.SftAssembly.responseDedup(s, d)),
+    "q198_thread_packing" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.threadPacking(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,6 +679,7 @@ object SparkEntry {
     "q195_prompt_decontam" ->
       graft.ext.SftAssembly.promptDecontaminateOracle,
     "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle,
-    "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle
+    "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle,
+    "q198_thread_packing" -> graft.ext.SftAssembly.threadPackingOracle
   )
 }

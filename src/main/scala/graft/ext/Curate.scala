@@ -695,42 +695,59 @@ object Curate {
     * broadcast-joins the offsets back. */
   private def sourcePrefixSums(d0: DataFrame): DataFrame = {
     import d0.sparkSession.implicits._
-    val d = d0.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      sampleHash(col("doc_id")).as("h"))
+    prefixSumsOf(d0.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        sampleHash(col("doc_id")).as("h"))
+        .as[(Long, String, Long, String)])
+      .toDF("doc_id", "source", "n_tokens", "tokens_before")
+  }
+
+  /** The scalable two-phase prefix-sum core over generic (id, group,
+    * n, hash) rows — per group, each row's exact running total of `n`
+    * under the deterministic (group, hash, id) order, with NO global
+    * window (phase 1: range-partition + per-partition running sums;
+    * phase 2: one bounded (partition × group) subtotal collect,
+    * cumulated on the driver and broadcast back). Extracted from the
+    * q55 packing so other delivery operators (SFT thread packing)
+    * reuse ONE definition. Returns (id, grp, n, before). */
+  private[graft] def prefixSumsOf(
+      d: org.apache.spark.sql.Dataset[(Long, String, Long, String)])
+      : DataFrame = {
+    import d.sparkSession.implicits._
+    val d2 = d.toDF("id", "grp", "n", "h")
       .as[(Long, String, Long, String)]
     // phase 1: global range order + per-partition running sums
-    val local = d
-      .repartitionByRange(col("source"), col("h"), col("doc_id"))
-      .sortWithinPartitions(col("source"), col("h"), col("doc_id"))
+    val local = d2
+      .repartitionByRange(col("grp"), col("h"), col("id"))
+      .sortWithinPartitions(col("grp"), col("h"), col("id"))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        var curSource: String = null
+        var curGrp: String = null
         var cum = 0L
-        it.map { case (docId, source, n, h) =>
-          if (source != curSource) { curSource = source; cum = 0L }
+        it.map { case (id, grp, n, h) =>
+          if (grp != curGrp) { curGrp = grp; cum = 0L }
           val before = cum
           cum += n
-          (docId, source, n, h, pid, before)
+          (id, grp, n, h, pid, before)
         }
       }
-      .toDF("doc_id", "source", "n_tokens", "h", "pid", "local_before")
+      .toDF("id", "grp", "n", "h", "pid", "local_before")
       .localCheckpoint() // phase 2 reads it twice; don't recompute the shuffle
-    // phase 2: per-(pid, source) totals → running offsets per source
-    val totals = local.groupBy(col("pid"), col("source"))
-      .agg(sum(col("n_tokens")).as("tot"))
+    // phase 2: per-(pid, grp) totals → running offsets per group
+    val totals = local.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("n")).as("tot"))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val offsets = totals.keys.toSeq.map { case (pid, source) =>
+    val offsets = totals.keys.toSeq.map { case (pid, grp) =>
       val off = totals.collect {
-        case ((p, s), tot) if s == source && p < pid => tot
+        case ((p, s), tot) if s == grp && p < pid => tot
       }.sum
-      (pid, source, off)
+      (pid, grp, off)
     }
-    val offsetDf = d0.sparkSession.createDataFrame(offsets)
-      .toDF("pid", "source", "offset")
-    local.join(broadcast(offsetDf), Seq("pid", "source"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        (col("local_before") + col("offset")).as("tokens_before"))
+    val offsetDf = d.sparkSession.createDataFrame(offsets)
+      .toDF("pid", "grp", "offset")
+    local.join(broadcast(offsetDf), Seq("pid", "grp"))
+      .select(col("id"), col("grp"), col("n"),
+        (col("local_before") + col("offset")).as("before"))
   }
 
   // --- temperature-scaled mixture weights ----------------------------------

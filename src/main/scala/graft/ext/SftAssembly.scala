@@ -222,6 +222,67 @@ object SftAssembly {
          AND prompt_hash NOT IN (SELECT prompt_hash FROM p)
        ORDER BY doc_id"""
 
+  /** q198: SFT thread packing — the delivery step after threading:
+    * VALID threads (zero alternation violations, opens with a user
+    * turn — q193's export gate) are concatenated in deterministic
+    * hash order and cut into fixed `seqTurns` training sequences;
+    * each thread reports the sequence it starts in and its turn
+    * offset there (threads may straddle boundaries — the q55
+    * concat-then-chunk scheme applied to conversations).
+    *
+    * Scale: the q55 two-phase prefix sum ([[Curate.prefixSumsOf]] —
+    * ONE shared definition), so there is NO global window and no
+    * single-reducer running sum; thread keys pack as user·10⁶ + day
+    * (epoch days stay under 10⁶ until year ~4700, asserted). ORDER
+    * BY = oracle determinism only. */
+  def threadPacking(spark: SparkSession, dir: String,
+      seqTurns: Long = 16L): DataFrame = {
+    import spark.implicits._
+    val valid = conversationThreadsOf(turnEvents(spark, dir))
+      .filter(col("n_role_violations") === 0 && col("starts_with_user"))
+      .select(col("user_id"), col("day"), col("n_turns"))
+    val keyed = valid.select(
+        (col("user_id") * 1000000L + col("day")).as("id"),
+        lit("sft").as("grp"),
+        col("n_turns").cast("long").as("n"),
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("day").cast("string")).cast("binary")).as("h"))
+      .as[(Long, String, Long, String)]
+    Curate.prefixSumsOf(keyed)
+      .select(expr("id div 1000000").as("user_id"),
+        (col("id") % 1000000L).as("day"),
+        col("n").cast("int").as("n_turns"),
+        expr("before div " + seqTurns).as("seq_id"),
+        (col("before") % seqTurns).as("seq_offset"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val threadPackingOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day, count(*) AS n_turns,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2),
+       v AS (SELECT user_id, day, n_turns,
+           user_id * 1000000 + day AS id,
+           md5(CAST(user_id AS VARCHAR) || ':' ||
+             CAST(day AS VARCHAR)) AS h
+         FROM g WHERE viol = 0 AND seq LIKE 'user%'),
+       p AS (SELECT user_id, day, n_turns,
+           COALESCE(sum(n_turns) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS before
+         FROM v)
+       SELECT user_id, day, CAST(n_turns AS INT) AS n_turns,
+         before // 16 AS seq_id, before % 16 AS seq_offset
+       FROM p ORDER BY user_id, day"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

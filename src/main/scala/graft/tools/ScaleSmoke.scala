@@ -361,7 +361,9 @@ object ScaleSmoke {
       "q196_sft_release_card" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.sftReleaseCard(s, d)),
       "q197_response_dedup" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.responseDedup(s, d))
+        graft.ext.SftAssembly.responseDedup(s, d)),
+      "q198_thread_packing" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.threadPacking(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -96,7 +96,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q190_semantic_decontam", "q191_contamination_verdict",
     "q192_resize_exact", "q193_conversation_threads",
     "q194_preference_pairs", "q195_prompt_decontam",
-    "q196_sft_release_card", "q197_response_dedup")
+    "q196_sft_release_card", "q197_response_dedup",
+    "q198_thread_packing")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

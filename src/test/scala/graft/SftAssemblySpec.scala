@@ -131,6 +131,33 @@ class SftAssemblySpec extends SparkSpecBase {
       "keep-first must be a min-of-struct aggregate, not a window")
   }
 
+  test("q198 thread packing equals a local prefix-sum replay over the " +
+      "hash order, and only valid threads pack") {
+    val threads = SftAssembly.conversationThreads(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(4), r.getInt(5)))
+    val valid = threads.filter(t => t._5 == 0 && t._4)
+      .map(t => (t._1, t._2, t._3))
+    val ordered = valid.sortBy { case (u, d, _) =>
+      (md5hex(s"$u:$d"), u * 1000000L + d)
+    }
+    var cum = 0L
+    val want = ordered.map { case (u, d, n) =>
+      val before = cum; cum += n
+      (u, d, n, before / 16, before % 16)
+    }.toSet
+    val got = SftAssembly.threadPacking(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // only valid threads pack; invalid ones exist in the fixture
+    assert(valid.length < threads.length)
+    assert(got.size == valid.length)
+  }
+
   test("q196 release card is consistent with its parts and keeps " +
       "only valid-thread users") {
     val threads = SftAssembly.conversationThreads(spark, sf0001)
