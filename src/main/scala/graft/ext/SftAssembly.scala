@@ -238,7 +238,12 @@ object SftAssembly {
   def threadPacking(spark: SparkSession, dir: String,
       seqTurns: Long = 16L): DataFrame = {
     import spark.implicits._
-    val valid = conversationThreadsOf(turnEvents(spark, dir))
+    // a composed delivery stage reads the shared thread artifact
+    // (the q196 convention; q193 derives fresh)
+    val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
+      conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
+    }
+    val valid = threads
       .filter(col("n_role_violations") === 0 && col("starts_with_user"))
       .select(col("user_id"), col("day"), col("n_turns"))
     val keyed = valid.select(
