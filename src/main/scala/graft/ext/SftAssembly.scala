@@ -222,6 +222,11 @@ object SftAssembly {
          AND prompt_hash NOT IN (SELECT prompt_hash FROM p)
        ORDER BY doc_id"""
 
+  /** Sequence capacity of the REGISTERED q198 pair — interpolated
+    * into [[threadPackingOracle]] so engine and oracle cannot
+    * diverge when the constant changes. */
+  private val PackSeqTurns = 16L
+
   /** q198: SFT thread packing — the delivery step after threading:
     * VALID threads (zero alternation violations, opens with a user
     * turn — q193's export gate) are concatenated in deterministic
@@ -236,7 +241,7 @@ object SftAssembly {
     * (epoch days stay under 10⁶ until year ~4700, asserted). ORDER
     * BY = oracle determinism only. */
   def threadPacking(spark: SparkSession, dir: String,
-      seqTurns: Long = 16L): DataFrame = {
+      seqTurns: Long = PackSeqTurns): DataFrame = {
     import spark.implicits._
     // a composed delivery stage reads the shared thread artifact
     // (the q196 convention; q193 derives fresh)
@@ -246,6 +251,15 @@ object SftAssembly {
     val valid = threads
       .filter(col("n_role_violations") === 0 && col("starts_with_user"))
       .select(col("user_id"), col("day"), col("n_turns"))
+    // the packed key is only invertible for 0 <= day < 10^6 (epoch
+    // days reach 10^6 around year 4700; negative days are pre-1970
+    // timestamps, which turnColumnsOf supports but this key does
+    // not) — refuse loudly instead of corrupting user/day on the way
+    // back out. Bounded probe: the thread frame is aggregate-sized.
+    require(valid.filter(col("day") < 0 || col("day") >= 1000000L)
+        .limit(1).isEmpty,
+      "threadPacking: day index outside [0, 10^6) — the user*10^6+day " +
+        "packed key cannot represent it; re-key before packing")
     val keyed = valid.select(
         (col("user_id") * 1000000L + col("day")).as("id"),
         lit("sft").as("grp"),
@@ -285,7 +299,8 @@ object SftAssembly {
              AS before
          FROM v)
        SELECT user_id, day, CAST(n_turns AS INT) AS n_turns,
-         before // 16 AS seq_id, before % 16 AS seq_offset
+         before // $PackSeqTurns AS seq_id,
+         before % $PackSeqTurns AS seq_offset
        FROM p ORDER BY user_id, day"""
 
   /** q197: per-prompt response dedup — the rejection-sampling hygiene

@@ -549,6 +549,15 @@ object Similarity {
     * 20-bit constant < 2⁵³). The q115 quantization applied to the
     * whole vector, so the REAL index code paths run on
     * integer-valued floats. */
+  /** floor(x·10⁶ + 0.5) carried as Float — ONE definition of the
+    * micro-quantization for the batch corpus AND the streaming batch
+    * form; the integer-cosine gate's whole correctness story rests on
+    * the two quantizing identically. Exact for |x| < 0.6 (integer
+    * below 2²⁴, a Float's exact range — the [[quantVecs]] contract). */
+  private def microQuantize(v: Vec): Vec =
+    Vec(v.vec_id, v.embedding.map(x =>
+      math.floor(x.toDouble * 1e6 + 0.5).toFloat))
+
   private def quantVecs(spark: SparkSession,
       dir: String): Dataset[Vec] = {
     import spark.implicits._
@@ -556,8 +565,7 @@ object Similarity {
       require(v.embedding.length == EmbDim,
         s"q176/q177 oracles are pinned to dim $EmbDim, " +
           s"got ${v.embedding.length}")
-      Vec(v.vec_id, v.embedding.map(x =>
-        math.floor(x.toDouble * 1e6 + 0.5).toFloat))
+      microQuantize(v)
     }
   }
 
@@ -1292,11 +1300,23 @@ object Similarity {
       evalSide: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
     import graft.functions.IntDot.int_dot
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    // materialized once per micro-batch: both the assignment pass and
+    // the integer-array projection read it — without the checkpoint
+    // every batch would quantize twice
     val ds = batch
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .as[Vec]
-      .map(v => Vec(v.vec_id, v.embedding.map(x =>
-        math.floor(x.toDouble * 1e6 + 0.5).toFloat)))
+      .map { v =>
+        // the dim contract quantVecs enforces, applied per arriving
+        // vector: a short vector would silently assign by a PARTIAL
+        // distance (nearestList iterates the vector's length)
+        require(v.embedding.length == dim,
+          s"vector ${v.vec_id} has dim ${v.embedding.length}, " +
+            s"index definition has $dim")
+        microQuantize(v)
+      }
+      .localCheckpoint()
     val assigned = IvfIndex.assign(ds, centroids)
     val qarr = ds.toDF().select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
