@@ -352,16 +352,27 @@ object Dedup {
       .join(ss.withColumnsRenamed(
         Map("doc_id" -> "seen_id", "sig" -> "sig_s")), "seen_id")
       .select(col("doc_id"), col("seen_id"),
-        round(aggregate(
+        aggregate(
           zip_with(col("sig_b"), col("sig_s"), (x, y) =>
             when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / MinhashK, 4)
-          .as("est_jaccard"))
+          lit(0), (acc, v) => acc + v).as("m"))
+      .withColumn("est_jaccard",
+        round(col("m").cast("double") / MinhashK, 4))
       .filter(col("est_jaccard") >= tau)
+      // argmax by (est DESC, seen_id DESC): est is monotone in the
+      // integer match count m, so the packed-decimal key (DecimalPack
+      // — no struct buffer, fold stays in HashAggregate) orders by
+      // (m, seen_id) and the rounded estimate is recomputed from the
+      // decoded m
+      .withColumn("pk",
+        graft.functions.DecimalPack.packAsc("m", "seen_id"))
       .groupBy(col("doc_id"))
-      .agg(max(struct(col("est_jaccard"), col("seen_id"))).as("best"))
-      .select(col("doc_id"), col("best.seen_id").as("near_dup_of"),
-        col("best.est_jaccard").as("est_jaccard"))
+      .agg(max(col("pk")).as("best"))
+      .select(col("doc_id"),
+        graft.functions.DecimalPack.unpackLoAsc("best")
+          .as("near_dup_of"),
+        round(graft.functions.DecimalPack.unpackHi("best")
+          .cast("double") / MinhashK, 4).as("est_jaccard"))
 
   /** Recovery path for capped hot buckets — the route the [[BucketCap]]
     * WARN log points at, as an operator: members of every dropped bucket
@@ -536,11 +547,19 @@ object Dedup {
     // combinable min; every other (doc_id, span_pos) is dropped
     val occ = spans.select(xxhash64(col("span")).as("h"),
       col("doc_id"), col("span_pos"))
-    val keeper = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("span_pos"))).as("first"))
+    // packed-decimal keep-first key (DecimalPack) — a struct buffer
+    // would demote the corpus-wide min to SortAggregate
+    val keeper = occ
+      .withColumn("fk",
+        graft.functions.DecimalPack.packAsc("doc_id", "span_pos"))
+      .groupBy(col("h"))
+      .agg(min(col("fk")).as("firstk"))
+      .select(col("h"),
+        graft.functions.DecimalPack.unpackHi("firstk").as("_fd"),
+        graft.functions.DecimalPack.unpackLoAsc("firstk").as("_fp0"))
     val dropped = occ.join(keeper, "h")
-      .filter(col("doc_id") =!= col("first.doc_id") ||
-        col("span_pos") =!= col("first.span_pos"))
+      .filter(col("doc_id") =!= col("_fd") ||
+        col("span_pos") =!= col("_fp0"))
       .select(col("doc_id"), col("span_pos"))
     // reconstruction: surviving spans, original order
     spans.join(dropped, Seq("doc_id", "span_pos"), "left_anti")
@@ -625,11 +644,17 @@ object Dedup {
     val wins = windowHashes(docs, k)
     // corpus-wide first occurrence per window content: one long-keyed
     // shuffle, map-side-combinable min
-    val keeper = wins.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+    // packed-decimal keep-first key (DecimalPack, the spanDedup form)
+    val keeper = wins
+      .withColumn("fk", graft.functions.DecimalPack.packAsc("doc_id", "p"))
+      .groupBy(col("h"))
+      .agg(min(col("fk")).as("firstk"))
+      .select(col("h"),
+        graft.functions.DecimalPack.unpackHi("firstk").as("_fd"),
+        graft.functions.DecimalPack.unpackLoAsc("firstk").as("_fp0"))
     val repeated = wins.join(keeper, "h")
-      .filter(col("doc_id") =!= col("first.doc_id") ||
-        col("p") =!= col("first.p"))
+      .filter(col("doc_id") =!= col("_fd") ||
+        col("p") =!= col("_fp0"))
       .select(col("doc_id"), col("p"))
     mergeRepeatSpans(repeated, k)
   }

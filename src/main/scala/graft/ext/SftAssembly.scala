@@ -25,8 +25,9 @@ import graft.Tables
   * aggregation or one broadcast anti-join. Threads group on
   * (user, day) — bounded groups (one user's day), so the
   * collect_list is per-group-bounded, never corpus-sized; preference
-  * pairs are max_by/min_by aggregates (NO per-prompt window — an
-  * argmax under a total order is a partial-aggregable fold); the
+  * pairs are packed-decimal max/min aggregates (NO per-prompt window
+  * and NO struct buffer — the argmax key packs into one
+  * DECIMAL(38,0) so the fold stays in HashAggregate); the
   * prompt digest set is benchmark-sized and broadcasts. Timestamps
   * are exported as epoch-micros-derived day indexes, never raw (the
   * events.ts house rule).
@@ -127,10 +128,12 @@ object SftAssembly {
     * constant-score pool still yields a distinct, deterministic
     * pair). Pools of one are dropped (no pair to make).
     *
-    * Scale: max_by/min_by over a struct key is a partial-aggregable
-    * fold — map-side combine, one shuffle of one row per prompt, NO
-    * per-prompt window or sort. ORDER BY = oracle determinism
-    * only. */
+    * Scale: the argmax/argmin fold runs as a packed-DECIMAL(38,0)
+    * max/min — HashAggregate with map-side combine, one shuffle of
+    * one row per prompt, NO per-prompt window and NO SortAggregate
+    * (a struct ordering key would demote the plan to a per-partition
+    * sort of the whole event log; see the inline note). ORDER BY =
+    * oracle determinism only. */
   def preferencePairs(spark: SparkSession, dir: String): DataFrame =
     preferencePairsOf(spark, dir).orderBy(col("prompt_id"))
 
@@ -142,23 +145,46 @@ object SftAssembly {
   /** The pair fold over any (user_id, event_id, value) frame — shared
     * by the batch path and the streaming snapshot. */
   private[graft] def preferencePairsOfEvents(e: DataFrame): DataFrame =
+    // The (value, −event_id) total order is ONE packed-decimal key
+    // ([[graft.functions.DecimalPack]] — a struct ordering key would
+    // demote the whole fold from HashAggregate to a per-partition
+    // SortAggregate of the event log): chosen = max, rejected = min
+    // of the SAME key, the opposed tiebreak falling out of the
+    // complement encoding.
     e.select(col("user_id").as("prompt_id"), col("event_id"),
-        col("value"))
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("pk",
+        graft.functions.DecimalPack.packDesc("cents", "event_id"))
       .groupBy(col("prompt_id"))
       .agg(count(lit(1)).as("n_candidates"),
-        max_by(struct(col("event_id"), col("value")),
-          struct(col("value"), (-col("event_id")).as("nid"))).as("ch"),
-        min_by(struct(col("event_id"), col("value")),
-          struct(col("value"), (-col("event_id")).as("nid"))).as("rj"))
+        max(col("pk")).as("chp"), min(col("pk")).as("rjp"),
+        min(col("cents")).as("_cmin"), min(col("event_id")).as("_imin"))
       .filter(col("n_candidates") >= 2)
+      // the packed key only unpacks for non-negative cents and ids —
+      // fail loudly, not corrupt (evaluated in a filter so column
+      // pruning cannot elide the check; assert_true yields NULL when
+      // the condition holds)
+      .filter(assert_true(col("_cmin") >= 0 && col("_imin") >= 0,
+        lit("preferencePairs: negative reward cents or event_id — " +
+          "the packed argmax key cannot represent them")).isNull)
       .select(col("prompt_id"), col("n_candidates"),
-        col("ch.event_id").as("chosen_id"),
-        col("rj.event_id").as("rejected_id"),
-        round(col("ch.value"), 2).as("chosen_value"),
-        round(col("rj.value"), 2).as("rejected_value"),
-        // diff of two 2-decimal doubles is mathematically 2-decimal,
-        // never near a .xx5 half-way point — round(, 2) is engine-safe
-        round(col("ch.value") - col("rj.value"), 2).as("margin"))
+        unpackId("chp").as("chosen_id"),
+        unpackId("rjp").as("rejected_id"),
+        unpackValue("chp").as("chosen_value"),
+        unpackValue("rjp").as("rejected_value"),
+        // cents difference ÷ 100 is bit-identical to round(a−b, 2) of
+        // the raw 2-decimal doubles (both resolve to the double
+        // nearest the exact 2-decimal result)
+        ((unpackCents("chp") - unpackCents("rjp")) / 100.0).as("margin"))
+
+  private def unpackCents(c: String): org.apache.spark.sql.Column =
+    graft.functions.DecimalPack.unpackHi(c).cast("double")
+
+  private def unpackValue(c: String): org.apache.spark.sql.Column =
+    (unpackCents(c) / 100.0)
+
+  private def unpackId(c: String): org.apache.spark.sql.Column =
+    graft.functions.DecimalPack.unpackLoDesc(c)
 
   val preferencePairsOracle: String =
     """WITH e AS (SELECT user_id AS prompt_id, event_id, value
@@ -313,9 +339,10 @@ object SftAssembly {
     * kept for the sampler-degeneracy report (a prompt whose pool
     * collapses to one fingerprint is a temperature bug, not data).
     *
-    * Scale: one groupBy on (prompt, fingerprint) with min/count
-    * aggregates — map-side combinable, one row per distinct response
-    * shuffled, no window. ORDER BY = oracle determinism only. */
+    * Scale: one groupBy on (prompt, fingerprint) with packed-decimal
+    * min + count aggregates — HashAggregate, map-side combinable, one
+    * row per distinct response shuffled, no window, no struct buffer.
+    * ORDER BY = oracle determinism only. */
   def responseDedup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(col("user_id").as("prompt_id"), col("event_id"),
@@ -327,11 +354,22 @@ object SftAssembly {
       .withColumn("response_fp",
         md5(concat(col("event_type"), lit(":"),
           col("cents").cast("string")).cast("binary")))
+      // keep-first under (us, event_id) as ONE packed-decimal key
+      // ([[graft.functions.DecimalPack]] — a struct buffer would
+      // demote the fold to SortAggregate); epoch micros (~1.7·10¹⁸)
+      // keep the pack below 1.6·10³⁷ < 10³⁸
+      .withColumn("fk",
+        graft.functions.DecimalPack.packAsc("us", "event_id"))
       .groupBy(col("prompt_id"), col("response_fp"))
-      .agg(min(struct(col("us"), col("event_id"))).as("first"),
-        count(lit(1)).as("n_copies"))
+      .agg(min(col("fk")).as("firstk"), count(lit(1)).as("n_copies"),
+        min(col("us")).as("_usmin"), min(col("event_id")).as("_imin"))
+      .filter(assert_true(col("_usmin") >= 0 && col("_imin") >= 0,
+        lit("responseDedup: negative timestamp or event_id — the " +
+          "packed keep-first key cannot represent them")).isNull)
       .select(col("prompt_id"), col("response_fp"),
-        col("first.event_id").as("keep_event_id"), col("n_copies"))
+        graft.functions.DecimalPack.unpackLoAsc("firstk")
+          .as("keep_event_id"),
+        col("n_copies"))
       .orderBy(col("prompt_id"), col("response_fp"))
 
   val responseDedupOracle: String =

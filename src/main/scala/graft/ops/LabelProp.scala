@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: per round one (node-keyed) aggregate over the edge list —
   * the frame is edge-sized, labels are node-sized, and the per-node
-  * argmax is a single max-of-struct aggregate (count desc, label asc
-  * encoded as (c, −label)), NOT a window: no per-node sort, no
-  * single-reducer funnel. Rounds are a fixed small constant, the
-  * large-star/small-star budget argument. */
+  * argmax is a single packed-DECIMAL(38,0) max aggregate (count desc,
+  * label asc encoded into one comparable key — see [[argmaxLabel]]),
+  * NOT a window and NOT a struct-buffered aggregate: no per-node
+  * sort, no SortAggregate demotion, no single-reducer funnel. Rounds
+  * are a fixed small constant, the large-star/small-star budget
+  * argument. */
 object LabelProp {
 
   /** Fixed synchronous rounds (the oracle unrolls exactly these — the
@@ -56,15 +58,29 @@ object LabelProp {
         .unionAll(labels.select(col("node").as("n"), col("lbl")))
         .groupBy(col("n"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      labels = votes
-        .groupBy(col("n"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("best"))
-        .select(col("n").as("node"), (-col("best.neg")).as("lbl"))
-        .localCheckpoint()
+      labels = argmaxLabel(votes).localCheckpoint()
       r += 1
     }
     labels
   }
+
+  /** Per-node argmax of (c DESC, lbl ASC) over a (n, lbl, c) vote
+    * frame — as ONE packed DECIMAL(38,0) max: c·2⁶³ + (2⁶³−1−lbl).
+    * The earlier max-of-struct form put a STRUCT in the aggregation
+    * buffer, which disqualifies HashAggregate — Spark demoted the
+    * per-round argmax to SortAggregate, a per-partition sort of the
+    * vote frame every round. Fixed-precision decimals are mutable
+    * buffer types, so the packed form keeps each round's fold in
+    * HashAggregate with map-side combine. Bounds: labels are node
+    * ids in [0, 2⁶³) and c ≤ corpus size, so the pack stays far
+    * below 10³⁸. */
+  private[graft] def argmaxLabel(votes: DataFrame): DataFrame =
+    votes
+      .withColumn("pk", graft.functions.DecimalPack.packDesc("c", "lbl"))
+      .groupBy(col("n"))
+      .agg(max(col("pk")).as("best"))
+      .select(col("n").as("node"),
+        graft.functions.DecimalPack.unpackLoDesc("best").as("lbl"))
 
   /** q187: communities of the part co-purchase graph — per node its
     * final label, plus the community size (a broadcast-joinable

@@ -207,6 +207,15 @@ object Scd {
   def applyChangelogKeepOps(changelog: DataFrame, keys: Seq[String],
       version: String, op: String, payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    // DELIBERATE SortAggregate: max_by with STRING payload values
+    // carries immutable buffer types, so Spark demotes this fold from
+    // HashAggregate (the DecimalPack trick used elsewhere only packs
+    // integer orders/values). The alternative — max(version) then a
+    // join-back on (key, version) — reads the changelog twice and
+    // adds a shuffle join; the partial SortAggregate stays one pass
+    // with map-side combine and O(1) state per key, which wins
+    // whenever the scan dominates (the 100 TB posture). Same
+    // documented tradeoff as Profile's string min/max pass.
     changelog.groupBy(keys.map(col): _*)
       .agg(max(col(version)).as("last_version"),
         (max_by(col(op), col(version)).as(op) +:

@@ -44,4 +44,21 @@ class LabelPropSpec extends SparkSpecBase {
     } yield (a, b)
     assert(run(edges, parts = 1) == run(edges, parts = 7))
   }
+
+  test("the per-round argmax is a HashAggregate (the packed-decimal " +
+      "key), never a struct-buffered SortAggregate, and equals the " +
+      "struct form") {
+    val votes = Seq(
+      (1L, 10L, 3L), (1L, 2L, 3L), (1L, 99L, 1L), // tie -> smaller lbl
+      (2L, 7L, 5L), (2L, 1L, 4L))
+      .toDF("n", "lbl", "c")
+    val got = LabelProp.argmaxLabel(votes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 7L))
+    val plan = LabelProp.argmaxLabel(votes)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("sortaggregate"),
+      "packed key must keep the per-round fold in HashAggregate")
+    assert(!plan.contains("windowspecdefinition"))
+  }
 }

@@ -78,7 +78,9 @@ class SftAssemblySpec extends SparkSpecBase {
     val plan = SftAssembly.preferencePairs(spark, sf0001)
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("windowspecdefinition"),
-      "preference fold must be a max_by aggregate, not a window")
+      "preference fold must be an aggregate, not a window")
+    assert(!plan.contains("sortaggregate"),
+      "packed-decimal key must keep the fold in HashAggregate")
   }
 
   test("q195 prompt decontamination: survivors equal the local " +
@@ -128,7 +130,9 @@ class SftAssemblySpec extends SparkSpecBase {
     val plan = SftAssembly.responseDedup(spark, sf001)
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("windowspecdefinition"),
-      "keep-first must be a min-of-struct aggregate, not a window")
+      "keep-first must be an aggregate, not a window")
+    assert(!plan.contains("sortaggregate"),
+      "packed-decimal key must keep the fold in HashAggregate")
   }
 
   test("q198 thread packing equals a local prefix-sum replay over the " +
