@@ -363,7 +363,11 @@ object Dedup {
       // integer match count m, so the packed-decimal key (DecimalPack
       // — no struct buffer, fold stays in HashAggregate) orders by
       // (m, seen_id) and the rounded estimate is recomputed from the
-      // decoded m
+      // decoded m. The seen index is an arbitrary persisted frame —
+      // a negative id is outside the key's domain, refused loudly.
+      .filter(assert_true(col("seen_id") >= 0,
+        lit("incremental near-dup: negative seen_id — the packed " +
+          "argmax key cannot represent it")).isNull)
       .withColumn("pk",
         graft.functions.DecimalPack.packAsc("m", "seen_id"))
       .groupBy(col("doc_id"))
@@ -532,6 +536,30 @@ object Dedup {
     spanDedupOf(Tables(spark, dir, "documents"), k)
       .orderBy(col("doc_id"))
 
+  /** The rows of `occ` (h, doc_id, `pos`) that are NOT the
+    * corpus-wide first occurrence of their hash under the
+    * (doc_id, pos) order — the shared keep-first core of span and
+    * repeat-span dedup. The packed-decimal key (DecimalPack) keeps
+    * the corpus-wide min in HashAggregate (a struct buffer would
+    * demote it to a per-partition SortAggregate), and survivors are
+    * identified by comparing the PACKED keys directly — no decode.
+    * Negative doc ids are outside the packed key's domain and refused
+    * loudly per row (these are public injectable APIs). */
+  private def nonFirstOccurrences(occ: DataFrame,
+      pos: String): DataFrame = {
+    val keyed = occ
+      .filter(assert_true(col("doc_id") >= 0,
+        lit("span dedup: negative doc_id — the packed keep-first " +
+          "key cannot represent it")).isNull)
+      .withColumn("fk",
+        graft.functions.DecimalPack.packAsc("doc_id", pos))
+    val keeper = keyed.groupBy(col("h"))
+      .agg(min(col("fk")).as("firstk"))
+    keyed.join(keeper, "h")
+      .filter(col("fk") =!= col("firstk"))
+      .select(col("doc_id"), col(pos))
+  }
+
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def spanDedupOf(docs: DataFrame, k: Int = 10): DataFrame = {
     // consecutive k-word spans, order-preserving, derived narrowly —
@@ -547,20 +575,7 @@ object Dedup {
     // combinable min; every other (doc_id, span_pos) is dropped
     val occ = spans.select(xxhash64(col("span")).as("h"),
       col("doc_id"), col("span_pos"))
-    // packed-decimal keep-first key (DecimalPack) — a struct buffer
-    // would demote the corpus-wide min to SortAggregate
-    val keeper = occ
-      .withColumn("fk",
-        graft.functions.DecimalPack.packAsc("doc_id", "span_pos"))
-      .groupBy(col("h"))
-      .agg(min(col("fk")).as("firstk"))
-      .select(col("h"),
-        graft.functions.DecimalPack.unpackHi("firstk").as("_fd"),
-        graft.functions.DecimalPack.unpackLoAsc("firstk").as("_fp0"))
-    val dropped = occ.join(keeper, "h")
-      .filter(col("doc_id") =!= col("_fd") ||
-        col("span_pos") =!= col("_fp0"))
-      .select(col("doc_id"), col("span_pos"))
+    val dropped = nonFirstOccurrences(occ, "span_pos")
     // reconstruction: surviving spans, original order
     spans.join(dropped, Seq("doc_id", "span_pos"), "left_anti")
       .groupBy(col("doc_id"))
@@ -644,18 +659,7 @@ object Dedup {
     val wins = windowHashes(docs, k)
     // corpus-wide first occurrence per window content: one long-keyed
     // shuffle, map-side-combinable min
-    // packed-decimal keep-first key (DecimalPack, the spanDedup form)
-    val keeper = wins
-      .withColumn("fk", graft.functions.DecimalPack.packAsc("doc_id", "p"))
-      .groupBy(col("h"))
-      .agg(min(col("fk")).as("firstk"))
-      .select(col("h"),
-        graft.functions.DecimalPack.unpackHi("firstk").as("_fd"),
-        graft.functions.DecimalPack.unpackLoAsc("firstk").as("_fp0"))
-    val repeated = wins.join(keeper, "h")
-      .filter(col("doc_id") =!= col("_fd") ||
-        col("p") =!= col("_fp0"))
-      .select(col("doc_id"), col("p"))
+    val repeated = nonFirstOccurrences(wins, "p")
     mergeRepeatSpans(repeated, k)
   }
 

@@ -152,21 +152,34 @@ object SftAssembly {
     // of the SAME key, the opposed tiebreak falling out of the
     // complement encoding.
     e.select(col("user_id").as("prompt_id"), col("event_id"),
+        col("value"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .withColumn("pk",
         graft.functions.DecimalPack.packDesc("cents", "event_id"))
       .groupBy(col("prompt_id"))
       .agg(count(lit(1)).as("n_candidates"),
         max(col("pk")).as("chp"), min(col("pk")).as("rjp"),
-        min(col("cents")).as("_cmin"), min(col("event_id")).as("_imin"))
+        min(col("cents")).as("_cmin"), min(col("event_id")).as("_imin"),
+        // the key orders by CENTS, so a >2-decimal reward would be
+        // silently quantized into a different (value, -id) order than
+        // the documented one — measure the worst quantization error
+        // and refuse it below (1e-6 absorbs the ~1e-13 representation
+        // noise of genuine 2-decimal doubles)
+        max(abs(col("value") * 100 - round(col("value") * 100)))
+          .as("_qerr"))
       .filter(col("n_candidates") >= 2)
-      // the packed key only unpacks for non-negative cents and ids —
-      // fail loudly, not corrupt (evaluated in a filter so column
-      // pruning cannot elide the check; assert_true yields NULL when
-      // the condition holds)
-      .filter(assert_true(col("_cmin") >= 0 && col("_imin") >= 0,
-        lit("preferencePairs: negative reward cents or event_id — " +
-          "the packed argmax key cannot represent them")).isNull)
+      // the packed key only unpacks for present, non-negative,
+      // 2-decimal inputs — fail loudly, not corrupt (evaluated in a
+      // filter so column pruning cannot elide the check; assert_true
+      // yields NULL when the condition holds). isNotNull first: an
+      // all-NULL reward pool must say so, not claim negativity.
+      .filter(assert_true(
+        col("_cmin").isNotNull && col("_cmin") >= 0 &&
+          col("_imin").isNotNull && col("_imin") >= 0 &&
+          col("_qerr") < 1e-6,
+        lit("preferencePairs: reward pool with NULL, negative, or " +
+          ">2-decimal values / ids — outside the packed argmax key's " +
+          "domain")).isNull)
       .select(col("prompt_id"), col("n_candidates"),
         unpackId("chp").as("chosen_id"),
         unpackId("rjp").as("rejected_id"),
@@ -363,9 +376,11 @@ object SftAssembly {
       .groupBy(col("prompt_id"), col("response_fp"))
       .agg(min(col("fk")).as("firstk"), count(lit(1)).as("n_copies"),
         min(col("us")).as("_usmin"), min(col("event_id")).as("_imin"))
-      .filter(assert_true(col("_usmin") >= 0 && col("_imin") >= 0,
-        lit("responseDedup: negative timestamp or event_id — the " +
-          "packed keep-first key cannot represent them")).isNull)
+      .filter(assert_true(
+        col("_usmin").isNotNull && col("_usmin") >= 0 &&
+          col("_imin").isNotNull && col("_imin") >= 0,
+        lit("responseDedup: NULL or negative timestamp / event_id — " +
+          "outside the packed keep-first key's domain")).isNull)
       .select(col("prompt_id"), col("response_fp"),
         graft.functions.DecimalPack.unpackLoAsc("firstk")
           .as("keep_event_id"),

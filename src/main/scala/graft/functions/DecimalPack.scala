@@ -18,11 +18,23 @@ import org.apache.spark.sql.functions.expr
   * serves (hi ASC, lo ASC), (hi ASC, lo DESC) and, via max/min, all
   * four composite orders.
   *
-  * Bounds: |hi| < 10³⁸ ⁄ 2⁶³ ≈ 1.08·10¹⁸ — beyond that the decimal
-  * OVERFLOWS and ANSI mode raises (loud, never wrong); `lo` must be
-  * a non-negative long, and `hi` non-negative wherever the caller
-  * unpacks with truncating `div`. Callers guard their own domains
-  * (negative ids/positions are refused at their gates). */
+  * Bounds: |hi| < 10³⁸ ⁄ 2⁶³ ≈ 1.08·10¹⁹ — i.e. EVERY long hi fits
+  * (Long.MaxValue ≈ 9.2·10¹⁸; beyond the bound the decimal OVERFLOWS
+  * and ANSI mode raises, loud, never wrong); `lo` must be a
+  * non-negative long, and `hi` non-negative wherever the caller
+  * unpacks with truncating `div`. Callers MUST guard their own
+  * domains — a negative component silently reorders/corrupts the
+  * decode, so every call site pairs the pack with a fail-loud
+  * assert on its inputs.
+  *
+  * API note: arguments are SQL fragments spliced into `expr(...)`,
+  * so they must be PLAIN, unqualified column names (callers bind
+  * any expression to a simple column first — the existing
+  * `withColumn("cents"/"pk"/"fk", ...)` pattern). A Column-native
+  * form is deliberately not offered: Spark exposes exact integral
+  * decimal division only through the SQL `div` operator, and
+  * rebuilding it from `/` + `floor` changes precision/scale on
+  * 38-digit values. */
 object DecimalPack {
 
   /** 2⁶³ as a DECIMAL(38,0) SQL fragment. */

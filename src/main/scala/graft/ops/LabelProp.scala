@@ -76,6 +76,14 @@ object LabelProp {
     * below 10³⁸. */
   private[graft] def argmaxLabel(votes: DataFrame): DataFrame =
     votes
+      // the packed key only orders correctly for non-negative labels
+      // (the complement term would bleed into the count component) —
+      // propagateOf is a public API over arbitrary edge frames, so a
+      // negative node id is refused loudly per row, not corrupted
+      // silently (assert_true yields NULL when the condition holds)
+      .filter(assert_true(col("lbl") >= 0,
+        lit("LabelProp: negative node/label id — the packed argmax " +
+          "key cannot represent it; remap ids to [0, 2^63)")).isNull)
       .withColumn("pk", graft.functions.DecimalPack.packDesc("c", "lbl"))
       .groupBy(col("n"))
       .agg(max(col("pk")).as("best"))

@@ -60,5 +60,11 @@ class LabelPropSpec extends SparkSpecBase {
     assert(!plan.contains("sortaggregate"),
       "packed key must keep the per-round fold in HashAggregate")
     assert(!plan.contains("windowspecdefinition"))
+    // a negative node id is outside the packed key's domain: refused
+    // loudly, never silently mis-decoded
+    val e = intercept[Exception] {
+      LabelProp.propagateOf(Seq((-5L, 6L)).toDF("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("negative node"))
   }
 }

@@ -81,6 +81,22 @@ class SftAssemblySpec extends SparkSpecBase {
       "preference fold must be an aggregate, not a window")
     assert(!plan.contains("sortaggregate"),
       "packed-decimal key must keep the fold in HashAggregate")
+    // rewards outside the packed key's domain are refused loudly:
+    // >2-decimal values would silently reorder the (value, -id) total
+    // order after cents quantization, NULL pools would blame
+    // negativity
+    import spark.implicits._
+    def pairsOf(rows: Seq[(Long, Long, java.lang.Double)]) =
+      graft.ext.SftAssembly.preferencePairsOfEvents(
+        rows.toDF("user_id", "event_id", "value")).collect()
+    val e1 = intercept[Exception] {
+      pairsOf(Seq((1L, 1L, 0.811), (1L, 2L, 0.814)))
+    }
+    assert(e1.getMessage.contains("2-decimal"))
+    val e2 = intercept[Exception] {
+      pairsOf(Seq((1L, 1L, null), (1L, 2L, null)))
+    }
+    assert(e2.getMessage.contains("NULL"))
   }
 
   test("q195 prompt decontamination: survivors equal the local " +
