@@ -65,7 +65,17 @@ object Bench {
           System.err.println(s"[bench] query failed: ${e.getMessage}"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A steal WAVE confined to the middle of the run is invisible to
+    // endpoint probes (observed live: a 5-6x inflation of the
+    // mid-alphabet queries while pre read 1.8% and post 5.8%) — probe
+    // at the one-third and two-thirds marks too, so the artifact
+    // localizes mid-run weather. Probe wall-clock is outside every
+    // per-query timer.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val probeAt = Set(sorted.length / 3, 2 * sorted.length / 3)
+    val stealMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (probeAt(i)) stealMid += tools.StealProbe.measureDefault()
       val rs = Seq.fill(runs)(timeOnce(fn))
       val ts = rs.map(_._1).sorted
       val median = ts(ts.length / 2)
@@ -97,7 +107,8 @@ object Bench {
         else "\"failed\"")
       }).mkString("{", ",", "}")
     }
-    val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson"""
+    val midJson = stealMid.map(fmt1).mkString("[", ",", "]")
+    val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_mid":$midJson,"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson"""
     // The driver records only the LAST ~2000 chars of output (r5 proved
     // it: a headline printed FIRST was cut, "parsed" came back null), so
     // ordering is: the full line with spreads first (humans, full
@@ -135,6 +146,7 @@ object Bench {
   "total_sec": ${fmt(total)},
   "n_failed": ${failed.length},
   "steal_pct_pre": ${fmt1(stealPre)},
+  "steal_pct_mid": $midJson,
   "steal_pct_post": ${fmt1(stealPost)},
   "canaries": $canaryJson,
   "queries": {
