@@ -364,7 +364,9 @@ object SparkEntry {
     "q197_response_dedup" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.responseDedup(s, d)),
     "q198_thread_packing" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.threadPacking(s, d))
+      graft.ext.SftAssembly.threadPacking(s, d)),
+    "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticRecallAudit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -680,6 +682,7 @@ object SparkEntry {
       graft.ext.SftAssembly.promptDecontaminateOracle,
     "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle,
     "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle,
-    "q198_thread_packing" -> graft.ext.SftAssembly.threadPackingOracle
+    "q198_thread_packing" -> graft.ext.SftAssembly.threadPackingOracle,
+    "q199_semantic_recall" -> Similarity.semanticRecallAuditOracle
   )
 }

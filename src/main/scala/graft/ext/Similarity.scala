@@ -1329,6 +1329,91 @@ object Similarity {
     semanticGateOf(corpus, evalSide)
   }
 
+  /** q199: the semantic-decontamination RECALL audit — the evaluation
+    * operator for q190's IVF-bucketed filter (the q183 pattern applied
+    * to contamination): per benchmark, the count of ≥ tau (corpus,
+    * eval) pairs found by EXACT all-pairs integer cosine, the count
+    * the same-list bucketed filter finds (a subset by construction),
+    * and the integer-exact recall in ppm. A contamination report is
+    * only as good as its recall — a boundary-straddling paraphrase
+    * that lands one list away is exactly what this audit counts.
+    *
+    * Scale: the exact side is corpus × |eval| work — the HONEST cost
+    * of ground truth, priced like q183's exact top-k: eval is
+    * benchmark-sized and broadcast, the corpus side is one narrow
+    * pass per eval member; at 100 TB this audit runs over a sampled
+    * corpus slice (the recall estimate needs thousands of pairs, not
+    * the corpus). The bucketed side reads the memoized q190 flag
+    * artifact. recall_ppm is truncating integer division — exact on
+    * both engines. ORDER BY = oracle determinism only. */
+  def semanticRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val evalSide = semanticEvalArtifact(spark, dir)
+    val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+    val corpus = qarr.filter(col("vec_id") % SemDecBenchMod =!= 0)
+      .select(col("vec_id"), col("e"),
+        int_dot(col("e"), col("e")).as("n"))
+    val exact = corpus
+      .crossJoin(broadcast(evalSide.select(col("ev"), col("benchmark"),
+        col("ee"), col("ne"))))
+      .withColumn("dot", int_dot(col("e"), col("ee")))
+      .filter(col("dot") > 0 && expr(
+        "25 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
+          "4 * CAST(n AS DECIMAL(38,0)) * ne"))
+      .groupBy(col("benchmark"))
+      .agg(count(lit(1)).as("n_pairs_exact"))
+    val bucketed = semanticFlagsFor(spark, dir)
+      .groupBy(col("benchmark"))
+      .agg(sum(col("n_sem")).as("n_pairs_bucketed"))
+    // every benchmark appears, found-nothing ones included: recall of
+    // an empty ground truth is vacuously complete
+    evalSide.select(col("benchmark")).distinct()
+      .join(exact, Seq("benchmark"), "left")
+      .join(bucketed, Seq("benchmark"), "left")
+      .select(col("benchmark"),
+        coalesce(col("n_pairs_exact"), lit(0L)).as("n_pairs_exact"),
+        coalesce(col("n_pairs_bucketed"), lit(0L))
+          .as("n_pairs_bucketed"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_pairs_exact = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE n_pairs_bucketed * 1000000 div n_pairs_exact END"))
+      .orderBy(col("benchmark"))
+  }
+
+  lazy val semanticRecallAuditOracle: String =
+    s"""WITH $semDecSql,
+       cpx AS (SELECT vec_id FROM asg2
+         WHERE vec_id % $SemDecBenchMod <> 0),
+       prx AS (SELECT cpx.vec_id, ev.ev, ev.benchmark
+         FROM cpx CROSS JOIN ev),
+       dtx AS (SELECT prx.vec_id, prx.ev, prx.benchmark,
+           CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
+         FROM prx JOIN q qa ON qa.vec_id = prx.vec_id
+           JOIN q qb ON qb.vec_id = prx.ev AND qb.i = qa.i
+         GROUP BY 1, 2, 3),
+       ex AS (SELECT benchmark,
+           CAST(count(*) AS BIGINT) AS n_pairs_exact
+         FROM dtx JOIN n na ON na.vec_id = dtx.vec_id
+           JOIN n nb ON nb.vec_id = dtx.ev
+         WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
+           >= 4 * CAST(na.nrm AS HUGEINT) * nb.nrm
+         GROUP BY 1),
+       bk AS (SELECT benchmark,
+           CAST(sum(n_sem) AS BIGINT) AS n_pairs_bucketed
+         FROM sem GROUP BY 1)
+       SELECT b.benchmark,
+         COALESCE(ex.n_pairs_exact, 0) AS n_pairs_exact,
+         COALESCE(bk.n_pairs_bucketed, 0) AS n_pairs_bucketed,
+         CASE WHEN COALESCE(ex.n_pairs_exact, 0) = 0
+           THEN CAST(1000000 AS BIGINT)
+           ELSE COALESCE(bk.n_pairs_bucketed, 0) * 1000000
+             // ex.n_pairs_exact END AS recall_ppm
+       FROM (SELECT DISTINCT benchmark FROM ev) b
+       LEFT JOIN ex ON ex.benchmark = b.benchmark
+       LEFT JOIN bk ON bk.benchmark = b.benchmark
+       ORDER BY b.benchmark"""
+
   /** The q190 CTE chain up to per-(doc, benchmark) flag counts —
     * shared verbatim by the q190 oracle and q191's composed verdict
     * so the two cannot drift. */

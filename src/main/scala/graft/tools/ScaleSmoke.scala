@@ -363,7 +363,9 @@ object ScaleSmoke {
       "q197_response_dedup" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.responseDedup(s, d)),
       "q198_thread_packing" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.threadPacking(s, d))
+        graft.ext.SftAssembly.threadPacking(s, d)),
+      "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
+        graft.ext.Similarity.semanticRecallAudit(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -231,6 +231,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("broadcast"), "eval side must broadcast")
   }
 
+  test("q199 recall audit: bucketed pairs are a subset of exact " +
+      "pairs, counts match a local BigInt all-pairs replay, and the " +
+      "audit reports the filter's real misses") {
+    import graft.ext.IvfIndex
+    val vs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .as(org.apache.spark.sql.Encoders.product[Similarity.Vec])
+      .collect().sortBy(_.vec_id)
+    val quant = vs.map(v => v.vec_id ->
+      v.embedding.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+      .toMap
+    def dotL(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i)) * b(i))
+    val evalIds = quant.keys.filter(_ % 50 == 0).toSeq
+    def benchOf(e: Long) = s"bench${(e / 50) % 3}"
+    val wantExact = (for {
+      c <- quant.keys.toSeq if c % 50 != 0
+      e <- evalIds
+      d = dotL(quant(c), quant(e))
+      if d > 0 && 25 * d * d >= 4 * dotL(quant(c), quant(c)) *
+        dotL(quant(e), quant(e))
+    } yield benchOf(e)).groupBy(identity).map { case (b, xs) =>
+      b -> xs.length.toLong
+    }
+    val got = Similarity.semanticRecallAudit(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got.foreach { case (b, (ex, bk, ppm)) =>
+      assert(ex == wantExact.getOrElse(b, 0L), s"$b exact")
+      assert(bk <= ex, s"$b bucketed must be a subset of exact")
+      assert(ppm == (if (ex == 0) 1000000L else bk * 1000000L / ex))
+    }
+    // the audit is non-vacuous in BOTH directions on this fixture:
+    // real pairs exist, and the same-list filter genuinely misses some
+    assert(got.values.map(_._1).sum > 0)
+    assert(got.values.exists { case (ex, bk, _) => bk < ex },
+      "filter missed nothing — audit can't demonstrate its purpose")
+  }
+
   test("q191 verdict composes q54 and q190 without loss: flags, " +
       "counts, and verdict labels agree with the parts") {
     val sem = Similarity.semanticDecontaminate(spark, sf0001)
