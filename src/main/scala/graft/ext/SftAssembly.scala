@@ -43,14 +43,13 @@ object SftAssembly {
     * frame — shared by the batch path and the streaming snapshot so
     * the two cannot drift. */
   private[graft] def turnColumnsOf(e: DataFrame): DataFrame =
-    // FLOOR division, not Spark's truncate-toward-zero `div`: the
-    // oracle's DuckDB `//` floors, so a pre-1970 timestamp (us < 0)
-    // would otherwise land in different day buckets on the two
-    // engines. Exact integer arithmetic — no double divide (ulp at
-    // 2024-epoch micros is coarser than 1, which could flip a
-    // midnight-boundary turn).
-    e.withColumn("day", expr(
-        s"us div $UsPerDay - (CASE WHEN us % $UsPerDay < 0 THEN 1 ELSE 0 END)"))
+    // Truncate-toward-zero division on BOTH engines: Spark `div` and
+    // DuckDB `//` agree (-7 div 2 = -7 // 2 = -3, verified on the
+    // harness's DuckDB 1.0.0), so a pre-1970 timestamp (us < 0) lands
+    // in the same day bucket on both sides with no adjustment. Exact
+    // integer arithmetic — no double divide (ulp at 2024-epoch micros
+    // is coarser than 1, which could flip a midnight-boundary turn).
+    e.withColumn("day", expr(s"us div $UsPerDay"))
       .withColumn("role",
         when(col("event_type").isin(UserRoleTypes: _*), lit("user"))
           .otherwise(lit("assistant")))
@@ -333,9 +332,9 @@ object SftAssembly {
              CAST(day AS VARCHAR)) AS h
          FROM g WHERE viol = 0 AND seq LIKE 'user%'),
        p AS (SELECT user_id, day, n_turns,
-           COALESCE(sum(n_turns) OVER (ORDER BY h, id
+           CAST(COALESCE(sum(n_turns) OVER (ORDER BY h, id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS before
+             AS BIGINT) AS before
          FROM v)
        SELECT user_id, day, CAST(n_turns AS INT) AS n_turns,
          before // $PackSeqTurns AS seq_id,

@@ -383,6 +383,12 @@ object ScaleSmoke {
     println(f"[scale] steal_pct at start: $lastSteal%.1f")
     println(f"${"query"}%-24s ${"1x(s)"}%8s ${"10x(s)"}%8s ${"ratio"}%6s ${"steal%"}%7s")
     selected.zipWithIndex.foreach { case ((name, q), i) =>
+      // refresh the probe BEFORE timing the row (every ~20 rows), so
+      // each printed steal%% reflects the window the row actually ran
+      // in — probing after meant row 19 printed weather measured after
+      // it ran while rows 0-18 carried the stale probe
+      if (i % 20 == 0 && i > 0) lastSteal = StealProbe.measure(
+        Runtime.getRuntime.availableProcessors(), 2000L)
       // warm BOTH dirs so session-memoized shared artifacts (pair
       // index, WET parse, NB model) are excluded from both sides —
       // the ratio measures steady-state scaling, not one-time
@@ -391,8 +397,6 @@ object ScaleSmoke {
       time(name, big)(q) // warm
       val a = time(name, base)(q)
       val b = time(name, big)(q)
-      if (i % 20 == 19) lastSteal = StealProbe.measure(
-        Runtime.getRuntime.availableProcessors(), 2000L)
       println(f"$name%-24s $a%8.2f $b%8.2f ${b / a}%6.1f $lastSteal%7.1f")
     }
     val stealEnd = StealProbe.measure(

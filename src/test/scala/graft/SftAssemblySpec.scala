@@ -178,6 +178,29 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(got.size == valid.length)
   }
 
+  test("day bucketing truncates toward zero for negative epoch-micros, " +
+      "matching DuckDB // (fixture-independent pin)") {
+    // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
+    // the harness. Spark `div` truncates too, so the engine and every
+    // `epoch_us(ts) // UsPerDay` oracle agree without adjustment. This
+    // pin makes the q193/q196/q198 twins unconditional for pre-1970
+    // timestamps instead of fixture-dependent (the fixtures have no
+    // negative us).
+    import spark.implicits._
+    val us = Seq(-1L, -86399999999L, -86400000000L, -86400000001L,
+      -172800000000L, 0L, 1L, 86400000000L)
+    val got = graft.ext.SftAssembly.turnColumnsOf(
+        us.zipWithIndex.map { case (u, i) =>
+          (1L, u, i.toLong, "click")
+        }.toDF("user_id", "us", "event_id", "event_type"))
+      .select("us", "day").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = us.map(u => u -> u / 86400000000L).toMap // JVM / truncates
+    assert(got == want)
+    assert(got(-86400000001L) == -1L, "truncation, not floor (-2)")
+    assert(got(-1L) == 0L, "truncation, not floor (-1)")
+  }
+
   test("q196 release card is consistent with its parts and keeps " +
       "only valid-thread users") {
     val threads = SftAssembly.conversationThreads(spark, sf0001)

@@ -32,6 +32,32 @@ def cells(df):
     return [tuple(norm_val(v) for v in row)
             for row in df.itertuples(index=False)]
 
+def kind(dtype):
+    """Collapse a pandas dtype to a comparison class: 'i' ints (any
+    width, signed or not), 'f' floats, else the raw numpy kind."""
+    k = dtype.kind
+    return "i" if k in ("i", "u") else k
+
+def dtype_check(duck, spark):
+    """Strict dtype comparison (round 15): the driver hashes TYPED
+    values, so float-vs-int divergence (DuckDB HUGEINT -> float64 from
+    an un-CAST windowed/summed BIGINT) fails its hash even when Python
+    `==` says 53.0 == 53 — exactly how q198 shipped red in round 14.
+    Fail on float-vs-int; tolerate int width (the driver accepts the
+    six existing int32/int64 differences); WARN on any other kind
+    mismatch so it is at least visible."""
+    errs, warns = [], []
+    for c in duck.columns:
+        dk, sk = kind(duck[c].dtype), kind(spark[c].dtype)
+        if dk == sk:
+            continue
+        if {dk, sk} == {"f", "i"}:
+            errs.append(f"col {c}: duck={duck[c].dtype} spark={spark[c].dtype}"
+                        " (float-vs-int: driver typed hash would reject)")
+        else:
+            warns.append(f"col {c}: duck={duck[c].dtype} spark={spark[c].dtype}")
+    return errs, warns
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -60,6 +86,11 @@ def main():
             if list(duck.columns) != list(spark.columns):
                 raise AssertionError(
                     f"columns: duck={list(duck.columns)} spark={list(spark.columns)}")
+            derrs, dwarns = dtype_check(duck, spark)
+            for w in dwarns:
+                print(f"WARN {name}: dtype {w}")
+            if derrs:
+                raise AssertionError("dtype: " + "; ".join(derrs))
             dc, sc = cells(duck), cells(spark)
             if len(dc) != len(sc):
                 raise AssertionError(f"rowcount: duck={len(dc)} spark={len(sc)}")
