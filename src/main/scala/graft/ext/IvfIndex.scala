@@ -212,18 +212,22 @@ object IvfIndex {
       .toDF("vec_id", "list_id")
   }
 
-  /** Top-k per query over an assigned corpus: probe the nProbe nearest
-    * lists, exact cosine only within them, rank per query. `corpus`
-    * resolves candidate ids to raw vectors (in production the postings
-    * live in parquet while vectors stay wherever they are — the join
-    * ships ids until scoring). */
-  def probe(queries: Dataset[Vec], corpus: Dataset[Vec],
-      postings: DataFrame, centroids: Array[Array[Double]],
-      nProbe: Int = 4, k: Int = 5): DataFrame = {
-    import queries.sparkSession.implicits._
+  /** Multiprobe assignment: each vector's `p` NEAREST lists by L2²
+    * (ties → lowest id, the [[nearestList]] tiebreak), one posting row
+    * per probe → (vec_id, list_id). `p = 1` coincides with [[assign]].
+    * This is the query-side half of [[probe]] factored out, because it
+    * is also the EVAL-side assignment of the semantic-decontamination
+    * gate (q190): a benchmark member posted to its P nearest lists
+    * catches boundary-straddling corpus neighbors the single-list
+    * filter misses, at P× a benchmark-sized artifact — the corpus side
+    * never multiprobes. Distributed (broadcast centroids, one narrow
+    * flatMap); never collects. */
+  def assignTopP(ds: Dataset[Vec], centroids: Array[Array[Double]],
+      p: Int): DataFrame = {
+    import ds.sparkSession.implicits._
     val nLists = centroids.length
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
-    val probes = queries.flatMap { v =>
+    val bc = ds.sparkSession.sparkContext.broadcast(centroids)
+    ds.flatMap { v =>
       val cs = bc.value
       val dists = Array.tabulate(nLists) { c =>
         var d = 0.0
@@ -233,9 +237,22 @@ object IvfIndex {
         }
         (c, d)
       }
-      dists.sortBy(x => (x._2, x._1)).take(nProbe)
+      dists.sortBy(x => (x._2, x._1)).take(p)
         .map { case (c, _) => (v.vec_id, c) }
-    }.toDF("q_id", "list_id")
+    }.toDF("vec_id", "list_id")
+  }
+
+  /** Top-k per query over an assigned corpus: probe the nProbe nearest
+    * lists, exact cosine only within them, rank per query. `corpus`
+    * resolves candidate ids to raw vectors (in production the postings
+    * live in parquet while vectors stay wherever they are — the join
+    * ships ids until scoring). */
+  def probe(queries: Dataset[Vec], corpus: Dataset[Vec],
+      postings: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import queries.sparkSession.implicits._
+    val probes = assignTopP(queries, centroids, nProbe)
+      .toDF("q_id", "list_id")
     val candidates = probes
       .join(postings.toDF("neighbor_id", "list_id"), "list_id")
       .filter(col("q_id") =!= col("neighbor_id"))

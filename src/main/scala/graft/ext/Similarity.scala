@@ -1197,6 +1197,18 @@ object Similarity {
   private val SemDecBenchMod = 50L
   private val SemDecBenches = 3L
 
+  /** The multiprobe width P of the q190 eval-side assignment: each
+    * eval-suite member posts to its P nearest IVF lists (the q183
+    * probe idiom applied to the benchmark artifact), so a corpus
+    * neighbor that lands one list away still meets it at the same-list
+    * join. P multiplies only the benchmark-sized eval artifact — the
+    * corpus side stays single-assigned — so the 100 TB cost is
+    * unchanged while recall (measured exactly by q199) rises from the
+    * 25–50%% the single-list filter scored on the fixtures. Raise P
+    * toward nLists for recall → 1 at proportional candidate cost;
+    * P = 1 is the round-14 single-list behavior. */
+  private[graft] val SemDecProbes = 4
+
   /** q190: semantic (embedding-level) decontamination — flag corpus
     * documents whose embedding is ≥ tau-cosine-close to any eval-set
     * member sharing its IVF list, reported per benchmark with the
@@ -1235,7 +1247,14 @@ object Similarity {
     }
 
   private def semanticFlagsOf(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    semanticFlagsOfP(spark, dir, SemDecProbes)
+
+  /** P-parameterized flag frame — the [[SemDecProbes]] knob exposed so
+    * the recall spec can demonstrate P = 1 (the single-list filter) vs
+    * the default side by side. Corpus side identical at every P. */
+  private[graft] def semanticFlagsOfP(spark: SparkSession,
+      dir: String, p: Int): DataFrame = {
     import graft.functions.IntDot.int_dot
     val assigned = exactAssignFor(spark, dir)
     val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
@@ -1245,23 +1264,32 @@ object Similarity {
       .join(qarr, Seq("vec_id"))
       .select(col("vec_id"), col("list_id"), col("e"),
         int_dot(col("e"), col("e")).as("n"))
-    semanticGateOf(corpus, semanticEvalArtifact(spark, dir))
+    semanticGateOf(corpus, semanticEvalArtifactP(spark, dir, p))
   }
 
   /** The eval-side artifact of the q190 gate — (ev, list_id,
-    * benchmark, ee, ne), one row per eval-suite member: its posting,
-    * benchmark name, quantized integer coordinates, and norm.
-    * Benchmark-sized (thousands of rows against a 100 TB corpus), so
-    * it is the CONFIG a streaming stage carries, exactly like the
-    * q54 benchmark gram set; memoized per session. */
+    * benchmark, ee, ne), one row per (eval-suite member, probe): its
+    * [[SemDecProbes]]-multiprobe postings ([[IvfIndex.assignTopP]],
+    * whose rank-1 row IS the [[IvfIndex.assign]] assignment — same
+    * L2²-then-lowest-id tiebreak), benchmark name, quantized integer
+    * coordinates, and norm. Benchmark-sized × P (thousands of rows
+    * against a 100 TB corpus), so it is the CONFIG a streaming stage
+    * carries, exactly like the q54 benchmark gram set; memoized per
+    * session and per P. */
   def semanticEvalArtifact(spark: SparkSession,
       dir: String): DataFrame =
-    graft.SessionMemo(spark, s"sem-eval-artifact:$dir") {
+    semanticEvalArtifactP(spark, dir, SemDecProbes)
+
+  private[graft] def semanticEvalArtifactP(spark: SparkSession,
+      dir: String, p: Int): DataFrame =
+    graft.SessionMemo(spark, s"sem-eval-artifact:$dir:$p") {
       import graft.functions.IntDot.int_dot
-      val qarr = quantVecs(spark, dir).toDF().select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
-      exactAssignFor(spark, dir)
+      val evQuant = quantVecs(spark, dir)
         .filter(col("vec_id") % SemDecBenchMod === 0)
+      val qarr = evQuant.toDF().select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
+      IvfIndex.assignTopP(evQuant,
+          IvfIndex.detCentroids(IvfExactLists, EmbDim, IvfExactSeed), p)
         .withColumn("benchmark", concat(lit("bench"),
           (expr(s"vec_id div $SemDecBenchMod") % SemDecBenches)
             .cast("string")))
@@ -1355,8 +1383,11 @@ object Similarity {
       .select(col("vec_id"), col("e"),
         int_dot(col("e"), col("e")).as("n"))
     val exact = corpus
+      // one row per eval MEMBER: the multiprobe artifact carries P
+      // posting rows per member (identical off-list columns), and the
+      // exact ground truth must count each (corpus, eval) pair once
       .crossJoin(broadcast(evalSide.select(col("ev"), col("benchmark"),
-        col("ee"), col("ne"))))
+        col("ee"), col("ne")).dropDuplicates("ev")))
       .withColumn("dot", int_dot(col("e"), col("ee")))
       .filter(col("dot") > 0 && expr(
         "25 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
@@ -1385,8 +1416,9 @@ object Similarity {
     s"""WITH $semDecSql,
        cpx AS (SELECT vec_id FROM asg2
          WHERE vec_id % $SemDecBenchMod <> 0),
-       prx AS (SELECT cpx.vec_id, ev.ev, ev.benchmark
-         FROM cpx CROSS JOIN ev),
+       evd AS (SELECT DISTINCT ev, benchmark FROM ev),
+       prx AS (SELECT cpx.vec_id, evd.ev, evd.benchmark
+         FROM cpx CROSS JOIN evd),
        dtx AS (SELECT prx.vec_id, prx.ev, prx.benchmark,
            CAST(sum(qa.qx * qb.qx) AS BIGINT) AS dot
          FROM prx JOIN q qa ON qa.vec_id = prx.vec_id
@@ -1424,10 +1456,14 @@ object Similarity {
        asg2 AS (SELECT vec_id, l AS list_id FROM asg),
        n AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nrm
          FROM q GROUP BY 1),
-       ev AS (SELECT vec_id AS ev, list_id,
+       ev AS (SELECT vec_id AS ev, l AS list_id,
            'bench' || CAST((vec_id // $SemDecBenchMod) % $SemDecBenches
              AS VARCHAR) AS benchmark
-         FROM asg2 WHERE vec_id % $SemDecBenchMod = 0),
+         FROM (SELECT vec_id, l,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, l)
+               AS rn
+           FROM dd WHERE vec_id % $SemDecBenchMod = 0)
+         WHERE rn <= $SemDecProbes),
        cp AS (SELECT vec_id, list_id FROM asg2
          WHERE vec_id % $SemDecBenchMod <> 0),
        pr AS (SELECT cp.vec_id, ev.ev, ev.benchmark

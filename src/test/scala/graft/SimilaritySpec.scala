@@ -205,21 +205,28 @@ class SimilaritySpec extends SparkSpecBase {
       v.embedding.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
       .toMap
     val cents = IvfIndex.detCentroids(16, 64, 11L)
-    def nearest(q: Array[Long]): Int =
-      cents.indices.minBy { c =>
-        var d = 0.0; var i = 0
-        while (i < q.length) {
-          val diff = q(i) - cents(c)(i); d += diff * diff; i += 1
-        }
-        (d, c)
+    def d2Of(q: Array[Long], c: Int): Double = {
+      var d = 0.0; var i = 0
+      while (i < q.length) {
+        val diff = q(i) - cents(c)(i); d += diff * diff; i += 1
       }
+      d
+    }
+    def nearest(q: Array[Long]): Int =
+      cents.indices.minBy(c => (d2Of(q, c), c))
+    // corpus side: single assignment; eval side: the P nearest lists
+    // (multiprobe), same (d2, list) tiebreak
     val listOf = quant.map { case (id, q) => id -> nearest(q) }
+    val probesOf = quant.map { case (id, q) =>
+      id -> cents.indices.sortBy(c => (d2Of(q, c), c))
+        .take(Similarity.SemDecProbes).toSet
+    }
     def dotL(a: Array[Long], b: Array[Long]): BigInt =
       a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i)) * b(i))
     val evalIds = quant.keys.filter(_ % 50 == 0).toSeq.sorted
     val want = (for {
       c <- quant.keys.toSeq if c % 50 != 0
-      e <- evalIds if listOf(e) == listOf(c)
+      e <- evalIds if probesOf(e).contains(listOf(c))
       d = dotL(quant(c), quant(e))
       if d > 0 && 25 * d * d >= 4 * dotL(quant(c), quant(c)) *
         dotL(quant(e), quant(e))
@@ -263,11 +270,18 @@ class SimilaritySpec extends SparkSpecBase {
       assert(bk <= ex, s"$b bucketed must be a subset of exact")
       assert(ppm == (if (ex == 0) 1000000L else bk * 1000000L / ex))
     }
-    // the audit is non-vacuous in BOTH directions on this fixture:
-    // real pairs exist, and the same-list filter genuinely misses some
+    // the audit is non-vacuous: real pairs exist on the fixture
     assert(got.values.map(_._1).sum > 0)
-    assert(got.values.exists { case (ex, bk, _) => bk < ex },
-      "filter missed nothing — audit can't demonstrate its purpose")
+    // the P knob does what it claims: P = 1 (round-14's single-list
+    // filter) finds strictly fewer pairs than the default multiprobe,
+    // and the multiprobe recall is a superset by construction
+    val p1 = Similarity.semanticFlagsOfP(spark, sf0001, 1)
+      .agg(org.apache.spark.sql.functions.sum("n_sem")).collect()(0)
+      .getLong(0)
+    val pDefault = got.values.map(_._2).sum
+    assert(p1 < pDefault,
+      s"multiprobe (P=${Similarity.SemDecProbes}, $pDefault pairs) " +
+        s"must beat single-list (P=1, $p1 pairs) on this fixture")
   }
 
   test("q191 verdict composes q54 and q190 without loss: flags, " +
