@@ -366,7 +366,9 @@ object SparkEntry {
     "q198_thread_packing" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.threadPacking(s, d)),
     "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
-      Similarity.semanticRecallAudit(s, d))
+      Similarity.semanticRecallAudit(s, d)),
+    "q200_token_packing" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.tokenPacking(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -683,6 +685,7 @@ object SparkEntry {
     "q196_sft_release_card" -> graft.ext.SftAssembly.sftReleaseCardOracle,
     "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle,
     "q198_thread_packing" -> graft.ext.SftAssembly.threadPackingOracle,
-    "q199_semantic_recall" -> Similarity.semanticRecallAuditOracle
+    "q199_semantic_recall" -> Similarity.semanticRecallAuditOracle,
+    "q200_token_packing" -> graft.ext.SftAssembly.tokenPackingOracle
   )
 }

@@ -341,6 +341,118 @@ object SftAssembly {
          before % $PackSeqTurns AS seq_offset
        FROM p ORDER BY user_id, day"""
 
+  /** Token capacity of the REGISTERED q200 pair — interpolated into
+    * [[tokenPackingOracle]] so engine and oracle cannot diverge when
+    * the constant changes. ~3-4 median threads per sequence on the
+    * fixtures. */
+  private val PackTokenBudget = 512L
+
+  /** q200: TOKEN-budget thread packing — the form SFT exporters
+    * actually ship: q198 packs by turn count, but a training sequence
+    * is a token window, so the delivery step must weigh each valid
+    * thread by its TOKEN length and cut the hash-ordered concatenation
+    * at a token budget. Composes three already-oracled parts: q193's
+    * valid-thread gate, q29's whitespace tokenizer for per-turn token
+    * counts, and the q55/q198 [[Curate.prefixSumsOf]] core (ONE shared
+    * definition, running over token weights instead of turn counts).
+    *
+    * The fixture's stand-in for "the turn's rendered text" is the
+    * document keyed by event_id mod |documents| (events carry no text;
+    * a real exporter's turn does) — the operator's SHAPE is the
+    * product: join turn→text, tokenize, per-thread token sum,
+    * budget-cut via distributed prefix sums. Threads longer than the
+    * budget straddle sequence boundaries, exactly like q55 chunks.
+    *
+    * Scale: token counts are projected from the text BEFORE the join
+    * (the join ships one long per turn, never text); the per-thread
+    * sum is a map-side-combinable aggregate; packing is the two-phase
+    * prefix sum — NO global window, no single-reducer running sum.
+    * ORDER BY = oracle determinism only. */
+  def tokenPacking(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    import spark.implicits._
+    val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
+      conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
+    }
+    val valid = threads
+      .filter(col("n_role_violations") === 0 && col("starts_with_user"))
+      .select(col("user_id"), col("day"), col("n_turns"))
+    // same packed-key domain guard as q198 (the id is user·10⁶ + day)
+    require(valid.filter(col("day") < 0 || col("day") >= 1000000L)
+        .limit(1).isEmpty,
+      "tokenPacking: day index outside [0, 10^6) — the user*10^6+day " +
+        "packed key cannot represent it; re-key before packing")
+    val docs = Tables(spark, dir, "documents")
+    // one bounded scalar: the modulus of the fixture's turn→text key
+    val nDocs = docs.count()
+    require(nDocs > 0, "tokenPacking: empty documents table")
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    val threadTokens = turnEvents(spark, dir)
+      .select(col("user_id"), col("day"),
+        (col("event_id") % nDocs).as("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("toks")).as("n_tokens"))
+    val items = valid.join(threadTokens, Seq("user_id", "day"))
+    val keyed = items.select(
+        (col("user_id") * 1000000L + col("day")).as("id"),
+        lit("sft").as("grp"),
+        col("n_tokens").as("n"),
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("day").cast("string")).cast("binary")).as("h"))
+      .as[(Long, String, Long, String)]
+    Curate.prefixSumsOf(keyed)
+      .select(expr("id div 1000000").as("user_id"),
+        (col("id") % 1000000L).as("day"),
+        col("n").as("n_tokens"),
+        expr("before div " + budget).as("seq_id"),
+        (col("before") % budget).as("seq_offset"))
+      .join(items.select(col("user_id"), col("day"),
+        col("n_turns").cast("int").as("n_turns")),
+        Seq("user_id", "day"))
+      .select(col("user_id"), col("day"), col("n_turns"),
+        col("n_tokens"), col("seq_id"), col("seq_offset"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val tokenPackingOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day, count(*) AS n_turns,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2),
+       nd AS (SELECT count(*) AS n FROM documents),
+       tk AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         FROM documents),
+       tt AS (SELECT e.user_id, e.day,
+           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
+         FROM e CROSS JOIN nd
+           JOIN tk ON tk.doc_id = e.event_id % nd.n
+         GROUP BY 1, 2),
+       v AS (SELECT g.user_id, g.day, g.n_turns, tt.n_tokens,
+           g.user_id * 1000000 + g.day AS id,
+           md5(CAST(g.user_id AS VARCHAR) || ':' ||
+             CAST(g.day AS VARCHAR)) AS h
+         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
+         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
+       p AS (SELECT user_id, day, n_turns, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS before
+         FROM v)
+       SELECT user_id, day, CAST(n_turns AS INT) AS n_turns, n_tokens,
+         before // $PackTokenBudget AS seq_id,
+         before % $PackTokenBudget AS seq_offset
+       FROM p ORDER BY user_id, day"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

@@ -365,7 +365,9 @@ object ScaleSmoke {
       "q198_thread_packing" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.threadPacking(s, d)),
       "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
-        graft.ext.Similarity.semanticRecallAudit(s, d))
+        graft.ext.Similarity.semanticRecallAudit(s, d)),
+      "q200_token_packing" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.tokenPacking(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -97,7 +97,9 @@ class ParallelismSpec extends SparkSpecBase {
     "q192_resize_exact", "q193_conversation_threads",
     "q194_preference_pairs", "q195_prompt_decontam",
     "q196_sft_release_card", "q197_response_dedup",
-    "q198_thread_packing", "q199_semantic_recall")
+    "q198_thread_packing", "q199_semantic_recall",
+    // round-15: token-budget packing is the q198 core over token weights
+    "q200_token_packing")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -178,6 +178,55 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(got.size == valid.length)
   }
 
+  test("q200 token packing equals a local prefix-sum replay over token " +
+      "weights, and token boundaries differ from q198's turn boundaries") {
+    val threads = SftAssembly.conversationThreads(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4), r.getInt(5)))
+    val valid = threads.filter(t => t._4 == 0 && t._3).map(t => (t._1, t._2))
+    // per-turn token weight: whitespace tokens of document
+    // (event_id % nDocs) — the fixture's stand-in for the turn's text
+    val docToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nDocs = docToks.size.toLong
+    val threadToks = events
+      .groupBy(e => (e._1, e._2 / 86400000000L))
+      .map { case (k, es) =>
+        k -> es.map(e => docToks(e._3 % nDocs)).sum
+      }
+    val ordered = valid.sortBy { case (u, d) =>
+      (md5hex(s"$u:$d"), u * 1000000L + d)
+    }
+    var cum = 0L
+    val want = ordered.map { case (u, d) =>
+      val n = threadToks((u, d))
+      val before = cum; cum += n
+      (u, d, n, before / 512, before % 512)
+    }.toSet
+    val got = SftAssembly.tokenPacking(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.size == valid.length)
+    // the token budget actually changes the cut points: some adjacent
+    // pair in hash order lands in the same 16-turn sequence but
+    // different token sequences, or vice versa — otherwise q200 would
+    // be q198 with renamed columns
+    val turnSeq = SftAssembly.threadPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val tokSeq = got.map(t => (t._1, t._2) -> t._4).toMap
+    val pairs = ordered.zip(ordered.drop(1))
+    assert(pairs.exists { case (a, b) =>
+      (turnSeq(a) == turnSeq(b)) != (tokSeq(a) == tokSeq(b))
+    }, "token and turn packing agree on every boundary — vacuous twin")
+    // no global window in the executed plan (prefix sums, not a sort)
+    val plan = SftAssembly.tokenPacking(spark, sf0001)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"))
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
