@@ -370,10 +370,28 @@ object SftAssembly {
     * ORDER BY = oracle determinism only. */
   def tokenPacking(spark: SparkSession, dir: String,
       budget: Long = PackTokenBudget): DataFrame = {
-    import spark.implicits._
     val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
       conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
     }
+    val docs = Tables(spark, dir, "documents")
+    // one bounded scalar: the modulus of the fixture's turn→text key
+    val nDocs = docs.count()
+    require(nDocs > 0, "tokenPacking: empty documents table")
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    tokenPackingOf(threads, turnEvents(spark, dir), toks, nDocs, budget)
+  }
+
+  /** The q200 packing core over any thread frame + turn frame + token
+    * table — ONE definition shared by the batch query and the
+    * streaming snapshot ([[graft.streaming.StreamingSft]]) so the two
+    * cannot drift. `turns` carries (user_id, day, event_id); `toks`
+    * is the (doc_id, toks) token-count table (config-like: projected
+    * from text before it ever reaches this core). */
+  private[graft] def tokenPackingOf(threads: DataFrame, turns: DataFrame,
+      toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
+    val spark = threads.sparkSession
+    import spark.implicits._
     val valid = threads
       .filter(col("n_role_violations") === 0 && col("starts_with_user"))
       .select(col("user_id"), col("day"), col("n_turns"))
@@ -382,13 +400,7 @@ object SftAssembly {
         .limit(1).isEmpty,
       "tokenPacking: day index outside [0, 10^6) — the user*10^6+day " +
         "packed key cannot represent it; re-key before packing")
-    val docs = Tables(spark, dir, "documents")
-    // one bounded scalar: the modulus of the fixture's turn→text key
-    val nDocs = docs.count()
-    require(nDocs > 0, "tokenPacking: empty documents table")
-    val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
-    val threadTokens = turnEvents(spark, dir)
+    val threadTokens = turns
       .select(col("user_id"), col("day"),
         (col("event_id") % nDocs).as("doc_id"))
       .join(toks, Seq("doc_id"))

@@ -107,6 +107,28 @@ object StreamingSft {
       .orderBy(col("user_id"))
   }
 
+  /** q200 over the streamed state: token-budget packing of the
+    * snapshot's valid threads through the SAME
+    * [[graft.ext.SftAssembly.tokenPackingOf]] core the batch query
+    * runs — derived at snapshot, never accumulated (one late turn
+    * changes a thread's token weight AND can flip its validity, which
+    * reshuffles every later cut point; packing is a global property of
+    * the current log). `toks` is the (doc_id, toks) token-count table
+    * and `nDocs` its modulus — supplied config, exactly like the
+    * semantic stage's eval artifact: the streaming stage never reads
+    * the corpus itself. */
+  def snapshotTokenPacking(spark: SparkSession, outDir: String,
+      toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
+    val turnCols = graft.ext.SftAssembly.turnColumnsOf(
+      latestTurns(spark, outDir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"))
+        .localCheckpoint())
+    graft.ext.SftAssembly.tokenPackingOf(
+      graft.ext.SftAssembly.conversationThreadsOf(turnCols),
+      turnCols, toks, nDocs, budget)
+  }
+
   /** Start the turn-index sink over a streaming (event_id, user_id,
     * us, event_type, value) frame. */
   def start(events: DataFrame, outDir: String,

@@ -85,6 +85,56 @@ class StreamingSftSpec extends SparkSpecBase {
     assert(cardSnap(out1).nonEmpty)
   }
 
+  test("q200 token-packing snapshot equals the batch core over the " +
+      "union, and a late turn globally repacks (derived, never " +
+      "accumulated)") {
+    // token table: doc_id 0..4, weights chosen so threads straddle the
+    // budget; modulus 5 maps event_ids onto it
+    val toks = Seq((0L, 3L), (1L, 5L), (2L, 2L), (3L, 7L), (4L, 4L))
+      .toDF("doc_id", "toks")
+    val nDocs = 5L
+    val budget = 8L
+    def packSnap(out: String) =
+      StreamingSft.snapshotTokenPacking(spark, out, toks, nDocs, budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    def wantPack(rows: Seq[Turn]) = {
+      val turnCols = SftAssembly.turnColumnsOf(
+        turnsDf(rows).select(col("user_id"), col("us"), col("event_id"),
+          col("event_type")))
+      SftAssembly.tokenPackingOf(
+          SftAssembly.conversationThreadsOf(turnCols), turnCols,
+          toks, nDocs, budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    }
+    // user 1's valid thread arrives first; user 5's valid thread
+    // arrives LATE and hash-sorts BEFORE it (md5("5:0") < md5("1:0")),
+    // so the late batch must shift user 1's cut point
+    val a: Seq[Turn] = Seq((100L, 1L, 1000L, "click", 5.0),
+      (101L, 1L, 2000L, "error", 9.0))
+    val b: Seq[Turn] = Seq((500L, 5L, 1000L, "click", 1.0),
+      (501L, 5L, 2000L, "purchase", 2.0))
+    val out = tmp()
+    push(out, 0L, a)
+    val early = packSnap(out)
+    assert(early == wantPack(a))
+    assert(early.nonEmpty)
+    push(out, 1L, b)
+    val full = packSnap(out)
+    assert(full == wantPack(a ++ b))
+    // the late batch globally repacked: user 1's thread is identical
+    // in both snapshots (same turns, same token weight), but its
+    // packing row moved because a hash-earlier thread arrived — an
+    // accumulated packing could never do this
+    val earlyU1 = early.filter(t => t._1 == 1L)
+    val fullU1 = full.filter(t => t._1 == 1L)
+    assert(earlyU1.nonEmpty && fullU1.nonEmpty && earlyU1 != fullU1,
+      "late hash-earlier thread must shift user 1's cut point")
+  }
+
   test("a re-delivered event supersedes latest-wins: the corrected " +
       "reward flips the preference pair") {
     val out = tmp()
