@@ -88,17 +88,21 @@ object Bench {
     (results, stealMid.toSeq)
   }
 
-  /** The contamination rule, verbatim from the round-14 adjudication:
-    * double-digit steal in any mid/post probe, or any passing canary
-    * median above 2x its committed quiet band. Returns the reasons so
-    * the artifact says WHY, not just that. */
-  private[graft] def contaminationOf(
+  /** The contamination rule, from the round-14 adjudication: double-
+    * digit steal in ANY probe (pre included — a retry pass launched
+    * into a still-noisy window whose wave dies before the one-third
+    * probe would otherwise read as quiet while its first-third medians
+    * are inflated), or any passing canary median above 2x its
+    * committed quiet band. Returns the reasons so the artifact says
+    * WHY, not just that. */
+  private[graft] def contaminationOf(stealPre: Double,
       results: Seq[(String, Double, Double, Double, Boolean)],
       stealMid: Seq[Double], stealPost: Double,
       bandsApply: Boolean): Seq[String] = {
-    val steal = (stealMid.zipWithIndex.map { case (s, i) =>
-      s"steal_pct_mid[$i]" -> s
-    } :+ ("steal_pct_post" -> stealPost)).collect {
+    val steal = (("steal_pct_pre" -> stealPre) +:
+      stealMid.zipWithIndex.map { case (s, i) =>
+        s"steal_pct_mid[$i]" -> s
+      } :+ ("steal_pct_post" -> stealPost)).collect {
       case (label, s) if s >= 10.0 => f"$label=$s%.1f (double-digit)"
     }
     val byName = results.map(r => r._1 -> (r._2, r._5)).toMap
@@ -150,13 +154,20 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val bandsApply = sfDir.contains("sf0.1") && cpus == "32"
+    // EXACT directory-name match: a substring test would apply the
+    // sf0.1-committed bands to sf0.15/sf0.12/... and falsely adjudicate
+    // every quiet run of those profiles contaminated
+    val bandsApply =
+      new java.io.File(sfDir).getName == "sf0.1" && cpus == "32"
     val (res1, mid1) = measurePass(spark, sfDir, sorted, runs)
     val post1 = tools.StealProbe.measureDefault()
-    val reasons1 = contaminationOf(res1, mid1, post1, bandsApply)
+    val reasons1 = contaminationOf(stealPre0, res1, mid1, post1, bandsApply)
     // self-defense: one bounded retry after a quiet-window wait. The
     // retry reuses the warm JVM and session memos — shared artifacts
     // amortize exactly as they do across the 3 runs within a pass.
+    // `reasons` always records why a retry happened (pass 1's trigger)
+    // or why the verdict is contaminated — empty only when pass 1 was
+    // quiet.
     val (results, stealPre, stealMid, stealPost, verdict, reasons, retried) =
       if (reasons1.isEmpty)
         (res1, stealPre0, mid1, post1, "quiet", Seq.empty[String], false)
@@ -165,16 +176,24 @@ object Bench {
         val pre2 = awaitQuietWindow()
         val (res2, mid2) = measurePass(spark, sfDir, sorted, runs)
         val post2 = tools.StealProbe.measureDefault()
-        val reasons2 = contaminationOf(res2, mid2, post2, bandsApply)
+        val reasons2 = contaminationOf(pre2, res2, mid2, post2, bandsApply)
         if (reasons2.isEmpty)
-          (res2, pre2, mid2, post2, "quiet", Seq.empty[String], true)
+          (res2, pre2, mid2, post2, "quiet", reasons1, true)
         else {
           System.err.println(s"[bench] retry also contaminated: ${reasons2.mkString("; ")}")
-          // both dirty: report the faster pass (less inflated), verdict
-          // explicitly contaminated
-          val t1 = res1.filter(_._5).map(_._2).sum
-          val t2 = res2.filter(_._5).map(_._2).sum
-          if (t2 <= t1) (res2, pre2, mid2, post2, "contaminated", reasons2, true)
+          // both dirty: report the less-inflated pass. Compare totals
+          // over the queries that passed in BOTH passes — a pass whose
+          // sum covers fewer queries (one crashed) must not win the
+          // tie-break by omission — and prefer the pass with fewer
+          // failures outright.
+          val ok1 = res1.filter(_._5).map(_._1).toSet
+          val ok2 = res2.filter(_._5).map(_._1).toSet
+          val common = ok1.intersect(ok2)
+          val t1 = res1.filter(r => common(r._1)).map(_._2).sum
+          val t2 = res2.filter(r => common(r._1)).map(_._2).sum
+          val pick2 =
+            if (ok2.size != ok1.size) ok2.size > ok1.size else t2 <= t1
+          if (pick2) (res2, pre2, mid2, post2, "contaminated", reasons2, true)
           else (res1, stealPre0, mid1, post1, "contaminated", reasons1, true)
         }
       }
@@ -206,7 +225,7 @@ object Bench {
     def jstr(s: String): String = "\"" + s.replace("\"", "'") + "\""
     val reasonsJson = reasons.map(jstr).mkString("[", ",", "]")
     val midJson = stealMid.map(fmt1).mkString("[", ",", "]")
-    val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_mid":$midJson,"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson,"weather_verdict":${jstr(verdict)},"retried":$retried"""
+    val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_mid":$midJson,"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson,"weather_verdict":${jstr(verdict)},"retried":$retried,"weather_reasons":$reasonsJson"""
     // The driver records only the LAST ~2000 chars of output (r5 proved
     // it: a headline printed FIRST was cut, "parsed" came back null), so
     // ordering is: the full line with spreads first (humans, full

@@ -19,12 +19,12 @@ class BenchWeatherSpec extends AnyFunSuite {
     row("q01_pricing_summary", 0.5))
 
   test("quiet run: no reasons") {
-    assert(Bench.contaminationOf(quietRows, Seq(0.1, 0.2), 0.3,
+    assert(Bench.contaminationOf(0.2, quietRows, Seq(0.1, 0.2), 0.3,
       bandsApply = true).isEmpty)
   }
 
   test("double-digit mid steal flags, with the probe index named") {
-    val rs = Bench.contaminationOf(quietRows, Seq(18.0, 10.4), 5.3,
+    val rs = Bench.contaminationOf(4.1, quietRows, Seq(18.0, 10.4), 5.3,
       bandsApply = true)
     assert(rs.size == 2)
     assert(rs.head.contains("steal_pct_mid[0]=18.0"))
@@ -32,7 +32,7 @@ class BenchWeatherSpec extends AnyFunSuite {
   }
 
   test("double-digit post steal flags") {
-    val rs = Bench.contaminationOf(quietRows, Seq(0.1, 0.1), 11.0,
+    val rs = Bench.contaminationOf(0.3, quietRows, Seq(0.1, 0.1), 11.0,
       bandsApply = true)
     assert(rs.size == 1 && rs.head.contains("steal_pct_post"))
   }
@@ -43,7 +43,7 @@ class BenchWeatherSpec extends AnyFunSuite {
       case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 3.386)
       case r => r
     }
-    val rs = Bench.contaminationOf(rows, Seq(1.0, 1.0), 1.0,
+    val rs = Bench.contaminationOf(0.5, rows, Seq(1.0, 1.0), 1.0,
       bandsApply = true)
     assert(rs.size == 1 && rs.head.contains("q23_ngram_jaccard"))
   }
@@ -53,7 +53,7 @@ class BenchWeatherSpec extends AnyFunSuite {
       case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 2 * 1.618)
       case r => r
     }
-    assert(Bench.contaminationOf(rows, Seq(1.0), 1.0,
+    assert(Bench.contaminationOf(0.5, rows, Seq(1.0), 1.0,
       bandsApply = true).isEmpty)
   }
 
@@ -63,9 +63,9 @@ class BenchWeatherSpec extends AnyFunSuite {
       case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 99.0)
       case r => r
     }
-    assert(Bench.contaminationOf(rows, Seq(1.0), 1.0,
+    assert(Bench.contaminationOf(0.5, rows, Seq(1.0), 1.0,
       bandsApply = false).isEmpty)
-    val rs = Bench.contaminationOf(rows, Seq(12.0), 1.0,
+    val rs = Bench.contaminationOf(0.5, rows, Seq(12.0), 1.0,
       bandsApply = false)
     assert(rs.size == 1 && rs.head.contains("steal_pct_mid[0]"))
   }
@@ -77,7 +77,14 @@ class BenchWeatherSpec extends AnyFunSuite {
         row("q23_ngram_jaccard", 99.0, ok = false)
       case r => r
     }
-    assert(Bench.contaminationOf(rows, Seq(1.0), 1.0,
+    assert(Bench.contaminationOf(0.5, rows, Seq(1.0), 1.0,
       bandsApply = true).isEmpty)
+  }
+
+  test("double-digit PRE steal flags too (a retry launched into a " +
+      "still-noisy window whose wave dies before the 1/3 probe)") {
+    val rs = Bench.contaminationOf(40.0, quietRows, Seq(1.2, 0.8), 0.9,
+      bandsApply = false)
+    assert(rs.size == 1 && rs.head.contains("steal_pct_pre=40.0"))
   }
 }
