@@ -368,7 +368,9 @@ object SparkEntry {
     "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
       Similarity.semanticRecallAudit(s, d)),
     "q200_token_packing" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.tokenPacking(s, d))
+      graft.ext.SftAssembly.tokenPacking(s, d)),
+    "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.sequenceManifest(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -686,6 +688,8 @@ object SparkEntry {
     "q197_response_dedup" -> graft.ext.SftAssembly.responseDedupOracle,
     "q198_thread_packing" -> graft.ext.SftAssembly.threadPackingOracle,
     "q199_semantic_recall" -> Similarity.semanticRecallAuditOracle,
-    "q200_token_packing" -> graft.ext.SftAssembly.tokenPackingOracle
+    "q200_token_packing" -> graft.ext.SftAssembly.tokenPackingOracle,
+    "q201_sequence_manifest" ->
+      graft.ext.SftAssembly.sequenceManifestOracle
   )
 }

@@ -465,6 +465,99 @@ object SftAssembly {
          before % $PackTokenBudget AS seq_offset
        FROM p ORDER BY user_id, day"""
 
+  /** q201: the packed-SEQUENCE manifest — the inverse view of q200
+    * and the artifact a trainer actually loads: per training sequence,
+    * how many threads contribute, how many arrived whole vs straddling
+    * a boundary, the tokens used, and the fill ratio. Block-diagonal
+    * attention masks are built from exactly these boundaries, and the
+    * fill column is the exporter's padding-waste report (every
+    * sequence but the last fills to the budget by construction —
+    * pinned by the oracle, not assumed).
+    *
+    * A thread occupying [start, start + n_tokens) contributes to
+    * sequences ⌊start/B⌋ .. ⌊(start + n_tokens − 1)/B⌋; its token
+    * share in sequence s is min(end, (s+1)·B) − max(start, s·B) — all
+    * exact integer arithmetic, replayed verbatim by the oracle via
+    * generate_series.
+    *
+    * Scale: reads the memoized q200 packing (q200 itself derives
+    * fresh — a query never memoizes its own result); the explode is
+    * bounded by n_threads + total_tokens/B rows; one shuffle on the
+    * seq_id long. ORDER BY = oracle determinism only. */
+  def sequenceManifest(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val packed = graft.SessionMemo(spark, s"sft-packed:$dir") {
+      tokenPacking(spark, dir, budget).localCheckpoint()
+    }
+    packed
+      .select(col("user_id"), col("day"), col("n_tokens"),
+        (col("seq_id") * budget + col("seq_offset")).as("start"))
+      .withColumn("fin", col("start") + col("n_tokens"))
+      .select(col("start"), col("fin"),
+        explode(expr(s"sequence(start div $budget, " +
+          s"(fin - 1) div $budget)")).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_threads"),
+        sum(when(col("start") >= col("seq_id") * budget &&
+            col("fin") <= (col("seq_id") + 1) * budget, 1L)
+          .otherwise(0L)).as("n_whole_threads"),
+        sum(least(col("fin"), (col("seq_id") + 1) * budget) -
+          greatest(col("start"), col("seq_id") * budget))
+          .as("n_tokens_used"))
+      .withColumn("fill_ppm",
+        expr(s"n_tokens_used * 1000000 div $budget"))
+      .orderBy(col("seq_id"))
+  }
+
+  val sequenceManifestOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day, count(*) AS n_turns,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2),
+       nd AS (SELECT count(*) AS n FROM documents),
+       tk AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         FROM documents),
+       tt AS (SELECT e.user_id, e.day,
+           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
+         FROM e CROSS JOIN nd
+           JOIN tk ON tk.doc_id = e.event_id % nd.n
+         GROUP BY 1, 2),
+       v AS (SELECT g.user_id, g.day, tt.n_tokens,
+           g.user_id * 1000000 + g.day AS id,
+           md5(CAST(g.user_id AS VARCHAR) || ':' ||
+             CAST(g.day AS VARCHAR)) AS h
+         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
+         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
+       p AS (SELECT n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start
+         FROM v),
+       x AS (SELECT start, start + n_tokens AS fin,
+           unnest(generate_series(start // $PackTokenBudget,
+             (start + n_tokens - 1) // $PackTokenBudget)) AS seq_id
+         FROM p)
+       SELECT seq_id,
+         CAST(count(*) AS BIGINT) AS n_threads,
+         CAST(sum(CASE WHEN start >= seq_id * $PackTokenBudget
+             AND fin <= (seq_id + 1) * $PackTokenBudget
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_threads,
+         CAST(sum(least(fin, (seq_id + 1) * $PackTokenBudget) -
+           greatest(start, seq_id * $PackTokenBudget)) AS BIGINT)
+           AS n_tokens_used,
+         CAST(sum(least(fin, (seq_id + 1) * $PackTokenBudget) -
+           greatest(start, seq_id * $PackTokenBudget)) AS BIGINT)
+           * 1000000 // $PackTokenBudget AS fill_ppm
+       FROM x GROUP BY 1 ORDER BY seq_id"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

@@ -367,7 +367,9 @@ object ScaleSmoke {
       "q199_semantic_recall" -> ((s: SparkSession, d: String) =>
         graft.ext.Similarity.semanticRecallAudit(s, d)),
       "q200_token_packing" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.tokenPacking(s, d))
+        graft.ext.SftAssembly.tokenPacking(s, d)),
+      "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.sequenceManifest(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

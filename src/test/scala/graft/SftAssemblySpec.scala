@@ -227,6 +227,40 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(!plan.contains("windowspecdefinition"))
   }
 
+  test("q201 sequence manifest equals a local straddle-split replay of " +
+      "q200's packing, conserves tokens, and fills every non-final " +
+      "sequence exactly") {
+    val packed = SftAssembly.tokenPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(3), r.getLong(4) * 512 + r.getLong(5)))
+    val B = 512L
+    val want = packed.flatMap { case (n, start) =>
+      val fin = start + n
+      (start / B to (fin - 1) / B).map { s =>
+        val used = math.min(fin, (s + 1) * B) - math.max(start, s * B)
+        (s, start >= s * B && fin <= (s + 1) * B, used)
+      }
+    }.groupBy(_._1).map { case (s, xs) =>
+      val used = xs.map(_._3).sum
+      (s, xs.length.toLong, xs.count(_._2).toLong, used,
+        used * 1000000 / B)
+    }.toSet
+    val got = SftAssembly.sequenceManifest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // token conservation: the manifest accounts for every packed token
+    assert(got.toSeq.map(_._4).sum == packed.map(_._1).sum)
+    // every sequence but the last fills to the budget exactly
+    val lastSeq = got.map(_._1).max
+    got.filter(_._1 != lastSeq).foreach { m =>
+      assert(m._4 == B && m._5 == 1000000L, s"seq ${m._1} underfilled")
+    }
+    // non-vacuous: straddling threads exist on the fixture
+    assert(got.exists(m => m._3 < m._2),
+      "no thread straddles a boundary — manifest can't show its point")
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
