@@ -370,7 +370,9 @@ object SparkEntry {
     "q200_token_packing" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.tokenPacking(s, d)),
     "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.sequenceManifest(s, d))
+      graft.ext.SftAssembly.sequenceManifest(s, d)),
+    "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.lossMaskLayout(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -690,6 +692,7 @@ object SparkEntry {
     "q199_semantic_recall" -> Similarity.semanticRecallAuditOracle,
     "q200_token_packing" -> graft.ext.SftAssembly.tokenPackingOracle,
     "q201_sequence_manifest" ->
-      graft.ext.SftAssembly.sequenceManifestOracle
+      graft.ext.SftAssembly.sequenceManifestOracle,
+    "q202_loss_mask_layout" -> graft.ext.SftAssembly.lossMaskLayoutOracle
   )
 }

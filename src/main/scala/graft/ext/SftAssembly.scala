@@ -558,6 +558,145 @@ object SftAssembly {
            * 1000000 // $PackTokenBudget AS fill_ppm
        FROM x GROUP BY 1 ORDER BY seq_id"""
 
+  /** q202: per-sequence LOSS-MASK accounting — the
+    * train-on-assistant-only layout: inside each packed training
+    * sequence, how many token positions are trainable (assistant
+    * turns) vs masked (user turns). An exporter that packs threads
+    * (q200) and emits boundaries (q201) ships exactly this third
+    * artifact, because the loss mask is positional: a thread that
+    * straddles a budget boundary splits ITS OWN turns across two
+    * sequences, so the split must happen at per-turn granularity —
+    * turn t of a thread occupies [thread_start + Σ toks(<t),
+    * thread_start + Σ toks(≤t)), and each sequence gets the overlap
+    * of that span, labeled by the turn's role.
+    *
+    * Per-turn in-thread offsets come from the q193 idiom (per-thread
+    * sorted struct array + higher-order `aggregate` over a slice — no
+    * window, no UDF; O(turns²) inside a (user, day)-bounded group);
+    * the absolute spans then straddle-split exactly like q201. A
+    * 0-token turn occupies no span and is dropped on both engines
+    * (Spark `sequence` would otherwise step DOWNWARD on an empty
+    * span while generate_series returns empty — the one divergence
+    * the filter forecloses; whitespace tokenization never produces 0,
+    * so the guard is structural).
+    *
+    * Scale: the explode is bounded by n_turns + total_tokens/B rows;
+    * one shuffle on the seq_id long; thread arrays are (user,
+    * day)-bounded. ORDER BY = oracle determinism only. */
+  def lossMaskLayout(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val packed = graft.SessionMemo(spark, s"sft-packed:$dir") {
+      tokenPacking(spark, dir, budget).localCheckpoint()
+    }
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    require(nDocs > 0, "lossMaskLayout: empty documents table")
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    val turns = turnEvents(spark, dir)
+      .select(col("user_id"), col("day"), col("us"), col("event_id"),
+        col("role"), (col("event_id") % nDocs).as("doc_id"))
+      .join(toks, Seq("doc_id"))
+    val spans = turns
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("array_sort(collect_list(struct(us, event_id, toks, " +
+        "role)))").as("arr"))
+      .select(col("user_id"), col("day"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "t")))
+      .select(col("user_id"), col("day"),
+        col("t.toks").as("toks"), col("t.role").as("role"),
+        expr("aggregate(slice(arr, 1, pos), 0L, " +
+          "(acc, x) -> acc + x.toks)").as("turn_off"))
+      .join(packed.select(col("user_id"), col("day"),
+        (col("seq_id") * budget + col("seq_offset")).as("tstart")),
+        Seq("user_id", "day"))
+      .filter(col("toks") > 0)
+      .select((col("tstart") + col("turn_off")).as("start"),
+        (col("tstart") + col("turn_off") + col("toks")).as("fin"),
+        col("role"))
+    spans
+      .select(col("start"), col("fin"), col("role"),
+        explode(expr(s"sequence(start div $budget, " +
+          s"(fin - 1) div $budget)")).as("seq_id"))
+      .withColumn("overlap",
+        least(col("fin"), (col("seq_id") + 1) * budget) -
+          greatest(col("start"), col("seq_id") * budget))
+      .groupBy(col("seq_id"))
+      .agg(sum(when(col("role") === "assistant", col("overlap"))
+          .otherwise(0L)).as("n_trainable"),
+        sum(when(col("role") === "user", col("overlap"))
+          .otherwise(0L)).as("n_masked"))
+      .withColumn("trainable_ppm", expr(
+        "n_trainable * 1000000 div (n_trainable + n_masked)"))
+      .orderBy(col("seq_id"))
+  }
+
+  val lossMaskLayoutOracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events),
+       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e),
+       g AS (SELECT user_id, day, count(*) AS n_turns,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l GROUP BY 1, 2),
+       nd AS (SELECT count(*) AS n FROM documents),
+       tk AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         FROM documents),
+       et AS (SELECT e.user_id, e.day, e.us, e.event_id, e.role,
+           tk.toks
+         FROM e CROSS JOIN nd
+           JOIN tk ON tk.doc_id = e.event_id % nd.n),
+       tt AS (SELECT user_id, day, CAST(sum(toks) AS BIGINT)
+           AS n_tokens
+         FROM et GROUP BY 1, 2),
+       v AS (SELECT g.user_id, g.day, tt.n_tokens,
+           g.user_id * 1000000 + g.day AS id,
+           md5(CAST(g.user_id AS VARCHAR) || ':' ||
+             CAST(g.day AS VARCHAR)) AS h
+         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
+         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
+       p AS (SELECT user_id, day,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tstart
+         FROM v),
+       w AS (SELECT user_id, day, role, toks,
+           CAST(COALESCE(sum(toks) OVER (PARTITION BY user_id, day
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS turn_off
+         FROM et),
+       sp AS (SELECT p.tstart + w.turn_off AS start,
+           p.tstart + w.turn_off + w.toks AS fin, w.role
+         FROM w JOIN p ON p.user_id = w.user_id AND p.day = w.day
+         WHERE w.toks > 0),
+       x AS (SELECT start, fin, role,
+           unnest(generate_series(start // $PackTokenBudget,
+             (fin - 1) // $PackTokenBudget)) AS seq_id
+         FROM sp)
+       SELECT seq_id,
+         CAST(sum(CASE WHEN role = 'assistant'
+           THEN least(fin, (seq_id + 1) * $PackTokenBudget) -
+             greatest(start, seq_id * $PackTokenBudget)
+           ELSE 0 END) AS BIGINT) AS n_trainable,
+         CAST(sum(CASE WHEN role = 'user'
+           THEN least(fin, (seq_id + 1) * $PackTokenBudget) -
+             greatest(start, seq_id * $PackTokenBudget)
+           ELSE 0 END) AS BIGINT) AS n_masked,
+         CAST(sum(CASE WHEN role = 'assistant'
+           THEN least(fin, (seq_id + 1) * $PackTokenBudget) -
+             greatest(start, seq_id * $PackTokenBudget)
+           ELSE 0 END) AS BIGINT) * 1000000
+           // CAST(sum(least(fin, (seq_id + 1) * $PackTokenBudget) -
+             greatest(start, seq_id * $PackTokenBudget)) AS BIGINT)
+           AS trainable_ppm
+       FROM x GROUP BY 1 ORDER BY seq_id"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

@@ -369,7 +369,9 @@ object ScaleSmoke {
       "q200_token_packing" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.tokenPacking(s, d)),
       "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.sequenceManifest(s, d))
+        graft.ext.SftAssembly.sequenceManifest(s, d)),
+      "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.lossMaskLayout(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

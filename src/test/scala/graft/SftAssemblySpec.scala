@@ -261,6 +261,58 @@ class SftAssemblySpec extends SparkSpecBase {
       "no thread straddles a boundary — manifest can't show its point")
   }
 
+  test("q202 loss-mask layout equals a local per-turn straddle replay " +
+      "and conserves q201's per-sequence token totals") {
+    val B = 512L
+    val docToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nDocs = docToks.size.toLong
+    val starts = SftAssembly.tokenPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4) * B + r.getLong(5))).toMap
+    // per-turn spans: thread start + running token offset in
+    // (us, event_id) order, labeled by role
+    val want = events
+      .groupBy(e => (e._1, e._2 / 86400000000L))
+      .filter { case (k, _) => starts.contains(k) } // valid threads only
+      .toSeq.flatMap { case (k, es) =>
+        var off = starts(k)
+        es.sortBy(e => (e._2, e._3)).map { e =>
+          val toks = docToks(e._3 % nDocs)
+          val span = (off, off + toks, role(e._4))
+          off += toks
+          span
+        }
+      }
+      .flatMap { case (s, f, r) =>
+        (s / B to (f - 1) / B).map { q =>
+          (q, r, math.min(f, (q + 1) * B) - math.max(s, q * B))
+        }
+      }
+      .groupBy(_._1).map { case (q, xs) =>
+        val tr = xs.filter(_._2 == "assistant").map(_._3).sum
+        val ms = xs.filter(_._2 == "user").map(_._3).sum
+        (q, tr, ms, tr * 1000000 / (tr + ms))
+      }.toSet
+    val got = SftAssembly.lossMaskLayout(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // both roles contribute somewhere, and no sequence is all-masked
+    // or all-trainable everywhere (the mask is a real partition)
+    assert(got.exists(m => m._2 > 0 && m._3 > 0))
+    // conservation against q201: trainable + masked == tokens used
+    val manifest = SftAssembly.sequenceManifest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { m =>
+      assert(m._2 + m._3 == manifest(m._1),
+        s"seq ${m._1} loses tokens vs the q201 manifest")
+    }
+    assert(got.map(_._1) == manifest.keySet)
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
