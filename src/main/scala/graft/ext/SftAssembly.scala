@@ -485,10 +485,15 @@ object SftAssembly {
     * bounded by n_threads + total_tokens/B rows; one shuffle on the
     * seq_id long. ORDER BY = oracle determinism only. */
   def sequenceManifest(spark: SparkSession, dir: String,
-      budget: Long = PackTokenBudget): DataFrame = {
-    val packed = graft.SessionMemo(spark, s"sft-packed:$dir") {
+      budget: Long = PackTokenBudget): DataFrame =
+    sequenceManifestOf(graft.SessionMemo(spark, s"sft-packed:$dir") {
       tokenPacking(spark, dir, budget).localCheckpoint()
-    }
+    }, budget)
+
+  /** The q201 manifest core over any q200-shaped packed frame — ONE
+    * definition for the batch query and the streaming snapshot. */
+  private[graft] def sequenceManifestOf(packed: DataFrame,
+      budget: Long): DataFrame =
     packed
       .select(col("user_id"), col("day"), col("n_tokens"),
         (col("seq_id") * budget + col("seq_offset")).as("start"))
@@ -507,7 +512,6 @@ object SftAssembly {
       .withColumn("fill_ppm",
         expr(s"n_tokens_used * 1000000 div $budget"))
       .orderBy(col("seq_id"))
-  }
 
   val sequenceManifestOracle: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
@@ -597,6 +601,14 @@ object SftAssembly {
       .select(col("user_id"), col("day"), col("us"), col("event_id"),
         col("role"), (col("event_id") % nDocs).as("doc_id"))
       .join(toks, Seq("doc_id"))
+    lossMaskLayoutOf(packed, turns, budget)
+  }
+
+  /** The q202 mask core over any q200-shaped packed frame + a
+    * (user_id, day, us, event_id, role, toks) turn frame — ONE
+    * definition for the batch query and the streaming snapshot. */
+  private[graft] def lossMaskLayoutOf(packed: DataFrame,
+      turns: DataFrame, budget: Long): DataFrame = {
     val spans = turns
       .groupBy(col("user_id"), col("day"))
       .agg(expr("array_sort(collect_list(struct(us, event_id, toks, " +

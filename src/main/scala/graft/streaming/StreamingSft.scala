@@ -129,6 +129,38 @@ object StreamingSft {
       turnCols, toks, nDocs, budget)
   }
 
+  /** q201 over the streamed state: the sequence manifest of the
+    * snapshot's token packing — same supplied-config contract as
+    * [[snapshotTokenPacking]], same [[graft.ext.SftAssembly
+    * .sequenceManifestOf]] core as batch. */
+  def snapshotSequenceManifest(spark: SparkSession, outDir: String,
+      toks: DataFrame, nDocs: Long, budget: Long): DataFrame =
+    graft.ext.SftAssembly.sequenceManifestOf(
+      snapshotTokenPacking(spark, outDir, toks, nDocs, budget), budget)
+
+  /** q202 over the streamed state: per-sequence loss-mask accounting
+    * through the SAME [[graft.ext.SftAssembly.lossMaskLayoutOf]] core
+    * as batch — the turn frame is the latest-wins snapshot joined to
+    * the supplied token table, so a late or corrected turn re-derives
+    * every affected mask row. */
+  def snapshotLossMask(spark: SparkSession, outDir: String,
+      toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
+    val turnCols = graft.ext.SftAssembly.turnColumnsOf(
+      latestTurns(spark, outDir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"))
+        .localCheckpoint())
+    val turns = turnCols
+      .select(col("user_id"), col("day"), col("us"), col("event_id"),
+        col("role"), (col("event_id") % nDocs).as("doc_id"))
+      .join(toks.select(col("doc_id"), col("toks")), Seq("doc_id"))
+    graft.ext.SftAssembly.lossMaskLayoutOf(
+      graft.ext.SftAssembly.tokenPackingOf(
+        graft.ext.SftAssembly.conversationThreadsOf(turnCols),
+        turnCols, toks, nDocs, budget),
+      turns, budget)
+  }
+
   /** Start the turn-index sink over a streaming (event_id, user_id,
     * us, event_type, value) frame. */
   def start(events: DataFrame, outDir: String,

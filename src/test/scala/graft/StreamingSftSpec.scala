@@ -133,6 +133,41 @@ class StreamingSftSpec extends SparkSpecBase {
     val fullU1 = full.filter(t => t._1 == 1L)
     assert(earlyU1.nonEmpty && fullU1.nonEmpty && earlyU1 != fullU1,
       "late hash-earlier thread must shift user 1's cut point")
+    // the q201/q202 snapshots ride the same cores: manifest and mask
+    // of the streamed state equal the batch cores over the union
+    val gotManifest = StreamingSft.snapshotSequenceManifest(
+        spark, out, toks, nDocs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val turnCols = SftAssembly.turnColumnsOf(
+      turnsDf(a ++ b).select(col("user_id"), col("us"), col("event_id"),
+        col("event_type")))
+    val wantPacked = SftAssembly.tokenPackingOf(
+      SftAssembly.conversationThreadsOf(turnCols), turnCols,
+      toks, nDocs, budget)
+    val wantManifest = SftAssembly.sequenceManifestOf(wantPacked, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(gotManifest == wantManifest && gotManifest.nonEmpty)
+    val gotMask = StreamingSft.snapshotLossMask(
+        spark, out, toks, nDocs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val wantTurns = turnCols
+      .select(col("user_id"), col("day"), col("us"), col("event_id"),
+        col("role"), (col("event_id") % nDocs).as("doc_id"))
+      .join(toks, Seq("doc_id"))
+    val wantMask = SftAssembly.lossMaskLayoutOf(wantPacked, wantTurns,
+        budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(gotMask == wantMask && gotMask.nonEmpty)
+    // mask totals conserve against the manifest per sequence
+    val usedBySeq = gotManifest.map(m => m._1 -> m._4).toMap
+    gotMask.foreach { m =>
+      assert(m._2 + m._3 == usedBySeq(m._1), s"seq ${m._1} mask leak")
+    }
   }
 
   test("a re-delivered event supersedes latest-wins: the corrected " +
