@@ -373,14 +373,32 @@ object SftAssembly {
     val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
       conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
     }
+    val (toks, nDocs) = docTokens(spark, dir)
+    tokenPackingOf(threads, turnEvents(spark, dir), toks, nDocs, budget)
+  }
+
+  /** ONE definition of the (doc_id, toks) token table + its modulus —
+    * q200/q202 both read it; the tokenizer projection must not fork. */
+  private def docTokens(spark: SparkSession,
+      dir: String): (DataFrame, Long) = {
     val docs = Tables(spark, dir, "documents")
     // one bounded scalar: the modulus of the fixture's turn→text key
     val nDocs = docs.count()
-    require(nDocs > 0, "tokenPacking: empty documents table")
-    val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
-    tokenPackingOf(threads, turnEvents(spark, dir), toks, nDocs, budget)
+    require(nDocs > 0, "docTokens: empty documents table")
+    (docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks")),
+      nDocs)
   }
+
+  /** The memoized q200 packing the composed delivery queries
+    * (q201/q202) read — keyed by BUDGET too, so a non-default-budget
+    * call in the same session can never hand a composed query a
+    * packing whose seq_id/seq_offset encode a different base. */
+  private def packedMemo(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    graft.SessionMemo(spark, s"sft-packed:$dir:$budget") {
+      tokenPacking(spark, dir, budget).localCheckpoint()
+    }
 
   /** The q200 packing core over any thread frame + turn frame + token
     * table — ONE definition shared by the batch query and the
@@ -486,15 +504,19 @@ object SftAssembly {
     * seq_id long. ORDER BY = oracle determinism only. */
   def sequenceManifest(spark: SparkSession, dir: String,
       budget: Long = PackTokenBudget): DataFrame =
-    sequenceManifestOf(graft.SessionMemo(spark, s"sft-packed:$dir") {
-      tokenPacking(spark, dir, budget).localCheckpoint()
-    }, budget)
+    sequenceManifestOf(packedMemo(spark, dir, budget), budget)
 
   /** The q201 manifest core over any q200-shaped packed frame — ONE
-    * definition for the batch query and the streaming snapshot. */
+    * definition for the batch query and the streaming snapshot. The
+    * zero-token guard mirrors [[lossMaskLayoutOf]]: the registered
+    * whitespace tokenizer never yields 0, but the streaming snapshot
+    * takes a caller-supplied token table, and an empty span makes
+    * Spark's `sequence` step DOWNWARD (phantom seq_id − 1 row) while
+    * generate_series returns empty. */
   private[graft] def sequenceManifestOf(packed: DataFrame,
       budget: Long): DataFrame =
     packed
+      .filter(col("n_tokens") > 0)
       .select(col("user_id"), col("day"), col("n_tokens"),
         (col("seq_id") * budget + col("seq_offset")).as("start"))
       .withColumn("fin", col("start") + col("n_tokens"))
@@ -589,14 +611,8 @@ object SftAssembly {
     * day)-bounded. ORDER BY = oracle determinism only. */
   def lossMaskLayout(spark: SparkSession, dir: String,
       budget: Long = PackTokenBudget): DataFrame = {
-    val packed = graft.SessionMemo(spark, s"sft-packed:$dir") {
-      tokenPacking(spark, dir, budget).localCheckpoint()
-    }
-    val docs = Tables(spark, dir, "documents")
-    val nDocs = docs.count()
-    require(nDocs > 0, "lossMaskLayout: empty documents table")
-    val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    val packed = packedMemo(spark, dir, budget)
+    val (toks, nDocs) = docTokens(spark, dir)
     val turns = turnEvents(spark, dir)
       .select(col("user_id"), col("day"), col("us"), col("event_id"),
         col("role"), (col("event_id") % nDocs).as("doc_id"))

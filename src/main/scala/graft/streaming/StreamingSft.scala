@@ -119,15 +119,23 @@ object StreamingSft {
     * the corpus itself. */
   def snapshotTokenPacking(spark: SparkSession, outDir: String,
       toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
-    val turnCols = graft.ext.SftAssembly.turnColumnsOf(
-      latestTurns(spark, outDir)
-        .select(col("user_id"), col("us"), col("event_id"),
-          col("event_type"))
-        .localCheckpoint())
+    val turnCols = snapshotTurnCols(spark, outDir)
     graft.ext.SftAssembly.tokenPackingOf(
       graft.ext.SftAssembly.conversationThreadsOf(turnCols),
       turnCols, toks, nDocs, budget)
   }
+
+  /** ONE definition of the snapshot turn projection (latest-wins →
+    * day/role columns, materialized once) — every delivery snapshot
+    * reads it, so the q200/q201 and q202 snapshots cannot
+    * desynchronize on the turn frame. */
+  private def snapshotTurnCols(spark: SparkSession,
+      outDir: String): DataFrame =
+    graft.ext.SftAssembly.turnColumnsOf(
+      latestTurns(spark, outDir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"))
+        .localCheckpoint())
 
   /** q201 over the streamed state: the sequence manifest of the
     * snapshot's token packing — same supplied-config contract as
@@ -145,11 +153,7 @@ object StreamingSft {
     * every affected mask row. */
   def snapshotLossMask(spark: SparkSession, outDir: String,
       toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
-    val turnCols = graft.ext.SftAssembly.turnColumnsOf(
-      latestTurns(spark, outDir)
-        .select(col("user_id"), col("us"), col("event_id"),
-          col("event_type"))
-        .localCheckpoint())
+    val turnCols = snapshotTurnCols(spark, outDir)
     val turns = turnCols
       .select(col("user_id"), col("day"), col("us"), col("event_id"),
         col("role"), (col("event_id") % nDocs).as("doc_id"))
