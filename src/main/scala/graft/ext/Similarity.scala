@@ -1382,12 +1382,19 @@ object Similarity {
     val corpus = qarr.filter(col("vec_id") % SemDecBenchMod =!= 0)
       .select(col("vec_id"), col("e"),
         int_dot(col("e"), col("e")).as("n"))
+    // one row per eval MEMBER, derived directly from the quantized
+    // vectors: the ground truth is list-free by definition, and the
+    // multiprobe artifact carries P posting rows per member — deduping
+    // the artifact instead would demote to SortAggregate (a first()
+    // over the array column) where this is a narrow filter
+    val evalMembers = qarr.filter(col("vec_id") % SemDecBenchMod === 0)
+      .select(col("vec_id").as("ev"),
+        concat(lit("bench"),
+          (expr(s"vec_id div $SemDecBenchMod") % SemDecBenches)
+            .cast("string")).as("benchmark"),
+        col("e").as("ee"), int_dot(col("e"), col("e")).as("ne"))
     val exact = corpus
-      // one row per eval MEMBER: the multiprobe artifact carries P
-      // posting rows per member (identical off-list columns), and the
-      // exact ground truth must count each (corpus, eval) pair once
-      .crossJoin(broadcast(evalSide.select(col("ev"), col("benchmark"),
-        col("ee"), col("ne")).dropDuplicates("ev")))
+      .crossJoin(broadcast(evalMembers))
       .withColumn("dot", int_dot(col("e"), col("ee")))
       .filter(col("dot") > 0 && expr(
         "25 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
