@@ -372,7 +372,9 @@ object SparkEntry {
     "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.sequenceManifest(s, d)),
     "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.lossMaskLayout(s, d))
+      graft.ext.SftAssembly.lossMaskLayout(s, d)),
+    "q203_packing_churn" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.packingChurn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -693,6 +695,7 @@ object SparkEntry {
     "q200_token_packing" -> graft.ext.SftAssembly.tokenPackingOracle,
     "q201_sequence_manifest" ->
       graft.ext.SftAssembly.sequenceManifestOracle,
-    "q202_loss_mask_layout" -> graft.ext.SftAssembly.lossMaskLayoutOracle
+    "q202_loss_mask_layout" -> graft.ext.SftAssembly.lossMaskLayoutOracle,
+    "q203_packing_churn" -> graft.ext.SftAssembly.packingChurnOracle
   )
 }

@@ -725,6 +725,140 @@ object SftAssembly {
            AS trainable_ppm
        FROM x GROUP BY 1 ORDER BY seq_id"""
 
+  /** The q203 churn fixture's "already-exported" subset: turns whose
+    * event_id % ChurnHoldoutMod ≠ 0 stand in for the log as of the
+    * previous export; the held-out 1/8 are the late arrivals. An
+    * id-subset (not a time cutoff) because the fixtures' absolute
+    * day range drifts across testdata regenerations. */
+  private val ChurnHoldoutMod = 8L
+
+  /** q203: the packing-CHURN audit — the q199 honesty posture applied
+    * to delivery: hash-ordered packing (q198/q200) is deterministic
+    * but NOT incremental — a late thread inserts at its hash position
+    * and shifts every cut point after it, and late turns can flip a
+    * thread's validity or weight. An exporter that re-packs on new
+    * data must REPORT how many previously-exported sequence
+    * assignments moved (training-resume and cache invalidation both
+    * hang off that number), not imply stability. One summary row:
+    * thread counts of both packings, the overlap, how many common
+    * threads changed sequence or only slid within one, and churn in
+    * exact ppm of the previous export.
+    *
+    * Scale: two thread-sized packings (the prior-export side derives
+    * from the SAME cores over the filtered turn log — no second
+    * corpus scan of text; token counts project once) joined on the
+    * thread key; single aggregate row. ORDER BY unnecessary (one
+    * row). */
+  def packingChurn(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val (toks, nDocs) = docTokens(spark, dir)
+    // the prior-export side is unique to this audit → derives fresh;
+    // the full side is the shared q200 packing → reads the memo (the
+    // composed-query convention; q203 ran two fresh packings before
+    // this and was the most expensive query on the surface)
+    val ev = turnEvents(spark, dir)
+      .filter(col("event_id") % ChurnHoldoutMod =!= 0)
+    val prev =
+      tokenPackingOf(conversationThreadsOf(ev), ev, toks, nDocs, budget)
+        .select(col("user_id"), col("day"),
+          col("seq_id").as("seq_prev"),
+          col("seq_offset").as("off_prev"))
+    val full = packedMemo(spark, dir, budget)
+      .select(col("user_id"), col("day"), col("seq_id"),
+        col("seq_offset"))
+    val joined = prev.join(full, Seq("user_id", "day"), "full_outer")
+      .select(col("seq_prev").isNotNull.as("in_prev"),
+        col("seq_id").isNotNull.as("in_full"),
+        (col("seq_prev") === col("seq_id")).as("same_seq"),
+        (col("off_prev") === col("seq_offset")).as("same_off"))
+    joined.agg(
+        sum(when(col("in_prev"), 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("in_full"), 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("in_prev") && col("in_full"), 1L).otherwise(0L))
+          .as("n_common"),
+        sum(when(col("in_prev") && col("in_full") && !col("same_seq"),
+          1L).otherwise(0L)).as("n_moved_seq"),
+        sum(when(col("in_prev") && col("in_full") && col("same_seq") &&
+          !col("same_off"), 1L).otherwise(0L)).as("n_slid"))
+      .withColumn("churn_ppm", expr(
+        "CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_prev - n_common + n_moved_seq + n_slid) * 1000000 " +
+          "div n_prev END"))
+  }
+
+  /** One parameterized copy of the q200 packing chain (CTE suffix +
+    * turn predicate) so the q203 oracle replays BOTH packings from a
+    * single definition — the q188 two-centroid-set convention. */
+  private def packingChainSql(sfx: String, where: String): String =
+    s"""e$sfx AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type IN ('click', 'view', 'signup')
+             THEN 'user' ELSE 'assistant' END AS role,
+           epoch_us(ts) // $UsPerDay AS day
+         FROM events$where),
+       l$sfx AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
+           ORDER BY us, event_id) AS prev FROM e$sfx),
+       g$sfx AS (SELECT user_id, day, count(*) AS n_turns,
+           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
+           string_agg(role, ' ' ORDER BY us, event_id) AS seq
+         FROM l$sfx GROUP BY 1, 2),
+       tt$sfx AS (SELECT e$sfx.user_id, e$sfx.day,
+           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
+         FROM e$sfx CROSS JOIN nd
+           JOIN tk ON tk.doc_id = e$sfx.event_id % nd.n
+         GROUP BY 1, 2),
+       v$sfx AS (SELECT g$sfx.user_id, g$sfx.day, tt$sfx.n_tokens,
+           g$sfx.user_id * 1000000 + g$sfx.day AS id,
+           md5(CAST(g$sfx.user_id AS VARCHAR) || ':' ||
+             CAST(g$sfx.day AS VARCHAR)) AS h
+         FROM g$sfx JOIN tt$sfx ON tt$sfx.user_id = g$sfx.user_id
+           AND tt$sfx.day = g$sfx.day
+         WHERE g$sfx.viol = 0 AND g$sfx.seq LIKE 'user%'),
+       p$sfx AS (SELECT user_id, day,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) // $PackTokenBudget AS seq_id,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) % $PackTokenBudget AS seq_offset
+         FROM v$sfx)"""
+
+  val packingChurnOracle: String =
+    s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+       tk AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         FROM documents),
+       ${packingChainSql("a", s" WHERE event_id % $ChurnHoldoutMod <> 0")},
+       ${packingChainSql("b", "")},
+       j AS (SELECT pa.seq_id AS seq_prev, pa.seq_offset AS off_prev,
+           pb.seq_id, pb.seq_offset
+         FROM pa FULL OUTER JOIN pb
+           ON pb.user_id = pa.user_id AND pb.day = pa.day)
+       SELECT
+         CAST(sum(CASE WHEN seq_prev IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_prev,
+         CAST(sum(CASE WHEN seq_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_full,
+         CAST(sum(CASE WHEN seq_prev IS NOT NULL AND seq_id IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         CAST(sum(CASE WHEN seq_prev IS NOT NULL AND seq_id IS NOT NULL
+           AND seq_prev <> seq_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_seq,
+         CAST(sum(CASE WHEN seq_prev IS NOT NULL AND seq_id IS NOT NULL
+           AND seq_prev = seq_id AND off_prev <> seq_offset
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_slid,
+         CASE WHEN sum(CASE WHEN seq_prev IS NOT NULL THEN 1 ELSE 0
+             END) = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST((sum(CASE WHEN seq_prev IS NOT NULL THEN 1 ELSE 0
+               END) - sum(CASE WHEN seq_prev IS NOT NULL AND seq_id IS
+               NOT NULL THEN 1 ELSE 0 END) + sum(CASE WHEN seq_prev IS
+               NOT NULL AND seq_id IS NOT NULL AND seq_prev <> seq_id
+               THEN 1 ELSE 0 END) + sum(CASE WHEN seq_prev IS NOT NULL
+               AND seq_id IS NOT NULL AND seq_prev = seq_id AND
+               off_prev <> seq_offset THEN 1 ELSE 0 END)) AS BIGINT)
+             * 1000000 // CAST(sum(CASE WHEN seq_prev IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) END AS churn_ppm
+       FROM j"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

@@ -371,7 +371,9 @@ object ScaleSmoke {
       "q201_sequence_manifest" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.sequenceManifest(s, d)),
       "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.lossMaskLayout(s, d))
+        graft.ext.SftAssembly.lossMaskLayout(s, d)),
+      "q203_packing_churn" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.packingChurn(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -313,6 +313,52 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(got.map(_._1) == manifest.keySet)
   }
 
+  test("q203 packing churn equals a local two-packing replay and the " +
+      "audit is non-vacuous in every column") {
+    val docToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nDocs = docToks.size.toLong
+    val B = 512L
+    // local packing over an event subset: threads → valid gate →
+    // hash order → token prefix sums (the q200 replay, filtered)
+    def packLocal(es: Seq[(Long, Long, Long, String, Double)])
+        : Map[(Long, Long), (Long, Long)] = {
+      val byThread = es.groupBy(e => (e._1, e._2 / 86400000000L))
+      val valid = byThread.toSeq.filter { case (_, ts) =>
+        val roles = ts.sortBy(t => (t._2, t._3)).map(t => role(t._4))
+        roles.head == "user" &&
+          roles.zip(roles.drop(1)).forall { case (a, b) => a != b }
+      }
+      val ordered = valid.sortBy { case ((u, d), _) =>
+        (md5hex(s"$u:$d"), u * 1000000L + d)
+      }
+      var cum = 0L
+      ordered.map { case (k, ts) =>
+        val n = ts.map(t => docToks(t._3 % nDocs)).sum
+        val before = cum; cum += n
+        k -> ((before / B, before % B))
+      }.toMap
+    }
+    val prev = packLocal(events.filter(_._3 % 8 != 0))
+    val full = packLocal(events)
+    val common = prev.keySet.intersect(full.keySet)
+    val moved = common.count(k => prev(k)._1 != full(k)._1)
+    val slid = common.count(k =>
+      prev(k)._1 == full(k)._1 && prev(k)._2 != full(k)._2)
+    val wantChurn = (prev.size - common.size + moved + slid) *
+      1000000L / prev.size
+    val r = SftAssembly.packingChurn(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == prev.size && r.getLong(1) == full.size)
+    assert(r.getLong(2) == common.size)
+    assert(r.getLong(3) == moved && r.getLong(4) == slid)
+    assert(r.getLong(5) == wantChurn)
+    // non-vacuous on the fixture: threads vanish (late turns flip
+    // validity), threads move, and churn is strictly positive
+    assert(prev.size > common.size, "no thread vanished")
+    assert(moved > 0 && r.getLong(5) > 0)
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
