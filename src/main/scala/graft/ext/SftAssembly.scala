@@ -447,40 +447,10 @@ object SftAssembly {
   }
 
   val tokenPackingOracle: String =
-    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-           CASE WHEN event_type IN ('click', 'view', 'signup')
-             THEN 'user' ELSE 'assistant' END AS role,
-           epoch_us(ts) // $UsPerDay AS day
-         FROM events),
-       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
-           ORDER BY us, event_id) AS prev FROM e),
-       g AS (SELECT user_id, day, count(*) AS n_turns,
-           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
-           string_agg(role, ' ' ORDER BY us, event_id) AS seq
-         FROM l GROUP BY 1, 2),
-       nd AS (SELECT count(*) AS n FROM documents),
-       tk AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         FROM documents),
-       tt AS (SELECT e.user_id, e.day,
-           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
-         FROM e CROSS JOIN nd
-           JOIN tk ON tk.doc_id = e.event_id % nd.n
-         GROUP BY 1, 2),
-       v AS (SELECT g.user_id, g.day, g.n_turns, tt.n_tokens,
-           g.user_id * 1000000 + g.day AS id,
-           md5(CAST(g.user_id AS VARCHAR) || ':' ||
-             CAST(g.day AS VARCHAR)) AS h
-         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
-         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
-       p AS (SELECT user_id, day, n_turns, n_tokens,
-           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS before
-         FROM v)
+    s"""WITH $docTokensSql,
+       ${packingChainSql("", "")}
        SELECT user_id, day, CAST(n_turns AS INT) AS n_turns, n_tokens,
-         before // $PackTokenBudget AS seq_id,
-         before % $PackTokenBudget AS seq_offset
+         seq_id, seq_offset
        FROM p ORDER BY user_id, day"""
 
   /** q201: the packed-SEQUENCE manifest — the inverse view of q200
@@ -536,41 +506,12 @@ object SftAssembly {
       .orderBy(col("seq_id"))
 
   val sequenceManifestOracle: String =
-    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-           CASE WHEN event_type IN ('click', 'view', 'signup')
-             THEN 'user' ELSE 'assistant' END AS role,
-           epoch_us(ts) // $UsPerDay AS day
-         FROM events),
-       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
-           ORDER BY us, event_id) AS prev FROM e),
-       g AS (SELECT user_id, day, count(*) AS n_turns,
-           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
-           string_agg(role, ' ' ORDER BY us, event_id) AS seq
-         FROM l GROUP BY 1, 2),
-       nd AS (SELECT count(*) AS n FROM documents),
-       tk AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         FROM documents),
-       tt AS (SELECT e.user_id, e.day,
-           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
-         FROM e CROSS JOIN nd
-           JOIN tk ON tk.doc_id = e.event_id % nd.n
-         GROUP BY 1, 2),
-       v AS (SELECT g.user_id, g.day, tt.n_tokens,
-           g.user_id * 1000000 + g.day AS id,
-           md5(CAST(g.user_id AS VARCHAR) || ':' ||
-             CAST(g.day AS VARCHAR)) AS h
-         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
-         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
-       p AS (SELECT n_tokens,
-           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS start
-         FROM v),
-       x AS (SELECT start, start + n_tokens AS fin,
-           unnest(generate_series(start // $PackTokenBudget,
-             (start + n_tokens - 1) // $PackTokenBudget)) AS seq_id
-         FROM p)
+    s"""WITH $docTokensSql,
+       ${packingChainSql("", "")},
+       x AS (SELECT before AS start, before + n_tokens AS fin,
+           unnest(generate_series(before // $PackTokenBudget,
+             (before + n_tokens - 1) // $PackTokenBudget)) AS seq_id
+         FROM p WHERE n_tokens > 0)
        SELECT seq_id,
          CAST(count(*) AS BIGINT) AS n_threads,
          CAST(sum(CASE WHEN start >= seq_id * $PackTokenBudget
@@ -660,47 +601,16 @@ object SftAssembly {
   }
 
   val lossMaskLayoutOracle: String =
-    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-           CASE WHEN event_type IN ('click', 'view', 'signup')
-             THEN 'user' ELSE 'assistant' END AS role,
-           epoch_us(ts) // $UsPerDay AS day
-         FROM events),
-       l AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
-           ORDER BY us, event_id) AS prev FROM e),
-       g AS (SELECT user_id, day, count(*) AS n_turns,
-           sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
-           string_agg(role, ' ' ORDER BY us, event_id) AS seq
-         FROM l GROUP BY 1, 2),
-       nd AS (SELECT count(*) AS n FROM documents),
-       tk AS (SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         FROM documents),
-       et AS (SELECT e.user_id, e.day, e.us, e.event_id, e.role,
-           tk.toks
-         FROM e CROSS JOIN nd
-           JOIN tk ON tk.doc_id = e.event_id % nd.n),
-       tt AS (SELECT user_id, day, CAST(sum(toks) AS BIGINT)
-           AS n_tokens
-         FROM et GROUP BY 1, 2),
-       v AS (SELECT g.user_id, g.day, tt.n_tokens,
-           g.user_id * 1000000 + g.day AS id,
-           md5(CAST(g.user_id AS VARCHAR) || ':' ||
-             CAST(g.day AS VARCHAR)) AS h
-         FROM g JOIN tt ON tt.user_id = g.user_id AND tt.day = g.day
-         WHERE g.viol = 0 AND g.seq LIKE 'user%'),
-       p AS (SELECT user_id, day,
-           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS tstart
-         FROM v),
+    s"""WITH $docTokensSql,
+       ${packingChainSql("", "")},
        w AS (SELECT user_id, day, role, toks,
            CAST(COALESCE(sum(toks) OVER (PARTITION BY user_id, day
              ORDER BY us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS turn_off
          FROM et),
-       sp AS (SELECT p.tstart + w.turn_off AS start,
-           p.tstart + w.turn_off + w.toks AS fin, w.role
+       sp AS (SELECT p.before + w.turn_off AS start,
+           p.before + w.turn_off + w.toks AS fin, w.role
          FROM w JOIN p ON p.user_id = w.user_id AND p.day = w.day
          WHERE w.toks > 0),
        x AS (SELECT start, fin, role,
@@ -758,8 +668,12 @@ object SftAssembly {
     // this and was the most expensive query on the surface)
     val ev = turnEvents(spark, dir)
       .filter(col("event_id") % ChurnHoldoutMod =!= 0)
+    // checkpoint: tokenPackingOf evaluates its thread frame three
+    // times (domain guard, prefix-sum branch, n_turns re-join) — the
+    // q200 path reads a checkpointed memo, this fresh side must too
     val prev =
-      tokenPackingOf(conversationThreadsOf(ev), ev, toks, nDocs, budget)
+      tokenPackingOf(conversationThreadsOf(ev).localCheckpoint(),
+        ev, toks, nDocs, budget)
         .select(col("user_id"), col("day"),
           col("seq_id").as("seq_prev"),
           col("seq_offset").as("off_prev"))
@@ -786,34 +700,47 @@ object SftAssembly {
           "div n_prev END"))
   }
 
-  /** One parameterized copy of the q200 packing chain (CTE suffix +
-    * turn predicate) so the q203 oracle replays BOTH packings from a
-    * single definition — the q188 two-centroid-set convention. */
+  /** One parameterized copy of the TOKEN-packing oracle chain (CTE
+    * suffix + turn predicate) — the q188 two-centroid-set convention
+    * widened to the whole delivery family: q200/q201/q202 instantiate
+    * it once (empty suffix), q203 twice, so the packing rule (role
+    * map, validity gate, hash key, budget cut) has ONE oracle
+    * definition that cannot drift between the four gates. Requires
+    * `nd` (document count) and `tk` (doc_id, toks) CTEs in scope.
+    * Exposes per-turn rows (et), thread rollups (g), and the packing
+    * (p: user_id, day, n_turns, n_tokens, before, seq_id,
+    * seq_offset). */
   private def packingChainSql(sfx: String, where: String): String =
     s"""e$sfx AS (SELECT user_id, epoch_us(ts) AS us, event_id,
            CASE WHEN event_type IN ('click', 'view', 'signup')
              THEN 'user' ELSE 'assistant' END AS role,
            epoch_us(ts) // $UsPerDay AS day
          FROM events$where),
+       et$sfx AS (SELECT e$sfx.user_id, e$sfx.day, e$sfx.us,
+           e$sfx.event_id, e$sfx.role, tk.toks
+         FROM e$sfx CROSS JOIN nd
+           JOIN tk ON tk.doc_id = e$sfx.event_id % nd.n),
        l$sfx AS (SELECT *, lag(role) OVER (PARTITION BY user_id, day
            ORDER BY us, event_id) AS prev FROM e$sfx),
        g$sfx AS (SELECT user_id, day, count(*) AS n_turns,
            sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS viol,
            string_agg(role, ' ' ORDER BY us, event_id) AS seq
          FROM l$sfx GROUP BY 1, 2),
-       tt$sfx AS (SELECT e$sfx.user_id, e$sfx.day,
-           CAST(sum(tk.toks) AS BIGINT) AS n_tokens
-         FROM e$sfx CROSS JOIN nd
-           JOIN tk ON tk.doc_id = e$sfx.event_id % nd.n
-         GROUP BY 1, 2),
-       v$sfx AS (SELECT g$sfx.user_id, g$sfx.day, tt$sfx.n_tokens,
+       tt$sfx AS (SELECT user_id, day,
+           CAST(sum(toks) AS BIGINT) AS n_tokens
+         FROM et$sfx GROUP BY 1, 2),
+       v$sfx AS (SELECT g$sfx.user_id, g$sfx.day, g$sfx.n_turns,
+           tt$sfx.n_tokens,
            g$sfx.user_id * 1000000 + g$sfx.day AS id,
            md5(CAST(g$sfx.user_id AS VARCHAR) || ':' ||
              CAST(g$sfx.day AS VARCHAR)) AS h
          FROM g$sfx JOIN tt$sfx ON tt$sfx.user_id = g$sfx.user_id
            AND tt$sfx.day = g$sfx.day
          WHERE g$sfx.viol = 0 AND g$sfx.seq LIKE 'user%'),
-       p$sfx AS (SELECT user_id, day,
+       p$sfx AS (SELECT user_id, day, n_turns, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS before,
            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) // $PackTokenBudget AS seq_id,
@@ -822,11 +749,15 @@ object SftAssembly {
              AS BIGINT) % $PackTokenBudget AS seq_offset
          FROM v$sfx)"""
 
-  val packingChurnOracle: String =
-    s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+  /** The shared `nd` + `tk` prelude every delivery oracle opens with. */
+  private def docTokensSql: String =
+    """nd AS (SELECT count(*) AS n FROM documents),
        tk AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         FROM documents),
+         FROM documents)"""
+
+  val packingChurnOracle: String =
+    s"""WITH $docTokensSql,
        ${packingChainSql("a", s" WHERE event_id % $ChurnHoldoutMod <> 0")},
        ${packingChainSql("b", "")},
        j AS (SELECT pa.seq_id AS seq_prev, pa.seq_offset AS off_prev,

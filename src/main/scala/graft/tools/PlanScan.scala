@@ -58,7 +58,7 @@ object PlanScan {
       } catch {
         case e: Throwable =>
           nErr += 1
-          println(s"ERR $n: ${e.getMessage.take(120)}")
+          println(s"ERR $n: ${e.toString.take(160)}")
       }
     }
     println(s"[planscan] unexpected SortAggregate: $nSort, " +
@@ -66,5 +66,7 @@ object PlanScan {
       s"(known deliberate: ${KnownSortAgg.size} SortAggregate, " +
       s"${KnownGlobalWin.size} global windows)")
     spark.stop()
+    // machine-visible gate: a script/CI wrapper must see findings fail
+    if (nSort + nWin + nErr > 0) sys.exit(1)
   }
 }

@@ -356,7 +356,7 @@ class SftAssemblySpec extends SparkSpecBase {
     // non-vacuous on the fixture: threads vanish (late turns flip
     // validity), threads move, and churn is strictly positive
     assert(prev.size > common.size, "no thread vanished")
-    assert(moved > 0 && r.getLong(5) > 0)
+    assert(moved > 0 && slid > 0 && r.getLong(5) > 0)
   }
 
   test("day bucketing truncates toward zero for negative epoch-micros, " +
