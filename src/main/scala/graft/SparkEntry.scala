@@ -374,7 +374,9 @@ object SparkEntry {
     "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.lossMaskLayout(s, d)),
     "q203_packing_churn" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.packingChurn(s, d))
+      graft.ext.SftAssembly.packingChurn(s, d)),
+    "q204_delivery_card" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.deliveryReleaseCard(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -696,6 +698,8 @@ object SparkEntry {
     "q201_sequence_manifest" ->
       graft.ext.SftAssembly.sequenceManifestOracle,
     "q202_loss_mask_layout" -> graft.ext.SftAssembly.lossMaskLayoutOracle,
-    "q203_packing_churn" -> graft.ext.SftAssembly.packingChurnOracle
+    "q203_packing_churn" -> graft.ext.SftAssembly.packingChurnOracle,
+    "q204_delivery_card" ->
+      graft.ext.SftAssembly.deliveryReleaseCardOracle
   )
 }

@@ -790,6 +790,94 @@ object SftAssembly {
                THEN 1 ELSE 0 END) AS BIGINT) END AS churn_ppm
        FROM j"""
 
+  /** q204: the delivery RELEASE CARD — the one-row dataset card an
+    * SFT exporter ships next to the packed artifact: thread and
+    * sequence counts, total tokens, overall fill (padding waste),
+    * overall trainable fraction, and how many threads straddle a
+    * boundary. The per-sequence forms are q201/q202; this is the
+    * rollup a release page quotes (the q81/q196 card pattern applied
+    * to delivery). Composes the memoized q200 packing and the q201/
+    * q202 cores — one definition each, nothing re-derived.
+    *
+    * fill_ppm is computed over ALL sequences including the final
+    * partial one (the honest number — excluding it would overstate
+    * fill exactly when the export is small). ORDER BY unnecessary
+    * (one row). */
+  def deliveryReleaseCard(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val packed = packedMemo(spark, dir, budget)
+    val manifest = sequenceManifestOf(packed, budget)
+    val (toks, nDocs) = docTokens(spark, dir)
+    val turns = turnEvents(spark, dir)
+      .select(col("user_id"), col("day"), col("us"), col("event_id"),
+        col("role"), (col("event_id") % nDocs).as("doc_id"))
+      .join(toks, Seq("doc_id"))
+    val mask = lossMaskLayoutOf(packed, turns, budget)
+    val threadAgg = packed.agg(
+      count(lit(1)).as("n_threads"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val seqAgg = manifest.agg(
+      count(lit(1)).as("n_sequences"),
+      sum(col("n_threads") - col("n_whole_threads")).as("n_straddles"))
+    val maskAgg = mask.agg(
+      sum(col("n_trainable")).as("sum_trainable"),
+      sum(col("n_trainable") + col("n_masked")).as("sum_positions"))
+    threadAgg.crossJoin(seqAgg).crossJoin(maskAgg)
+      .select(col("n_threads"), col("n_sequences"),
+        col("total_tokens"), col("n_straddles"),
+        expr(s"total_tokens * 1000000 div (n_sequences * $budget)")
+          .as("fill_ppm"),
+        expr("sum_trainable * 1000000 div sum_positions")
+          .as("trainable_ppm"))
+  }
+
+  val deliveryReleaseCardOracle: String =
+    s"""WITH $docTokensSql,
+       ${packingChainSql("", "")},
+       x AS (SELECT before AS start, before + n_tokens AS fin,
+           unnest(generate_series(before // $PackTokenBudget,
+             (before + n_tokens - 1) // $PackTokenBudget)) AS seq_id
+         FROM p WHERE n_tokens > 0),
+       m AS (SELECT seq_id,
+           sum(CASE WHEN start >= seq_id * $PackTokenBudget
+             AND fin <= (seq_id + 1) * $PackTokenBudget
+             THEN 0 ELSE 1 END) AS n_straddles
+         FROM x GROUP BY 1),
+       w AS (SELECT user_id, day, role, toks,
+           CAST(COALESCE(sum(toks) OVER (PARTITION BY user_id, day
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS turn_off
+         FROM et),
+       sp AS (SELECT w.role, p.before + w.turn_off AS start,
+           p.before + w.turn_off + w.toks AS fin
+         FROM w JOIN p ON p.user_id = w.user_id AND p.day = w.day
+         WHERE w.toks > 0),
+       y AS (SELECT role, start, fin,
+           unnest(generate_series(start // $PackTokenBudget,
+             (fin - 1) // $PackTokenBudget)) AS seq_id
+         FROM sp),
+       ka AS (SELECT
+           CAST(sum(CASE WHEN role = 'assistant'
+             THEN least(fin, (seq_id + 1) * $PackTokenBudget) -
+               greatest(start, seq_id * $PackTokenBudget)
+             ELSE 0 END) AS BIGINT) AS sum_trainable,
+           CAST(sum(least(fin, (seq_id + 1) * $PackTokenBudget) -
+             greatest(start, seq_id * $PackTokenBudget)) AS BIGINT)
+             AS sum_positions
+         FROM y),
+       ta AS (SELECT CAST(count(*) AS BIGINT) AS n_threads,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM p),
+       sa AS (SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(sum(n_straddles) AS BIGINT) AS n_straddles FROM m)
+       SELECT ta.n_threads, sa.n_sequences, ta.total_tokens,
+         sa.n_straddles,
+         ta.total_tokens * 1000000
+           // (sa.n_sequences * $PackTokenBudget) AS fill_ppm,
+         ka.sum_trainable * 1000000 // ka.sum_positions
+           AS trainable_ppm
+       FROM ta CROSS JOIN sa CROSS JOIN ka"""
+
   /** q197: per-prompt response dedup — the rejection-sampling hygiene
     * step BEFORE pairing: a sampler that returns the same response
     * twice (same type, same reward — the content fingerprint here is

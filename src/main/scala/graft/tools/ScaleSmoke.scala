@@ -373,7 +373,9 @@ object ScaleSmoke {
       "q202_loss_mask_layout" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.lossMaskLayout(s, d)),
       "q203_packing_churn" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.packingChurn(s, d))
+        graft.ext.SftAssembly.packingChurn(s, d)),
+      "q204_delivery_card" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.deliveryReleaseCard(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

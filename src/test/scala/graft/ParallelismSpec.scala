@@ -100,7 +100,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q198_thread_packing", "q199_semantic_recall",
     // round-15: token-budget packing is the q198 core over token weights
     "q200_token_packing", "q201_sequence_manifest",
-    "q202_loss_mask_layout", "q203_packing_churn")
+    "q202_loss_mask_layout", "q203_packing_churn",
+    "q204_delivery_card")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -359,6 +359,30 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(moved > 0 && slid > 0 && r.getLong(5) > 0)
   }
 
+  test("q204 delivery card is consistent with its parts (q200/q201/" +
+      "q202) and every column is non-vacuous") {
+    val B = 512L
+    val packed = SftAssembly.tokenPacking(spark, sf0001).collect()
+    val manifest = SftAssembly.sequenceManifest(spark, sf0001).collect()
+    val mask = SftAssembly.lossMaskLayout(spark, sf0001).collect()
+    val r = SftAssembly.deliveryReleaseCard(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == packed.length)
+    assert(r.getLong(1) == manifest.length)
+    val totalTokens = packed.map(_.getLong(3)).sum
+    assert(r.getLong(2) == totalTokens)
+    assert(r.getLong(3) ==
+      manifest.map(m => m.getLong(1) - m.getLong(2)).sum)
+    assert(r.getLong(4) ==
+      totalTokens * 1000000L / (manifest.length * B))
+    val sumTrainable = mask.map(_.getLong(1)).sum
+    assert(r.getLong(5) == sumTrainable * 1000000L / totalTokens)
+    // non-vacuous: straddles exist, fill below 100% (final partial
+    // sequence), trainable strictly between 0 and 100%
+    assert(r.getLong(3) > 0)
+    assert(r.getLong(4) > 0 && r.getLong(4) < 1000000L)
+    assert(r.getLong(5) > 0 && r.getLong(5) < 1000000L)
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on
