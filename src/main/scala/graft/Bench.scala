@@ -23,10 +23,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The artifact self-adjudicates machine weather — and, since round 15,
   * self-DEFENDS. Hypervisor steal is measured (tools.StealProbe — spin
-  * all cores, read the /proc/stat steal delta) before, after, and at the
-  * one-third/two-thirds marks, and the three canary medians (q115
-  * pure-codegen floor, q23 shuffle-bound, q71 decode-bound — all
-  * untouched for many rounds) ride along in the JSON. The verdict rule:
+  * all cores, read the /proc/stat steal delta) before, after, and on a
+  * ROLLING basis before every ~20-query window (round 16: the round-15
+  * driver artifact verdicted "quiet" while a wave confined to the
+  * q140-q157 stretch ran 1.5-36x inflated between the old sparse
+  * 1/3-2/3 probes), and the three canary medians (q115 pure-codegen
+  * floor, q23 shuffle-bound, q71 decode-bound — all untouched for many
+  * rounds) ride along in the JSON. Every per-query entry in the detail
+  * artifact carries the steal stamp of its window. The verdict rule:
   * a run is CONTAMINATED when any mid/post steal probe is double-digit
   * or a canary median exceeds 2x its committed quiet band
   * ([[QuietBands]], from the steal-flat BENCH_DETAIL_r14_d.json run).
@@ -53,15 +57,34 @@ object Bench {
     "q23_ngram_jaccard" -> 1.618,
     "q71_media_content_stats" -> 0.286)
 
-  /** One full measuring pass: per-query medians over `runs`, with
-    * steal probed at the one-third and two-thirds marks (a steal WAVE
-    * confined to the middle of the run is invisible to endpoint
-    * probes — observed live in r14_c: 5-6x inflation of mid-alphabet
-    * queries while pre read 1.8% and post 5.8%). Probe wall-clock is
-    * outside every per-query timer. */
+  /** One timed query row: the median/min/max over the runs, whether
+    * every run passed, and the steal probe covering the ~20-query
+    * window the row ran in — so a reader can localize a co-tenancy
+    * wave from the committed artifact alone, without a judge diff. */
+  private[graft] case class QRow(name: String, median: Double,
+    min: Double, max: Double, ok: Boolean, steal: Double)
+
+  /** Queries per rolling steal probe, and the probe's spin length.
+    * Round 15 proved the 1/3-2/3 sampling has a false-negative window:
+    * the driver's artifact verdicted "quiet" while the contiguous
+    * q140-q157 stretch ran 1.5-36x inflated — the wave fell between
+    * the two probes and touched no canary. A probe before every
+    * ~20-query window (the ScaleSmoke recipe: refresh BEFORE timing,
+    * so each row's stamp reflects the window it actually ran in)
+    * bounds any undetected wave to one window; 1.5 s of spin reads a
+    * multi-query wave fine and keeps probe overhead ~15 s per pass,
+    * all outside the per-query timers. */
+  private val ProbeEvery = 20
+  private val RollingProbeMs = 1500L
+
+  /** One full measuring pass: per-query medians over `runs`, with a
+    * rolling steal probe before every [[ProbeEvery]]-query window (a
+    * steal WAVE confined to a stretch between sparse probes is
+    * invisible — observed live in r14_c AND in the round-15 driver
+    * artifact). Probe wall-clock is outside every per-query timer. */
   private def measurePass(spark: SparkSession, sfDir: String,
       sorted: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      runs: Int): (Seq[(String, Double, Double, Double, Boolean)], Seq[Double]) = {
+      runs: Int, stealPre: Double): (Seq[QRow], Seq[Double]) = {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     // A query that throws must not masquerade as a fast median (round 8:
@@ -76,14 +99,18 @@ object Bench {
           System.err.println(s"[bench] query failed: ${e.getMessage}"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val probeAt = Set(sorted.length / 3, 2 * sorted.length / 3)
     val stealMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastSteal = stealPre // window 0 is covered by the pre probe
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (probeAt(i)) stealMid += tools.StealProbe.measureDefault()
+      if (i % ProbeEvery == 0 && i > 0) {
+        lastSteal = tools.StealProbe.measure(
+          Runtime.getRuntime.availableProcessors(), RollingProbeMs)
+        stealMid += lastSteal
+      }
       val rs = Seq.fill(runs)(timeOnce(fn))
       val ts = rs.map(_._1).sorted
-      val median = ts(ts.length / 2)
-      (name, median, ts.head, ts.last, rs.forall(_._2))
+      QRow(name, ts(ts.length / 2), ts.head, ts.last, rs.forall(_._2),
+        lastSteal)
     }
     (results, stealMid.toSeq)
   }
@@ -96,7 +123,7 @@ object Bench {
     * committed quiet band. Returns the reasons so the artifact says
     * WHY, not just that. */
   private[graft] def contaminationOf(stealPre: Double,
-      results: Seq[(String, Double, Double, Double, Boolean)],
+      results: Seq[QRow],
       stealMid: Seq[Double], stealPost: Double,
       bandsApply: Boolean): Seq[String] = {
     val steal = (("steal_pct_pre" -> stealPre) +:
@@ -105,7 +132,7 @@ object Bench {
       } :+ ("steal_pct_post" -> stealPost)).collect {
       case (label, s) if s >= 10.0 => f"$label=$s%.1f (double-digit)"
     }
-    val byName = results.map(r => r._1 -> (r._2, r._5)).toMap
+    val byName = results.map(r => r.name -> (r.median, r.ok)).toMap
     // the committed bands are sf0.1/cpus=32 medians — at any other
     // (sf, cpus) the comparison is meaningless (a quiet sf0.01 smoke
     // run sits near the threshold purely from per-query fixed costs),
@@ -159,7 +186,7 @@ object Bench {
     // every quiet run of those profiles contaminated
     val bandsApply =
       new java.io.File(sfDir).getName == "sf0.1" && cpus == "32"
-    val (res1, mid1) = measurePass(spark, sfDir, sorted, runs)
+    val (res1, mid1) = measurePass(spark, sfDir, sorted, runs, stealPre0)
     val post1 = tools.StealProbe.measureDefault()
     val reasons1 = contaminationOf(stealPre0, res1, mid1, post1, bandsApply)
     // self-defense: one bounded retry after a quiet-window wait. The
@@ -174,7 +201,7 @@ object Bench {
       else {
         System.err.println(s"[bench] pass 1 contaminated: ${reasons1.mkString("; ")}")
         val pre2 = awaitQuietWindow()
-        val (res2, mid2) = measurePass(spark, sfDir, sorted, runs)
+        val (res2, mid2) = measurePass(spark, sfDir, sorted, runs, pre2)
         val post2 = tools.StealProbe.measureDefault()
         val reasons2 = contaminationOf(pre2, res2, mid2, post2, bandsApply)
         if (reasons2.isEmpty)
@@ -186,28 +213,28 @@ object Bench {
           // sum covers fewer queries (one crashed) must not win the
           // tie-break by omission — and prefer the pass with fewer
           // failures outright.
-          val ok1 = res1.filter(_._5).map(_._1).toSet
-          val ok2 = res2.filter(_._5).map(_._1).toSet
+          val ok1 = res1.filter(_.ok).map(_.name).toSet
+          val ok2 = res2.filter(_.ok).map(_.name).toSet
           val common = ok1.intersect(ok2)
-          val t1 = res1.filter(r => common(r._1)).map(_._2).sum
-          val t2 = res2.filter(r => common(r._1)).map(_._2).sum
+          val t1 = res1.filter(r => common(r.name)).map(_.median).sum
+          val t2 = res2.filter(r => common(r.name)).map(_.median).sum
           val pick2 =
             if (ok2.size != ok1.size) ok2.size > ok1.size else t2 <= t1
           if (pick2) (res2, pre2, mid2, post2, "contaminated", reasons2, true)
           else (res1, stealPre0, mid1, post1, "contaminated", reasons1, true)
         }
       }
-    val failed = results.filterNot(_._5).map(_._1)
+    val failed = results.filterNot(_.ok).map(_.name)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.length} queries FAILED " +
         s"(excluded from total): ${failed.mkString(", ")}")
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median))
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi, _) =>
-      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
-    }.mkString("{", ",", "}")
-    val total = results.filter(_._5).map(_._2).sum
+    val spread = results.map(r =>
+      "\"" + r.name + "\":[" + fmt(r.min) + "," + fmt(r.max) + "]")
+      .mkString("{", ",", "}")
+    val total = results.filter(_.ok).map(_.median).sum
     def fmt1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val canaryJson = {
       // a crashed canary's time-to-crash must not masquerade as a
@@ -215,14 +242,20 @@ object Bench {
       // excludes failures for the same reason) — only fully-passing
       // canaries report a median; a failed one reports "failed" so
       // the adjudication sees the gap instead of a phantom floor
-      val byName = results.map(r => r._1 -> (r._2, r._5)).toMap
+      val byName = results.map(r => r.name -> (r.median, r.ok)).toMap
       CanaryQueries.flatMap(c => byName.get(c).map { case (m, ok) =>
         "\"" + c + "\":" + (if (ok)
           BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
         else "\"failed\"")
       }).mkString("{", ",", "}")
     }
-    def jstr(s: String): String = "\"" + s.replace("\"", "'") + "\""
+    // valid-JSON hardening: escape backslashes, swap double quotes for
+    // apostrophes (reasons are prose, not data), strip control chars —
+    // a weather reason routed from an exception message must not be
+    // able to corrupt the official artifact
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "'")
+        .map(c => if (c < ' ') ' ' else c) + "\""
     val reasonsJson = reasons.map(jstr).mkString("[", ",", "]")
     val midJson = stealMid.map(fmt1).mkString("[", ",", "]")
     val weather = s""""steal_pct_pre":${fmt1(stealPre)},"steal_pct_mid":$midJson,"steal_pct_post":${fmt1(stealPost)},"canaries":$canaryJson,"weather_verdict":${jstr(verdict)},"retried":$retried,"weather_reasons":$reasonsJson"""
@@ -234,7 +267,7 @@ object Bench {
     // otherwise just the headline total.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_failed":${failed.length},$weather,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs2 = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt2(med) }
+    val qs2 = results.map(r => "\"" + r.name + "\":" + fmt2(r.median))
       .mkString("{", ",", "}")
     val mediansLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,$weather,"queries":$qs2,"sf":"$sfDir"}"""
     // tail budget: 2000-char capture minus sbt's trailing "[success]
@@ -251,9 +284,11 @@ object Bench {
     // alone instead of re-running the whole bench.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
-    val detail = results.map { case (k, med, lo, hi, ok) =>
-      val failTag = if (ok) "" else """, "failed": true"""
-      s"""    "$k": {"median": ${fmt(med)}, "min": ${fmt(lo)}, "max": ${fmt(hi)}$failTag}"""
+    val detail = results.map { r =>
+      val failTag = if (r.ok) "" else """, "failed": true"""
+      // per-query steal stamp: the rolling probe covering the ~20-query
+      // window this row ran in — localizes a wave from the artifact
+      s"""    "${r.name}": {"median": ${fmt(r.median)}, "min": ${fmt(r.min)}, "max": ${fmt(r.max)}, "steal": ${fmt1(r.steal)}$failTag}"""
     }.mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{

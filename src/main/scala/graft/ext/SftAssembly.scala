@@ -292,12 +292,16 @@ object SftAssembly {
     // the packed key is only invertible for 0 <= day < 10^6 (epoch
     // days reach 10^6 around year 4700; negative days are pre-1970
     // timestamps, which turnColumnsOf supports but this key does
-    // not) — refuse loudly instead of corrupting user/day on the way
-    // back out. Bounded probe: the thread frame is aggregate-sized.
-    require(valid.filter(col("day") < 0 || col("day") >= 1000000L)
-        .limit(1).isEmpty,
-      "threadPacking: day index outside [0, 10^6) — the user*10^6+day " +
-        "packed key cannot represent it; re-key before packing")
+    // not) AND user_id >= 0 (the truncating div/mod decode would
+    // round-trip a negative user to a wrong (user, day) and silently
+    // drop its threads at the re-join) — refuse loudly instead of
+    // corrupting on the way back out. Bounded probe: the thread frame
+    // is aggregate-sized.
+    require(valid.filter(col("day") < 0 || col("day") >= 1000000L ||
+        col("user_id") < 0).limit(1).isEmpty,
+      "threadPacking: day index outside [0, 10^6) or negative " +
+        "user_id — the user*10^6+day packed key cannot represent " +
+        "it; re-key before packing")
     val keyed = valid.select(
         (col("user_id") * 1000000L + col("day")).as("id"),
         lit("sft").as("grp"),
@@ -378,17 +382,23 @@ object SftAssembly {
   }
 
   /** ONE definition of the (doc_id, toks) token table + its modulus —
-    * q200/q202 both read it; the tokenizer projection must not fork. */
+    * q200/q202 both read it; the tokenizer projection must not fork.
+    * Memoized per dir (the family's shared-artifact convention): four
+    * delivery queries (q200/q202/q203/q204) each read this, and the
+    * count job + token projection must run once per session, not per
+    * query. */
   private def docTokens(spark: SparkSession,
-      dir: String): (DataFrame, Long) = {
-    val docs = Tables(spark, dir, "documents")
-    // one bounded scalar: the modulus of the fixture's turn→text key
-    val nDocs = docs.count()
-    require(nDocs > 0, "docTokens: empty documents table")
-    (docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("toks")),
-      nDocs)
-  }
+      dir: String): (DataFrame, Long) =
+    graft.SessionMemo(spark, s"sft-doctokens:$dir") {
+      val docs = Tables(spark, dir, "documents")
+      // one bounded scalar: the modulus of the fixture's turn→text key
+      val nDocs = docs.count()
+      require(nDocs > 0, "docTokens: empty documents table")
+      (docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+        .localCheckpoint(),
+        nDocs)
+    }
 
   /** The memoized q200 packing the composed delivery queries
     * (q201/q202) read — keyed by BUDGET too, so a non-default-budget
@@ -413,11 +423,14 @@ object SftAssembly {
     val valid = threads
       .filter(col("n_role_violations") === 0 && col("starts_with_user"))
       .select(col("user_id"), col("day"), col("n_turns"))
-    // same packed-key domain guard as q198 (the id is user·10⁶ + day)
-    require(valid.filter(col("day") < 0 || col("day") >= 1000000L)
-        .limit(1).isEmpty,
-      "tokenPacking: day index outside [0, 10^6) — the user*10^6+day " +
-        "packed key cannot represent it; re-key before packing")
+    // same packed-key domain guard as q198 (the id is user·10⁶ + day;
+    // user_id < 0 would decode to a wrong key and silently drop the
+    // thread at the n_turns re-join)
+    require(valid.filter(col("day") < 0 || col("day") >= 1000000L ||
+        col("user_id") < 0).limit(1).isEmpty,
+      "tokenPacking: day index outside [0, 10^6) or negative " +
+        "user_id — the user*10^6+day packed key cannot represent " +
+        "it; re-key before packing")
     val threadTokens = turns
       .select(col("user_id"), col("day"),
         (col("event_id") % nDocs).as("doc_id"))
@@ -659,24 +672,29 @@ object SftAssembly {
     * corpus scan of text; token counts project once) joined on the
     * thread key; single aggregate row. ORDER BY unnecessary (one
     * row). */
+  /** The prior-export packing BOTH churn-family queries compose
+    * (q203's compare side, q205's frozen side) — the SAME packing
+    * cores over the holdout-filtered turn log, memoized per
+    * (dir, budget) now that two queries read it (the shared-artifact
+    * convention; it is neither query's registered output).
+    * Checkpointed: tokenPackingOf evaluates its thread frame three
+    * times (domain guard, prefix-sum branch, n_turns re-join). */
+  private def prevPackedMemo(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    graft.SessionMemo(spark, s"sft-prev-packed:$dir:$budget") {
+      val (toks, nDocs) = docTokens(spark, dir)
+      val ev = turnEvents(spark, dir)
+        .filter(col("event_id") % ChurnHoldoutMod =!= 0)
+      tokenPackingOf(conversationThreadsOf(ev).localCheckpoint(),
+        ev, toks, nDocs, budget).localCheckpoint()
+    }
+
   def packingChurn(spark: SparkSession, dir: String,
       budget: Long = PackTokenBudget): DataFrame = {
-    val (toks, nDocs) = docTokens(spark, dir)
-    // the prior-export side is unique to this audit → derives fresh;
-    // the full side is the shared q200 packing → reads the memo (the
-    // composed-query convention; q203 ran two fresh packings before
-    // this and was the most expensive query on the surface)
-    val ev = turnEvents(spark, dir)
-      .filter(col("event_id") % ChurnHoldoutMod =!= 0)
-    // checkpoint: tokenPackingOf evaluates its thread frame three
-    // times (domain guard, prefix-sum branch, n_turns re-join) — the
-    // q200 path reads a checkpointed memo, this fresh side must too
-    val prev =
-      tokenPackingOf(conversationThreadsOf(ev).localCheckpoint(),
-        ev, toks, nDocs, budget)
-        .select(col("user_id"), col("day"),
-          col("seq_id").as("seq_prev"),
-          col("seq_offset").as("off_prev"))
+    val prev = prevPackedMemo(spark, dir, budget)
+      .select(col("user_id"), col("day"),
+        col("seq_id").as("seq_prev"),
+        col("seq_offset").as("off_prev"))
     val full = packedMemo(spark, dir, budget)
       .select(col("user_id"), col("day"), col("seq_id"),
         col("seq_offset"))
@@ -813,6 +831,14 @@ object SftAssembly {
         col("role"), (col("event_id") % nDocs).as("doc_id"))
       .join(toks, Seq("doc_id"))
     val mask = lossMaskLayoutOf(packed, turns, budget)
+    deliveryReleaseCardOf(packed, manifest, mask, budget)
+  }
+
+  /** The q204 rollup over q200/q201/q202-shaped frames — factored so
+    * the empty-packing guard is testable without a zero-thread table
+    * on disk. */
+  private[graft] def deliveryReleaseCardOf(packed: DataFrame,
+      manifest: DataFrame, mask: DataFrame, budget: Long): DataFrame = {
     val threadAgg = packed.agg(
       count(lit(1)).as("n_threads"),
       sum(col("n_tokens")).as("total_tokens"))
@@ -824,10 +850,18 @@ object SftAssembly {
       sum(col("n_trainable") + col("n_masked")).as("sum_positions"))
     threadAgg.crossJoin(seqAgg).crossJoin(maskAgg)
       .select(col("n_threads"), col("n_sequences"),
-        col("total_tokens"), col("n_straddles"),
-        expr(s"total_tokens * 1000000 div (n_sequences * $budget)")
-          .as("fill_ppm"),
-        expr("sum_trainable * 1000000 div sum_positions")
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("n_straddles"), lit(0L)).as("n_straddles"),
+        // empty-packing guard (the q203 churn_ppm convention): on a
+        // fixture with zero valid threads Spark `div` yields NULL
+        // while DuckDB `// 0` raises — both ppm columns pin 0 instead,
+        // on BOTH engines
+        expr(s"CASE WHEN n_sequences = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE total_tokens * 1000000 div (n_sequences * $budget) " +
+          "END").as("fill_ppm"),
+        expr("CASE WHEN sum_positions IS NULL OR sum_positions = 0 " +
+          "THEN CAST(0 AS BIGINT) " +
+          "ELSE sum_trainable * 1000000 div sum_positions END")
           .as("trainable_ppm"))
   }
 
@@ -870,11 +904,15 @@ object SftAssembly {
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM p),
        sa AS (SELECT CAST(count(*) AS BIGINT) AS n_sequences,
            CAST(sum(n_straddles) AS BIGINT) AS n_straddles FROM m)
-       SELECT ta.n_threads, sa.n_sequences, ta.total_tokens,
-         sa.n_straddles,
-         ta.total_tokens * 1000000
-           // (sa.n_sequences * $PackTokenBudget) AS fill_ppm,
-         ka.sum_trainable * 1000000 // ka.sum_positions
+       SELECT ta.n_threads, sa.n_sequences,
+         COALESCE(ta.total_tokens, 0) AS total_tokens,
+         COALESCE(sa.n_straddles, 0) AS n_straddles,
+         CASE WHEN sa.n_sequences = 0 THEN CAST(0 AS BIGINT)
+           ELSE COALESCE(ta.total_tokens, 0) * 1000000
+             // (sa.n_sequences * $PackTokenBudget) END AS fill_ppm,
+         CASE WHEN ka.sum_positions IS NULL OR ka.sum_positions = 0
+           THEN CAST(0 AS BIGINT)
+           ELSE ka.sum_trainable * 1000000 // ka.sum_positions END
            AS trainable_ppm
        FROM ta CROSS JOIN sa CROSS JOIN ka"""
 

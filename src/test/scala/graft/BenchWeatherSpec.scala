@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchWeatherSpec extends AnyFunSuite {
 
   private def row(name: String, median: Double, ok: Boolean = true) =
-    (name, median, median, median, ok)
+    Bench.QRow(name, median, median, median, ok, 0.5)
 
   private val quietRows = Seq(
     row("q115_srp_codes", 0.143),
@@ -40,7 +40,7 @@ class BenchWeatherSpec extends AnyFunSuite {
   test("canary above 2x band flags (the r14 driver run: q23 at 3.386 " +
       "vs 1.618 quiet)") {
     val rows = quietRows.map {
-      case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 3.386)
+      case r if r.name == "q23_ngram_jaccard" => row("q23_ngram_jaccard", 3.386)
       case r => r
     }
     val rs = Bench.contaminationOf(0.5, rows, Seq(1.0, 1.0), 1.0,
@@ -50,7 +50,7 @@ class BenchWeatherSpec extends AnyFunSuite {
 
   test("canary at exactly 2x its band does NOT flag (strict >)") {
     val rows = quietRows.map {
-      case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 2 * 1.618)
+      case r if r.name == "q23_ngram_jaccard" => row("q23_ngram_jaccard", 2 * 1.618)
       case r => r
     }
     assert(Bench.contaminationOf(0.5, rows, Seq(1.0), 1.0,
@@ -60,7 +60,7 @@ class BenchWeatherSpec extends AnyFunSuite {
   test("off-profile run (bandsApply=false) ignores canary bands but " +
       "still adjudicates steal") {
     val rows = quietRows.map {
-      case ("q23_ngram_jaccard", _, _, _, _) => row("q23_ngram_jaccard", 99.0)
+      case r if r.name == "q23_ngram_jaccard" => row("q23_ngram_jaccard", 99.0)
       case r => r
     }
     assert(Bench.contaminationOf(0.5, rows, Seq(1.0), 1.0,
@@ -73,7 +73,7 @@ class BenchWeatherSpec extends AnyFunSuite {
   test("a FAILED canary never drives the verdict (its time-to-crash is " +
       "not a median)") {
     val rows = quietRows.map {
-      case ("q23_ngram_jaccard", _, _, _, _) =>
+      case r if r.name == "q23_ngram_jaccard" =>
         row("q23_ngram_jaccard", 99.0, ok = false)
       case r => r
     }
@@ -86,5 +86,26 @@ class BenchWeatherSpec extends AnyFunSuite {
     val rs = Bench.contaminationOf(40.0, quietRows, Seq(1.2, 0.8), 0.9,
       bandsApply = false)
     assert(rs.size == 1 && rs.head.contains("steal_pct_pre=40.0"))
+  }
+
+  test("rolling probes: a wave confined to ONE mid-stretch window " +
+      "flips the verdict (the r15 false-negative: q140-q157 inflated " +
+      "1.5-36x between the old sparse 1/3-2/3 probes, canaries " +
+      "untouched)") {
+    // 10 rolling windows, quiet everywhere except window 6 — with the
+    // sparse sampling this run verdicted quiet; with every window in
+    // the rule it must flag, naming the window so a reader can
+    // localize the wave
+    val mids = Seq(0.4, 0.3, 0.5, 0.2, 0.4, 0.3, 24.7, 0.5, 0.3, 0.2)
+    val rs = Bench.contaminationOf(0.3, quietRows, mids, 0.4,
+      bandsApply = true)
+    assert(rs.size == 1 && rs.head.contains("steal_pct_mid[6]=24.7"))
+  }
+
+  test("matching pattern: contamination rule sees EVERY rolling " +
+      "window, not a sample (all-quiet 10-window run stays quiet)") {
+    val mids = Seq.fill(10)(0.4)
+    assert(Bench.contaminationOf(0.3, quietRows, mids, 0.4,
+      bandsApply = true).isEmpty)
   }
 }

@@ -383,6 +383,24 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(r.getLong(5) > 0 && r.getLong(5) < 1000000L)
   }
 
+  test("q204 card on an EMPTY packing pins zeros instead of NULLs or " +
+      "a divide-by-zero (Spark div yields NULL, DuckDB // raises — " +
+      "both ppm columns are guarded on both engines)") {
+    import spark.implicits._
+    val packed = Seq.empty[(Long, Long, Int, Long, Long, Long)]
+      .toDF("user_id", "day", "n_turns", "n_tokens", "seq_id",
+        "seq_offset")
+    val manifest = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("seq_id", "n_threads", "n_whole_threads", "n_tokens_used",
+        "fill_ppm")
+    val mask = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("seq_id", "n_trainable", "n_masked", "trainable_ppm")
+    val r = SftAssembly.deliveryReleaseCardOf(packed, manifest, mask,
+      512L).collect()(0)
+    assert((0 to 5).map(r.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(!(0 to 5).exists(r.isNullAt))
+  }
+
   test("day bucketing truncates toward zero for negative epoch-micros, " +
       "matching DuckDB // (fixture-independent pin)") {
     // DuckDB 1.0.0: -7 // 2 = -3 (truncation, NOT floor) — verified on

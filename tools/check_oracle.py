@@ -39,24 +39,24 @@ def kind(dtype):
     return "i" if k in ("i", "u") else k
 
 def dtype_check(duck, spark):
-    """Strict dtype comparison (round 15): the driver hashes TYPED
-    values, so float-vs-int divergence (DuckDB HUGEINT -> float64 from
-    an un-CAST windowed/summed BIGINT) fails its hash even when Python
-    `==` says 53.0 == 53 — exactly how q198 shipped red in round 14.
-    Fail on float-vs-int; tolerate int width (the driver accepts the
-    six existing int32/int64 differences); WARN on any other kind
-    mismatch so it is at least visible."""
-    errs, warns = [], []
+    """TOTAL strict dtype comparison (round 16; float-vs-int strict
+    since round 15): the driver hashes TYPED values, so any dtype-kind
+    divergence (DuckDB HUGEINT -> float64 from an un-CAST windowed/
+    summed BIGINT was how q198 shipped red in round 14) fails its hash
+    even when Python `==` says 53.0 == 53. Round 15's full sweep showed
+    zero remaining kind-mismatch warnings, so the former WARN tier is
+    now a FAIL too; only int width (int32 vs int64 — the driver accepts
+    the existing width differences) stays tolerated via kind()."""
+    errs = []
     for c in duck.columns:
         dk, sk = kind(duck[c].dtype), kind(spark[c].dtype)
         if dk == sk:
             continue
-        if {dk, sk} == {"f", "i"}:
-            errs.append(f"col {c}: duck={duck[c].dtype} spark={spark[c].dtype}"
-                        " (float-vs-int: driver typed hash would reject)")
-        else:
-            warns.append(f"col {c}: duck={duck[c].dtype} spark={spark[c].dtype}")
-    return errs, warns
+        tag = (" (float-vs-int: driver typed hash would reject)"
+               if {dk, sk} == {"f", "i"} else " (kind mismatch)")
+        errs.append(f"col {c}: duck={duck[c].dtype} spark={spark[c].dtype}"
+                    + tag)
+    return errs
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -86,9 +86,7 @@ def main():
             if list(duck.columns) != list(spark.columns):
                 raise AssertionError(
                     f"columns: duck={list(duck.columns)} spark={list(spark.columns)}")
-            derrs, dwarns = dtype_check(duck, spark)
-            for w in dwarns:
-                print(f"WARN {name}: dtype {w}")
+            derrs = dtype_check(duck, spark)
             if derrs:
                 raise AssertionError("dtype: " + "; ".join(derrs))
             dc, sc = cells(duck), cells(spark)
