@@ -631,6 +631,9 @@ object SparkEntry {
     "q139_robots_policy" -> graft.ext.Robots.robotsFilterOracle,
     "q140_quantiles_exact" -> graft.ext.Quantiles.exactQuantilesOracle,
     "q141_quantile_sketch" -> graft.ext.Quantiles.sketchQuantilesOracle,
+    // q142: oracled since r16 — the per-byte LZW state machine replays
+    // as a recursive CTE with LIST dictionary state (the q119 recipe)
+    "q142_compression_ratio" -> TextAnalysis.compressionRatioOracle,
     "q143_shard_manifest" -> graft.ext.Shards.shardManifestOracle,
     "q144_domain_scorecard" -> graft.ext.UrlCurate.domainScorecardOracle,
     "q145_release_manifest" -> graft.ext.Shards.releaseManifestOracle,

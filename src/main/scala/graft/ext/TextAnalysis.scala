@@ -1112,10 +1112,17 @@ object TextAnalysis {
     * noise — base64 blobs, minified data, or too-short fragments.
     *
     * One narrow codegen'd map ([[graft.functions.Lzw]]), zero shuffle
-    * at any corpus size. Rows-only the way BPE (q82/q83) is: LZW is
-    * inherently sequential, and its exact integer twin is the
-    * byte-stream equality `lzw_bytes(s) == gifLzwEncode(bytes).length`
-    * pinned in LzwSpec across width boundaries and dictionary resets. */
+    * at any corpus size. Fully oracled since round 16: the DuckDB twin
+    * ([[compressionRatioOracle]]) replays the per-byte LZW state
+    * machine as a recursive CTE — dictionary carried as a LIST of
+    * packed (prefix<<8|byte) keys (code of the k-th appended entry =
+    * 257+k), width bumps at next>=2^width, clear-code reset at slot
+    * 4095 — validated against the engine on high-entropy synthetic
+    * docs that cross every width boundary AND the 4095 reset (the
+    * fixture's ~300-byte docs never reset). The ratio is exported as
+    * exact integer ppm (the house integer-exact recipe), so the twin
+    * hashes bit-identically; LzwSpec additionally pins
+    * `lzw_bytes(s) == gifLzwEncode(bytes).length` byte-for-byte. */
   def compressionRatio(spark: SparkSession, dir: String): DataFrame =
     compressionRatioOf(Tables(spark, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -1124,10 +1131,101 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         graft.functions.Lzw.lzw_bytes(col("text")).as("lzw_bytes"))
-      .withColumn("compression_ratio",
-        round(col("lzw_bytes") / col("n_bytes"), 4))
-      .withColumn("templated", col("compression_ratio") <= 0.60)
-      .withColumn("high_entropy", col("compression_ratio") >= 1.0)
+      // empty-doc guard: Spark div yields NULL on /0 while DuckDB //
+      // raises — an empty document pins ratio 0 on both engines
+      .withColumn("ratio_ppm", expr(
+        "CASE WHEN n_bytes = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(lzw_bytes AS BIGINT) * 1000000 div n_bytes END"))
+      .withColumn("templated",
+        col("n_bytes") > 0 && col("ratio_ppm") <= 600000L)
+      .withColumn("high_entropy",
+        col("n_bytes") > 0 && col("ratio_ppm") >= 1000000L)
+
+  /** The q142 oracle: the GIF-convention LZW length counter replayed
+    * per byte in DuckDB as a recursive CTE (the q119 ADPCM
+    * state-machine recipe, extended with LIST state for the
+    * dictionary). State per (doc, byte): the current prefix code, the
+    * dictionary as a list of packed (prefix<<8|byte) keys (the k-th
+    * appended entry holds code 257+k — append order IS the code
+    * assignment), the next free slot, the current code width, and the
+    * bit/byte counters; a miss writes the prefix code at the current
+    * width (bumping width when next >= 2^width, capped at 12), and
+    * slot 4095 writes a clear code and resets — exactly
+    * [[graft.functions.Lzw.bytes]]. The byte table and doc frame are
+    * MATERIALIZED (the recursive part re-evaluates referenced CTEs
+    * every iteration otherwise — 13x slower, measured). Validated
+    * against the engine on synthetic docs crossing the 512/1024/2048
+    * width boundaries and the 4095 reset. */
+  val compressionRatioOracle: String =
+    """WITH RECURSIVE
+       dd AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) = 0 THEN ''
+                ELSE hex(encode(text)) END AS hx,
+           octet_length(encode(text)) AS len
+         FROM documents),
+       byc AS MATERIALIZED (SELECT doc_id, len, i,
+           ('0x' || substr(hx, i * 2 + 1, 2))::INTEGER AS c
+         FROM (SELECT doc_id, len,
+                 CAST(unnest(range(0, len)) AS INTEGER) AS i, hx
+               FROM dd)),
+       st AS (
+         SELECT doc_id, len, 1 AS i, c AS prefix,
+                CAST([] AS INTEGER[]) AS dict,
+                258 AS nxt, 9 AS width, 1 AS nbits, 1 AS ob
+         FROM byc WHERE i = 0
+         UNION ALL
+         SELECT doc_id, len, i + 1,
+           CASE WHEN hit > 0 THEN 257 + hit ELSE c END,
+           CASE WHEN hit > 0 THEN dict
+                WHEN nxt >= 4095 THEN CAST([] AS INTEGER[])
+                ELSE list_append(dict, key) END,
+           CASE WHEN hit > 0 THEN nxt
+                WHEN nxt >= 4095 THEN 258
+                ELSE nxt + 1 END,
+           CASE WHEN hit > 0 THEN width
+                WHEN nxt >= 4095 THEN 9
+                ELSE w1 END,
+           CASE WHEN hit > 0 THEN nbits
+                WHEN nxt >= 4095 THEN (nbits + width + w1) % 8
+                ELSE (nbits + width) % 8 END,
+           CASE WHEN hit > 0 THEN ob
+                WHEN nxt >= 4095
+                  THEN ob + (nbits + width) // 8
+                       + ((nbits + width) % 8 + w1) // 8
+                ELSE ob + (nbits + width) // 8 END
+         FROM (
+           SELECT s.doc_id, s.len, s.i, s.dict, s.nxt, s.width,
+             s.nbits, s.ob, b.c,
+             (s.prefix * 256 + b.c) AS key,
+             list_position(s.dict, s.prefix * 256 + b.c) AS hit,
+             CASE WHEN s.nxt >= (1 << s.width) AND s.width < 12
+                  THEN s.width + 1 ELSE s.width END AS w1
+           FROM st s JOIN byc b ON b.doc_id = s.doc_id AND b.i = s.i
+           WHERE s.i < s.len)),
+       fin AS (
+         SELECT doc_id,
+           ob + (nbits + width) // 8
+              + ((nbits + width) % 8 + w1) // 8
+              + CASE WHEN ((nbits + width) % 8 + w1) % 8 > 0
+                  THEN 1 ELSE 0 END AS lzw
+         FROM (SELECT *,
+                 CASE WHEN nxt >= (1 << width) AND width < 12
+                      THEN width + 1 ELSE width END AS w1
+               FROM st WHERE i = len))
+       SELECT dd.doc_id, CAST(dd.len AS INT) AS n_bytes,
+         CAST(CASE WHEN dd.len = 0 THEN 0 ELSE fin.lzw END AS INT)
+           AS lzw_bytes,
+         CASE WHEN dd.len = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(fin.lzw AS BIGINT) * 1000000 // dd.len END
+           AS ratio_ppm,
+         CASE WHEN dd.len = 0 THEN FALSE
+           ELSE CAST(fin.lzw AS BIGINT) * 1000000 // dd.len <= 600000
+           END AS templated,
+         CASE WHEN dd.len = 0 THEN FALSE
+           ELSE CAST(fin.lzw AS BIGINT) * 1000000 // dd.len >= 1000000
+           END AS high_entropy
+       FROM dd LEFT JOIN fin ON fin.doc_id = dd.doc_id
+       ORDER BY dd.doc_id"""
 
   val hashedClassifierOracle: String = {
     val mix = graft.functions.DetMix.mixSql("h", 122)

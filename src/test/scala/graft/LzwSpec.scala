@@ -60,8 +60,15 @@ class LzwSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), "compressionRatioOf must not shuffle")
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val ratios = rows.map(_.getAs[Double]("compression_ratio"))
-    assert(ratios.forall(r => r > 0.3 && r < 1.3))
+    val ratios = rows.map(_.getAs[Long]("ratio_ppm"))
+    assert(ratios.forall(r => r > 300000L && r < 1300000L))
+    // ratio_ppm is the exact integer form of lzw/bytes (the oracle's
+    // hashable column)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ratio_ppm") ==
+        r.getAs[Int]("lzw_bytes").toLong * 1000000L /
+          r.getAs[Int]("n_bytes"))
+    }
     assert(rows.exists(_.getAs[Boolean]("templated")),
       "templated threshold never fires at sf0.01")
     assert(rows.exists(_.getAs[Boolean]("high_entropy")),
