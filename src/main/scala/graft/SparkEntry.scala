@@ -376,7 +376,11 @@ object SparkEntry {
     "q203_packing_churn" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.packingChurn(s, d)),
     "q204_delivery_card" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.deliveryReleaseCard(s, d))
+      graft.ext.SftAssembly.deliveryReleaseCard(s, d)),
+    "q205_append_packing" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.appendPacking(s, d)),
+    "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.bpeTokenPacking(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -703,6 +707,9 @@ object SparkEntry {
     "q202_loss_mask_layout" -> graft.ext.SftAssembly.lossMaskLayoutOracle,
     "q203_packing_churn" -> graft.ext.SftAssembly.packingChurnOracle,
     "q204_delivery_card" ->
-      graft.ext.SftAssembly.deliveryReleaseCardOracle
+      graft.ext.SftAssembly.deliveryReleaseCardOracle,
+    "q205_append_packing" -> graft.ext.SftAssembly.appendPackingOracle,
+    "q206_bpe_token_packing" ->
+      graft.ext.SftAssembly.bpeTokenPackingOracle
   )
 }

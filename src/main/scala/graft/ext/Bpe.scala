@@ -164,7 +164,7 @@ object Bpe {
     * artifact ([[graft.SessionMemo]]). q82, whose registered OUTPUT is
     * the model itself, keeps training fresh — a query never memoizes
     * its own result. */
-  private def trainFor(spark: SparkSession, dir: String,
+  private[ext] def trainFor(spark: SparkSession, dir: String,
       merges: Int): Seq[(String, String, Long)] =
     graft.SessionMemo(spark, s"bpe-train:$dir:$merges") {
       train(Tables(spark, dir, "documents"), merges)
@@ -340,59 +340,51 @@ object Bpe {
        FROM ($picks) ORDER BY rank"""
   }
 
+  /** The shared q83 replay chain: the unrolled training CTEs, the
+    * per-word symbol walks (rank-ordered greedy replay), and the
+    * per-doc token rollup — exposes `tok(doc_id, t)`. ONE definition
+    * for every oracle that needs "BPE tokens per document"
+    * (q83/q184/q206) so the replay rule cannot fork. */
+  private[ext] lazy val encodeChainCtesSql: String = {
+    val rounds = 16
+    val b = new StringBuilder
+    b ++= trainCtes(rounds, 2L)
+    b ++= s""",
+       w_0 AS MATERIALIZED (SELECT doc_id, wseq,
+           list_concat(string_split(w, ''), ['$EndMark']) AS syms
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS wseq
+             FROM documents)
+         WHERE w <> '')"""
+    for (r <- 1 to rounds) {
+      b ++= s""",
+       ${roundCte(s"w_${r - 1}", s"w_$r", s"b_$r",
+          Seq("doc_id", "wseq"), Seq.empty, 2L, s"w_$r")}"""
+    }
+    b ++= s""",
+       tok AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS t
+         FROM w_$rounds GROUP BY doc_id)"""
+    b.toString
+  }
+
   /** Oracle for q83 [[encodeCorpus]]: the training chain's `b_r`
     * merges replayed over every document's words in rank order (one
     * greedy pass per rank — see the equivalence note above), then
     * per-doc token counts. `n_words` counts split fields INCLUDING
     * empties (Spark's size(split())); the symbol walk excludes them
     * (BpeOps skips empty words). */
-  lazy val encodeCorpusOracle: String = {
-    val rounds = 16
-    val b = new StringBuilder
-    b ++= trainCtes(rounds, 2L)
-    b ++= s""",
-       w_0 AS MATERIALIZED (SELECT doc_id, wseq,
-           list_concat(string_split(w, ''), ['$EndMark']) AS syms
-         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-               generate_subscripts(string_split(text, ' '), 1) AS wseq
-             FROM documents)
-         WHERE w <> '')"""
-    for (r <- 1 to rounds) {
-      b ++= s""",
-       ${roundCte(s"w_${r - 1}", s"w_$r", s"b_$r",
-          Seq("doc_id", "wseq"), Seq.empty, 2L, s"w_$r")}"""
-    }
-    s"""WITH ${b.toString},
-       tok AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS t
-         FROM w_$rounds GROUP BY doc_id)
+  lazy val encodeCorpusOracle: String =
+    s"""WITH $encodeChainCtesSql
        SELECT d.doc_id,
          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
          coalesce(t.t, 0) AS n_bpe_tokens
        FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
        ORDER BY d.doc_id"""
-  }
 
   /** Oracle for q184 [[tokenizerScorecard]]: the q83 replay chain,
     * aggregated per source instead of per document. */
-  lazy val tokenizerScorecardOracle: String = {
-    val rounds = 16
-    val b = new StringBuilder
-    b ++= trainCtes(rounds, 2L)
-    b ++= s""",
-       w_0 AS MATERIALIZED (SELECT doc_id, wseq,
-           list_concat(string_split(w, ''), ['$EndMark']) AS syms
-         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-               generate_subscripts(string_split(text, ' '), 1) AS wseq
-             FROM documents)
-         WHERE w <> '')"""
-    for (r <- 1 to rounds) {
-      b ++= s""",
-       ${roundCte(s"w_${r - 1}", s"w_$r", s"b_$r",
-          Seq("doc_id", "wseq"), Seq.empty, 2L, s"w_$r")}"""
-    }
-    s"""WITH ${b.toString},
-       tok AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS t
-         FROM w_$rounds GROUP BY doc_id)
+  lazy val tokenizerScorecardOracle: String =
+    s"""WITH $encodeChainCtesSql
        SELECT d.source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
@@ -406,5 +398,4 @@ object Bpe {
            AS BIGINT) AS chars_per_token_ppm
        FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
        GROUP BY d.source ORDER BY d.source"""
-  }
 }

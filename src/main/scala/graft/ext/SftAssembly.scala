@@ -718,6 +718,149 @@ object SftAssembly {
           "div n_prev END"))
   }
 
+  /** q205: stability-preserving INCREMENTAL packing — the operator
+    * q203's audit demands: hash-ordered re-packing churns ~100% of
+    * previously exported sequence assignments on re-export (q203
+    * measures 1000000 ppm on the fixture), which invalidates training
+    * resume points and packed-sequence caches. `appendPacking`
+    * FREEZES the previous export: a thread that was exported (the
+    * q203 prev-side convention: the ChurnHoldoutMod-filtered turn
+    * log) and is still valid with unchanged content (same turn count
+    * AND token weight) keeps its exact (seq_id, seq_offset); every
+    * other thread of the current full packing population — new
+    * threads, and threads whose late turns changed their weight — is
+    * packed into fresh TAIL sequences starting after the last frozen
+    * sequence, under the same hash-ordered prefix-sum rule. Residual
+    * churn is therefore bounded by the changed/invalidated threads
+    * (the spec pins it), not the whole export; the stale copies
+    * inside frozen sequences are superseded by the tail re-exports,
+    * exactly like a production exporter's append-only delivery.
+    *
+    * Scale: two thread-sized memoized packings joined on thread keys;
+    * the tail re-pack runs [[Curate.prefixSumsOf]] over only the
+    * changed/new threads (no domain re-guard needed — the appended
+    * set is a subset of the full packing, which already passed its
+    * guard); one bounded scalar (the frozen high-water sequence).
+    * ORDER BY = oracle determinism only. */
+  def appendPacking(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    import spark.implicits._
+    val prev = prevPackedMemo(spark, dir, budget)
+    val full = packedMemo(spark, dir, budget)
+    val frozen = prev.as("p").join(full.as("f"),
+        col("p.user_id") === col("f.user_id") &&
+          col("p.day") === col("f.day") &&
+          col("p.n_turns") === col("f.n_turns") &&
+          col("p.n_tokens") === col("f.n_tokens"))
+      .select(col("p.user_id").as("user_id"), col("p.day").as("day"),
+        col("p.n_turns").as("n_turns"),
+        col("p.n_tokens").as("n_tokens"),
+        col("p.seq_id").as("seq_id"),
+        col("p.seq_offset").as("seq_offset"),
+        lit(true).as("frozen"))
+    // the tail base: one past the last PREVIOUSLY EXPORTED sequence
+    // (not the last frozen one — a frozen export's final sequence may
+    // hold a since-invalidated thread, and appending into it would
+    // overwrite shipped bytes). Bounded scalar over the packing frame.
+    val base = prev.agg(max(col("seq_id"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    val appended = full.join(frozen.select(col("user_id"), col("day")),
+      Seq("user_id", "day"), "left_anti")
+    val keyed = appended.select(
+        (col("user_id") * 1000000L + col("day")).as("id"),
+        lit("sft").as("grp"),
+        col("n_tokens").as("n"),
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("day").cast("string")).cast("binary")).as("h"))
+      .as[(Long, String, Long, String)]
+    val tail = Curate.prefixSumsOf(keyed)
+      .select(expr("id div 1000000").as("user_id"),
+        (col("id") % 1000000L).as("day"),
+        (lit(base) + expr(s"before div $budget")).as("seq_id"),
+        (col("before") % budget).as("seq_offset"))
+      .join(appended.select(col("user_id"), col("day"),
+        col("n_turns"), col("n_tokens")), Seq("user_id", "day"))
+      .select(col("user_id"), col("day"), col("n_turns"),
+        col("n_tokens"), col("seq_id"), col("seq_offset"),
+        lit(false).as("frozen"))
+    frozen.unionByName(tail).orderBy(col("user_id"), col("day"))
+  }
+
+  val appendPackingOracle: String =
+    s"""WITH $docTokensSql,
+       ${packingChainSql("a", s" WHERE event_id % $ChurnHoldoutMod <> 0")},
+       ${packingChainSql("b", "")},
+       fr AS (SELECT pa.user_id, pa.day, pa.n_turns, pa.n_tokens,
+           pa.seq_id, pa.seq_offset
+         FROM pa JOIN pb ON pb.user_id = pa.user_id
+           AND pb.day = pa.day AND pb.n_turns = pa.n_turns
+           AND pb.n_tokens = pa.n_tokens),
+       base AS (SELECT COALESCE(max(seq_id) + 1, 0) AS b FROM pa),
+       ap AS (SELECT pb.user_id, pb.day, pb.n_turns, pb.n_tokens,
+           pb.user_id * 1000000 + pb.day AS id,
+           md5(CAST(pb.user_id AS VARCHAR) || ':' ||
+             CAST(pb.day AS VARCHAR)) AS h
+         FROM pb WHERE NOT EXISTS (SELECT 1 FROM fr
+           WHERE fr.user_id = pb.user_id AND fr.day = pb.day)),
+       tl AS (SELECT user_id, day, n_turns, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS before
+         FROM ap)
+       SELECT user_id, day, CAST(n_turns AS INT) AS n_turns, n_tokens,
+         seq_id, seq_offset, TRUE AS frozen FROM fr
+       UNION ALL
+       SELECT user_id, day, CAST(n_turns AS INT) AS n_turns, n_tokens,
+         base.b + before // $PackTokenBudget AS seq_id,
+         before % $PackTokenBudget AS seq_offset, FALSE AS frozen
+       FROM tl CROSS JOIN base
+       ORDER BY user_id, day"""
+
+  /** q206: MODEL-TOKENIZER-consistent packing — q200 weighs turns
+    * with the whitespace tokenizer (q29's stand-in), but the budget a
+    * shipped export must respect is the TRAINING tokenizer's token
+    * count: a 512-whitespace-token sequence can overflow a
+    * 512-BPE-token window. Same packing rule, same
+    * [[Curate.prefixSumsOf]] core, same (user, day) thread gate —
+    * only the (doc_id, toks) token table swaps to the trained BPE
+    * encoder's counts (q82's merge table, the memoized model read
+    * q83/q184 share; [[graft.functions.BpeOps.bpe_encode]] is the
+    * same narrow codegen'd map). The oracle instantiates the SAME
+    * parameterized packingChainSql with `tk` fed by the q83 replay
+    * chain — the packing rule and the tokenizer replay each keep ONE
+    * oracle definition.
+    *
+    * Scale: identical to q200 (token counts are longs projected
+    * before the join; the model is a vocab-sized broadcast; no global
+    * window). ORDER BY = oracle determinism only. */
+  def bpeTokenPacking(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
+      conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
+    }
+    // the whitespace token table is NOT read — only the turn→text
+    // modulus is shared with q200 (same memoized scalar)
+    val (_, nDocs) = docTokens(spark, dir)
+    val ranks = Bpe.trainFor(spark, dir, 16)
+      .map { case (l, r, _) => (l, r) }
+    val toks = Tables(spark, dir, "documents").select(col("doc_id"),
+      size(graft.functions.BpeOps.bpe_encode(col("text"), ranks,
+        Bpe.EndMark)).cast("long").as("toks"))
+    tokenPackingOf(threads, turnEvents(spark, dir), toks, nDocs, budget)
+  }
+
+  val bpeTokenPackingOracle: String =
+    s"""WITH ${Bpe.encodeChainCtesSql},
+       nd AS (SELECT count(*) AS n FROM documents),
+       tk AS (SELECT d.doc_id, coalesce(t.t, 0) AS toks
+         FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id),
+       ${packingChainSql("", "")}
+       SELECT user_id, day, CAST(n_turns AS INT) AS n_turns, n_tokens,
+         seq_id, seq_offset
+       FROM p ORDER BY user_id, day"""
+
   /** One parameterized copy of the TOKEN-packing oracle chain (CTE
     * suffix + turn predicate) — the q188 two-centroid-set convention
     * widened to the whole delivery family: q200/q201/q202 instantiate

@@ -375,7 +375,11 @@ object ScaleSmoke {
       "q203_packing_churn" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.packingChurn(s, d)),
       "q204_delivery_card" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.deliveryReleaseCard(s, d))
+        graft.ext.SftAssembly.deliveryReleaseCard(s, d)),
+      "q205_append_packing" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.appendPacking(s, d)),
+      "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.bpeTokenPacking(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -101,7 +101,10 @@ class ParallelismSpec extends SparkSpecBase {
     // round-15: token-budget packing is the q198 core over token weights
     "q200_token_packing", "q201_sequence_manifest",
     "q202_loss_mask_layout", "q203_packing_churn",
-    "q204_delivery_card")
+    "q204_delivery_card",
+    // round-16: incremental packing freezes prev slots, repacks the rest;
+    // BPE packing swaps the token table under the same chain
+    "q205_append_packing", "q206_bpe_token_packing")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

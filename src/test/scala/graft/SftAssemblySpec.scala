@@ -359,6 +359,126 @@ class SftAssemblySpec extends SparkSpecBase {
     assert(moved > 0 && slid > 0 && r.getLong(5) > 0)
   }
 
+  test("q205 append packing freezes unchanged threads at their exact " +
+      "slots, packs changes into tail sequences, and bounds residual " +
+      "churn by the changed threads (vs q203's 100% full-repack churn)") {
+    val docToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nDocs = docToks.size.toLong
+    val B = 512L
+    // q203's local packing replay, extended to carry (n_turns,
+    // n_tokens) so frozen-eligibility is checkable
+    def packLocal(es: Seq[(Long, Long, Long, String, Double)])
+        : Map[(Long, Long), (Int, Long, Long, Long)] = {
+      val byThread = es.groupBy(e => (e._1, e._2 / 86400000000L))
+      val valid = byThread.toSeq.filter { case (_, ts) =>
+        val roles = ts.sortBy(t => (t._2, t._3)).map(t => role(t._4))
+        roles.head == "user" &&
+          roles.zip(roles.drop(1)).forall { case (a, b) => a != b }
+      }
+      val ordered = valid.sortBy { case ((u, d), _) =>
+        (md5hex(s"$u:$d"), u * 1000000L + d)
+      }
+      var cum = 0L
+      ordered.map { case (k, ts) =>
+        val n = ts.map(t => docToks(t._3 % nDocs)).sum
+        val before = cum; cum += n
+        k -> ((ts.size, n, before / B, before % B))
+      }.toMap
+    }
+    val prev = packLocal(events.filter(_._3 % 8 != 0))
+    val full = packLocal(events)
+    val got = SftAssembly.appendPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // population = exactly the current full-packing population
+    assert(got.keySet == full.keySet)
+    // frozen = exactly the common threads with unchanged content, at
+    // their exact previous slots
+    val frozenWant = full.keySet.filter(k => prev.get(k).exists(p =>
+      p._1 == full(k)._1 && p._2 == full(k)._2))
+    assert(got.filter(_._2._5).keySet == frozenWant)
+    frozenWant.foreach { k =>
+      assert((got(k)._3, got(k)._4) == ((prev(k)._3, prev(k)._4)),
+        s"frozen thread $k moved")
+    }
+    // appended threads sit strictly after the previous export's
+    // high-water sequence — shipped bytes are never overwritten
+    val base = prev.values.map(_._3).max + 1
+    got.filterNot(_._2._5).foreach { case (k, g) =>
+      assert(g._3 >= base, s"appended thread $k landed at ${g._3} " +
+        s"inside the frozen range [0, $base)")
+    }
+    // the churn bound the operator exists for: previously exported
+    // threads that lose their slot are EXACTLY the changed/invalidated
+    // ones, and the residual churn ppm is far below q203's full-repack
+    // 1000000 ppm (every prev thread moves under hash re-packing)
+    val changed = prev.keySet.diff(frozenWant)
+    val lostSlot = prev.keySet.filterNot(k => got.get(k).exists(_._5))
+    assert(lostSlot == changed)
+    val residualPpm = changed.size.toLong * 1000000L / prev.size
+    assert(residualPpm < 500000L,
+      s"append mode must preserve a majority ($residualPpm ppm churned)")
+    // non-vacuous: frozen majority, new threads appended, AND at least
+    // one weight-changed common thread re-exported (not only new ones)
+    assert(frozenWant.nonEmpty && changed.nonEmpty)
+    assert(full.keySet.exists(k => prev.contains(k) && !frozenWant(k)),
+      "no weight-changed common thread on the fixture")
+    assert(full.keySet.exists(k => !prev.contains(k)),
+      "no new thread on the fixture")
+  }
+
+  test("q206 BPE-budget packing equals the q200 replay with q83's " +
+      "token counts swapped in, and genuinely repacks (BPE weights " +
+      "move cut points vs whitespace weights)") {
+    // weights from the engine's own q83 output — independently pinned
+    // by BpeSpec and its DuckDB oracle, so this is a composition
+    // check, not a circular one
+    val bpeToks = graft.ext.Bpe.encodeCorpus(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nDocs = bpeToks.size.toLong
+    val B = 512L
+    def packLocal(toks: Map[Long, Long])
+        : Map[(Long, Long), (Int, Long, Long, Long)] = {
+      val byThread = events.groupBy(e => (e._1, e._2 / 86400000000L))
+      val valid = byThread.toSeq.filter { case (_, ts) =>
+        val roles = ts.sortBy(t => (t._2, t._3)).map(t => role(t._4))
+        roles.head == "user" &&
+          roles.zip(roles.drop(1)).forall { case (a, b) => a != b }
+      }
+      val ordered = valid.sortBy { case ((u, d), _) =>
+        (md5hex(s"$u:$d"), u * 1000000L + d)
+      }
+      var cum = 0L
+      ordered.map { case (k, ts) =>
+        val n = ts.map(t => toks(t._3 % nDocs)).sum
+        val before = cum; cum += n
+        k -> ((ts.size, n, before / B, before % B))
+      }.toMap
+    }
+    val want = packLocal(bpeToks)
+    val got = SftAssembly.bpeTokenPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == want)
+    // non-vacuous: the BPE weighting must actually move assignments
+    // relative to the whitespace packing (same threads, other budget
+    // consumption), or the query would be a rename of q200
+    val ws = SftAssembly.tokenPacking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == ws.keySet,
+      "thread population must not depend on the tokenizer")
+    assert(got.exists { case (k, g) => ws(k)._1 != g._2 },
+      "no thread changed token weight under BPE")
+    assert(got.exists { case (k, g) =>
+      ws(k)._2 != g._3 || ws(k)._3 != g._4 },
+      "no assignment moved under BPE weights")
+  }
+
   test("q204 delivery card is consistent with its parts (q200/q201/" +
       "q202) and every column is non-vacuous") {
     val B = 512L
