@@ -302,14 +302,7 @@ object SftAssembly {
       "threadPacking: day index outside [0, 10^6) or negative " +
         "user_id — the user*10^6+day packed key cannot represent " +
         "it; re-key before packing")
-    val keyed = valid.select(
-        (col("user_id") * 1000000L + col("day")).as("id"),
-        lit("sft").as("grp"),
-        col("n_turns").cast("long").as("n"),
-        md5(concat(col("user_id").cast("string"), lit(":"),
-          col("day").cast("string")).cast("binary")).as("h"))
-      .as[(Long, String, Long, String)]
-    Curate.prefixSumsOf(keyed)
+    Curate.prefixSumsOf(keyedThreadsOf(valid, "n_turns"))
       .select(expr("id div 1000000").as("user_id"),
         (col("id") % 1000000L).as("day"),
         col("n").cast("int").as("n_turns"),
@@ -344,6 +337,25 @@ object SftAssembly {
          before // $PackSeqTurns AS seq_id,
          before % $PackSeqTurns AS seq_offset
        FROM p ORDER BY user_id, day"""
+
+  /** The packed thread key every prefix-sum packing feeds to
+    * [[Curate.prefixSumsOf]] — id = user·10⁶ + day, one 'sft' group,
+    * md5("user:day") hash order, weight from `weightCol` — ONE
+    * definition (q198/q200/q205 all order by it; a fork in the key or
+    * hash at one site would silently fork the packing order the
+    * oracles pin). */
+  private def keyedThreadsOf(items: DataFrame, weightCol: String)
+      : org.apache.spark.sql.Dataset[(Long, String, Long, String)] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(
+        (col("user_id") * 1000000L + col("day")).as("id"),
+        lit("sft").as("grp"),
+        col(weightCol).cast("long").as("n"),
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("day").cast("string")).cast("binary")).as("h"))
+      .as[(Long, String, Long, String)]
+  }
 
   /** Token capacity of the REGISTERED q200 pair — interpolated into
     * [[tokenPackingOracle]] so engine and oracle cannot diverge when
@@ -390,14 +402,20 @@ object SftAssembly {
   private def docTokens(spark: SparkSession,
       dir: String): (DataFrame, Long) =
     graft.SessionMemo(spark, s"sft-doctokens:$dir") {
-      val docs = Tables(spark, dir, "documents")
-      // one bounded scalar: the modulus of the fixture's turn→text key
-      val nDocs = docs.count()
-      require(nDocs > 0, "docTokens: empty documents table")
-      (docs.select(col("doc_id"),
+      (Tables(spark, dir, "documents").select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
         .localCheckpoint(),
-        nDocs)
+        nDocsOf(spark, dir))
+    }
+
+  /** The turn→text key modulus, memoized on its own: q206 needs only
+    * the scalar, and must not force the whitespace token projection
+    * to get it. */
+  private def nDocsOf(spark: SparkSession, dir: String): Long =
+    graft.SessionMemo(spark, s"sft-ndocs:$dir") {
+      val n = Tables(spark, dir, "documents").count()
+      require(n > 0, "docTokens: empty documents table")
+      n
     }
 
   /** The memoized q200 packing the composed delivery queries
@@ -438,14 +456,7 @@ object SftAssembly {
       .groupBy(col("user_id"), col("day"))
       .agg(sum(col("toks")).as("n_tokens"))
     val items = valid.join(threadTokens, Seq("user_id", "day"))
-    val keyed = items.select(
-        (col("user_id") * 1000000L + col("day")).as("id"),
-        lit("sft").as("grp"),
-        col("n_tokens").as("n"),
-        md5(concat(col("user_id").cast("string"), lit(":"),
-          col("day").cast("string")).cast("binary")).as("h"))
-      .as[(Long, String, Long, String)]
-    Curate.prefixSumsOf(keyed)
+    Curate.prefixSumsOf(keyedThreadsOf(items, "n_tokens"))
       .select(expr("id div 1000000").as("user_id"),
         (col("id") % 1000000L).as("day"),
         col("n").as("n_tokens"),
@@ -729,8 +740,9 @@ object SftAssembly {
     * AND token weight) keeps its exact (seq_id, seq_offset); every
     * other thread of the current full packing population — new
     * threads, and threads whose late turns changed their weight — is
-    * packed into fresh TAIL sequences starting after the last frozen
-    * sequence, under the same hash-ordered prefix-sum rule. Residual
+    * packed into fresh TAIL sequences starting past the sequence
+    * holding the last previously exported byte, under the same
+    * hash-ordered prefix-sum rule. Residual
     * churn is therefore bounded by the changed/invalidated threads
     * (the spec pins it), not the whole export; the stale copies
     * inside frozen sequences are superseded by the tail re-exports,
@@ -758,24 +770,21 @@ object SftAssembly {
         col("p.seq_id").as("seq_id"),
         col("p.seq_offset").as("seq_offset"),
         lit(true).as("frozen"))
-    // the tail base: one past the last PREVIOUSLY EXPORTED sequence
-    // (not the last frozen one — a frozen export's final sequence may
-    // hold a since-invalidated thread, and appending into it would
-    // overwrite shipped bytes). Bounded scalar over the packing frame.
-    val base = prev.agg(max(col("seq_id"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1L
+    // the tail base: one past the sequence containing the last
+    // PREVIOUSLY EXPORTED BYTE. Not max(seq_id)+1 — seq_id is a
+    // thread's START sequence, and the hash-order-last thread may
+    // straddle boundaries, so its bytes occupy sequences past its
+    // seq_id; the last exported byte sits at (Σ prev n_tokens) − 1.
+    // And not the last FROZEN sequence — a frozen export's final
+    // sequence may hold a since-invalidated thread, and appending
+    // into it would overwrite shipped bytes. Bounded scalar.
+    val base = prev.agg(sum(col("n_tokens"))).collect()(0) match {
+      case r if r.isNullAt(0) || r.getLong(0) == 0L => 0L
+      case r => (r.getLong(0) - 1L) / budget + 1L
     }
     val appended = full.join(frozen.select(col("user_id"), col("day")),
       Seq("user_id", "day"), "left_anti")
-    val keyed = appended.select(
-        (col("user_id") * 1000000L + col("day")).as("id"),
-        lit("sft").as("grp"),
-        col("n_tokens").as("n"),
-        md5(concat(col("user_id").cast("string"), lit(":"),
-          col("day").cast("string")).cast("binary")).as("h"))
-      .as[(Long, String, Long, String)]
-    val tail = Curate.prefixSumsOf(keyed)
+    val tail = Curate.prefixSumsOf(keyedThreadsOf(appended, "n_tokens"))
       .select(expr("id div 1000000").as("user_id"),
         (col("id") % 1000000L).as("day"),
         (lit(base) + expr(s"before div $budget")).as("seq_id"),
@@ -797,7 +806,9 @@ object SftAssembly {
          FROM pa JOIN pb ON pb.user_id = pa.user_id
            AND pb.day = pa.day AND pb.n_turns = pa.n_turns
            AND pb.n_tokens = pa.n_tokens),
-       base AS (SELECT COALESCE(max(seq_id) + 1, 0) AS b FROM pa),
+       base AS (SELECT CASE WHEN COALESCE(sum(n_tokens), 0) = 0 THEN 0
+           ELSE (CAST(sum(n_tokens) AS BIGINT) - 1)
+             // $PackTokenBudget + 1 END AS b FROM pa),
        ap AS (SELECT pb.user_id, pb.day, pb.n_turns, pb.n_tokens,
            pb.user_id * 1000000 + pb.day AS id,
            md5(CAST(pb.user_id AS VARCHAR) || ':' ||
@@ -842,7 +853,7 @@ object SftAssembly {
     }
     // the whitespace token table is NOT read — only the turn→text
     // modulus is shared with q200 (same memoized scalar)
-    val (_, nDocs) = docTokens(spark, dir)
+    val nDocs = nDocsOf(spark, dir)
     val ranks = Bpe.trainFor(spark, dir, 16)
       .map { case (l, r, _) => (l, r) }
     val toks = Tables(spark, dir, "documents").select(col("doc_id"),
@@ -1000,8 +1011,8 @@ object SftAssembly {
         // while DuckDB `// 0` raises — both ppm columns pin 0 instead,
         // on BOTH engines
         expr(s"CASE WHEN n_sequences = 0 THEN CAST(0 AS BIGINT) " +
-          s"ELSE total_tokens * 1000000 div (n_sequences * $budget) " +
-          "END").as("fill_ppm"),
+          s"ELSE COALESCE(total_tokens, 0) * 1000000 " +
+          s"div (n_sequences * $budget) END").as("fill_ppm"),
         expr("CASE WHEN sum_positions IS NULL OR sum_positions = 0 " +
           "THEN CAST(0 AS BIGINT) " +
           "ELSE sum_trainable * 1000000 div sum_positions END")

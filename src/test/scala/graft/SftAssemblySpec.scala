@@ -404,9 +404,15 @@ class SftAssemblySpec extends SparkSpecBase {
       assert((got(k)._3, got(k)._4) == ((prev(k)._3, prev(k)._4)),
         s"frozen thread $k moved")
     }
-    // appended threads sit strictly after the previous export's
-    // high-water sequence — shipped bytes are never overwritten
-    val base = prev.values.map(_._3).max + 1
+    // appended threads sit strictly past the sequence holding the
+    // LAST EXPORTED BYTE — not max(seq_id)+1, which a straddling
+    // hash-order-last thread would make too small, overwriting
+    // shipped bytes
+    val prevTokens = prev.values.map(_._2).sum
+    val base = (prevTokens - 1) / B + 1
+    // the first appended thread (hash order, before = 0) must land
+    // EXACTLY at the byte-rule base — pins the engine's base formula
+    assert(got.filterNot(_._2._5).values.map(_._3).min == base)
     got.filterNot(_._2._5).foreach { case (k, g) =>
       assert(g._3 >= base, s"appended thread $k landed at ${g._3} " +
         s"inside the frozen range [0, $base)")
