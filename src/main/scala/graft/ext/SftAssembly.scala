@@ -755,10 +755,16 @@ object SftAssembly {
     * guard); one bounded scalar (the frozen high-water sequence).
     * ORDER BY = oracle determinism only. */
   def appendPacking(spark: SparkSession, dir: String,
-      budget: Long = PackTokenBudget): DataFrame = {
-    import spark.implicits._
-    val prev = prevPackedMemo(spark, dir, budget)
-    val full = packedMemo(spark, dir, budget)
+      budget: Long = PackTokenBudget): DataFrame =
+    appendPackingOf(prevPackedMemo(spark, dir, budget),
+      packedMemo(spark, dir, budget), budget)
+
+  /** The q205 core over any two q200-shaped packings — ONE definition
+    * for the batch query (both sides memoized) and the streaming
+    * snapshot (prev = the SHIPPED export artifact, supplied config;
+    * full = the snapshot packing). */
+  private[graft] def appendPackingOf(prev: DataFrame, full: DataFrame,
+      budget: Long): DataFrame = {
     val frozen = prev.as("p").join(full.as("f"),
         col("p.user_id") === col("f.user_id") &&
           col("p.day") === col("f.day") &&

@@ -165,6 +165,20 @@ object StreamingSft {
       turns, budget)
   }
 
+  /** q205 over the streamed state: stability-preserving incremental
+    * packing — the MOST streaming-natural delivery operator: the
+    * shipped export's packing (`prevPacked`, a supplied artifact
+    * exactly like the token table — the stream never re-derives what
+    * was already delivered) stays frozen, and the snapshot's
+    * new/changed threads pack into tail sequences past the last
+    * shipped byte, through the SAME
+    * [[graft.ext.SftAssembly.appendPackingOf]] core as batch. */
+  def snapshotAppendPacking(spark: SparkSession, outDir: String,
+      prevPacked: DataFrame, toks: DataFrame, nDocs: Long,
+      budget: Long): DataFrame =
+    graft.ext.SftAssembly.appendPackingOf(prevPacked,
+      snapshotTokenPacking(spark, outDir, toks, nDocs, budget), budget)
+
   /** Start the turn-index sink over a streaming (event_id, user_id,
     * us, event_type, value) frame. */
   def start(events: DataFrame, outDir: String,

@@ -170,6 +170,57 @@ class StreamingSftSpec extends SparkSpecBase {
     }
   }
 
+  test("q205 append-packing snapshot freezes the shipped artifact's " +
+      "slots while plain repacking moves them, and packs the late " +
+      "thread past the last shipped byte") {
+    val toks = Seq((0L, 3L), (1L, 5L), (2L, 2L), (3L, 7L), (4L, 4L))
+      .toDF("doc_id", "toks")
+    val nDocs = 5L
+    val budget = 8L
+    // same scenario as the q200 test: user 5's late thread hash-sorts
+    // BEFORE user 1's shipped thread
+    val a: Seq[Turn] = Seq((100L, 1L, 1000L, "click", 5.0),
+      (101L, 1L, 2000L, "error", 9.0))
+    val b: Seq[Turn] = Seq((500L, 5L, 1000L, "click", 1.0),
+      (501L, 5L, 2000L, "purchase", 2.0))
+    val out = tmp()
+    push(out, 0L, a)
+    // the shipped export: materialized NOW (localCheckpoint) — a lazy
+    // frame would silently re-derive over the grown index
+    val prevPacked = StreamingSft.snapshotTokenPacking(
+      spark, out, toks, nDocs, budget).localCheckpoint()
+    push(out, 1L, b)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val got = StreamingSft.snapshotAppendPacking(
+        spark, out, prevPacked, toks, nDocs, budget).collect()
+      .map(r => (key(r), r.getBoolean(6))).toSet
+    // equals the batch core over (shipped artifact, union packing)
+    val turnCols = SftAssembly.turnColumnsOf(
+      turnsDf(a ++ b).select(col("user_id"), col("us"), col("event_id"),
+        col("event_type")))
+    val fullPacked = SftAssembly.tokenPackingOf(
+      SftAssembly.conversationThreadsOf(turnCols), turnCols,
+      toks, nDocs, budget)
+    val want = SftAssembly.appendPackingOf(prevPacked, fullPacked,
+        budget).collect().map(r => (key(r), r.getBoolean(6))).toSet
+    assert(got == want && got.nonEmpty)
+    // user 1's unchanged thread: plain repacking moved it (pinned by
+    // the q200 test above), append mode keeps the SHIPPED slot
+    val shippedU1 = prevPacked.collect().map(key).filter(_._1 == 1L)
+    assert(shippedU1.nonEmpty)
+    assert(got.filter(_._1._1 == 1L) ==
+      shippedU1.map(k => (k, true)).toSet)
+    // user 5's new thread is appended, past the last shipped byte
+    val shippedTokens = prevPacked.collect().map(r => r.getLong(3)).sum
+    val base = (shippedTokens - 1) / budget + 1
+    val u5 = got.filter(_._1._1 == 5L)
+    assert(u5.nonEmpty && u5.forall { case (k, frozen) =>
+      !frozen && k._5 >= base
+    })
+  }
+
   test("a re-delivered event supersedes latest-wins: the corrected " +
       "reward flips the preference pair") {
     val out = tmp()
