@@ -380,7 +380,9 @@ object SparkEntry {
     "q205_append_packing" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.appendPacking(s, d)),
     "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.bpeTokenPacking(s, d))
+      graft.ext.SftAssembly.bpeTokenPacking(s, d)),
+    "q207_append_churn" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.appendChurn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -710,6 +712,7 @@ object SparkEntry {
       graft.ext.SftAssembly.deliveryReleaseCardOracle,
     "q205_append_packing" -> graft.ext.SftAssembly.appendPackingOracle,
     "q206_bpe_token_packing" ->
-      graft.ext.SftAssembly.bpeTokenPackingOracle
+      graft.ext.SftAssembly.bpeTokenPackingOracle,
+    "q207_append_churn" -> graft.ext.SftAssembly.appendChurnOracle
   )
 }

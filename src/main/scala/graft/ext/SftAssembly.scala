@@ -878,6 +878,77 @@ object SftAssembly {
          seq_id, seq_offset
        FROM p ORDER BY user_id, day"""
 
+  /** q207: the APPEND-MODE churn audit — q203's honesty row for the
+    * fixed exporter: under [[appendPacking]], how much of the previous
+    * export actually moves. One row: the two populations, the frozen
+    * count, the split of re-exports into genuinely new vs
+    * weight-changed threads, and the residual churn in exact ppm of
+    * the previous export — the number that q203 pins at 1000000 ppm
+    * for hash-ordered full re-packing and that append mode bounds by
+    * the changed/invalidated threads alone. Pure frame-level
+    * accounting: frozen-eligibility is a (n_turns, n_tokens) equality
+    * on the two thread frames (appendPackingOf freezes exactly that
+    * set — q205's oracle pins the assignments themselves), so no
+    * prefix sums run here at all.
+    *
+    * Scale: two memoized thread-sized packings, one full-outer join on
+    * thread keys, one aggregate row. ORDER BY unnecessary (one row). */
+  def appendChurn(spark: SparkSession, dir: String,
+      budget: Long = PackTokenBudget): DataFrame = {
+    val prev = prevPackedMemo(spark, dir, budget)
+      .select(col("user_id"), col("day"), lit(true).as("in_prev"),
+        col("n_turns").as("pt"), col("n_tokens").as("pn"))
+    val full = packedMemo(spark, dir, budget)
+      .select(col("user_id"), col("day"), lit(true).as("in_full"),
+        col("n_turns").as("ft"), col("n_tokens").as("fn"))
+    prev.join(full, Seq("user_id", "day"), "full_outer")
+      .agg(
+        sum(when(col("in_prev"), 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("in_full"), 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("in_prev") && col("in_full") &&
+          col("pt") === col("ft") && col("pn") === col("fn"), 1L)
+          .otherwise(0L)).as("n_frozen"),
+        sum(when(col("in_full") && col("in_prev").isNull, 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("in_prev") && col("in_full") &&
+          !(col("pt") === col("ft") && col("pn") === col("fn")), 1L)
+          .otherwise(0L)).as("n_changed"))
+      .withColumn("residual_churn_ppm", expr(
+        "CASE WHEN n_prev = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_prev - n_frozen) * 1000000 div n_prev END"))
+  }
+
+  val appendChurnOracle: String =
+    s"""WITH $docTokensSql,
+       ${packingChainSql("a", s" WHERE event_id % $ChurnHoldoutMod <> 0")},
+       ${packingChainSql("b", "")},
+       j AS (SELECT pa.user_id AS pu, pa.n_turns AS pt,
+           pa.n_tokens AS pn, pb.user_id AS fu, pb.n_turns AS ft,
+           pb.n_tokens AS fn
+         FROM pa FULL OUTER JOIN pb
+           ON pb.user_id = pa.user_id AND pb.day = pa.day)
+       SELECT
+         CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_prev,
+         CAST(sum(CASE WHEN fu IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_full,
+         CAST(sum(CASE WHEN pu IS NOT NULL AND fu IS NOT NULL
+           AND pt = ft AND pn = fn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_frozen,
+         CAST(sum(CASE WHEN fu IS NOT NULL AND pu IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN pu IS NOT NULL AND fu IS NOT NULL
+           AND NOT (pt = ft AND pn = fn) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CASE WHEN sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END) = 0
+           THEN CAST(0 AS BIGINT)
+           ELSE CAST((sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
+               - sum(CASE WHEN pu IS NOT NULL AND fu IS NOT NULL
+                 AND pt = ft AND pn = fn THEN 1 ELSE 0 END)) AS BIGINT)
+             * 1000000 // CAST(sum(CASE WHEN pu IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) END AS residual_churn_ppm
+       FROM j"""
+
   /** One parameterized copy of the TOKEN-packing oracle chain (CTE
     * suffix + turn predicate) — the q188 two-centroid-set convention
     * widened to the whole delivery family: q200/q201/q202 instantiate

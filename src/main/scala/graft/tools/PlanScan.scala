@@ -25,6 +25,29 @@ object PlanScan {
   private val KnownGlobalWin = Set(
     "q06_dim_numbering", "q59_temperature_mixture")
 
+  /** Adjudicated, deliberate cartesian/nested-loop join sites
+    * (judge-priced each round until now; this makes the count a
+    * machine check). Every entry is a BroadcastNestedLoopJoin whose
+    * build side is bounded by construction, never by the corpus:
+    * 1-row aggregates (q04's high-water max, q15's scalar-subquery
+    * avg, q87/q111's profile stats, q117's sketch row), k-row
+    * constants (q45's 4-row interval dimension — documented at the
+    * site as the right plan for interval dims; q118's mixture
+    * weights), or the priced recall ground truth (q183, the q199
+    * convention). A NEW cartesian or nested-loop join anywhere else
+    * is a scale killer and fails the scan. Discovered by this tool's
+    * own first runs (round 16); q199's priced exact side and q204's
+    * 1-row card chain flag only on some runs (the physical join pick
+    * depends on the memoized checkpoint's size estimate), so the
+    * adjudicated sites are listed regardless. The remaining 1-row
+    * crossJoin chains (q81/q174/q178/q184/q191) optimize to
+    * single-partition joins and never plan a nested loop. */
+  private val KnownCrossJoin: Set[String] = Set(
+    "q04_highwater", "q15_subquery_avg", "q45_range_join",
+    "q87_profile", "q111_profile_drift", "q117_cms_frequency",
+    "q118_mixture_schedule", "q183_ivf_recall",
+    "q199_semantic_recall", "q204_delivery_card")
+
   def main(args: Array[String]): Unit = {
     val dir =
       if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -35,6 +58,7 @@ object PlanScan {
     spark.sparkContext.setLogLevel("ERROR")
     var nSort = 0
     var nWin = 0
+    var nCross = 0
     var nErr = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
@@ -55,6 +79,16 @@ object PlanScan {
           nWin += 1
           println(s"GLOBALWIN $n")
         }
+        // cartesian / nested-loop joins: every legitimate site is a
+        // bounded (1-row / benchmark-sized) broadcast or a priced
+        // audit; anything new is a scale killer
+        val planStr = qe.executedPlan.toString
+        val cross = planStr.contains("CartesianProduct") ||
+          planStr.contains("BroadcastNestedLoopJoin")
+        if (cross && !KnownCrossJoin(n)) {
+          nCross += 1
+          println(s"CROSSJOIN $n")
+        }
       } catch {
         case e: Throwable =>
           nErr += 1
@@ -62,11 +96,13 @@ object PlanScan {
       }
     }
     println(s"[planscan] unexpected SortAggregate: $nSort, " +
-      s"unexpected global windows: $nWin, errors: $nErr " +
+      s"unexpected global windows: $nWin, " +
+      s"unexpected cross joins: $nCross, errors: $nErr " +
       s"(known deliberate: ${KnownSortAgg.size} SortAggregate, " +
-      s"${KnownGlobalWin.size} global windows)")
+      s"${KnownGlobalWin.size} global windows, " +
+      s"${KnownCrossJoin.size} cross joins)")
     spark.stop()
     // machine-visible gate: a script/CI wrapper must see findings fail
-    if (nSort + nWin + nErr > 0) sys.exit(1)
+    if (nSort + nWin + nCross + nErr > 0) sys.exit(1)
   }
 }

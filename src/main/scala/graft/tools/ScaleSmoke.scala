@@ -379,7 +379,9 @@ object ScaleSmoke {
       "q205_append_packing" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.appendPacking(s, d)),
       "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.bpeTokenPacking(s, d))
+        graft.ext.SftAssembly.bpeTokenPacking(s, d)),
+      "q207_append_churn" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.appendChurn(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

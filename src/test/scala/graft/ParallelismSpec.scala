@@ -104,7 +104,8 @@ class ParallelismSpec extends SparkSpecBase {
     "q204_delivery_card",
     // round-16: incremental packing freezes prev slots, repacks the rest;
     // BPE packing swaps the token table under the same chain
-    "q205_append_packing", "q206_bpe_token_packing")
+    "q205_append_packing", "q206_bpe_token_packing",
+    "q207_append_churn")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -436,6 +436,52 @@ class SftAssemblySpec extends SparkSpecBase {
       "no new thread on the fixture")
   }
 
+  test("q207 append-churn audit equals a local frame replay and pins " +
+      "the side-by-side: append-mode residual churn is a minority " +
+      "while q203's full-repack churn is total") {
+    val docToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nDocs = docToks.size.toLong
+    // thread → (n_turns, n_tokens) for an event subset (no packing
+    // needed: q207 is frame-level accounting)
+    def threadsOf(es: Seq[(Long, Long, Long, String, Double)])
+        : Map[(Long, Long), (Int, Long)] =
+      es.groupBy(e => (e._1, e._2 / 86400000000L)).toSeq
+        .filter { case (_, ts) =>
+          val roles = ts.sortBy(t => (t._2, t._3)).map(t => role(t._4))
+          roles.head == "user" &&
+            roles.zip(roles.drop(1)).forall { case (a, b) => a != b }
+        }
+        .map { case (k, ts) =>
+          k -> ((ts.size, ts.map(t => docToks(t._3 % nDocs)).sum))
+        }.toMap
+    val prev = threadsOf(events.filter(_._3 % 8 != 0))
+    val full = threadsOf(events)
+    val frozen = prev.keySet.filter(k =>
+      full.get(k).contains(prev(k)))
+    val nNew = full.keySet.count(k => !prev.contains(k))
+    val nChanged = full.keySet.count(k =>
+      prev.contains(k) && full(k) != prev(k))
+    val r = SftAssembly.appendChurn(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == prev.size && r.getLong(1) == full.size)
+    assert(r.getLong(2) == frozen.size)
+    assert(r.getLong(3) == nNew && r.getLong(4) == nChanged)
+    val wantResidual =
+      (prev.size - frozen.size).toLong * 1000000L / prev.size
+    assert(r.getLong(5) == wantResidual)
+    // the audit's reason to exist: append mode keeps a majority of the
+    // shipped export while full re-packing (q203) churns ALL of it on
+    // this fixture
+    val fullChurn =
+      SftAssembly.packingChurn(spark, sf0001).collect()(0).getLong(5)
+    assert(wantResidual < 500000L && fullChurn == 1000000L,
+      s"side-by-side broke: residual $wantResidual vs full $fullChurn")
+    // every column non-vacuous
+    assert(frozen.nonEmpty && nNew > 0 && nChanged > 0 &&
+      wantResidual > 0)
+  }
+
   test("q206 BPE-budget packing equals the q200 replay with q83's " +
       "token counts swapped in, and genuinely repacks (BPE weights " +
       "move cut points vs whitespace weights)") {
