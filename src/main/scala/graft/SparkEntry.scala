@@ -382,7 +382,9 @@ object SparkEntry {
     "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.bpeTokenPacking(s, d)),
     "q207_append_churn" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.appendChurn(s, d))
+      graft.ext.SftAssembly.appendChurn(s, d)),
+    "q208_budget_sweep" -> ((s: SparkSession, d: String) =>
+      graft.ext.SftAssembly.packingBudgetSweep(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,6 +715,8 @@ object SparkEntry {
     "q205_append_packing" -> graft.ext.SftAssembly.appendPackingOracle,
     "q206_bpe_token_packing" ->
       graft.ext.SftAssembly.bpeTokenPackingOracle,
-    "q207_append_churn" -> graft.ext.SftAssembly.appendChurnOracle
+    "q207_append_churn" -> graft.ext.SftAssembly.appendChurnOracle,
+    "q208_budget_sweep" ->
+      graft.ext.SftAssembly.packingBudgetSweepOracle
   )
 }

@@ -949,6 +949,73 @@ object SftAssembly {
                THEN 1 ELSE 0 END) AS BIGINT) END AS residual_churn_ppm
        FROM j"""
 
+  /** Candidate budgets of the REGISTERED q208 sweep. */
+  private val SweepBudgets = Seq(128L, 256L, 512L, 1024L)
+
+  /** q208: the packing BUDGET SWEEP — the artifact an exporter reads
+    * to pick the shipped window size: per candidate budget, how many
+    * training sequences the corpus cuts into, how many thread
+    * placements straddle a boundary (attention-mask fragmentation),
+    * and the overall fill ppm (padding waste, final partial sequence
+    * included — the honest number). The key insight making this one
+    * pass instead of |budgets| packings: a thread's running-token
+    * offset (`before` = seq_id·B + seq_offset of the q200 packing) is
+    * BUDGET-INDEPENDENT — the hash order and token weights fix it —
+    * so every candidate budget is a different straddle-split of the
+    * SAME offsets, and the q200 memo supplies them.
+    *
+    * Scale: one narrow double-explode bounded by |budgets| ×
+    * (n_threads + total_tokens/B) rows off the memoized packing, one
+    * 4-group aggregate; no join at all (the budget axis is an
+    * exploded literal, not a cross join). ORDER BY = determinism
+    * (budget is the key). */
+  def packingBudgetSweep(spark: SparkSession, dir: String): DataFrame = {
+    val B = PackTokenBudget
+    packedMemo(spark, dir, B)
+      .filter(col("n_tokens") > 0)
+      .select(
+        (col("seq_id") * B + col("seq_offset")).as("start"),
+        (col("seq_id") * B + col("seq_offset") + col("n_tokens"))
+          .as("fin"))
+      .withColumn("budget", explode(typedLit(SweepBudgets)))
+      .select(col("budget"), col("start"), col("fin"),
+        explode(expr("sequence(start div budget, " +
+          "(fin - 1) div budget)")).as("seq_id"))
+      .groupBy(col("budget"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_sequences"),
+        sum(when(col("start") >= col("seq_id") * col("budget") &&
+            col("fin") <= (col("seq_id") + 1) * col("budget"), 0L)
+          .otherwise(1L)).as("n_straddles"),
+        sum(least(col("fin"), (col("seq_id") + 1) * col("budget")) -
+          greatest(col("start"), col("seq_id") * col("budget")))
+          .as("_tokens"))
+      .withColumn("fill_ppm",
+        expr("_tokens * 1000000 div (n_sequences * budget)"))
+      .select(col("budget"), col("n_sequences"), col("n_straddles"),
+        col("fill_ppm"))
+      .orderBy(col("budget"))
+  }
+
+  val packingBudgetSweepOracle: String =
+    s"""WITH $docTokensSql,
+       ${packingChainSql("", "")},
+       bl AS (SELECT unnest([${SweepBudgets.mkString(", ")}]) AS b),
+       x AS (SELECT bl.b, p.before AS start,
+           p.before + p.n_tokens AS fin,
+           unnest(generate_series(p.before // bl.b,
+             (p.before + p.n_tokens - 1) // bl.b)) AS seq_id
+         FROM p CROSS JOIN bl WHERE p.n_tokens > 0)
+       SELECT CAST(b AS BIGINT) AS budget,
+         CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+         CAST(sum(CASE WHEN start >= seq_id * b
+             AND fin <= (seq_id + 1) * b THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_straddles,
+         CAST(sum(least(fin, (seq_id + 1) * b) -
+           greatest(start, seq_id * b)) AS BIGINT) * 1000000
+           // (count(DISTINCT seq_id) * b) AS fill_ppm
+       FROM x GROUP BY b ORDER BY budget"""
+
   /** One parameterized copy of the TOKEN-packing oracle chain (CTE
     * suffix + turn predicate) — the q188 two-centroid-set convention
     * widened to the whole delivery family: q200/q201/q202 instantiate

@@ -381,7 +381,9 @@ object ScaleSmoke {
       "q206_bpe_token_packing" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.bpeTokenPacking(s, d)),
       "q207_append_churn" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.appendChurn(s, d))
+        graft.ext.SftAssembly.appendChurn(s, d)),
+      "q208_budget_sweep" -> ((s: SparkSession, d: String) =>
+        graft.ext.SftAssembly.packingBudgetSweep(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

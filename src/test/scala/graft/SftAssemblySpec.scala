@@ -531,6 +531,36 @@ class SftAssemblySpec extends SparkSpecBase {
       "no assignment moved under BPE weights")
   }
 
+  test("q208 budget sweep: each row equals the per-budget manifest " +
+      "rollup, and the tradeoff curve is real (fewer sequences and " +
+      "fewer straddle placements as the budget grows)") {
+    val rows = SftAssembly.packingBudgetSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(128L, 256L, 512L, 1024L))
+    // consistency: every sweep row must equal a full per-budget
+    // packing + manifest rollup through the registered cores (the
+    // sweep's budget-independent-offset shortcut vs the long way)
+    rows.foreach { case (b, nSeq, nStr, fill) =>
+      val manifest = SftAssembly.sequenceManifest(spark, sf0001, b)
+        .collect()
+      assert(nSeq == manifest.length, s"budget $b n_sequences")
+      assert(nStr == manifest.map(m => m.getLong(1) - m.getLong(2)).sum,
+        s"budget $b n_straddles")
+      val total = manifest.map(_.getLong(3)).sum
+      assert(fill == total * 1000000L / (manifest.length * b),
+        s"budget $b fill_ppm")
+    }
+    // the curve the artifact exists to show: a bigger window means
+    // fewer sequences and fewer boundary crossings; every fill is in
+    // (0, 1000000] with the final partial sequence included
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+    assert(rows.forall(r => r._4 > 0 && r._4 <= 1000000L))
+    assert(rows.map(_._3).distinct.size > 1,
+      "straddle counts must actually differ across budgets")
+  }
+
   test("q204 delivery card is consistent with its parts (q200/q201/" +
       "q202) and every column is non-vacuous") {
     val B = 512L
