@@ -529,13 +529,23 @@ object SftAssembly {
         expr(s"n_tokens_used * 1000000 div $budget"))
       .orderBy(col("seq_id"))
 
+  /** The straddle-split CTE over the packing `p` — one row per
+    * (thread, touched sequence) with the thread's absolute [start,
+    * fin) token span, for budget expression `budgetExpr`. ONE
+    * definition of the split rule q201/q204/q208 share (`extraSel` /
+    * `from` widen it to q208's budget axis). */
+  private def straddleSplitSql(budgetExpr: String,
+      extraSel: String = "", from: String = "p"): String =
+    s"""x AS (SELECT ${extraSel}p.before AS start,
+           p.before + p.n_tokens AS fin,
+           unnest(generate_series(p.before // $budgetExpr,
+             (p.before + p.n_tokens - 1) // $budgetExpr)) AS seq_id
+         FROM $from WHERE p.n_tokens > 0)"""
+
   val sequenceManifestOracle: String =
     s"""WITH $docTokensSql,
        ${packingChainSql("", "")},
-       x AS (SELECT before AS start, before + n_tokens AS fin,
-           unnest(generate_series(before // $PackTokenBudget,
-             (before + n_tokens - 1) // $PackTokenBudget)) AS seq_id
-         FROM p WHERE n_tokens > 0)
+       ${straddleSplitSql(PackTokenBudget.toString)}
        SELECT seq_id,
          CAST(count(*) AS BIGINT) AS n_threads,
          CAST(sum(CASE WHEN start >= seq_id * $PackTokenBudget
@@ -949,7 +959,12 @@ object SftAssembly {
                THEN 1 ELSE 0 END) AS BIGINT) END AS residual_churn_ppm
        FROM j"""
 
-  /** Candidate budgets of the REGISTERED q208 sweep. */
+  /** Candidate budgets of the REGISTERED q208 sweep. A divisibility
+    * chain (each divides the next), so every larger budget's
+    * boundaries are a subset of every smaller one's — which makes
+    * n_sequences AND n_straddles monotone in the budget (the spec
+    * pins the curve; a non-dividing candidate like 384 would break
+    * straddle monotonicity without being wrong). */
   private val SweepBudgets = Seq(128L, 256L, 512L, 1024L)
 
   /** q208: the packing BUDGET SWEEP — the artifact an exporter reads
@@ -1001,11 +1016,7 @@ object SftAssembly {
     s"""WITH $docTokensSql,
        ${packingChainSql("", "")},
        bl AS (SELECT unnest([${SweepBudgets.mkString(", ")}]) AS b),
-       x AS (SELECT bl.b, p.before AS start,
-           p.before + p.n_tokens AS fin,
-           unnest(generate_series(p.before // bl.b,
-             (p.before + p.n_tokens - 1) // bl.b)) AS seq_id
-         FROM p CROSS JOIN bl WHERE p.n_tokens > 0)
+       ${straddleSplitSql("bl.b", "bl.b, ", "p CROSS JOIN bl")}
        SELECT CAST(b AS BIGINT) AS budget,
          CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
          CAST(sum(CASE WHEN start >= seq_id * b
@@ -1166,10 +1177,7 @@ object SftAssembly {
   val deliveryReleaseCardOracle: String =
     s"""WITH $docTokensSql,
        ${packingChainSql("", "")},
-       x AS (SELECT before AS start, before + n_tokens AS fin,
-           unnest(generate_series(before // $PackTokenBudget,
-             (before + n_tokens - 1) // $PackTokenBudget)) AS seq_id
-         FROM p WHERE n_tokens > 0),
+       ${straddleSplitSql(PackTokenBudget.toString)},
        m AS (SELECT seq_id,
            sum(CASE WHEN start >= seq_id * $PackTokenBudget
              AND fin <= (seq_id + 1) * $PackTokenBudget

@@ -63,7 +63,8 @@ object PlanScan {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         val qe = fn(spark, dir).queryExecution
-        val sortAgg = qe.executedPlan.toString.contains("SortAggregate")
+        val planStr = qe.executedPlan.toString
+        val sortAgg = planStr.contains("SortAggregate")
         // precise global-window check on the optimized LOGICAL plan
         // (no AQE wrapper games): a Window with an empty partition
         // spec sends every row to one reducer
@@ -82,7 +83,6 @@ object PlanScan {
         // cartesian / nested-loop joins: every legitimate site is a
         // bounded (1-row / benchmark-sized) broadcast or a priced
         // audit; anything new is a scale killer
-        val planStr = qe.executedPlan.toString
         val cross = planStr.contains("CartesianProduct") ||
           planStr.contains("BroadcastNestedLoopJoin")
         if (cross && !KnownCrossJoin(n)) {

@@ -553,7 +553,11 @@ class SftAssemblySpec extends SparkSpecBase {
     }
     // the curve the artifact exists to show: a bigger window means
     // fewer sequences and fewer boundary crossings; every fill is in
-    // (0, 1000000] with the final partial sequence included
+    // (0, 1000000] with the final partial sequence included.
+    // Monotone straddles rely on SweepBudgets being a divisibility
+    // chain (larger budgets' boundaries ⊆ smaller ones') — documented
+    // at the constant; with a non-dividing candidate only n_sequences
+    // would stay monotone
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
     assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
     assert(rows.forall(r => r._4 > 0 && r._4 <= 1000000L))
