@@ -384,7 +384,9 @@ object SparkEntry {
     "q207_append_churn" -> ((s: SparkSession, d: String) =>
       graft.ext.SftAssembly.appendChurn(s, d)),
     "q208_budget_sweep" -> ((s: SparkSession, d: String) =>
-      graft.ext.SftAssembly.packingBudgetSweep(s, d))
+      graft.ext.SftAssembly.packingBudgetSweep(s, d)),
+    "q209_mixture_execute" -> ((s: SparkSession, d: String) =>
+      Curate.mixtureExecute(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,6 +719,7 @@ object SparkEntry {
       graft.ext.SftAssembly.bpeTokenPackingOracle,
     "q207_append_churn" -> graft.ext.SftAssembly.appendChurnOracle,
     "q208_budget_sweep" ->
-      graft.ext.SftAssembly.packingBudgetSweepOracle
+      graft.ext.SftAssembly.packingBudgetSweepOracle,
+    "q209_mixture_execute" -> Curate.mixtureExecuteOracle()
   )
 }

@@ -1536,8 +1536,12 @@ object Curate {
       .orderBy(col("source"))
   }
 
-  def mixtureScheduleOracle(budget: Long = 1000000L): String =
-    s"""WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  /** The q118 schedule chain (per-source token counts → √-flattened
+    * shares → integer token targets), exposing `a(source, n_docs,
+    * n_tokens, sqrt_micro, target_tokens)` — ONE definition shared by
+    * the schedule oracle (q118) and its execution oracle (q209). */
+  private def mixtureScheduleCtes(budget: Long): String =
+    s"""t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
              AS BIGINT) AS n_tokens
          FROM documents GROUP BY 1),
@@ -1545,10 +1549,92 @@ object Curate {
            AS BIGINT) AS sqrt_micro FROM t),
        tot AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS tot FROM s),
        a AS (SELECT s.*, ($budget * sqrt_micro) // tot AS target_tokens
-         FROM s CROSS JOIN tot)
+         FROM s CROSS JOIN tot)"""
+
+  def mixtureScheduleOracle(budget: Long = 1000000L): String =
+    s"""WITH ${mixtureScheduleCtes(budget)}
        SELECT source, n_docs, n_tokens, sqrt_micro, target_tokens,
          (target_tokens * 1000000) // n_tokens AS epochs_ppm
        FROM a ORDER BY source"""
+
+  /** q209: mixture-schedule EXECUTION — materialize q118's plan: per
+    * source, admit documents in the deterministic [[sampleHash]]
+    * order until the source's token target is met (admit while the
+    * running total `before` < target, so the one boundary document
+    * straddling the target is included — overshoot is bounded by a
+    * single document). The per-source rollup an export run logs next
+    * to the schedule: admitted docs/tokens and the achieved fill.
+    * An UPSAMPLED source (epochs_ppm > 10⁶) saturates — every doc
+    * admitted, fill < 10⁶ — which is exactly the signal that the
+    * loader must repeat it; single-pass admission cannot (and must
+    * not silently pretend to) multiply data.
+    *
+    * Scale: the running totals are [[prefixSumsOf]] with source as
+    * the group (its designed use — NO per-source global window on the
+    * engine side); the schedule is a source-count-sized broadcast;
+    * one map-side-combinable rollup. ORDER BY = oracle determinism
+    * only. */
+  def mixtureExecute(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    // the schedule is q118's registered output → q118 derives fresh,
+    // the composed execution reads the memo (the house convention)
+    val sched = graft.SessionMemo(spark,
+        s"mixture-schedule:$dir:$budget") {
+      mixtureSchedule(spark, dir, budget).localCheckpoint()
+    }
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .+(1L).as("toks"),
+        sampleHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long, String)]
+    val admitted = prefixSumsOf(keyed)
+      .join(broadcast(sched.select(col("source").as("grp"),
+        col("target_tokens"))), Seq("grp"))
+      .filter(col("before") < col("target_tokens"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n")).as("admitted_tokens"))
+      .withColumnRenamed("grp", "source")
+    sched.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("epochs_ppm"))
+      .join(admitted, Seq("source"), "left")
+      .na.fill(0L, Seq("n_admitted", "admitted_tokens"))
+      .withColumn("fill_ppm", expr(
+        "CASE WHEN target_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE admitted_tokens * 1000000 div target_tokens END"))
+      .orderBy(col("source"))
+  }
+
+  def mixtureExecuteOracle(budget: Long = 1000000L): String =
+    s"""WITH ${mixtureScheduleCtes(budget)},
+       d AS (SELECT doc_id, source,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1
+             AS BIGINT) AS toks,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents),
+       p AS (SELECT source, toks,
+           CAST(COALESCE(sum(toks) OVER (PARTITION BY source
+             ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS before
+         FROM d),
+       ad AS (SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_admitted,
+           CAST(sum(p.toks) AS BIGINT) AS admitted_tokens
+         FROM p JOIN a ON a.source = p.source
+         WHERE p.before < a.target_tokens GROUP BY 1)
+       SELECT a.source, a.n_docs, a.n_tokens, a.target_tokens,
+         (a.target_tokens * 1000000) // a.n_tokens AS epochs_ppm,
+         COALESCE(ad.n_admitted, 0) AS n_admitted,
+         COALESCE(ad.admitted_tokens, 0) AS admitted_tokens,
+         CASE WHEN a.target_tokens = 0 THEN CAST(0 AS BIGINT)
+           ELSE COALESCE(ad.admitted_tokens, 0) * 1000000
+             // a.target_tokens END AS fill_ppm
+       FROM a LEFT JOIN ad ON ad.source = a.source
+       ORDER BY a.source"""
 
   def lengthBatchingOracle(batch: Int = 16, seed: Long = 11): String = {
     val mix = graft.functions.DetMix.mixSql("doc_id", seed)

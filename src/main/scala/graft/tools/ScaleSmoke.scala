@@ -383,7 +383,9 @@ object ScaleSmoke {
       "q207_append_churn" -> ((s: SparkSession, d: String) =>
         graft.ext.SftAssembly.appendChurn(s, d)),
       "q208_budget_sweep" -> ((s: SparkSession, d: String) =>
-        graft.ext.SftAssembly.packingBudgetSweep(s, d))
+        graft.ext.SftAssembly.packingBudgetSweep(s, d)),
+      "q209_mixture_execute" -> ((s: SparkSession, d: String) =>
+        graft.ext.Curate.mixtureExecute(s, d))
     )
     // optional name filter: `runMain graft.tools.ScaleSmoke q139 q143`
     // times only matching cases (prefix match), after full synthesis

@@ -445,6 +445,70 @@ class CurateSpec extends SparkSpecBase {
       s"smallest ${bySize.head} should out-epoch largest ${bySize.last}")
   }
 
+  test("q209 mixture execution equals a local hash-order admission " +
+      "replay, overshoots by at most one document, and saturates " +
+      "upsampled sources") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 " +
+          "AS BIGINT) AS toks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the schedule's integer targets, replayed
+    val perSource = docs.groupBy(_._2).view.mapValues { ds =>
+      (ds.length.toLong, ds.map(_._3).sum)
+    }.toMap
+    val sqrtMicro = perSource.view.mapValues { case (_, n) =>
+      math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    }.toMap
+    val tot = sqrtMicro.values.sum
+    // 30k tokens against the ~28k-token fixture: √-flattening makes
+    // most sources' targets exceed their supply (saturated regime)
+    // while the largest two still cut off — both regimes exercised
+    val budget = 30000L
+    val target = sqrtMicro.view.mapValues(s => budget * s / tot).toMap
+    // greedy admission in (md5(doc_id), doc_id) order per source
+    val want = perSource.keys.map { src =>
+      val ordered = docs.filter(_._2 == src)
+        .sortBy(d => (md5hex(d._1.toString), d._1))
+      var cum = 0L; var n = 0L; var tk = 0L
+      ordered.foreach { d =>
+        if (cum < target(src)) { n += 1; tk += d._3 }
+        cum += d._3
+      }
+      src -> ((n, tk))
+    }.toMap
+    val got = Curate.mixtureExecute(spark, sf0001, budget).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, (nd, nt, tg, _, nAdm, admTk, fill)) =>
+      assert((nd, nt) == perSource(src), s"$src counts")
+      assert(tg == target(src), s"$src target")
+      assert((nAdm, admTk) == want(src), s"$src admission")
+      assert(fill == (if (tg == 0) 0L else admTk * 1000000L / tg))
+      // overshoot bound: strictly less than target before the last
+      // admitted doc, so the excess is at most one document's tokens
+      if (admTk > tg) {
+        val maxDoc = docs.filter(_._2 == src).map(_._3).max
+        assert(admTk - tg < maxDoc, s"$src overshot by more than a doc")
+      }
+      // saturated (upsampled) source: everything admitted, under fill
+      if (nt <= tg) {
+        assert(nAdm == nd && admTk == nt && fill <= 1000000L,
+          s"$src should saturate")
+      }
+    }
+    // non-vacuous: the fixture must exercise BOTH regimes
+    assert(got.exists { case (_, t) => t._7 < 1000000L },
+      "no saturated source")
+    assert(got.exists { case (_, t) => t._7 >= 1000000L },
+      "no overshooting source")
+  }
+
   test("length bucketing strictly cuts padding vs arrival-order batching") {
     val rows = Curate.lengthBatching(spark, sf0001)
       .collect().map(r => (r.getString(5), r.getLong(3), r.getLong(4)))

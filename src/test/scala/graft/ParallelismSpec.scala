@@ -105,7 +105,7 @@ class ParallelismSpec extends SparkSpecBase {
     // round-16: incremental packing freezes prev slots, repacks the rest;
     // BPE packing swaps the token table under the same chain
     "q205_append_packing", "q206_bpe_token_packing",
-    "q207_append_churn", "q208_budget_sweep")
+    "q207_append_churn", "q208_budget_sweep", "q209_mixture_execute")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
