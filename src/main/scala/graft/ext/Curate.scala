@@ -30,6 +30,14 @@ object Curate {
     * string, so sampling decisions are bit-equal across engines. */
   private def sampleHash(id: Column): Column = md5(id.cast("string"))
 
+  /** The spaces+1 whitespace token count of `text` — ONE definition
+    * for every operator that weighs documents this way (q113 length
+    * batching, q118 schedule, q209 execution); its oracle twin is
+    * `length(text) - length(replace(text, ' ', '')) + 1`. */
+  private def spaceToksCol: Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))).cast("long") + 1L
+
   // --- duplicate clustering (connected components) -------------------------
 
   /** Connected components over an undirected pair list `(a, b)` by the
@@ -1464,8 +1472,7 @@ object Curate {
       seed: Long = 11): DataFrame = {
     import graft.functions.DetMix
     val toks = docs(spark, dir).select(col("doc_id"),
-      (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
-        .cast("long").+(1L).as("toks"))
+      spaceToksCol.as("toks"))
     val capped = toks.withColumn("bucket_cap",
       when(col("toks") <= 16, 16L).when(col("toks") <= 32, 32L)
         .when(col("toks") <= 64, 64L).when(col("toks") <= 128, 128L)
@@ -1519,10 +1526,7 @@ object Curate {
   def mixtureSchedule(spark: SparkSession, dir: String,
       budget: Long = 1000000L): DataFrame = {
     val perSource = docs(spark, dir)
-      .select(col("source"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", ""))).cast("long")
-          .+(1L).as("toks"))
+      .select(col("source"), spaceToksCol.as("toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       .withColumn("sqrt_micro", expr(
@@ -1584,10 +1588,7 @@ object Curate {
       mixtureSchedule(spark, dir, budget).localCheckpoint()
     }
     val keyed = docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", ""))).cast("long")
-          .+(1L).as("toks"),
+      .select(col("doc_id"), col("source"), spaceToksCol.as("toks"),
         sampleHash(col("doc_id")).as("h"))
       .as[(Long, String, Long, String)]
     val admitted = prefixSumsOf(keyed)

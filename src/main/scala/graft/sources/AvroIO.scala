@@ -160,27 +160,36 @@ object AvroIO {
       classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
   }
 
-  /** Read the Avro container files under `path`. The writer schema
-    * comes from ONE file header (a bounded driver read — every
-    * container embeds it); the scan itself splits on sync markers, so
-    * parallelism follows blocks, not files. */
+  /** Read the Avro container files under `path`. Every container
+    * embeds its writer schema; the driver reads ALL headers (a
+    * bounded pass — headers, not data) and REFUSES a mixed-schema
+    * directory loudly, instead of letting Avro's resolution silently
+    * drop an evolved column or crash mid-scan in a task. The scan
+    * itself splits on sync markers, so parallelism follows blocks,
+    * not files. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
-    val first = fs.listStatus(p).map(_.getPath)
+    val containers = fs.listStatus(p).map(_.getPath)
       .filter(f => f.getName.endsWith(".avro"))
       .sortBy(_.getName)
-      .headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"AvroIO: no .avro container files under $path"))
-    val in = fs.open(first)
-    val avroSchema =
+    require(containers.nonEmpty,
+      s"AvroIO: no .avro container files under $path")
+    def headerSchema(f: Path): Schema = {
+      val in = fs.open(f)
       try {
         val r = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
         try r.getSchema finally r.close()
       } finally in.close()
+    }
+    val avroSchema = headerSchema(containers.head)
+    val stray = containers.tail
+      .find(f => headerSchema(f) != avroSchema)
+    require(stray.isEmpty,
+      s"AvroIO: mixed writer schemas under $path — ${stray.get} " +
+        s"disagrees with ${containers.head}; read the drops separately")
     val sparkSchema = toSparkSchema(avroSchema)
     val nFields = sparkSchema.length
     val job = Job.getInstance(conf)

@@ -69,6 +69,27 @@ class AvroIOSpec extends SparkSpecBase {
     assert(e.getMessage.contains("epoch micros"))
   }
 
+  test("a mixed-schema directory is refused loudly at the driver, " +
+      "not resolved silently or crashed mid-scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-mix")
+      .toString
+    AvroIO.write(Seq((1L, "a")).toDF("id", "s").coalesce(1), dir + "/a")
+    AvroIO.write(Seq((2L, "b", 3.0)).toDF("id", "s", "d").coalesce(1),
+      dir + "/b")
+    // merge the two drops' containers into one directory
+    val merged = new java.io.File(dir + "/merged")
+    merged.mkdirs()
+    for (sub <- Seq("a", "b"); f <- new java.io.File(dir + "/" + sub)
+        .listFiles() if f.getName.endsWith(".avro"))
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(merged, sub + "-" + f.getName).toPath)
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.read(spark, merged.toString)
+    }
+    assert(e.getMessage.contains("mixed writer schemas"))
+  }
+
   test("schema conversion is an exact involution on the supported " +
       "domain") {
     val s = StructType(Seq(
