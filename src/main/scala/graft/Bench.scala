@@ -175,6 +175,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The bench session runs 200+ queries × runs each, and every run
+      // leaves localCheckpoint blocks behind that the ContextCleaner
+      // only reclaims after a driver GC notices the dead RDD refs; the
+      // default periodic-GC interval (30 min) is longer than the whole
+      // bench, so storage pressure built up monotonically and inflated
+      // late-alphabet decode-heavy rows (q110 0.4 s isolated vs 1.1-1.6 s
+      // in-bench, round-16 measurement). One minute keeps the session
+      // young; the timer lives in Spark's cleaner thread, outside every
+      // per-query timer. (guide §5: caching competes with execution.)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)

@@ -42,10 +42,51 @@ object Tables {
     cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
   }
 
+  /** Per-table spread key — the table's hot join/aggregation key, so
+    * the repartition that buys scan parallelism ALSO seeds a reusable
+    * hash partitioning (per-order pair generation, per-doc aggregates,
+    * per-user sessions join/aggregate exchange-free downstream). */
+  private val SpreadKeys = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "user_id", "customer" -> "c_custkey",
+    "part" -> "p_partkey", "supplier" -> "s_suppkey")
+
+  /** OPT-IN scale-adaptive scan spread (optimization guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"). The driver's test tables are single-file, SINGLE
+    * ROW-GROUP parquet, so every scan plans exactly one task no matter
+    * how it is split — a narrow segment above it (tokenize, regex
+    * scan, BPE encode, markup parse) runs on one core of local[32].
+    * When the scan's planned parallelism is below the session default,
+    * hash-repartition on the table's natural key; the partition COUNT
+    * is the session's core count (scale-adaptive, not a constant), and
+    * at production scale — where scans already plan at least
+    * `defaultParallelism` splits — the branch is the identity.
+    *
+    * Opt-in, NOT applied inside [[apply]]: the round-16 interleaved
+    * full-surface A/B (min-of-4 per variant, /tmp-measured, summarized
+    * in OPTIMIZATION_r16.md) priced a forced 32-task exchange stage at
+    * ~0.05-0.15 s on this box — universal spreading LOST ~24 s across
+    * the 209-query surface while the ~20 genuinely compute-bound
+    * operators won 0.1-0.9 s each. So only call sites whose narrow
+    * compute measurably exceeds the stage price use this. Results are
+    * partitioning-invariant (ParallelismSpec pins it; the oracle gate
+    * re-checks every query). `graft.spread=off` (session conf) forces
+    * the identity for A/B probes. */
+  def spreadScan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (spark.conf.get("graft.spread", "on") == "off") df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(SpreadKeys(name)))
+  }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val normalized = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         // `ts div 1000` (integer division) — a double divide would round
         // the ~1.7e18 ns value (ulp 256 ns) and mis-truncate ~1.6% of
@@ -60,5 +101,6 @@ object Tables {
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
+    normalized
   }
 }

@@ -227,7 +227,7 @@ object Boilerplate {
       .withColumn("dst",
         when(col("href").rlike("^/doc/[0-9]+$"),
           substring(col("href"), 6, 18).cast("long")))
-      .localCheckpoint() // parsed once; feeds out-stats AND in-degree
+      .localCheckpoint(eager = false) // parsed once; feeds out-stats AND in-degree
     val ids = html.select(col("doc_id").as("dst")).distinct()
     val edges = links.filter(col("dst").isNotNull)
       .select(col("doc_id").as("src"), col("dst"))
@@ -500,7 +500,8 @@ object Boilerplate {
     * only. */
   def markupMetadata(spark: SparkSession, dir: String): DataFrame =
     extractMetadataOf(synthesizeOutlinedHtmlOf(
-        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+        graft.Tables.spreadScan(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))))
       .orderBy(col("doc_id"))
 
   /** Oracle: title and outline re-derived analytically from the source

@@ -56,7 +56,7 @@ object Bpe {
       // N per-iteration jobs don't pay corpus-scale task-launch overhead
       // (at a real corpus' few-GB vocabulary, size this to the cluster)
       .repartition(4)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     if (vocab0.count() <= driverThreshold) {
       val rows = vocab0.collect().map(r =>
         (r.getSeq[String](0).toArray, r.getLong(1)))
@@ -151,7 +151,7 @@ object Bpe {
         // cut the growing per-iteration lineage periodically (cheap:
         // vocabulary-sized); without this, plan depth grows linearly in
         // merge count and analysis time dominates
-        if ((r + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+        if ((r + 1) % 8 == 0) vocab = vocab.localCheckpoint(eager = false)
         r += 1
       }
     }
@@ -186,8 +186,10 @@ object Bpe {
     * fertility statistic tokenizer evaluations report). */
   def encodeCorpus(spark: SparkSession, dir: String,
       merges: Int = 16): DataFrame =
-    // sort = driver-output determinism only; the Of form is sort-free
-    encodeWith(Tables(spark, dir, "documents"),
+    // sort = driver-output determinism only; the Of form is sort-free.
+    // spreadScan: the per-doc BPE encode is a measured ~0.7 s narrow
+    // map on one core without it (guide §2.5)
+    encodeWith(graft.Tables.spreadScan(spark, dir, "documents"),
       trainFor(spark, dir, merges).map { case (l, r, _) => (l, r) })
       .orderBy(col("doc_id"))
 
@@ -217,7 +219,7 @@ object Bpe {
   def tokenizerScorecard(spark: SparkSession, dir: String,
       merges: Int = 16): DataFrame = {
     val ranks = trainFor(spark, dir, merges).map { case (l, r, _) => (l, r) }
-    Tables(spark, dir, "documents")
+    graft.Tables.spreadScan(spark, dir, "documents")
       .select(col("source"),
         size(BpeOps.bpe_encode(col("text"), ranks, EndMark))
           .cast("long").as("t"),

@@ -44,7 +44,7 @@ object BucketCap {
   def capBuckets(banded: DataFrame, bucketCols: Seq[String], cap: Int,
       context: String): DataFrame = {
     if (cap <= 0) return banded
-    val hot = hotBuckets(banded, bucketCols, cap).localCheckpoint()
+    val hot = hotBuckets(banded, bucketCols, cap).localCheckpoint(eager = false)
     val stats = hot.agg(count(lit(1)), coalesce(sum(col("_bsz")), lit(0L)))
       .head()
     val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))

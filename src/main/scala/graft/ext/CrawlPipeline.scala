@@ -38,7 +38,7 @@ object CrawlPipeline {
     // ONE block parse, materialized: three consumers follow
     val ext = Boilerplate.extractContentOf(html)
       .select(col("doc_id"), col("n_content"), col("main_text"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val ranks = graft.ops.PageRank
       .pageRankOf(Boilerplate.linkEdgesOf(html), PrIterations)
       .select(col("node").as("doc_id"), col("rank_micro"))

@@ -101,15 +101,15 @@ object Curate {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
     val allNodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
@@ -143,10 +143,10 @@ object Curate {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(col("a"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -158,7 +158,7 @@ object Curate {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("changed"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.drop("changed")
       iter += 1
@@ -411,7 +411,9 @@ object Curate {
     * zero shuffles at any corpus size. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     // sort = oracle determinism only; the reusable Of form is sort-free
-    repetitionOf(docs(spark, dir))
+    // spreadScan: the sorted-array run-length folds are the A/B-measured
+    // heaviest narrow map on the surface (guide §2.5 single-file input)
+    repetitionOf(graft.Tables.spreadScan(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
   def repetitionOf(d0: DataFrame): DataFrame = {
@@ -457,7 +459,7 @@ object Curate {
     * token length scaled from the [2,6]-char band. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     // sort = oracle determinism only; the reusable Of form is sort-free
-    qualityScoreOf(docs(spark, dir))
+    qualityScoreOf(graft.Tables.spreadScan(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
   /** Same over any (doc_id, text) DataFrame — the sort-free form a
@@ -740,7 +742,7 @@ object Curate {
         }
       }
       .toDF("id", "grp", "n", "h", "pid", "local_before")
-      .localCheckpoint() // phase 2 reads it twice; don't recompute the shuffle
+      .localCheckpoint(eager = false) // phase 2 reads it twice; don't recompute the shuffle
     // phase 2: per-(pid, grp) totals → running offsets per group
     val totals = local.groupBy(col("pid"), col("grp"))
       .agg(sum(col("n")).as("tot"))
@@ -1155,7 +1157,7 @@ object Curate {
     val grams = docs(spark, dir)
       .select(col("doc_id"), explode(shingle_hashes(col("text"), k)).as("gh"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
-      .select(col("gh")).distinct().localCheckpoint()
+      .select(col("gh")).distinct().localCheckpoint(eager = false)
     // benchmark-sized driver work: eval suites are small by nature, and
     // the filter size is fixed by (nBench, fpp), not by the corpus
     val nBench = math.max(1L, bench.count())
@@ -1192,7 +1194,7 @@ object Curate {
     val g = docs(spark, dir)
       .select(col("source"), explode(shingle_hashes(col("text"), k)).as("gh"))
       .distinct()
-      .localCheckpoint() // reused: per-source sizes + the pair join
+      .localCheckpoint(eager = false) // reused: per-source sizes + the pair join
     val n = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     g.select(col("source").as("source_a"), col("gh"))
       .join(g.select(col("source").as("source_b"), col("gh")), Seq("gh"))

@@ -209,7 +209,7 @@ object Dedup {
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def minhashPairsOf(docs: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = minhashSignaturesOf(docs).localCheckpoint()
+    val sigs = minhashSignaturesOf(docs).localCheckpoint(eager = false)
     candidatesFromSigs(sigs, maxBucket)
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "a", "sig" -> "sig_a")), "a")
       .join(sigs.withColumnsRenamed(Map("doc_id" -> "b", "sig" -> "sig_b")), "b")
@@ -297,8 +297,8 @@ object Dedup {
   def incrementalNearDupOf(batch: DataFrame, seen: DataFrame,
       tau: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame =
     incrementalNearDupSigs(
-      minhashSignaturesOf(batch).localCheckpoint(),
-      minhashSignaturesOf(seen).localCheckpoint(), tau, maxBucket)
+      minhashSignaturesOf(batch).localCheckpoint(eager = false),
+      minhashSignaturesOf(seen).localCheckpoint(eager = false), tau, maxBucket)
 
   /** Signature-level core of [[incrementalNearDupOf]] — the entry the
     * production/streaming shape calls directly: the seen side is a
@@ -400,7 +400,7 @@ object Dedup {
     * hot membership, never text. */
   def hotBucketRecoveryOf(docs: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = minhashSignaturesOf(docs).localCheckpoint()
+    val sigs = minhashSignaturesOf(docs).localCheckpoint(eager = false)
     val banded = bandedSigs(sigs)
     val hot = BucketCap.hotBuckets(banded,
       Seq("band_idx", "band_hash"), maxBucket)
@@ -469,7 +469,7 @@ object Dedup {
   def ngramJaccardPairsOf(shingleSets: DataFrame, tau: Double): DataFrame = {
     val sh = shingleSets
       .withColumn("n", size(col("hs")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // global df per shingle hash, then each set re-sorted rare-first —
     // array_intersect and |A∩B| are order-independent, so verification
     // runs on the df-ordered sets directly. PPJoin's exactness needs any
@@ -492,7 +492,7 @@ object Dedup {
       .agg(transform(array_sort(collect_list(
         struct(coalesce(col("df"), lit(1L)).as("df"), col("h")))),
         x => x.getField("h")).as("hs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val prefixLen = (col("n") - ceil(col("n") * tau) + 1).cast("int")
     val prefix = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("p"))
@@ -822,7 +822,7 @@ object Dedup {
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = simhashOf(docs).localCheckpoint()
+    val sh = simhashOf(docs).localCheckpoint(eager = false)
     val bandWidth = SimhashBits / SimhashBands
     val banded = BucketCap.capBuckets(
       sh.select(col("doc_id"), col("simhash"), posexplode(

@@ -64,7 +64,7 @@ object Redirects {
     val t = fetches
       .select(col("url").as("_t_url"), col("http_status").as("_t_status"),
         col("location").as("_t_loc"))
-      .localCheckpoint() // read once per hop
+      .localCheckpoint(eager = false) // read once per hop
     val seedRedirect = col("http_status").isin(RedirectCodes: _*)
     val tRedirect = col("_t_status").isin(RedirectCodes: _*)
     // a redirect with no Location header is immediately dangling
@@ -82,7 +82,7 @@ object Redirects {
     for (_ <- 1 to maxHops) {
       val j = pending
         .join(t, col("_next") === col("_t_url"), "left")
-        .localCheckpoint() // pending-sized; keeps round lineage flat
+        .localCheckpoint(eager = false) // pending-sized; keeps round lineage flat
       // null _t_status (a transport-failed fetch recorded without an
       // HTTP status) is DANGLING: without this arm the row passes none
       // of the three filters (tRedirect is SQL null) and the chain

@@ -244,7 +244,8 @@ object Robots {
   def crawlAdmission(spark: SparkSession, dir: String,
       cap: Int = UrlCurate.DomainCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    policyOf(UrlCurate.synthesizeUrlsOf(Tables(spark, dir, "documents")))
+    policyOf(UrlCurate.synthesizeUrlsOf(
+        graft.Tables.spreadScan(spark, dir, "documents")))
       .filter(col("allowed"))
       .withColumn("cap_rank", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
@@ -264,7 +265,7 @@ object Robots {
   def frontierReport(spark: SparkSession, dir: String,
       cap: Int = UrlCurate.DomainCap): DataFrame = {
     val verdicts = policyOf(UrlCurate.synthesizeUrlsOf(
-      Tables(spark, dir, "documents")))
+      graft.Tables.spreadScan(spark, dir, "documents")))
     val perDomain = verdicts.groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         sum(col("allowed").cast("long")).as("n_allowed"),

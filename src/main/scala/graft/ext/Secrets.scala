@@ -149,7 +149,8 @@ object Secrets {
     * determinism only. */
   def secretsScan(spark: SparkSession, dir: String): DataFrame =
     secretsScanOf(synthesizeSecretsOf(
-        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+        graft.Tables.spreadScan(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))))
       .orderBy(col("doc_id"))
 
   /** Oracle: synthesis replayed string-for-string; the entropy gate

@@ -54,8 +54,14 @@ object SftAssembly {
         when(col("event_type").isin(UserRoleTypes: _*), lit("user"))
           .otherwise(lit("assistant")))
 
-  private def turnEvents(spark: SparkSession, dir: String): DataFrame =
-    turnColumnsOf(Tables(spark, dir, "events").select(
+  /** `spread = true` only for q193's registered entry (A/B-measured
+    * win on its collect_list aggregate); every composed consumer
+    * keeps the plain scan — the round-16 A/B showed the forced
+    * 32-task stage REGRESSES the packing-family compositions. */
+  private def turnEvents(spark: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame =
+    turnColumnsOf((if (spread) graft.Tables.spreadScan(spark, dir, "events")
+        else Tables(spark, dir, "events")).select(
       col("user_id"),
       unix_micros(col("ts").cast("timestamp")).as("us"),
       col("event_id"), col("event_type")))
@@ -72,7 +78,7 @@ object SftAssembly {
     * the sorted turn array — no window, no self-join. ORDER BY =
     * oracle determinism only. */
   def conversationThreads(spark: SparkSession, dir: String): DataFrame =
-    conversationThreadsOf(turnEvents(spark, dir))
+    conversationThreadsOf(turnEvents(spark, dir, spread = true))
       .orderBy(col("user_id"), col("day"))
 
   /** Sort-free thread frame — the form q196 and the streaming
@@ -707,7 +713,7 @@ object SftAssembly {
       val ev = turnEvents(spark, dir)
         .filter(col("event_id") % ChurnHoldoutMod =!= 0)
       tokenPackingOf(conversationThreadsOf(ev).localCheckpoint(),
-        ev, toks, nDocs, budget).localCheckpoint()
+        ev, toks, nDocs, budget).localCheckpoint(eager = false)
     }
 
   def packingChurn(spark: SparkSession, dir: String,

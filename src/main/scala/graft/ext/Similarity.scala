@@ -407,7 +407,7 @@ object Similarity {
     try {
       val centroids = IvfIndex.train(ds, nClusters)
       val assigned = IvfIndex.assign(ds, centroids)
-        .localCheckpoint() // reused: candidate join (twice) + verdict join
+        .localCheckpoint(eager = false) // reused: candidate join (twice) + verdict join
       // name-based renames: capBuckets's USING join reorders columns to
       // (list_id, vec_id), so a positional toDF would swap the roles
       val capped = BucketCap.capBuckets(assigned, Seq("list_id"),
@@ -730,7 +730,7 @@ object Similarity {
     import graft.functions.IntDot.int_dot
     val qarr = qv.toDF().select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val qn = qarr.select(col("vec_id"),
       int_dot(col("e"), col("e")).as("nrm"))
     val pairs = assigned.select(col("vec_id").as("a"), col("list_id"))
@@ -1297,7 +1297,7 @@ object Similarity {
         .select(col("vec_id").as("ev"), col("list_id"),
           col("benchmark"), col("e").as("ee"),
           int_dot(col("e"), col("e")).as("ne"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
 
   /** The flag rollup over a prepared corpus frame (vec_id, list_id,
@@ -1344,7 +1344,7 @@ object Similarity {
             s"index definition has $dim")
         microQuantize(v)
       }
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val assigned = IvfIndex.assign(ds, centroids)
     val qarr = ds.toDF().select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS BIGINT))").as("e"))

@@ -303,7 +303,7 @@ object TextAnalysis {
     * codegen'd regexp passes), shuffle-free at any corpus size. */
   def scrub(spark: SparkSession, dir: String): DataFrame =
     // sort = oracle determinism only; the reusable Of form is sort-free
-    scrubOf(Tables(spark, dir, "documents"))
+    scrubOf(Tables.spreadScan(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
   def scrubOf(d: DataFrame): DataFrame = {
@@ -414,7 +414,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("k"))
     val counts = docTok.groupBy(col("w")).agg(sum(col("k")).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val total = counts.agg(sum(col("c"))).head().getLong(0)
     // per-WORD deterministic micro-nat score, computed once on the
     // vocabulary table: lnFix(c) − lnFix(total) quantized to BIGINT
@@ -494,15 +494,15 @@ object TextAnalysis {
     val docBig = transitionsOf(docs)
       .groupBy(col("doc_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = c1.agg(sum(col("c"))).head().getLong(0)
     val bc = docBig.groupBy(col("prev"), col("w"))
       .agg(sum(col("k")).as("c2"))
       .join(c1.select(col("w").as("prev"), col("c").as("cp")), "prev")
       .join(c1.select(col("w"), col("c").as("cw")), "w")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the interpolated probability is an exact integer ratio:
     //   0.7·c2/cp + 0.3·cw/N = (7·c2·N + 3·cw·cp) / (10·cp·N)
     // so the per-BIGRAM deterministic micro-nat score is
@@ -614,7 +614,7 @@ object TextAnalysis {
     val counts = docTok.groupBy(col("w"))
       .agg(sum(col("k")).as("c_raw"),
         sum(when(col("tgt"), col("k")).otherwise(lit(0L))).as("c_tgt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val t = counts.agg(sum(col("c_raw")), sum(col("c_tgt")), count(lit(1)))
       .head()
     val tRaw = t.getLong(0)
@@ -899,7 +899,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("dl"), tfCols: _*)
       // reused 3× (scalars, df counts, scoring); doc-count-sized rows of
       // a few longs each — not corpus-sized
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // two bounded scalars (corpus size, total token count) — not data rows
     val sc = perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val n = sc.getLong(0)
@@ -1012,7 +1012,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"))
     val feats = docs.select(col("doc_id"),
         explode(shingle_hashes_md5(col("text"), 3)).as("h"))
-      .localCheckpoint() // feeds the vocabulary build AND the scoring join
+      .localCheckpoint(eager = false) // feeds the vocabulary build AND the scoring join
     val vocab = feats.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"),
@@ -1326,7 +1326,7 @@ object TextAnalysis {
     val counts = tok.groupBy(col("w")).agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("cpos"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("cneg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val t = counts.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1)))
       .head()
     val (totpos, totneg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
@@ -1488,7 +1488,7 @@ object TextAnalysis {
     * derivation; accuracy divides two exact integers once and
     * floor-quantizes (the house fix4 idiom). */
   def nbEvalReport(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), NbRefSources,
+    nbQualityOf(Tables.spreadScan(spark, dir, "documents"), NbRefSources,
         memoKey = Some(nbMemoKey(dir)))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1519,7 +1519,7 @@ object TextAnalysis {
     * reference prior every margin is negative (the prior term), so the
     * informative range is a handful of nats below zero. */
   def nbCalibration(spark: SparkSession, dir: String): DataFrame =
-    nbQualityOf(Tables(spark, dir, "documents"), NbRefSources,
+    nbQualityOf(Tables.spreadScan(spark, dir, "documents"), NbRefSources,
         memoKey = Some(nbMemoKey(dir)))
       .withColumn("band", expr(
         "CAST(greatest(-12, least(12, " +
@@ -1611,14 +1611,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"))
     val uni = ref.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val t = uni.agg(sum(col("c")), count(lit(1))).head()
     require(!t.isNullAt(0) && t.getLong(0) > 0,
       "reference LM training split is empty")
     val (n, v) = (t.getLong(0), t.getLong(1))
     val bigrams = transitionsOf(ref)
       .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     RefLmModel(bigrams, uni, n + v + 1)
   }
 
@@ -1677,7 +1677,7 @@ object TextAnalysis {
     * head/middle/tail split (q170) cuts. ORDER BY = oracle
     * determinism only. */
   def refPerplexity(spark: SparkSession, dir: String): DataFrame =
-    refPerplexityOf(Tables(spark, dir, "documents"),
+    refPerplexityOf(Tables.spreadScan(spark, dir, "documents"),
         refLmModelFor(spark, dir))
       .orderBy(col("doc_id"))
 
@@ -1790,16 +1790,16 @@ object TextAnalysis {
     val uni = ref
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val scal = uni.groupBy(col("lang"))
       .agg((sum(col("c")) + count(lit(1)) + lit(1L)).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     require(scal.count() > 0, "reference LM training split is empty")
     val bigrams = transitionsOf(ref)
       .join(ref.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("prev"), col("w"))
       .agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     LangLmModel(bigrams, uni, scal)
   }
 

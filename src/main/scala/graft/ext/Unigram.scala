@@ -147,7 +147,7 @@ object Unigram {
     val out = vocab.select(col("p"))
       .join(used, Seq("p"), "left")
       .select(col("p"), coalesce(col("u"), lit(0L)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     bc.destroy()
     out
   }
@@ -155,8 +155,8 @@ object Unigram {
   /** Final usage counts over the full seed vocabulary (zeros kept —
     * the encode model is scored from exactly this table + 1). */
   private[graft] def trainCounts(docs: DataFrame): DataFrame = {
-    val wc = wordCounts(docs).localCheckpoint()
-    val vocab = seedVocab(wc).localCheckpoint()
+    val wc = wordCounts(docs).localCheckpoint(eager = false)
+    val vocab = seedVocab(wc).localCheckpoint(eager = false)
     var counts = vocab
     var r = 0
     while (r < Rounds) {

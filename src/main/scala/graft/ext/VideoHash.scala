@@ -251,7 +251,7 @@ object VideoHash {
           (id + PerturbId, synthesizeVideo(id, ImageHash.perturb(src)))
         })
         .toDF("doc_id", "payload"))
-    videoNearDupPairsOf(base.unionByName(twins).localCheckpoint())
+    videoNearDupPairsOf(base.unionByName(twins).localCheckpoint(eager = false))
       .orderBy(col("a"), col("b"))
   }
 

@@ -50,14 +50,21 @@ object FuzzyMatch {
       right: DataFrame, rKey: String, rName: String): DataFrame = {
     def named(df: DataFrame, name: String): DataFrame =
       df.filter(col(name).isNotNull && length(col(name)) > 0)
+    // variants ship as 64-bit hashes, not strings: the candidate join
+    // only needs EQUALITY of variants, and the levenshtein verify below
+    // already rejects any false candidate — so a hash collision between
+    // unrelated variants costs one extra verified-and-discarded pair
+    // (~|variants|²/2⁶⁴), while every shuffled variant row shrinks from
+    // a ~20-char string to one long (guide §2.3 "shuffle keys and
+    // metadata instead of payloads")
     def variants(df: DataFrame, name: String): DataFrame =
       named(df, name).select(col(name)).distinct()
         .select(col(name),
           explode(array_union(
-            array(col(name)),
+            array(xxhash64(col(name))),
             expr(s"transform(sequence(1, length($name)), i -> " +
-              s"concat(substring($name, 1, i - 1), " +
-              s"substring($name, i + 1, length($name))))")))
+              s"xxhash64(concat(substring($name, 1, i - 1), " +
+              s"substring($name, i + 1, length($name)))))")))
           .alias("_variant"))
     val lv = variants(left, lName)
     val rv = variants(right, rName)

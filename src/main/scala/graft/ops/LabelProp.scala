@@ -47,7 +47,7 @@ object LabelProp {
     val adj = edges.select(col("a").as("n"), col("b").as("m"))
       .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
       .repartition(col("m"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = adj.select(col("n").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var r = 0
@@ -58,7 +58,7 @@ object LabelProp {
         .unionAll(labels.select(col("node").as("n"), col("lbl")))
         .groupBy(col("n"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      labels = argmaxLabel(votes).localCheckpoint()
+      labels = argmaxLabel(votes).localCheckpoint(eager = false)
       r += 1
     }
     labels
@@ -95,7 +95,7 @@ object LabelProp {
     * label-count frame). ORDER BY = oracle determinism only. */
   def q187LabelProp(spark: SparkSession, dir: String): DataFrame =
     communityReport(propagateOf(
-        Triangles.coPurchaseEdgesFor(spark, dir)).localCheckpoint())
+        Triangles.coPurchaseEdgesFor(spark, dir)).localCheckpoint(eager = false))
       .withColumnRenamed("node", "part")
       .orderBy(col("part"))
 

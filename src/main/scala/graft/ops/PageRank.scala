@@ -42,9 +42,9 @@ object PageRank {
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val outdeg = directed.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
     val n = outdeg.count()
     // an empty edge list has no nodes to rank — return the empty frame
     // instead of dividing rank mass by zero (a composed pipeline over a
@@ -63,7 +63,7 @@ object PageRank {
           expr("rank div outdeg").as("contrib"))
       ranks = contribs.groupBy(col("node"))
         .agg((base + expr("85 * sum(contrib) div 100")).as("rank"))
-        .localCheckpoint() // truncate the growing lineage per iteration
+        .localCheckpoint(eager = false) // truncate the growing lineage per iteration
     }
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }

@@ -91,7 +91,7 @@ object RankBands {
     // brackets, assignment): materialize HERE so a nondeterministic
     // input (fresh shuffle, sample) cannot hand phase 2 rows that
     // disagree with phase 1's counts
-    val stable = df.localCheckpoint()
+    val stable = df.localCheckpoint(eager = false)
     val spark = stable.sparkSession
     val bucketed = stable.withColumn("_rb_bkt",
       expr(s"$scoreCol div $coarse"))

@@ -149,12 +149,12 @@ object Scd {
           .withColumn("bucket", bucket)
           .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       case Some(history) =>
-        val keys = batch.select(col(key)).distinct().localCheckpoint()
+        val keys = batch.select(col(key)).distinct().localCheckpoint(eager = false)
         val affected = keys.select(bucket.cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         val slice = history
           .filter(col("bucket").isInCollection(affected))
-          .localCheckpoint() // the write below replaces what it reads
+          .localCheckpoint(eager = false) // the write below replaces what it reads
         val touched = slice.join(keys, Seq(key), "left_semi")
         val carried = slice.join(keys, Seq(key), "left_anti")
         // stored versions -> change rows, re-collapsed with the batch
@@ -216,10 +216,22 @@ object Scd {
     // with map-side combine and O(1) state per key, which wins
     // whenever the scan dominates (the 100 TB posture). Same
     // documented tradeoff as Profile's string min/max pass.
+    //
+    // The winner ordering is TOTAL (round-16 inherited-state fix): the
+    // version alone is the contract, but a feed that violates it — two
+    // rows tying on `version` with DIFFERENT payloads (sf0.001 has
+    // exactly one such pair, l_orderkey 1294) — made the winner
+    // partition-order-dependent and cross-engine divergent. Ties now
+    // break lexicographically on (op, payload...), ONE shared ordering
+    // struct for every max_by so the winning columns always come from
+    // the SAME row; non-tied keys (every key at the previously gated
+    // SFs) are bit-identical to the old rule. The q96 oracle pins the
+    // identical total order via a window.
+    val ord = struct((version +: op +: payload).map(col): _*)
     changelog.groupBy(keys.map(col): _*)
       .agg(max(col(version)).as("last_version"),
-        (max_by(col(op), col(version)).as(op) +:
-          payload.map(c => max_by(col(c), col(version)).as(c))): _*)
+        (max_by(col(op), ord).as(op) +:
+          payload.map(c => max_by(col(c), ord).as(c))): _*)
   }
 
   /** q96: CDC compaction over a changelog synthesized from lineitem —
@@ -231,7 +243,12 @@ object Scd {
     * test data; packing holds while partkey, suppkey < 2^20), so the
     * winner's OUTPUT is deterministic either way. */
   def q96CdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val log = Tables(spark, dir, "lineitem")
+    // spreadScan (round 16): safe ONLY because applyChangelogKeepOps'
+    // winner ordering is now total — under the old version-only rule
+    // the sf0.001 tie at l_orderkey 1294 made the winner depend on
+    // partition evaluation order, and this repartition flipped it
+    // (caught by the sf0.001 oracle gate, fixed at the operator).
+    val log = graft.Tables.spreadScan(spark, dir, "lineitem")
       .select(col("l_orderkey"),
         (col("l_linenumber").cast("long") * lit(1099511627776L) +
           col("l_partkey") * lit(1048576L) + col("l_suppkey")).as("v"),
@@ -250,12 +267,11 @@ object Scd {
          CASE WHEN l_quantity < 5 THEN 'D' ELSE 'U' END AS op,
          round(l_extendedprice, 2) AS price, l_linestatus
        FROM lineitem),
-       last AS (SELECT l_orderkey,
-         CAST(max(v) AS BIGINT) AS last_version,
-         arg_max(op, v) AS op,
-         arg_max(price, v) AS price,
-         arg_max(l_linestatus, v) AS l_linestatus
-       FROM c GROUP BY 1)
+       last AS (SELECT l_orderkey, CAST(v AS BIGINT) AS last_version,
+         op, price, l_linestatus,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY v DESC, op DESC, price DESC, l_linestatus DESC) AS rn
+       FROM c)
        SELECT l_orderkey, last_version, price, l_linestatus
-       FROM last WHERE op <> 'D' ORDER BY l_orderkey"""
+       FROM last WHERE rn = 1 AND op <> 'D' ORDER BY l_orderkey"""
 }

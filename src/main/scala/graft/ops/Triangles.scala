@@ -46,7 +46,7 @@ object Triangles {
   /** All triangles, one row each: (p, x, y) with p the unique pivot
     * and (x, y) its out-neighbor pair in orientation order. */
   def triangleTriplesOf(edges: DataFrame): DataFrame = {
-    val o = orientedOf(edges).localCheckpoint() // reused three times
+    val o = orientedOf(edges).localCheckpoint(eager = false) // reused three times
     val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     val wedges = e1.join(e2, "u")

@@ -458,10 +458,10 @@ object Analytics {
         .filter(col("ts") > col(prevT) &&
           col("ts") <= col(prevT) + expr("interval 1 day"))
         .groupBy(col("user_id")).agg(min(col("ts")).as(t))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val s1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val s2 = step(s1, "t1", "click", "t2")
     val s3 = step(s2, "t2", "purchase", "t3")
     def cnt(s: DataFrame, label: String) =
@@ -739,11 +739,14 @@ object Analytics {
     // sf, and min-support scales with the basket count (0.5%)
     val sup = Tables(spark, dir, "supplier")
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-    val os = Tables(spark, dir, "lineitem")
+    // spreadScan on the order key: the distinct, the n count, AND both
+    // sides of the pair self-join below then cluster on l_orderkey
+    // without any further exchange (A/B-measured win)
+    val os = graft.Tables.spreadScan(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(broadcast(sup), "l_suppkey")
       .select(col("l_orderkey"), col("s_nationkey")).distinct()
-      .localCheckpoint() // feeds three aggregates below
+      .localCheckpoint(eager = false) // feeds three aggregates below
     val n = os.select(col("l_orderkey")).distinct().count()
     val minSupport = math.max(1L, n / 200L)
     val singles = os.groupBy(col("s_nationkey")).agg(count(lit(1)).as("c1"))

@@ -64,7 +64,9 @@ object Relational {
     * null-guarded. The reference's 50-key batched UPDATE loop collapses to
     * one broadcast hash join done at read time; nothing is mutated. */
   def q03EnrichLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    val fact = Tables(spark, dir, "lineitem")
+    // spreadScan: the broadcast probe + full-width global sort are the
+    // cost here, and both parallelize (A/B-measured win, guide §2.5)
+    val fact = graft.Tables.spreadScan(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val dim = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))

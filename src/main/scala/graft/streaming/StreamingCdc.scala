@@ -65,7 +65,7 @@ object StreamingCdc {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val winners = Scd.applyChangelogKeepOps(batch, keys, version, op,
-      payload :+ partitionCol).localCheckpoint()
+      payload :+ partitionCol).localCheckpoint(eager = false)
     val targetCols =
       keys ++ payload ++ Seq("last_version", "_deleted", partitionCol)
     val source = winners
@@ -108,7 +108,7 @@ object StreamingCdc {
             col("last_version") > col("_stored_v"))
           .drop("_stored_v")
         Merge.mergeIntoParquet(spark, targetDir,
-          fresh.localCheckpoint(), keys, partitionCol)
+          fresh.localCheckpoint(eager = false), keys, partitionCol)
     }
   }
 

@@ -87,7 +87,7 @@ object StreamingDomainCaps {
         UrlCurate.canonicalizeOf(batch)))
       .withColumn("domain",
         coalesce(col("registrable_domain"), col("host")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val curOk = cur.filter(!col("blocked") && col("host").isNotNull)
     // optional RFC 9309 policy stage BEFORE the cap window (the q150
     // frontier order): a disallowed URL is rejected with its own reason
@@ -99,7 +99,7 @@ object StreamingDomainCaps {
               regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
             .select(col("doc_id"), col("url"), col("canon_url"),
               col("domain"), col("path")),
-          graft.ext.Robots.rulesDf(spark)).localCheckpoint()
+          graft.ext.Robots.rulesDf(spark)).localCheckpoint(eager = false)
         (verdicts.filter(col("allowed"))
            .select(col("doc_id"), col("url"), col("canon_url"),
              col("domain")),
@@ -122,7 +122,7 @@ object StreamingDomainCaps {
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
       .join(prior, Seq("domain"), "left")
       .withColumn("_n", coalesce(col("_n_prior"), lit(0L)))
-      .localCheckpoint() // feeds admitted AND over-cap rejects
+      .localCheckpoint(eager = false) // feeds admitted AND over-cap rejects
     val admitted = ranked.filter(col("_n") + col("_rk") <= cap)
       .select(col("doc_id"), col("url"), col("canon_url"), col("domain"))
     val rejected = cur
@@ -174,7 +174,7 @@ object StreamingDomainCaps {
       .agg(min(struct(col("src_batch"), col("domain"))).as("first"))
       .select(col("first.domain").as("domain"), col("doc_id"),
         col("first.src_batch").as("src_batch"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     compacted.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -34,8 +34,8 @@ object StreamingExpect {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val staged = batch.localCheckpoint() // audit and write see ONE snapshot
-    val rep = Expect.report(staged, expectations).localCheckpoint()
+    val staged = batch.localCheckpoint(eager = false) // audit and write see ONE snapshot
+    val rep = Expect.report(staged, expectations).localCheckpoint(eager = false)
     val green = rep.agg(min(col("pass"))).head().getInt(0) == 1
     def write(df: DataFrame, dir: String): Unit =
       df.withColumn("batch_id", lit(batchId))

@@ -61,13 +61,13 @@ object StreamingGraph {
   def communities(spark: SparkSession, outDir: String): DataFrame =
     graft.ops.LabelProp.communityReport(
       graft.ops.LabelProp.propagateOf(snapshotEdges(spark, outDir))
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
 
   /** Modularity scorecard of the graph so far — the q189 read over the
     * streamed edge set and its derived communities (both global:
     * derived at snapshot, never accumulated). */
   def modularity(spark: SparkSession, outDir: String): DataFrame = {
-    val edges = snapshotEdges(spark, outDir).localCheckpoint()
+    val edges = snapshotEdges(spark, outDir).localCheckpoint(eager = false)
     graft.ops.LabelProp.modularityOf(edges,
       graft.ops.LabelProp.propagateOf(edges))
   }

@@ -104,13 +104,13 @@ object StreamingNearDup {
       if (fs.exists(p)) fs.delete(p, true)
     }
     if (batch.isEmpty) return
-    val sigs = Dedup.minhashSignaturesOf(batch).localCheckpoint()
+    val sigs = Dedup.minhashSignaturesOf(batch).localCheckpoint(eager = false)
     // idempotent re-run: exclude THIS batch's prior contribution by its
     // provenance column, not the partition — compaction may have moved
     // the rows into batch_id=-1, where only src_batch still knows
     val seen = readIndex(spark, indexDir)
       .filter(col("src_batch") =!= batchId)
-      .select(col("doc_id"), col("sig")).localCheckpoint()
+      .select(col("doc_id"), col("sig")).localCheckpoint(eager = false)
     // union of the index pass and the intra-batch self pass, best match
     // per doc (the self pass never flags a group's lowest id, so one
     // representative of a batch-internal dup group is still admitted)
@@ -120,7 +120,7 @@ object StreamingNearDup {
       .agg(max(struct(col("est_jaccard"), col("near_dup_of"))).as("best"))
       .select(col("doc_id"), col("best.near_dup_of").as("near_dup_of"),
         col("best.est_jaccard").as("est_jaccard"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // idempotent per batch: each write lands in its own batch_id
     // partition (cleared above) and overwrites ONLY that partition
     def writeBatch(df: DataFrame, dir: String): Unit =
@@ -173,7 +173,7 @@ object StreamingNearDup {
       .agg(min(struct(col("src_batch"), col("sig"))).as("first"))
       .select(col("doc_id"), col("first.sig").as("sig"),
         col("first.src_batch").as("src_batch"))
-      .localCheckpoint() // materialize BEFORE overwriting what was read
+      .localCheckpoint(eager = false) // materialize BEFORE overwriting what was read
     compacted.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -129,7 +129,7 @@ object StreamingQuantiles {
     val prior = readIndex(spark, indexDir)
       .filter(col("src_batch") =!= batchId)
       .select(col("grp"), col("h"), col("key"), col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val priorCounts = readCounts(spark, countDir)
       .filter(col("src_batch") =!= batchId)
       .select(col("grp"), col("n"), col("src_batch"))
@@ -142,7 +142,7 @@ object StreamingQuantiles {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("h"), col("key"))))
       .filter(col("_rn") <= k).drop("_rn")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     batchK.withColumn("src_batch", lit(batchId))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -184,7 +184,7 @@ object StreamingQuantiles {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("h"), col("key"))))
       .filter(col("_rn") <= k).drop("_rn", "batch_id")
-      .localCheckpoint() // materialize BEFORE overwriting what was read
+      .localCheckpoint(eager = false) // materialize BEFORE overwriting what was read
     compacted.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

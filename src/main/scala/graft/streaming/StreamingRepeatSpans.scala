@@ -112,7 +112,7 @@ object StreamingRepeatSpans {
       if (fs.exists(p)) fs.delete(p, true)
     }
     if (batch.isEmpty) return
-    val wins = Dedup.windowHashes(batch, k).localCheckpoint()
+    val wins = Dedup.windowHashes(batch, k).localCheckpoint(eager = false)
     // idempotent re-run: exclude THIS batch's prior contribution by its
     // provenance column, not the partition — compaction may have moved
     // the rows into batch_id=-1, where only src_batch still knows
@@ -125,7 +125,7 @@ object StreamingRepeatSpans {
     val tagged = wins
       .join(seen, Seq("h"), "left")
       .join(batchFirst, "h")
-      .localCheckpoint() // feeds the repeat mark AND the index append
+      .localCheckpoint(eager = false) // feeds the repeat mark AND the index append
     val repeated = tagged
       .filter(col("_seen").isNotNull ||
         col("doc_id") =!= col("first.doc_id") ||
@@ -134,7 +134,7 @@ object StreamingRepeatSpans {
     // spans feed the spansDir sink AND (optionally) the removal cut —
     // checkpoint so the islands window runs once, not per consumer
     val spans =
-      if (cutDir.isDefined) Dedup.mergeRepeatSpans(repeated, k).localCheckpoint()
+      if (cutDir.isDefined) Dedup.mergeRepeatSpans(repeated, k).localCheckpoint(eager = false)
       else Dedup.mergeRepeatSpans(repeated, k)
     // index only window contents NEW to the corpus, one row each (the
     // batch-first occurrence), so the index stays one row per distinct
@@ -216,7 +216,7 @@ object StreamingRepeatSpans {
       // one batch_id=-1 DIRECTORY, not one file: files follow the
       // shuffle parallelism, so a billion-window index still compacts
       // through every executor
-      .localCheckpoint() // materialize BEFORE overwriting what was read
+      .localCheckpoint(eager = false) // materialize BEFORE overwriting what was read
     compacted.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

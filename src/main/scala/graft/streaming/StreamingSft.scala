@@ -96,7 +96,7 @@ object StreamingSft {
     * pairs, both derived at snapshot from the same latest-wins turn
     * set. */
   def snapshotCard(spark: SparkSession, outDir: String): DataFrame = {
-    val turns = latestTurns(spark, outDir).localCheckpoint()
+    val turns = latestTurns(spark, outDir).localCheckpoint(eager = false)
     graft.ext.SftAssembly.releaseCardOf(
         graft.ext.SftAssembly.conversationThreadsOf(
           graft.ext.SftAssembly.turnColumnsOf(
@@ -135,7 +135,7 @@ object StreamingSft {
       latestTurns(spark, outDir)
         .select(col("user_id"), col("us"), col("event_id"),
           col("event_type"))
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
 
   /** q201 over the streamed state: the sequence manifest of the
     * snapshot's token packing — same supplied-config contract as

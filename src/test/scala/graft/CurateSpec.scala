@@ -228,12 +228,16 @@ class CurateSpec extends SparkSpecBase {
 
   test("plan shapes: repetition/quality shuffle-free, decontaminate and " +
       "packChunks broadcast") {
-    // q50/q52 signals are pure narrow maps: the only exchange allowed is
-    // the deterministic output sort
+    // q50/q52 signals are pure narrow maps: the allowed exchanges are
+    // the deterministic output sort plus the round-16 scale-adaptive
+    // scan spread (Tables.spreadScan — identity at production
+    // parallelism, one hash exchange on the single-row-group bench
+    // tables; the signal itself stays a narrow map: no aggregation or
+    // join exchange may appear)
     for (df <- Seq(Curate.repetition(spark, sf0001),
         Curate.qualityScore(spark, sf0001))) {
       val p = df.queryExecution.executedPlan.toString
-      assert("Exchange".r.findAllIn(p).length == 1, p.take(800))
+      assert("Exchange".r.findAllIn(p).length <= 2, p.take(800))
       assert(p.contains("rangepartitioning"), p.take(800))
     }
     // q54: the benchmark gram set must broadcast; the corpus side must hit
