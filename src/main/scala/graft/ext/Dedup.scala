@@ -566,23 +566,35 @@ object Dedup {
     // bind the token array first (HOF lambdas re-evaluate outer exprs)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) > 0)
-    val spans = toks.select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ((size(col("w")) - 1) / k).cast("int")),
-          i => array_join(slice(col("w"), i * k + 1, lit(k)), " "))))
-      .withColumnsRenamed(Map("pos" -> "span_pos", "col" -> "span"))
+    // the span array, bound once per row (HOF lambdas re-evaluate
+    // outer exprs, so the token array is a projected column)
+    val spansArr = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0), ((size(col("w")) - 1) / k).cast("int")),
+        i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")).as("sp"))
     // first occurrence per span hash: one long-keyed shuffle, map-side
     // combinable min; every other (doc_id, span_pos) is dropped
-    val occ = spans.select(xxhash64(col("span")).as("h"),
-      col("doc_id"), col("span_pos"))
+    val occ = spansArr
+      .select(col("doc_id"), posexplode(col("sp")))
+      .select(xxhash64(col("col")).as("h"), col("doc_id"),
+        col("pos").as("span_pos"))
     val dropped = nonFirstOccurrences(occ, "span_pos")
-    // reconstruction: surviving spans, original order
-    spans.join(dropped, Seq("doc_id", "span_pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("span_pos"), col("span")))),
-          x => x.getField("span")), " ").as("text_dedup"))
+    // array-native reconstruction (same shape as [[cutSpansOf]]): the
+    // dropped POSITIONS per doc — bounded by the duplicated-content
+    // volume — fold into one array and the span payload strings never
+    // cross a shuffle at all (the old anti-join + collect_list rebuild
+    // shuffled every surviving span string twice); fully-deduped docs
+    // still vanish via the size guard. guide §2.3/§8.
+    val drops = dropped.groupBy(col("doc_id"))
+      .agg(collect_list(col("span_pos")).as("dp"))
+    spansArr.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(col("sp"), (_, i) =>
+          col("dp").isNull || !array_contains(col("dp"), i)).as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_spans_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
   }
 
   /** Oracle keys on the span STRING (DuckDB side never hashes). */
@@ -719,18 +731,34 @@ object Dedup {
     * per-micro-batch removal, so stream and batch cuts are the same
     * code by construction. Sort-free. */
   def cutSpansOf(docs: DataFrame, spans: DataFrame): DataFrame = {
-    val removedPos = spans.select(col("doc_id"),
-      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val toks = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("w"))
-    toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("text_cut"))
+    // array-native cut: group each doc's spans into one bounded array
+    // (span count ≤ repeated-content volume / k), keyed-join it to the
+    // document, and filter the token array in place. The earlier form
+    // posexploded every document into (doc_id, pos) rows, anti-joined,
+    // and rebuilt text with a collect_list — the whole corpus token
+    // stream crossed TWO shuffles (anti-join key, reconstruction
+    // groupBy) just to delete positions that were already adjacent in
+    // the array. Here the text payload moves once (the doc_id join)
+    // and the cut itself is a narrow codegen'd higher-order filter;
+    // output is row-identical (same positions kept, same order, fully-
+    // cut docs still vanish). guide §2.3/§2.4 + §8 (decide with small
+    // rows, move big rows once).
+    val cuts = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"))
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(
+          transform(split(col("text"), " "),
+            (w, i) => struct((i + 1).cast("long").as("pos"), w.as("w"))),
+          t => col("cuts").isNull || !exists(col("cuts"),
+            c => t.getField("pos").between(c.getField("s"),
+              c.getField("e")))).as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        array_join(transform(col("kept"), x => x.getField("w")), " ")
+          .as("text_cut"))
   }
 
   /** Oracle: q120's span CTE chain, then cut and re-join by position. */

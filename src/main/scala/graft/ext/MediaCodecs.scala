@@ -53,6 +53,17 @@ object MediaCodecs {
     o(i + 2) = ((v >> 16) & 0xff).toByte; o(i + 3) = ((v >> 24) & 0xff).toByte
   }
 
+  // ImageIO's default ImageInputStream over a plain InputStream is
+  // FILE-cached: every single decode writes the payload to a temp file
+  // on disk and reads it back (javax.imageio.ImageIO.getUseCache()
+  // defaults to true). Under concurrent decode tasks that is pure
+  // filesystem contention (measured here: q110's summed executor time
+  // 0.5 s single-task vs ~26 s across 32 concurrent tasks, all of it
+  // temp-file churn), and in a long session it ages the temp dir. All
+  // payloads are already in-memory byte arrays — cache in memory.
+  // JVM-global, idempotent, public API.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---------------------------------------------------------------- images
 
   /** Decode any supported raster — uncompressed (BMP/PNM, pure-JVM

@@ -292,22 +292,24 @@ object SftAssembly {
     val threads = graft.SessionMemo(spark, s"sft-threads:$dir") {
       conversationThreadsOf(turnEvents(spark, dir)).localCheckpoint()
     }
-    val valid = threads
-      .filter(col("n_role_violations") === 0 && col("starts_with_user"))
-      .select(col("user_id"), col("day"), col("n_turns"))
     // the packed key is only invertible for 0 <= day < 10^6 (epoch
     // days reach 10^6 around year 4700; negative days are pre-1970
     // timestamps, which turnColumnsOf supports but this key does
     // not) AND user_id >= 0 (the truncating div/mod decode would
     // round-trip a negative user to a wrong (user, day) and silently
     // drop its threads at the re-join) — refuse loudly instead of
-    // corrupting on the way back out. Bounded probe: the thread frame
-    // is aggregate-sized.
-    require(valid.filter(col("day") < 0 || col("day") >= 1000000L ||
-        col("user_id") < 0).limit(1).isEmpty,
-      "threadPacking: day index outside [0, 10^6) or negative " +
-        "user_id — the user*10^6+day packed key cannot represent " +
-        "it; re-key before packing")
+    // corrupting on the way back out. Row-level assert_true (the
+    // LabelProp.argmaxLabel pattern): evaluated inside the packing's
+    // own jobs instead of a separate eager probe job per call (this
+    // guard sat on every packing-family query's per-run path).
+    val valid = threads
+      .filter(col("n_role_violations") === 0 && col("starts_with_user"))
+      .select(col("user_id"), col("day"), col("n_turns"))
+      .filter(assert_true(
+        col("day") >= 0 && col("day") < 1000000L && col("user_id") >= 0,
+        lit("threadPacking: day index outside [0, 10^6) or negative " +
+          "user_id — the user*10^6+day packed key cannot represent " +
+          "it; re-key before packing")).isNull)
     Curate.prefixSumsOf(keyedThreadsOf(valid, "n_turns"))
       .select(expr("id div 1000000").as("user_id"),
         (col("id") % 1000000L).as("day"),
@@ -444,17 +446,18 @@ object SftAssembly {
       toks: DataFrame, nDocs: Long, budget: Long): DataFrame = {
     val spark = threads.sparkSession
     import spark.implicits._
+    // same packed-key domain guard as q198 (the id is user·10⁶ + day;
+    // user_id < 0 would decode to a wrong key and silently drop the
+    // thread at the n_turns re-join) — row-level assert_true, no
+    // separate probe job per call
     val valid = threads
       .filter(col("n_role_violations") === 0 && col("starts_with_user"))
       .select(col("user_id"), col("day"), col("n_turns"))
-    // same packed-key domain guard as q198 (the id is user·10⁶ + day;
-    // user_id < 0 would decode to a wrong key and silently drop the
-    // thread at the n_turns re-join)
-    require(valid.filter(col("day") < 0 || col("day") >= 1000000L ||
-        col("user_id") < 0).limit(1).isEmpty,
-      "tokenPacking: day index outside [0, 10^6) or negative " +
-        "user_id — the user*10^6+day packed key cannot represent " +
-        "it; re-key before packing")
+      .filter(assert_true(
+        col("day") >= 0 && col("day") < 1000000L && col("user_id") >= 0,
+        lit("tokenPacking: day index outside [0, 10^6) or negative " +
+          "user_id — the user*10^6+day packed key cannot represent " +
+          "it; re-key before packing")).isNull)
     val threadTokens = turns
       .select(col("user_id"), col("day"),
         (col("event_id") % nDocs).as("doc_id"))

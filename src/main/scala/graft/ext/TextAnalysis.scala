@@ -459,7 +459,11 @@ object TextAnalysis {
     * engine-invariant log in BIGINT micro-nats — exact k-multiplicity
     * multiply and order-free summation, no libm dependence. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
-    // sort = oracle determinism only; the reusable Of form is sort-free
+    // sort = oracle determinism only; the reusable Of form is sort-free.
+    // NOT spread: the round-16 interleaved A/B rejected spreading the
+    // documents scan here (0.87 — the chain is multi-stage and its
+    // exchanges already parallelize the heavy aggregates; the added
+    // 32-task stage is pure price on the narrow head)
     bigramLogprobOf(Tables(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 

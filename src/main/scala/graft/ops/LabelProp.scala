@@ -50,12 +50,29 @@ object LabelProp {
       .localCheckpoint(eager = false)
     var labels = adj.select(col("n").as("node")).distinct()
       .withColumn("lbl", col("node"))
+    // one exchange per round, not two: hash-partitioning on `n` ALONE
+    // satisfies the vote count's (n, lbl) clustering requirement
+    // (subset rule) AND the argmax's (n) requirement AND the next
+    // round's join on m (the argmax output renames n→node→m with the
+    // partitioning carried through the aliases), so the explicit
+    // repartition(n) below lets count + argmax + next join all share
+    // it. The trade: the exchange ships raw votes instead of
+    // partially-aggregated (n, lbl) counts — measured cheaper here
+    // (votes are two longs/row, and label diversity keeps map-side
+    // combine near-useless in early rounds; round-16 A/B 1.26).
+    // SHUFFLE_HASH on the node-sized label frame: the join is already
+    // co-partitioned, the hint swaps each round's sort-merge (which
+    // re-sorts the edge-sized adj side — the checkpoint carries hash
+    // partitioning but no order) for a hash build (guide §3.1;
+    // round-16 A/B 1.13). guide §2.4.
     var r = 0
     while (r < Rounds) {
       val votes = adj
-        .join(labels.select(col("node").as("m"), col("lbl")), Seq("m"))
+        .join(labels.select(col("node").as("m"), col("lbl"))
+          .hint("shuffle_hash"), Seq("m"))
         .select(col("n"), col("lbl"))
         .unionAll(labels.select(col("node").as("n"), col("lbl")))
+        .repartition(col("n"))
         .groupBy(col("n"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       labels = argmaxLabel(votes).localCheckpoint(eager = false)

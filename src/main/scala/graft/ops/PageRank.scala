@@ -45,6 +45,14 @@ object PageRank {
       .localCheckpoint(eager = false)
     val outdeg = directed.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
+    // outdeg is static across iterations — attach it to the edge frame
+    // ONCE (both sides already src-partitioned, so this join is
+    // exchange-free) instead of re-joining it every iteration: each
+    // round then does a single join (ranks) against the checkpointed
+    // (src, dst, outdeg) frame. 8 bytes/edge of checkpoint for one
+    // fewer join per iteration (round-16 A/B: 1.11). guide §2.4/§1.2.
+    val directedOut =
+      directed.join(outdeg, "src").localCheckpoint(eager = false)
     val n = outdeg.count()
     // an empty edge list has no nodes to rank — return the empty frame
     // instead of dividing rank mass by zero (a composed pipeline over a
@@ -55,10 +63,14 @@ object PageRank {
     val base = lit(Scale * 15L / (100L * n))
     var ranks = outdeg.select(col("src").as("node"),
       lit(Scale / n).as("rank"))
+    // deliberately SORT-merge per iteration (no SHUFFLE_HASH hint):
+    // directedOut is the output of an src-keyed sort-merge join, so its
+    // checkpoint already carries src order and each iteration's SMJ
+    // sorts only the node-sized rank frame — the hint variant re-paid a
+    // hash build per round and measured 0.86 in the round-16 A/B
     (1 to iterations).foreach { _ =>
-      val contribs = directed
+      val contribs = directedOut
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("contrib"))
       ranks = contribs.groupBy(col("node"))
