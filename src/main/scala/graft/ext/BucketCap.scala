@@ -40,23 +40,56 @@ object BucketCap {
   /** `banded` restricted to buckets with ≤ cap members. Logs what was
     * dropped (count of buckets and of member rows) — a cap must never
     * look like full coverage. cap ≤ 0 disables the guard entirely (no
-    * extra pass). */
+    * extra pass).
+    *
+    * The drop stats ride the query's OWN execution via
+    * `Dataset.observe` + a session-registered QueryExecutionListener:
+    * the earlier eager `head()` probe was one extra driver round-trip
+    * job (re-evaluating the banded derivation) per capBuckets call per
+    * run — two per incremental-near-dup query (round-16, guide §1.2).
+    * Same never-silent contract: the WARN fires when the consuming
+    * query finishes, with exact counts. */
   def capBuckets(banded: DataFrame, bucketCols: Seq[String], cap: Int,
       context: String): DataFrame = {
     if (cap <= 0) return banded
-    val hot = hotBuckets(banded, bucketCols, cap).localCheckpoint(eager = false)
-    val stats = hot.agg(count(lit(1)), coalesce(sum(col("_bsz")), lit(0L)))
-      .head()
-    val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
-    if (nHot > 0) {
-      log.warn(s"$context: dropping $nHot hot bucket(s) (> $cap members, " +
-        s"$nRows banded rows) from candidate generation; route them to " +
-        s"exact dedup")
-    }
+    registerWarnListener(banded.sparkSession)
+    val hot = hotBuckets(banded, bucketCols, cap)
+      .localCheckpoint(eager = false)
+      .observe(s"bucketcap:$context:$cap",
+        count(lit(1)).as("n_hot"),
+        coalesce(sum(col("_bsz")), lit(0L)).as("n_rows"))
     // re-select in the caller's column order: a USING join moves the key
     // columns first, which would silently break positional renames
     banded.join(broadcast(hot.select(bucketCols.map(col): _*)),
         bucketCols, "left_anti")
       .select(banded.columns.map(col).toSeq: _*)
   }
+
+  /** One WARN-relay listener per session (SessionMemo-guarded): reads
+    * every `bucketcap:<context>:<cap>` observation off a finished
+    * query and logs non-zero drops. Observation names are unique per
+    * call site context, which Spark requires within one query. */
+  private def registerWarnListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.SessionMemo(spark, "bucketcap-warn-listener") {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("bucketcap:") && row.getLong(0) > 0) {
+                val parts = name.split(':')
+                log.warn(s"${parts(1)}: dropping ${row.getLong(0)} hot " +
+                  s"bucket(s) (> ${parts(2)} members, ${row.getLong(1)} " +
+                  "banded rows) from candidate generation; route them " +
+                  "to exact dedup")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      true
+    }
 }

@@ -724,7 +724,14 @@ object Curate {
       d: org.apache.spark.sql.Dataset[(Long, String, Long, String)])
       : DataFrame = {
     import d.sparkSession.implicits._
+    // checkpointed BEFORE the range partitioner: repartitionByRange
+    // hides a sampling pass that re-executes the entire upstream plan
+    // (for the packing family that is the thread/token join chain) once
+    // more per call — with the lazy checkpoint the sampler materializes
+    // the frame and the real shuffle re-reads the blocks. One upstream
+    // evaluation per call instead of two (guide §1.2 / §5).
     val d2 = d.toDF("id", "grp", "n", "h")
+      .localCheckpoint(eager = false)
       .as[(Long, String, Long, String)]
     // phase 1: global range order + per-partition running sums
     val local = d2
