@@ -115,7 +115,21 @@ object BpeKernel extends Serializable {
 }
 
 /** Precompiled encode table: symbol interning + rank lookup built ONCE
-  * on the driver and shipped as a codegen reference object. */
+  * on the driver and shipped as a codegen reference object.
+  *
+  * The encode loop runs entirely over INTERNED INT SYMBOL IDS: the
+  * earlier form kept symbols as UTF8String and interned through
+  * `sym.get(s.toString)` on every adjacent-pair probe — O(symbols ×
+  * merge-rounds) fresh java.lang.String allocations per word, which
+  * was the dominant per-task cost of q83/q184/q206's encode stage
+  * (round 16). Here characters resolve to ids once, merge rounds
+  * rewrite an int array in place, and output strings come from a
+  * prebuilt id→UTF8String table — the only steady-state allocations
+  * per word are the id array and the emitted token references. The
+  * algorithm (greedy lowest-rank-first, leftmost non-overlapping —
+  * Sennrich et al. 2016 alg. 1) and its outputs are unchanged;
+  * characters outside the trained alphabet can never merge and pass
+  * through verbatim via negative local ids. */
 final class BpeTable(ranks: Seq[(String, String)], endMarkStr: String)
   extends Serializable {
 
@@ -127,26 +141,104 @@ final class BpeTable(ranks: Seq[(String, String)], endMarkStr: String)
       id
     }
     val rank = new java.util.HashMap[Long, Integer]()
+    val merged = new java.util.HashMap[Long, Integer]()
+    intern(endMarkStr)
     ranks.zipWithIndex.foreach { case ((l, r), i) =>
       val k = (intern(l).toLong << 32) | (intern(r).toLong & 0xffffffffL)
       // merged symbols become candidates for later merges
-      intern(l + r)
+      merged.put(k, intern(l + r))
       rank.put(k, i)
     }
-    (sym, rank)
+    // id → output string, and single-char symbol → id (the alphabet)
+    val strs = new Array[UTF8String](sym.size)
+    val charId = new java.util.HashMap[Character, Integer]()
+    sym.forEach { (s, id) =>
+      strs(id) = UTF8String.fromString(s)
+      if (s.length == 1) charId.put(s.charAt(0), id)
+    }
+    (rank, merged, strs, charId, sym.get(endMarkStr).intValue)
   }
-  private def sym = state._1
-  private def rankMap = state._2
-  private val endMark = UTF8String.fromString(endMarkStr)
+  private def rankMap = state._1
+  private def mergedId = state._2
+  private def symStr = state._3
+  private def charId = state._4
+  private def endMarkId = state._5
+
+  /** One word: ids = trained-alphabet ids (≥ 0) or −(u+1) pointing
+    * into `unknown` for out-of-alphabet characters (which never
+    * merge). In-place lowest-rank-first merge, then emit. */
+  private def encodeWord(word: String, from: Int, until: Int,
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    val rank = rankMap
+    var n = until - from + 1
+    val ids = new Array[Int](n)
+    var unknown: java.util.ArrayList[UTF8String] = null
+    var i = 0
+    while (i < n - 1) {
+      val id = charId.get(word.charAt(from + i))
+      if (id != null) ids(i) = id
+      else {
+        if (unknown == null) unknown = new java.util.ArrayList[UTF8String](2)
+        unknown.add(UTF8String.fromString(String.valueOf(word.charAt(from + i))))
+        ids(i) = -unknown.size
+      }
+      i += 1
+    }
+    ids(n - 1) = endMarkId
+    var done = false
+    while (!done && n > 1) {
+      // find the best (lowest-rank) adjacent pair
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < n - 1) {
+        if (ids(j) >= 0 && ids(j + 1) >= 0) {
+          val k = (ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL)
+          val rk = rank.get(k)
+          if (rk != null && rk.intValue < bestRank) bestRank = rk.intValue
+        }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        // merge every occurrence of that pair, left to right, in place
+        var w = 0
+        var r = 0
+        while (r < n) {
+          if (r + 1 < n && ids(r) >= 0 && ids(r + 1) >= 0 && {
+            val k = (ids(r).toLong << 32) | (ids(r + 1).toLong & 0xffffffffL)
+            val rk = rank.get(k)
+            rk != null && rk.intValue == bestRank
+          }) {
+            val k = (ids(r).toLong << 32) | (ids(r + 1).toLong & 0xffffffffL)
+            ids(w) = mergedId.get(k).intValue
+            r += 2
+          } else {
+            ids(w) = ids(r)
+            r += 1
+          }
+          w += 1
+        }
+        n = w
+      }
+    }
+    i = 0
+    while (i < n) {
+      out.add(if (ids(i) >= 0) symStr(ids(i)) else unknown.get(-ids(i) - 1))
+      i += 1
+    }
+  }
 
   def encode(text: UTF8String): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
-    val words = text.toString.split(" ")
+    val s = text.toString
+    var start = 0
     var i = 0
-    while (i < words.length) {
-      if (words(i).nonEmpty)
-        BpeKernel.encodeWord(UTF8String.fromString(words(i)),
-          rankMap, sym, endMark, out)
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) encodeWord(s, start, i, out)
+        start = i + 1
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)
