@@ -37,59 +37,54 @@ object BucketCap {
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > cap)
 
+  /** Per-partition WARN for the hot frame — factored out so the
+    * never-silent contract is directly unit-testable. Returns the
+    * message that was (or would be) logged. */
+  private[graft] def partitionWarning(nHot: Long, nRows: Long, cap: Int,
+      context: String): Option[String] =
+    if (nHot <= 0) None
+    else Some(s"$context: dropping $nHot hot bucket(s) (> $cap members, " +
+      s"$nRows banded rows) from candidate generation; route them to " +
+      "exact dedup")
+
   /** `banded` restricted to buckets with ≤ cap members. Logs what was
     * dropped (count of buckets and of member rows) — a cap must never
     * look like full coverage. cap ≤ 0 disables the guard entirely (no
     * extra pass).
     *
-    * The drop stats ride the query's OWN execution via
-    * `Dataset.observe` + a session-registered QueryExecutionListener:
-    * the earlier eager `head()` probe was one extra driver round-trip
-    * job (re-evaluating the banded derivation) per capBuckets call per
-    * run — two per incremental-near-dup query (round-16, guide §1.2).
-    * Same never-silent contract: the WARN fires when the consuming
-    * query finishes, with exact counts. */
+    * The WARN rides the hot frame's OWN materialization (a
+    * per-partition summary inside a mapPartitions over the bounded
+    * ≤ n/cap hot rows): the earlier eager `head()` probe was one extra
+    * driver round-trip job — re-evaluating the banded derivation — per
+    * capBuckets call per run, two per incremental-near-dup query
+    * (round-16, guide §1.2). Logging from inside the dataflow (not a
+    * QueryExecutionListener reading `observe` metrics) keeps the
+    * contract through EVERY consumption path: a capped frame that
+    * materializes via localCheckpoint / a session-memo build / a
+    * streaming micro-batch still logs, composed queries can reuse one
+    * call-site context without metric-name collisions, and local-mode
+    * executor logs are the driver log. */
   def capBuckets(banded: DataFrame, bucketCols: Seq[String], cap: Int,
       context: String): DataFrame = {
     if (cap <= 0) return banded
-    registerWarnListener(banded.sparkSession)
-    val hot = hotBuckets(banded, bucketCols, cap)
-      .localCheckpoint(eager = false)
-      .observe(s"bucketcap:$context:$cap",
-        count(lit(1)).as("n_hot"),
-        coalesce(sum(col("_bsz")), lit(0L)).as("n_rows"))
+    val hot0 = hotBuckets(banded, bucketCols, cap)
+    val nKey = bucketCols.size
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(hot0.schema)
+    val hot = hot0.mapPartitions { it =>
+      // bounded buffer (≤ n/cap rows corpus-wide): summarize, warn, pass through
+      val rows = it.toArray
+      val nRows = rows.iterator.map(_.getLong(nKey)).sum
+      // logger re-acquired by name inside the task (the object's own
+      // logger field would drag the module into the serialized closure)
+      partitionWarning(rows.length.toLong, nRows, cap, context)
+        .foreach(m => LoggerFactory.getLogger("graft.ext.BucketCap").warn(m))
+      rows.iterator
+    }.localCheckpoint(eager = false)
     // re-select in the caller's column order: a USING join moves the key
     // columns first, which would silently break positional renames
     banded.join(broadcast(hot.select(bucketCols.map(col): _*)),
         bucketCols, "left_anti")
       .select(banded.columns.map(col).toSeq: _*)
   }
-
-  /** One WARN-relay listener per session (SessionMemo-guarded): reads
-    * every `bucketcap:<context>:<cap>` observation off a finished
-    * query and logs non-zero drops. Observation names are unique per
-    * call site context, which Spark requires within one query. */
-  private def registerWarnListener(
-      spark: org.apache.spark.sql.SparkSession): Unit =
-    graft.SessionMemo(spark, "bucketcap-warn-listener") {
-      spark.listenerManager.register(
-        new org.apache.spark.sql.util.QueryExecutionListener {
-          override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              durationNs: Long): Unit =
-            qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("bucketcap:") && row.getLong(0) > 0) {
-                val parts = name.split(':')
-                log.warn(s"${parts(1)}: dropping ${row.getLong(0)} hot " +
-                  s"bucket(s) (> ${parts(2)} members, ${row.getLong(1)} " +
-                  "banded rows) from candidate generation; route them " +
-                  "to exact dedup")
-              }
-            }
-          override def onFailure(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution,
-              exception: Exception): Unit = ()
-        })
-      true
-    }
 }

@@ -579,18 +579,27 @@ object Dedup {
       .select(xxhash64(col("col")).as("h"), col("doc_id"),
         col("pos").as("span_pos"))
     val dropped = nonFirstOccurrences(occ, "span_pos")
-    // array-native reconstruction (same shape as [[cutSpansOf]]): the
-    // dropped POSITIONS per doc — bounded by the duplicated-content
-    // volume — fold into one array and the span payload strings never
-    // cross a shuffle at all (the old anti-join + collect_list rebuild
-    // shuffled every surviving span string twice); fully-deduped docs
-    // still vanish via the size guard. guide §2.3/§8.
+    // array-native reconstruction (same gap-slice shape as
+    // [[cutSpansOf]]): the dropped POSITIONS per doc — bounded by the
+    // duplicated-content volume, distinct by construction — fold into
+    // one SORTED array and the kept spans are the gap slices between
+    // consecutive dropped positions: O(spans + drops) per document (a
+    // per-span array_contains probe would be O(spans·drops), quadratic
+    // for a mostly-duplicate megadocument), and the span payload
+    // strings never cross a shuffle at all (the old anti-join +
+    // collect_list rebuild shuffled every surviving span string twice).
+    // Positions here are 0-based posexplode indices, so the slice
+    // bounds are (d_prev + 2) in 1-based slice coordinates; fully-
+    // deduped docs still vanish via the size guard. guide §2.3/§8.
     val drops = dropped.groupBy(col("doc_id"))
-      .agg(collect_list(col("span_pos")).as("dp"))
+      .agg(array_sort(collect_list(col("span_pos"))).as("dp"))
     spansArr.join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        filter(col("sp"), (_, i) =>
-          col("dp").isNull || !array_contains(col("dp"), i)).as("kept"))
+        when(col("dp").isNull, col("sp")).otherwise(flatten(zip_with(
+          concat(array(lit(-1)), col("dp")),
+          concat(col("dp"), array(size(col("sp")))),
+          (dPrev, dNext) => slice(col("sp"), dPrev + 2,
+            greatest(dNext - dPrev - 1, lit(0)))))).as("kept"))
       .filter(size(col("kept")) > 0)
       .select(col("doc_id"),
         size(col("kept")).cast("long").as("n_spans_kept"),
@@ -731,34 +740,45 @@ object Dedup {
     * per-micro-batch removal, so stream and batch cuts are the same
     * code by construction. Sort-free. */
   def cutSpansOf(docs: DataFrame, spans: DataFrame): DataFrame = {
-    // array-native cut: group each doc's spans into one bounded array
-    // (span count ≤ repeated-content volume / k), keyed-join it to the
-    // document, and filter the token array in place. The earlier form
-    // posexploded every document into (doc_id, pos) rows, anti-joined,
-    // and rebuilt text with a collect_list — the whole corpus token
-    // stream crossed TWO shuffles (anti-join key, reconstruction
-    // groupBy) just to delete positions that were already adjacent in
-    // the array. Here the text payload moves once (the doc_id join)
-    // and the cut itself is a narrow codegen'd higher-order filter;
-    // output is row-identical (same positions kept, same order, fully-
-    // cut docs still vanish). guide §2.3/§2.4 + §8 (decide with small
-    // rows, move big rows once).
+    // array-native cut: group each doc's spans into one bounded SORTED
+    // array (span count ≤ repeated-content volume / k), keyed-join it
+    // to the document, and emit the GAPS between spans as slices of the
+    // token array. The earlier form posexploded every document into
+    // (doc_id, pos) rows, anti-joined, and rebuilt text with a
+    // collect_list — the whole corpus token stream crossed TWO shuffles
+    // (anti-join key, reconstruction groupBy) just to delete positions
+    // that were already adjacent in the array. Here the text payload
+    // moves once (the doc_id join) and the cut is a narrow codegen'd
+    // gap-slice — O(tokens + spans) per document (a per-token
+    // membership test over the span array would be O(tokens·spans),
+    // quadratic for a mostly-duplicate megadocument). Correct because
+    // the spans are the q120 shape this API documents: MERGED maximal
+    // spans, pairwise disjoint and non-adjacent (mergeRepeatSpans fuses
+    // overlapping and back-to-back intervals), so sorted span bounds
+    // delimit the kept gaps exactly. Output is row-identical (same
+    // positions kept, same order, fully-cut docs still vanish).
+    // guide §2.3/§2.4 + §8 (decide with small rows, move big rows once).
     val cuts = spans.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("cuts"))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("cuts"))
     docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        col("cuts"))
       .select(col("doc_id"),
-        filter(
-          transform(split(col("text"), " "),
-            (w, i) => struct((i + 1).cast("long").as("pos"), w.as("w"))),
-          t => col("cuts").isNull || !exists(col("cuts"),
-            c => t.getField("pos").between(c.getField("s"),
-              c.getField("e")))).as("kept"))
+        when(col("cuts").isNull, col("ws")).otherwise(flatten(zip_with(
+          // gap g: (end of previous span, start of next span); the
+          // sentinel bounds are position 0 and n+1
+          concat(array(lit(0L)),
+            transform(col("cuts"), c => c.getField("e"))),
+          concat(transform(col("cuts"), c => c.getField("s")),
+            array(size(col("ws")).cast("long") + 1L)),
+          (ePrev, sNext) => slice(col("ws"), (ePrev + 1L).cast("int"),
+            greatest(sNext - ePrev - 1L, lit(0L)).cast("int")))))
+          .as("kept"))
       .filter(size(col("kept")) > 0)
       .select(col("doc_id"),
         size(col("kept")).cast("long").as("n_tokens_kept"),
-        array_join(transform(col("kept"), x => x.getField("w")), " ")
-          .as("text_cut"))
+        array_join(col("kept"), " ").as("text_cut"))
   }
 
   /** Oracle: q120's span CTE chain, then cut and re-join by position. */

@@ -33,43 +33,26 @@ class DedupSpec extends SparkSpecBase {
       Set(("x", 3L)))
   }
 
-  test("capBuckets reports its drop stats through the query's own " +
-      "execution (observe metrics), not a separate probe job") {
+  test("capBuckets drops hot buckets inside the query's own dataflow " +
+      "and its WARN summary is never silent for non-zero drops") {
     import spark.implicits._
-    // capture the bucketcap observation exactly as the WARN relay does
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]
-    val l = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          d: Long): Unit =
-        qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith("bucketcap:"))
-            seen.add((name, row.getLong(0), row.getLong(1)))
-        }
-      override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          e: Exception): Unit = ()
-    }
-    spark.listenerManager.register(l)
-    try {
-      val banded = ((1L to 5L).map(i => (i, "hot")) ++ Seq((6L, "ok")))
-        .toDF("doc_id", "bkt")
-      val out = BucketCap.capBuckets(banded, Seq("bkt"), cap = 3,
-        "spec-cap").collect()
-      // behavior: hot bucket dropped, survivor kept, column order intact
-      assert(out.map(_.getLong(0)).toSet == Set(6L))
-      // the drop stats rode the SAME query execution (the listener bus
-      // is async — poll briefly)
-      val deadline = System.nanoTime() + 10L * 1000000000L
-      def captured() = seen.toArray(Array.empty[(String, Long, Long)])
-        .filter(_._1 == "bucketcap:spec-cap:3")
-      while (captured().isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(100)
-      val m = captured()
-      assert(m.nonEmpty, "no bucketcap observation surfaced")
-      assert(m.head._2 == 1L && m.head._3 == 5L,
-        s"expected 1 hot bucket / 5 rows, got ${m.head}")
-    } finally spark.listenerManager.unregister(l)
+    val banded = ((1L to 5L).map(i => (i, "hot")) ++ Seq((6L, "ok")))
+      .toDF("doc_id", "bkt")
+    val out = BucketCap.capBuckets(banded, Seq("bkt"), cap = 3,
+      "spec-cap").collect()
+    // behavior: hot bucket dropped, survivor kept, column order intact
+    assert(out.map(_.getLong(0)).toSet == Set(6L))
+    // the guard must also hold when the capped frame materializes only
+    // through a checkpoint (the session-memo / streaming consumption
+    // path, where a listener-based report would never fire)
+    val viaCp = BucketCap.capBuckets(banded, Seq("bkt"), cap = 3,
+      "spec-cap-cp").localCheckpoint().collect()
+    assert(viaCp.map(_.getLong(0)).toSet == Set(6L))
+    // the WARN text itself: exact counts, silent only at zero drops
+    assert(BucketCap.partitionWarning(1L, 5L, 3, "spec-cap") ==
+      Some("spec-cap: dropping 1 hot bucket(s) (> 3 members, 5 banded " +
+        "rows) from candidate generation; route them to exact dedup"))
+    assert(BucketCap.partitionWarning(0L, 0L, 3, "spec-cap").isEmpty)
   }
 
   test("hot-bucket cap drops the boilerplate cluster's pairs, keeps " +
