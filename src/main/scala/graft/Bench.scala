@@ -148,12 +148,18 @@ object Bench {
     steal ++ canaries
   }
 
-  /** Poll for a quiet window before the retry pass: probe every ~20 s
-    * until steal < 5% or ~5 min elapse. Bounded so a permanently noisy
-    * host still produces an artifact (with the contaminated verdict on
-    * it). */
+  /** Poll for a quiet window before a retry pass: probe every ~20 s
+    * until steal < 5% or the wait budget elapses. Bounded so a
+    * permanently noisy host still produces an artifact (with the
+    * contaminated verdict on it). Round 17 raised the per-retry budget
+    * from 5 to 10 minutes: the round-16 official artifact retried
+    * straight back into the same co-tenant wave (steal 17.4% after the
+    * retry) and closed the round contaminated — waiting out a
+    * multi-minute wave is cheaper than shipping a disclaimed number. */
   private def awaitQuietWindow(): Double = {
-    val deadline = System.nanoTime() + 300L * 1000000000L
+    val waitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "600")
+      .toLong.max(0L)
+    val deadline = System.nanoTime() + waitSec * 1000000000L
     var steal = tools.StealProbe.measureDefault()
     while (steal >= 5.0 && System.nanoTime() < deadline) {
       System.err.println(f"[bench] waiting for quiet window (steal $steal%.1f%%)")
@@ -199,41 +205,59 @@ object Bench {
     val (res1, mid1) = measurePass(spark, sfDir, sorted, runs, stealPre0)
     val post1 = tools.StealProbe.measureDefault()
     val reasons1 = contaminationOf(stealPre0, res1, mid1, post1, bandsApply)
-    // self-defense: one bounded retry after a quiet-window wait. The
-    // retry reuses the warm JVM and session memos — shared artifacts
-    // amortize exactly as they do across the 3 runs within a pass.
-    // `reasons` always records why a retry happened (pass 1's trigger)
-    // or why the verdict is contaminated — empty only when pass 1 was
-    // quiet.
-    val (results, stealPre, stealMid, stealPost, verdict, reasons, retried) =
-      if (reasons1.isEmpty)
-        (res1, stealPre0, mid1, post1, "quiet", Seq.empty[String], false)
-      else {
-        System.err.println(s"[bench] pass 1 contaminated: ${reasons1.mkString("; ")}")
-        val pre2 = awaitQuietWindow()
-        val (res2, mid2) = measurePass(spark, sfDir, sorted, runs, pre2)
-        val post2 = tools.StealProbe.measureDefault()
-        val reasons2 = contaminationOf(pre2, res2, mid2, post2, bandsApply)
-        if (reasons2.isEmpty)
-          (res2, pre2, mid2, post2, "quiet", reasons1, true)
-        else {
-          System.err.println(s"[bench] retry also contaminated: ${reasons2.mkString("; ")}")
-          // both dirty: report the less-inflated pass. Compare totals
-          // over the queries that passed in BOTH passes — a pass whose
-          // sum covers fewer queries (one crashed) must not win the
-          // tie-break by omission — and prefer the pass with fewer
-          // failures outright.
-          val ok1 = res1.filter(_.ok).map(_.name).toSet
-          val ok2 = res2.filter(_.ok).map(_.name).toSet
-          val common = ok1.intersect(ok2)
-          val t1 = res1.filter(r => common(r.name)).map(_.median).sum
-          val t2 = res2.filter(r => common(r.name)).map(_.median).sum
-          val pick2 =
-            if (ok2.size != ok1.size) ok2.size > ok1.size else t2 <= t1
-          if (pick2) (res2, pre2, mid2, post2, "contaminated", reasons2, true)
-          else (res1, stealPre0, mid1, post1, "contaminated", reasons1, true)
-        }
-      }
+    // self-defense: up to SPARK_GRAFT_BENCH_RETRIES (default 2, round
+    // 17; round 16's single retry launched back into the same wave and
+    // closed the round without a quiet official number) bounded retries,
+    // each after a quiet-window wait. A retry reuses the warm JVM and
+    // session memos — shared artifacts amortize exactly as they do
+    // across the 3 runs within a pass. Timers, query set, median rule
+    // and the JSON contract are untouched: the policy only decides
+    // WHICH pass's numbers are reported and how the artifact
+    // self-adjudicates. `reasons` records why retries happened (pass
+    // 1's trigger) when the verdict is quiet-after-retry, or why the
+    // reported pass is contaminated — empty only when pass 1 was quiet.
+    case class Pass(res: Seq[QRow], pre: Double, mid: Seq[Double],
+      post: Double, reasons: Seq[String])
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2")
+      .toInt.max(0)
+    var passes = List(Pass(res1, stealPre0, mid1, post1, reasons1))
+    while (passes.head.reasons.nonEmpty && passes.length <= maxRetries) {
+      System.err.println(s"[bench] pass ${passes.length} contaminated: " +
+        passes.head.reasons.mkString("; "))
+      val pre = awaitQuietWindow()
+      val (res, mid) = measurePass(spark, sfDir, sorted, runs, pre)
+      val post = tools.StealProbe.measureDefault()
+      passes = Pass(res, pre, mid, post,
+        contaminationOf(pre, res, mid, post, bandsApply)) :: passes
+    }
+    // report the first quiet pass if any pass was quiet; else the
+    // least-inflated contaminated pass. "Less inflated" compares totals
+    // over the queries that passed in BOTH passes — a pass whose sum
+    // covers fewer queries (one crashed) must not win the tie-break by
+    // omission — and prefers the pass with fewer failures outright.
+    def lessInflated(a: Pass, b: Pass): Pass = {
+      val okA = a.res.filter(_.ok).map(_.name).toSet
+      val okB = b.res.filter(_.ok).map(_.name).toSet
+      val common = okA.intersect(okB)
+      val tA = a.res.filter(r => common(r.name)).map(_.median).sum
+      val tB = b.res.filter(r => common(r.name)).map(_.median).sum
+      val pickA = if (okA.size != okB.size) okA.size > okB.size
+        else tA <= tB
+      if (pickA) a else b
+    }
+    val retried = passes.length > 1
+    if (retried && passes.head.reasons.nonEmpty)
+      System.err.println(s"[bench] final retry also contaminated: " +
+        passes.head.reasons.mkString("; "))
+    val (chosen, verdict, reasons) = passes.find(_.reasons.isEmpty) match {
+      case Some(p) =>
+        (p, "quiet", if (retried) reasons1 else Seq.empty[String])
+      case None =>
+        val p = passes.reverse.reduceLeft(lessInflated)
+        (p, "contaminated", p.reasons)
+    }
+    val (results, stealPre, stealMid, stealPost) =
+      (chosen.res, chosen.pre, chosen.mid, chosen.post)
     val failed = results.filterNot(_.ok).map(_.name)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.length} queries FAILED " +

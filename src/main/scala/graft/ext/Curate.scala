@@ -61,7 +61,31 @@ object Curate {
     * [[connectedComponentsPropagation]] keeps the min-label form;
     * CurateSpec pins star ≡ propagation on chains, cliques, and the
     * real near-dup fixture graph. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  /** One large-star + small-star round over a distinct (u, v) edge
+    * frame — extracted from [[connectedComponents]] so the round's
+    * plan (exchange count, join strategy) is dumpable WITHOUT the
+    * per-round checkpoint that hides it from `explain`
+    * (tools.PlanDumpRounds; the LPA round-dump precedent).
+    *
+    * Round-17 exchange fusion (`fused = true`, guide §2.4 — the LPA
+    * subset-rule pattern): each half-round's closing `distinct()` used
+    * to plan its own Exchange hashpartitioning(u, v), and small-star's
+    * canonicalization re-keyed through ANOTHER hashpartitioning(u) —
+    * 4 edge-sized exchanges per round. Deduplicating through an
+    * explicit repartition(u) instead lets HashPartitioning(u) satisfy
+    * the dropDuplicates(u, v) clustering requirement (subset rule),
+    * and — because large-star's output is canonical by construction
+    * (new u = old v > old u ≥ m = new v) — small-star's groupBy(u),
+    * its self-join on u, AND the fixpoint pointer aggregate all reuse
+    * that same partitioning with no exchange at all: 3 exchanges per
+    * round, and small-star moves zero rows. dropDuplicates(u, v) on a
+    * hash(u) layout is exact (same keys; partial map-side combine
+    * bounds any hot-u reduce partition by its DISTINCT pair count,
+    * the same bound the groupBy(u) half-rounds already carry). */
+  private[graft] def ccRound(e0: DataFrame, fused: Boolean): DataFrame = {
+    def dedup(e: DataFrame): DataFrame =
+      if (fused) e.repartition(col("u")).dropDuplicates("u", "v")
+      else e.distinct()
     // large-star(u): every neighbor v > u re-points to
     // m = min(N(u) ∪ {u}); keeps components connected while halving
     // long-path distances (Kiveris et al., Lemma 1)
@@ -70,25 +94,38 @@ object Curate {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(mins, "u")
+      dedup(sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
+        .filter(col("u") =!= col("v")))
     }
     // small-star(u): orient every edge toward the smaller endpoint,
     // then re-point each node's smaller neighbors (and itself) to the
-    // neighborhood minimum — flattens the stars large-star built
+    // neighborhood minimum — flattens the stars large-star built. In
+    // the fused form the input IS large-star's output, whose every
+    // edge already satisfies u > v, so the greatest/least
+    // canonicalization is the identity — skipping it (fused path only)
+    // preserves the hash(u) partitioning that a computed
+    // greatest(u, v) projection would discard.
     def smallStar(e: DataFrame): DataFrame = {
-      val can = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
+      val can = if (fused) e
+        else e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
       val mins = can.groupBy(col("u")).agg(min(col("v")).as("m"))
-      can.join(mins, "u")
+      dedup(can.join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
+        .filter(col("u") =!= col("v")))
     }
+    smallStar(largeStar(e0))
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // `graft.ccfuse=off` (session conf) forces the round-16
+    // 4-exchange round shape — the interleaved-A/B kill-switch,
+    // Tables.spreadScan precedent. See [[ccRound]].
+    val fused =
+      pairs.sparkSession.conf.get("graft.ccfuse", "on") != "off"
     def signature(e: DataFrame): (Long, Long, Long) = {
       // xor folds, not sums: ANSI mode makes a Σ of 64-bit hashes
       // overflow; xor is closed over longs and order-free, and the edge
@@ -109,7 +146,7 @@ object Curate {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val next = ccRound(edges, fused).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

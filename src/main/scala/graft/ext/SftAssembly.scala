@@ -244,9 +244,20 @@ object SftAssembly {
 
   private[ext] def promptDecontaminateOf(spark: SparkSession,
       dir: String): DataFrame = {
+    // round-17 per-task fix (guide §1.2): the prompt hash needs only
+    // the first 4 words, but the unlimited split tokenized the ENTIRE
+    // document into an array to slice 4 elements — the limit-5 form
+    // produces identical elements 1..4 (the 5th slot holds the
+    // untouched remainder) at O(prefix) instead of O(document) per
+    // row. Spreading the scan was ALSO tried and A/B-rejected (0.59 —
+    // the two added exchanges outprice the narrow md5 map, the
+    // round-16 universal-spread lesson again).
+    // `graft.q195=legacy` restores the full-split expression (A/B).
+    val legacy = spark.conf.get("graft.q195", "on") == "legacy"
+    val splitSql = if (legacy) "split(text, ' ')" else "split(text, ' ', 5)"
     val d = Tables(spark, dir, "documents")
       .withColumn("prompt_hash", md5(
-        expr("lower(array_join(slice(split(text, ' '), 1, 4), ' '))")
+        expr(s"lower(array_join(slice($splitSql, 1, 4), ' '))")
           .cast("binary")))
     val prompts = d.filter(col("doc_id") % 50 === 0)
       .select(col("prompt_hash")).distinct()
@@ -802,17 +813,20 @@ object SftAssembly {
     // seq_id; the last exported byte sits at (Σ prev n_tokens) − 1.
     // And not the last FROZEN sequence — a frozen export's final
     // sequence may hold a since-invalidated thread, and appending
-    // into it would overwrite shipped bytes. Bounded scalar.
-    val base = prev.agg(sum(col("n_tokens"))).collect()(0) match {
-      case r if r.isNullAt(0) || r.getLong(0) == 0L => 0L
-      case r => (r.getLong(0) - 1L) / budget + 1L
-    }
+    // into it would overwrite shipped bytes. Rides the DAG as a 1-row
+    // broadcast cross join (round-17) instead of an eager collect —
+    // no blocking driver round trip per call; the seq_id arithmetic
+    // is the identical exact BIGINT either way.
+    val baseDf = prev.agg(sum(col("n_tokens")).as("_ptok"))
+      .select(expr(("CASE WHEN coalesce(_ptok, 0) = 0 THEN CAST(0 AS " +
+        s"BIGINT) ELSE (_ptok - 1) div $budget + 1 END")).as("_base"))
     val appended = full.join(frozen.select(col("user_id"), col("day")),
       Seq("user_id", "day"), "left_anti")
     val tail = Curate.prefixSumsOf(keyedThreadsOf(appended, "n_tokens"))
+      .crossJoin(broadcast(baseDf))
       .select(expr("id div 1000000").as("user_id"),
         (col("id") % 1000000L).as("day"),
-        (lit(base) + expr(s"before div $budget")).as("seq_id"),
+        (col("_base") + expr(s"before div $budget")).as("seq_id"),
         (col("before") % budget).as("seq_offset"))
       .join(appended.select(col("user_id"), col("day"),
         col("n_turns"), col("n_tokens")), Seq("user_id", "day"))

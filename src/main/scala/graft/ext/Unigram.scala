@@ -84,6 +84,12 @@ object Unigram {
     * the oracle replays ([[DetLn.withLnFix]]), then collected: a score
     * table is vocab-sized config, never corpus-sized. */
   private[graft] def scoresOf(counts: DataFrame): Map[String, Long] = {
+    // the eager T scalar stays (round-17 measured): riding it into the
+    // DAG as a 1-row broadcast cross join replaces the head() job with
+    // a broadcast-build job one for one (OptProbe: 15 jobs either
+    // way), and the same fold pattern A/B'd 0.96 on q64 — the head()
+    // also usefully materializes the per-round checkpoint before the
+    // score collect reads it
     val t = counts.agg(sum(col("c") + 1).as("t")).head().getLong(0)
     DetLn.withLnFix(
         DetLn.withLnFix(counts.withColumn("c1", col("c") + 1),
@@ -141,15 +147,18 @@ object Unigram {
       .flatMap { case (w, n) => segment(w, bc.value).map(p => (p, n)) }
       .toDF("p", "n")
       .groupBy(col("p")).agg(sum(col("n")).as("u"))
-    // materialize inside the round (eager localCheckpoint) so this
-    // round's model broadcast can be released instead of accumulating
-    // one per EM round
-    val out = vocab.select(col("p"))
+    // lazy checkpoint: the round's result materializes inside the NEXT
+    // consumer's job (the following round's score collect), not as its
+    // own barrier job. That consumer still evaluates the segment
+    // closure over `bc`, so the broadcast must NOT be destroyed here —
+    // the pre-round-16 eager form could release it eagerly; the lazy
+    // form leaves reclamation to the ContextCleaner once the closure
+    // is unreferenced (local mode masked the hazard via the driver's
+    // broadcast value cache; round-17 removes it).
+    vocab.select(col("p"))
       .join(used, Seq("p"), "left")
       .select(col("p"), coalesce(col("u"), lit(0L)).as("c"))
       .localCheckpoint(eager = false)
-    bc.destroy()
-    out
   }
 
   /** Final usage counts over the full seed vocabulary (zeros kept —

@@ -50,6 +50,30 @@ object FuzzyMatch {
       right: DataFrame, rKey: String, rName: String): DataFrame = {
     def named(df: DataFrame, name: String): DataFrame =
       df.filter(col(name).isNotNull && length(col(name)) > 0)
+    // Size-gated broadcast for the two key re-attach joins (round-17,
+    // guide §3.1): their build side is the caller's INPUT frame
+    // projected to (key, name) — for dimension-sized entity resolution
+    // (the q94 shape) broadcasting it turns both re-attaches into
+    // BroadcastHashJoins and removes two shuffle exchanges plus their
+    // sequential AQE stages; for arbitrary large frames the gate reads
+    // the optimizer's own size estimate against the session's
+    // autoBroadcastJoinThreshold and leaves the sort-merge plan alone
+    // — no constant tuned to either profile, and estimates for a
+    // scan+filter+project are the planner's file-size numbers, the
+    // same evidence AQE would use one stage later. The gate is
+    // plan-time (no job): a wrong estimate degrades to the join
+    // strategy Spark would have picked anyway.
+    // `graft.fuzzybcast=off` (session conf) forces the round-16 plan —
+    // the interleaved-A/B kill-switch, Tables.spreadScan precedent.
+    def bcastIfDim(df: DataFrame): DataFrame = {
+      val thresh =
+        df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (df.sparkSession.conf.get("graft.fuzzybcast", "on") != "off" &&
+          thresh > 0 &&
+          df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(thresh)) broadcast(df)
+      else df
+    }
     // variants ship as 64-bit hashes, not strings: the candidate join
     // only needs EQUALITY of variants, and the levenshtein verify below
     // already rejects any false candidate — so a hash collision between
@@ -57,8 +81,43 @@ object FuzzyMatch {
     // (~|variants|²/2⁶⁴), while every shuffled variant row shrinks from
     // a ~20-char string to one long (guide §2.3 "shuffle keys and
     // metadata instead of payloads")
+    // Spread the post-distinct compute (round-17, guide §8 "use what
+    // you know that the optimizer does not"): the variant explode and
+    // the levenshtein verify both run ABOVE the distinct's exchange,
+    // and for a dimension-sized name table AQE correctly coalesces
+    // that tiny shuffle to one partition — correct for shuffle cost,
+    // disastrous for the ~n·len variant generation + bounded-DP verify
+    // that follow, which then run on ONE core (q94 at sf0.1: 1.46 s of
+    // summed executor time over single-task stages). AQE has no model
+    // of downstream per-row compute; this operator does. The explicit
+    // repartition on the name key is taken ONLY when the distinct
+    // input is estimated dimension-sized (≤ autoBroadcastJoinThreshold
+    // — the exchange then costs ~0.05-0.15 s, r16-measured), so at
+    // corpus scale, where AQE keeps the natural parallelism anyway,
+    // the plan is unchanged. Partition count derives from the
+    // session's core count — nothing tuned to either profile.
+    // `graft.fuzzyspread=off` (session conf) = A/B kill-switch.
+    // The pin sits BELOW the distinct: a user-specified partition
+    // count is exempt from AQE partition coalescing AND satisfies the
+    // distinct's clustering requirement, so the distinct plans no
+    // exchange of its own — same shuffle count as before, but the
+    // post-distinct stages keep their parallelism. (A repartition
+    // ABOVE the distinct with the same key and count is elided as
+    // redundant at planning, and the distinct's own ENSURE_REQUIREMENTS
+    // exchange is then coalesced to one partition at runtime —
+    // verified on the dumped plans.)
+    def spreadIfDim(base: DataFrame, name: String): DataFrame = {
+      val sess = base.sparkSession
+      val thresh = sess.sessionState.conf.autoBroadcastJoinThreshold
+      if (sess.conf.get("graft.fuzzyspread", "on") != "off" &&
+          thresh > 0 &&
+          base.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(thresh))
+        base.repartition(sess.sparkContext.defaultParallelism, col(name))
+      else base
+    }
     def variants(df: DataFrame, name: String): DataFrame =
-      named(df, name).select(col(name)).distinct()
+      spreadIfDim(named(df, name).select(col(name)), name).distinct()
         .select(col(name),
           explode(array_union(
             array(xxhash64(col(name))),
@@ -75,8 +134,10 @@ object FuzzyMatch {
       .withColumn("dist", levenshtein(col(lName), col(rName), 1))
       .filter(col("dist") >= 0) // bounded form returns -1 past the threshold
     matchedNames
-      .join(named(left, lName).select(col(lKey), col(lName)), lName)
-      .join(named(right, rName).select(col(rKey), col(rName)), rName)
+      .join(bcastIfDim(named(left, lName).select(col(lKey), col(lName))),
+        lName)
+      .join(bcastIfDim(named(right, rName).select(col(rKey), col(rName))),
+        rName)
       .select(col(lKey), col(rKey), col("dist"))
   }
 

@@ -23,7 +23,8 @@ object PlanDumpRounds {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans/r16")
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
     Files.createDirectories(outDir)
     def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       Files.writeString(outDir.resolve(s"$name.txt"),
@@ -76,6 +77,76 @@ object PlanDumpRounds {
       .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
       .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
     dump("pagerank_iter_before", contribsBefore)
+    // --- round-17 evidence ------------------------------------------
+    // PageRank STEADY-STATE iteration (iteration ≥ 2): in the real loop
+    // directedOut is a materialized checkpoint carrying hash(src)
+    // partitioning, and ranks is the PREVIOUS iteration's aggregate
+    // output — `pagerank_iter_after` above dumps iteration 1, where the
+    // lazy checkpoint build still inlines both the outdeg fold and the
+    // contribution join (the round-16 verdict's evidence gap).
+    // localCheckpoint(eager = false) reproduces the checkpointed-leaf
+    // plan shape without running a job at dump time (explain never
+    // executes); the LogicalRDD leaf stands in exactly as in the real
+    // loop.
+    val directedOutCp = directed.join(outdeg, "src")
+      .localCheckpoint(eager = false)
+    val ranksPrev = directedOutCp
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
+      .groupBy(col("node")).agg(sum(col("contrib")).as("rank"))
+      .localCheckpoint(eager = false)
+    val steady = directedOutCp
+      .join(ranksPrev.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
+      .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+    dump("pagerank_iter_steady", steady)
+    // LPA LATE-round shape (round ≥ 2): labels is the previous round's
+    // argmax output (a checkpointed leaf in the real loop), not the
+    // identity seed round 1 reads — the shape the round-16 verdict
+    // asked the q187 evidence to show.
+    val lblPrev = graft.ops.LabelProp.argmaxLabel(
+      adj.join(labels.select(col("node").as("m"), col("lbl"))
+          .hint("shuffle_hash"), Seq("m"))
+        .select(col("n"), col("lbl"))
+        .unionAll(labels.select(col("node").as("n"), col("lbl")))
+        .repartition(col("n"))
+        .groupBy(col("n"), col("lbl"))
+        .agg(count(lit(1)).as("c"))).localCheckpoint(eager = false)
+    val votesLate = adj
+      .join(lblPrev.select(col("node").as("m"), col("lbl"))
+        .hint("shuffle_hash"), Seq("m"))
+      .select(col("n"), col("lbl"))
+      .unionAll(lblPrev.select(col("node").as("n"), col("lbl")))
+      .repartition(col("n"))
+      .groupBy(col("n"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    dump("lpa_round_late", graft.ops.LabelProp.argmaxLabel(votesLate))
+    // the round-17 combine EXPERIMENT shape for late rounds (two
+    // exchanges of combined rows instead of one of raw votes)
+    val votesLateCombine = adj
+      .join(lblPrev.select(col("node").as("m"), col("lbl"))
+        .hint("shuffle_hash"), Seq("m"))
+      .select(col("n"), col("lbl"))
+      .unionAll(lblPrev.select(col("node").as("n"), col("lbl")))
+      .groupBy(col("n"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    dump("lpa_round_late_combine",
+      graft.ops.LabelProp.argmaxLabel(votesLateCombine))
+    // CC star round, STEADY-STATE shape (round 2 over round 1's output,
+    // whose checkpoint in the real loop carries round 1's dedup
+    // partitioning): fused (round-17, 3 exchanges) vs unfused
+    // (round-16, 4 exchanges). The edge seed is the co-purchase graph —
+    // same scale family as the q48/q60/q133 pair graphs, derived
+    // through public ops exactly as the header documents.
+    val ccEdges = edges.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    val ccR1Fused = graft.ext.Curate.ccRound(ccEdges, fused = true)
+      .localCheckpoint(eager = false)
+    dump("cc_round_after", graft.ext.Curate.ccRound(ccR1Fused, fused = true))
+    val ccR1Old = graft.ext.Curate.ccRound(ccEdges, fused = false)
+      .localCheckpoint(eager = false)
+    dump("cc_round_before", graft.ext.Curate.ccRound(ccR1Old, fused = false))
     spark.stop()
   }
 }
