@@ -532,7 +532,9 @@ object Dedup {
     * same tradeoff as [[Curate.decontaminate]] (the oracle compares the
     * span strings themselves). */
   def spanDedup(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    // sort = oracle determinism only; the reusable Of form is sort-free
+    // sort = oracle determinism only; the reusable Of form is sort-free.
+    // NOT spread: re-measured round-17 under the gap-slice cut shape
+    // (the r16 rejection predated it) — still flat (1.03/0.99)
     spanDedupOf(Tables(spark, dir, "documents"), k)
       .orderBy(col("doc_id"))
 
@@ -671,8 +673,11 @@ object Dedup {
     * [[spanDedup]]; the oracle compares window STRINGS. */
   def repeatSpans(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     // sort = oracle determinism only; the reusable Of form (whose span
-    // merge StreamingRepeatSpans pays per micro-batch) stays sort-free
-    repeatSpansOf(Tables(spark, dir, "documents"), k)
+    // merge StreamingRepeatSpans pays per micro-batch) stays sort-free.
+    // spreadScan: round-17 re-measure under the gap-slice cut shape
+    // (the r16 rejection predated it) — A/B 1.13/1.18 across two runs;
+    // q120's cost IS the windowed span build above the single-task scan
+    repeatSpansOf(Tables.spreadScan(spark, dir, "documents"), k)
       .orderBy(col("doc_id"), col("span_start"))
 
   /** Same over any (doc_id, text) DataFrame (injectable for tests). */
@@ -727,7 +732,10 @@ object Dedup {
     * by the same single reconstruction groupBy as q63. */
   def repeatSpanRemoval(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame =
-    // sort = oracle determinism only; the reusable Of form is sort-free
+    // sort = oracle determinism only; the reusable Of form is sort-free.
+    // NOT spread: re-measured round-17 under the gap-slice cut shape —
+    // still a loss (0.85/0.92; the cut join reads the scan twice and
+    // the added exchanges outprice the narrow span build)
     repeatSpanRemovalOf(Tables(spark, dir, "documents"), k)
       .orderBy(col("doc_id"))
 

@@ -211,6 +211,10 @@ object Similarity {
       tau: Double = 0.4, nBits: Int = -1, tables: Int = 4,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     import spark.implicits._
+    // NOT spread: parallelizing the single-file embeddings scan before
+    // the table keying A/B'd 0.76/0.65 (round-17, two runs) — the
+    // candidate join + cap stages dominate and the added exchange is
+    // pure price here
     val ds = vecs(spark, dir)
     val bits = if (nBits > 0) nBits else autoBits(ds.count())
     // the guard's anti-join fronts the bucket keys — reselect the tuple
@@ -347,7 +351,9 @@ object Similarity {
     import spark.implicits._
     // persisted: read once for the count, the table keying, and both
     // sides of the candidate scoring join (same fix annIvf got — without
-    // it the parquet is re-scanned 4x per call)
+    // it the parquet is re-scanned 4x per call). NOT spread: repartition
+    // before the persist A/B'd 0.82/0.87 (round-17, two runs) — the
+    // window top-k and candidate-join stages dominate, not the keying.
     val ds = vecs(spark, dir).persist()
     try {
     // keyspace grows with the corpus (nBits ≤ 0 → autoBits) so bucket

@@ -41,12 +41,17 @@ object PlanScan {
     * depends on the memoized checkpoint's size estimate), so the
     * adjudicated sites are listed regardless. The remaining 1-row
     * crossJoin chains (q81/q174/q178/q184/q191) optimize to
-    * single-partition joins and never plan a nested loop. */
+    * single-partition joins and never plan a nested loop. q205 joined
+    * the list in round 17: its frozen high-water scalar rides the DAG
+    * as a 1-row broadcast cross join (BroadcastNestedLoopJoin over ONE
+    * row by construction — the eager-collect replacement, see
+    * SftAssembly.appendPackingOf). */
   private val KnownCrossJoin: Set[String] = Set(
     "q04_highwater", "q15_subquery_avg", "q45_range_join",
     "q87_profile", "q111_profile_drift", "q117_cms_frequency",
     "q118_mixture_schedule", "q183_ivf_recall",
-    "q199_semantic_recall", "q204_delivery_card")
+    "q199_semantic_recall", "q204_delivery_card",
+    "q205_append_packing")
 
   def main(args: Array[String]): Unit = {
     val dir =
